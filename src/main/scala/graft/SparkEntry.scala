@@ -1,13 +1,34 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Query-name prefixes: `w_` sliding-window KPI core (SURVEY §2.2 C4-C9),
+  * `c_` parse chain (C1-C4), `d_` dashboard analytics (§2.3 D1-D12),
+  * `h_` relational breadth pack, `x_` LLM-pipeline extensions (§7.4),
+  * `s_` streaming-executed.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private val packs: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] = Seq(
+    (ops.WindowAgg.queries, ops.WindowAgg.oracle),
+    (ops.Parse.queries, ops.Parse.oracle),
+    (ops.Analytics.queries, ops.Analytics.oracle),
+    (ops.Relational.queries, ops.Relational.oracle))
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference's core computation: sliding-window per-user interaction
+    * counts (`/root/reference/consumer/consumer.py:116-126`). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    ops.WindowAgg.userWindows(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    packs.iterator.map(_._1).reduce(_ ++ _)
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    packs.iterator.map(_._2).reduce(_ ++ _)
 }

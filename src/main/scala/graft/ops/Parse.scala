@@ -1,0 +1,75 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference consumer's parse chain (C1-C4 of SURVEY §2.2): cast binary →
+  * string, `from_json` with a fixed permissive schema, struct flatten
+  * (`select("data.*")`), null-rejection filter
+  * (`/root/reference/consumer/consumer.py:108-111`), plus the dashboard's
+  * tolerant casts (D1-D3, `reporting/reporting.py:77-89`).
+  *
+  * All expressions are Catalyst built-ins (`JsonToStructs`, `Cast`) — fully
+  * codegen'd, no UDFs, so the chain stays inside one WholeStageCodegen span
+  * over the scan.
+  */
+object Parse {
+
+  /** Schema of the `events.props` JSON payload. */
+  val propsSchema: StructType = StructType(Seq(StructField("k", LongType, nullable = true)))
+
+  /** C2: parse the `props` JSON column with a declared schema; malformed rows
+    * degrade to nulls (PERMISSIVE), mirroring `from_json` at
+    * `consumer/consumer.py:109`. */
+  def parseProps(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_id"), from_json(col("props"), propsSchema).as("data"))
+      .select(col("event_id"), col("data.k").as("k_val"))
+      .filter(col("k_val").isNotNull)
+
+  /** C1+C2+C3+C4 round-trip: serialize a projection to JSON (the wire format,
+    * `producer/producer.py:31`), re-parse with the declared schema, flatten
+    * with `data.*`, and apply the not-null filter — proves the full parse
+    * pipeline preserves the reference's event contract. */
+  def roundtripJson(s: SparkSession, d: String): DataFrame = {
+    val wireSchema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType)))
+    Tables.events(s, d)
+      .select(to_json(struct(col("event_id"), col("user_id"), col("event_type"))).as("json_str"))
+      .select(from_json(col("json_str"), wireSchema).as("data"))
+      .select(col("data.*"))
+      .filter(col("event_id").isNotNull && col("user_id").isNotNull && col("event_type").isNotNull)
+  }
+
+  /** D1-D3: tolerant casts — entity-key synthesis (reference ids are
+    * `"user_<n>"`, `producer/producer.py:19`), timestamp → date truncation,
+    * null-drop. */
+  def castFilter(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(
+        col("event_id"),
+        concat(lit("user_"), col("user_id")).as("user_key"),
+        col("ts").cast(DateType).as("event_date"))
+      .filter(col("user_key").isNotNull && col("event_date").isNotNull)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c_parse_props" -> parseProps,
+    "c_roundtrip_json" -> roundtripJson,
+    "c_cast_filter" -> castFilter)
+
+  val oracle: Map[String, String] = Map(
+    "c_parse_props" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+        |FROM events
+        |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL""".stripMargin,
+    "c_roundtrip_json" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |WHERE event_id IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL""".stripMargin,
+    "c_cast_filter" ->
+      """SELECT event_id, 'user_' || user_id AS user_key, CAST(ts AS DATE) AS event_date
+        |FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL""".stripMargin)
+}

@@ -1,0 +1,176 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** General relational pack over the TPC-H-ish tables: grouped aggregation,
+  * multi-way joins, semi-joins, window functions, rollup, distinct
+  * aggregation, set ops. The reference has none of these (SURVEY §2.6) but a
+  * "switchable" engine needs them; they are also the bench workhorses.
+  *
+  * Money arithmetic is integer cents (`round(x*100) → BIGINT`): sums are then
+  * exact in both Spark and DuckDB, so oracle hashes cannot drift on
+  * floating-point summation order. Averages divide the exact cent sums as
+  * doubles — a single IEEE division, identical in both engines.
+  *
+  * Scale notes per query are on each method.
+  */
+object Relational {
+
+  /** `round(col*100)` as exact BIGINT cents. */
+  private def cents(c: org.apache.spark.sql.Column) = round(c * 100).cast("long")
+
+  /** TPC-H Q1-flavored pricing summary. One shuffle on the 6-value group key;
+    * partial aggregation collapses ~everything map-side, so at 100 TB this is
+    * scan-bound — exactly what we want. */
+  def pricingSummary(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).cast("long").as("sum_qty"),
+        sum(cents(col("l_extendedprice"))).as("sum_base_cents"),
+        sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_cents"),
+        count(lit(1)).as("count_order"))
+      .select(
+        col("l_returnflag"), col("l_linestatus"),
+        col("sum_qty"), col("sum_base_cents"), col("sum_disc_cents"), col("count_order"),
+        (col("sum_qty").cast("double") / col("count_order")).as("avg_qty"),
+        (col("sum_base_cents").cast("double") / col("count_order")).as("avg_base_cents"))
+
+  /** Revenue per region: orders ⋈ customer ⋈ nation ⋈ region. The dim chain
+    * (region/nation/customer) is broadcast so the fact table never shuffles
+    * for the join — at 100 TB the only shuffle is the final 5-group agg. */
+  def regionRevenue(s: SparkSession, d: String): DataFrame = {
+    val dims = Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("r_name"))
+    Tables.orders(s, d)
+      .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("r_name"))
+      .agg(sum(cents(col("o_totalprice"))).as("revenue_cents"), count(lit(1)).as("n_orders"))
+  }
+
+  /** Top-10 customers by order revenue; `TakeOrderedAndProject` keeps this a
+    * partial-agg + heap, no global sort. */
+  def topCustomers(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum(cents(col("o_totalprice"))).as("revenue_cents"))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("c_custkey").asc)
+      .limit(10)
+
+  /** TPC-H Q4-flavored: orders with at least one line shipped after the order
+    * date, counted per priority. Left-semi join — Spark builds/broadcasts only
+    * the key set, never materializing the pair blowup. */
+  def orderPriority(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val l = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
+    o.join(l, col("o_orderkey") === col("l_orderkey") && col("l_shipdate") > col("o_orderdate"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+  }
+
+  /** Window function: top-5 suppliers by revenue within each return flag.
+    * Shuffle once on l_returnflag (via the agg), then a partitioned rank —
+    * partition count = flag cardinality; at scale the pre-aggregation has
+    * already reduced rows to |flags|×|suppliers|. */
+  def supplierRank(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_suppkey"))
+      .agg(sum(cents(col("l_extendedprice"))).as("revenue_cents"))
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("revenue_cents").desc, col("l_suppkey").asc)
+    rev.withColumn("rnk", rank().over(w).cast("long")).filter(col("rnk") <= 5)
+  }
+
+  /** ROLLUP over (returnflag, linestatus): hierarchical subtotals in one pass
+    * (Catalyst Expand + single shuffle). */
+  def rollupSummary(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("l_quantity")).cast("long").as("sum_qty"))
+
+  /** Exact distinct aggregation (Catalyst expands to a two-phase plan with
+    * partial distinct — no driver-side set). */
+  def distinctAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+
+  /** Set operation: customers that never placed an order (EXCEPT ≡ left-anti
+    * on the distinct key). */
+  def customersWithoutOrders(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(col("c_custkey").as("custkey"))
+      .except(Tables.orders(s, d).select(col("o_custkey").as("custkey")))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "h_pricing_summary" -> pricingSummary,
+    "h_region_revenue" -> regionRevenue,
+    "h_top_customers" -> topCustomers,
+    "h_order_priority" -> orderPriority,
+    "h_supplier_rank" -> supplierRank,
+    "h_rollup_summary" -> rollupSummary,
+    "h_distinct_agg" -> distinctAgg,
+    "h_customers_without_orders" -> customersWithoutOrders)
+
+  private val centsSql = (c: String) => s"CAST(round($c * 100) AS BIGINT)"
+
+  val oracle: Map[String, String] = Map(
+    "h_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+         |  CAST(sum(${centsSql("l_extendedprice")}) AS BIGINT) AS sum_base_cents,
+         |  CAST(sum(${centsSql("l_extendedprice * (1 - l_discount)")}) AS BIGINT) AS sum_disc_cents,
+         |  count(*) AS count_order,
+         |  CAST(CAST(sum(l_quantity) AS BIGINT) AS DOUBLE) / count(*) AS avg_qty,
+         |  CAST(CAST(sum(${centsSql("l_extendedprice")}) AS BIGINT) AS DOUBLE) / count(*) AS avg_base_cents
+         |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "h_region_revenue" ->
+      s"""SELECT r_name, CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS revenue_cents, count(*) AS n_orders
+         |FROM orders
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY 1""".stripMargin,
+    "h_top_customers" ->
+      s"""SELECT c_custkey, c_name, CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS revenue_cents
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY 1, 2
+         |ORDER BY revenue_cents DESC, c_custkey ASC LIMIT 10""".stripMargin,
+    "h_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS n_orders FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY 1""".stripMargin,
+    "h_supplier_rank" ->
+      s"""SELECT * FROM (
+         |  SELECT l_returnflag, l_suppkey,
+         |    CAST(sum(${centsSql("l_extendedprice")}) AS BIGINT) AS revenue_cents,
+         |    CAST(rank() OVER (PARTITION BY l_returnflag
+         |                      ORDER BY CAST(sum(${centsSql("l_extendedprice")}) AS BIGINT) DESC,
+         |                               l_suppkey ASC) AS BIGINT) AS rnk
+         |  FROM lineitem GROUP BY l_returnflag, l_suppkey)
+         |WHERE rnk <= 5""".stripMargin,
+    "h_rollup_summary" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |       CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "h_distinct_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "h_customers_without_orders" ->
+      """SELECT c_custkey AS custkey FROM customer
+        |EXCEPT
+        |SELECT o_custkey AS custkey FROM orders""".stripMargin)
+}
