@@ -15,7 +15,11 @@ object SparkEntry {
     (ops.WindowAgg.queries, ops.WindowAgg.oracle),
     (ops.Parse.queries, ops.Parse.oracle),
     (ops.Analytics.queries, ops.Analytics.oracle),
-    (ops.Relational.queries, ops.Relational.oracle))
+    (ops.Relational.queries, ops.Relational.oracle),
+    (ops.Dedup.queries, ops.Dedup.oracle),
+    (ops.Similarity.queries, ops.Similarity.oracle),
+    (ops.TextAnalysis.queries, ops.TextAnalysis.oracle),
+    (ops.MultimodalPipeline.queries, ops.MultimodalPipeline.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's core computation: sliding-window per-user interaction

@@ -1,0 +1,191 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication pack for LLM-training-data pipelines (SURVEY §7.4 /
+  * BASELINE.json north star): exact, n-gram Jaccard, MinHash+LSH, SimHash,
+  * and embedding-cosine near-dup. The reference has no dedup at all
+  * (SURVEY §2.6) — this is the engine's extension surface.
+  *
+  * Hash choice: every hash is derived from `md5` hex strings, which Spark and
+  * DuckDB compute identically, so each operator is oracle-checkable bit for
+  * bit. MinHash "permutations" are lexicographic minima of `md5(seed:shingle)`
+  * — a valid min-wise family and engine-portable.
+  *
+  * Scale design: nothing here collects to the driver. Exact dedup is one
+  * hash-shuffle. MinHash/SimHash signatures are one groupBy over the exploded
+  * shingles (partial aggregation shrinks map-side). Candidate generation is
+  * always *blocked* — LSH band buckets or provenance blocks — never an
+  * all-pairs self-join, so candidate volume stays near-linear at 100 TB.
+  */
+object Dedup {
+
+  /** 3-word shingles (distinct, set semantics) of `text`, with block columns. */
+  private def shingleSets(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"), split(col("text"), " ").as("words"))
+      .filter(size(col("words")) >= 3)
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(expr(
+          "array_distinct(transform(sequence(1, size(words) - 2), i -> concat_ws(' ', slice(words, i, 3))))"
+        )).as("sh"))
+
+  private val shingleSqlCtes =
+    """WITH w AS (SELECT doc_id, lang, source, string_split(text, ' ') AS words FROM documents),
+      |s AS (SELECT DISTINCT doc_id, lang, source, array_to_string(words[i:i+2], ' ') AS sh
+      |      FROM (SELECT doc_id, lang, source, words,
+      |              unnest(range(1, greatest(len(words) - 1, 1))) AS i
+      |            FROM w))""".stripMargin
+
+  /** Exact dedup: hash-group on content, keep the smallest doc_id per group.
+    * One shuffle keyed by the content hash — the canonical 100 TB exact-dedup
+    * plan (hash is computed map-side; the full text never shuffles). */
+  def exact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("content_hash"), col("keep_id"), col("n_copies"))
+
+  /** N-gram Jaccard near-dup pairs, blocked by provenance (lang, source) so
+    * the self-join never goes all-pairs. The τ ≥ 0.5 test is pure integer
+    * arithmetic (2·|∩| ≥ |∪|) — no FP in the cut. */
+  def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+    val sh = shingleSets(s, d)
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("nsh", "n_a"), "doc_a")
+      .join(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("nsh", "n_b"), "doc_b")
+      .filter(col("shared") * 2 >= col("n_a") + col("n_b") - col("shared"))
+      .select(col("doc_a"), col("doc_b"), col("shared"), col("n_a"), col("n_b"))
+  }
+
+  private val nSeeds = 8
+  private val bandSize = 2 // 4 bands of 2 rows -> catches jaccard >~ 0.5
+
+  /** Per-doc MinHash signature columns m0..m7. */
+  private def minhashSignatures(s: SparkSession, d: String): DataFrame = {
+    val aggs = (0 until nSeeds).map(i => min(md5(concat(lit(s"$i:"), col("sh")))).as(s"m$i"))
+    shingleSets(s, d).groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash + LSH banding: docs sharing any of the 4 band keys become a
+    * candidate pair. This is the scale path for near-dedup — signature is
+    * O(1) per doc, and the only join is on band buckets whose size is
+    * controlled by the banding parameters, not by corpus size. */
+  def minhashLsh(s: SparkSession, d: String): DataFrame = {
+    val sig = minhashSignatures(s, d)
+    val bands = (0 until nSeeds / bandSize).map { b =>
+      sig.select(col("doc_id"), lit(b).as("band"),
+        concat((b * bandSize until (b + 1) * bandSize).map(i => col(s"m$i")): _*).as("bkey"))
+    }.reduce(_ unionAll _)
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  private val simBits = 32
+
+  /** SimHash (32-bit): bit j is the sign of the sum over shingles of ±1
+    * derived from the parity of hex char j of md5(shingle). One groupBy with
+    * 32 integer sums — codegen'd, no per-bit explode. */
+  def simhash(s: SparkSession, d: String): DataFrame = {
+    val sums = (1 to simBits).map(j =>
+      sum(expr(s"2 * (ascii(substring(md5(sh), $j, 1)) % 2) - 1")).as(s"s$j"))
+    val sig = shingleSets(s, d).groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+    val hash = (1 to simBits)
+      .map(j => when(col(s"s$j") > 0, lit(1L << (j - 1))).otherwise(lit(0L)))
+      .reduce[Column](_ + _)
+    sig.select(col("doc_id"), hash.as("simhash"))
+  }
+
+  /** Embedding near-dup via random-hyperplane-style LSH: bucket on the sign
+    * pattern of the first 8 dimensions, verify cosine ≥ 0.3 inside buckets
+    * (doubles, identical left-fold order in both engines). 256 buckets keep
+    * within-bucket pair counts ~n²/256 — at 100 TB you'd widen to more
+    * bits/probes, same plan shape. */
+  def embeddingCosine(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(
+      col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"),
+      concat((1 to 8).map(i => when(expr(s"embedding[${i - 1}] >= 0"), lit("1")).otherwise(lit("0"))): _*).as("bucket"))
+      .withColumn("nrm", expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))"))
+    e.as("a").join(e.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cosine", expr(
+        "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x) / (a.nrm * b.nrm)"))
+      .filter(col("cosine") >= 0.3)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_dedup_exact" -> exact,
+    "x_dedup_ngram_jaccard" -> ngramJaccard,
+    "x_dedup_minhash_lsh" -> minhashLsh,
+    "x_dedup_simhash" -> simhash,
+    "x_dedup_embedding_cosine" -> embeddingCosine)
+
+  private def minhashSqlMins =
+    (0 until nSeeds).map(i => s"min(md5('$i:' || sh)) AS m$i").mkString(", ")
+
+  private def simhashSqlTerms = {
+    val sums = (1 to simBits)
+      .map(j => s"sum(2 * (ascii(substr(md5(sh), $j, 1)) % 2) - 1) AS s$j").mkString(", ")
+    val bits = (1 to simBits)
+      .map(j => s"CASE WHEN s$j > 0 THEN CAST(${1L << (j - 1)} AS BIGINT) ELSE 0 END")
+      .mkString(" + ")
+    (sums, bits)
+  }
+
+  val oracle: Map[String, String] = Map(
+    "x_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, CAST(min(doc_id) AS BIGINT) AS keep_id,
+        |       count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    "x_dedup_ngram_jaccard" ->
+      s"""$shingleSqlCtes,
+         |n AS (SELECT doc_id, count(*) AS nsh FROM s GROUP BY 1),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+         |      FROM s a JOIN s b ON a.lang = b.lang AND a.source = b.source
+         |                       AND a.sh = b.sh AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, shared, na.nsh AS n_a, nb.nsh AS n_b
+         |FROM p JOIN n na ON p.doc_a = na.doc_id JOIN n nb ON p.doc_b = nb.doc_id
+         |WHERE shared * 2 >= na.nsh + nb.nsh - shared""".stripMargin,
+    "x_dedup_minhash_lsh" -> {
+      val bands = (0 until nSeeds / bandSize).map { b =>
+        val key = (b * bandSize until (b + 1) * bandSize).map(i => s"m$i").mkString(" || ")
+        s"SELECT doc_id, $b AS band, $key AS bkey FROM m"
+      }.mkString(" UNION ALL ")
+      s"""$shingleSqlCtes,
+         |m AS (SELECT doc_id, $minhashSqlMins FROM s GROUP BY 1),
+         |bands AS ($bands)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id""".stripMargin
+    },
+    "x_dedup_simhash" -> {
+      val (sums, bits) = simhashSqlTerms
+      s"""$shingleSqlCtes,
+         |sums AS (SELECT doc_id, $sums FROM s GROUP BY 1)
+         |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM sums""".stripMargin
+    },
+    "x_dedup_embedding_cosine" -> {
+      val bucket = (1 to 8)
+        .map(i => s"CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END").mkString(" || ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, ($bucket) AS bucket
+         |           FROM embeddings),
+         |en AS (SELECT vec_id, v, bucket, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |FROM en a JOIN en b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.3""".stripMargin
+    })
+}

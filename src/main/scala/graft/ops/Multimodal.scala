@@ -1,0 +1,81 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Media record as it would arrive from a lake: opaque bytes + typed
+  * metadata. */
+case class MediaRecord(doc_id: Long, payload: Array[Byte], width: Int, height: Int)
+
+/** Features produced by the decode stage. */
+case class MediaFeatures(
+    doc_id: Long, n_bytes: Long, head_byte: Int, tail_byte: Int,
+    brightness: Int, width: Int, height: Int)
+
+/** Multimodal-column pipeline (SURVEY §7.4): treat media as opaque `binary`
+  * payloads with typed metadata, and run a decode/feature-extract stage as a
+  * typed `mapPartitions` over the bytes — the Scala analogue of a
+  * batched-UDF decode stage (one iterator per partition, so a real decoder
+  * would amortize its codec/model initialization per partition, not per row).
+  *
+  * The container has no image/audio codecs, so [[MultimodalPipeline.decodeStub]]
+  * is a clearly-marked deterministic FAKE: it derives "features" from the raw
+  * bytes (length, first/last byte, their mean). Everything around it —
+  * binary column synthesis, metadata struct, encoders, partition-wise batch
+  * shape — is the real plumbing a codec drop-in would use unchanged.
+  */
+object MultimodalPipeline {
+
+  /** STUB decode: replace with a real codec (e.g. JPEG decode → pixel stats).
+    * Deterministic pure function of the payload bytes + metadata. */
+  def decodeStub(r: MediaRecord): MediaFeatures = {
+    val n = r.payload.length
+    val head = if (n > 0) r.payload(0) & 0xff else 0
+    val tail = if (n > 0) r.payload(n - 1) & 0xff else 0
+    MediaFeatures(r.doc_id, n.toLong, head, tail, (head + tail) / 2, r.width, r.height)
+  }
+
+  /** Binary "media" records synthesized from `documents` (UTF-8 payload
+    * bytes; width/height from metadata arithmetic) — the testdata has no real
+    * media column, so the text bytes stand in as the opaque payload. */
+  def mediaRecords(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(length(col("text")) > 0)
+      .select(
+        col("doc_id"),
+        encode(col("text"), "UTF-8").as("payload"),
+        (col("n_chars") % 640).cast("int").as("width"),
+        ((col("doc_id") * 37) % 480).cast("int").as("height"))
+
+  /** Decode/feature-extract over partition-batched binary payloads. */
+  def features(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mediaRecords(s, d)
+      .as[MediaRecord]
+      .mapPartitions(_.map(decodeStub))
+      .toDF()
+      .select(col("doc_id"), col("n_bytes"),
+        col("head_byte").cast("long").as("head_byte"),
+        col("tail_byte").cast("long").as("tail_byte"),
+        col("brightness").cast("long").as("brightness"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_mm_features" -> features)
+
+  /** Oracle mirrors the stub arithmetic on the ASCII source text:
+    * byte length = octet_length, first/last byte = ascii of first/last char. */
+  val oracle: Map[String, String] = Map(
+    "x_mm_features" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS head_byte,
+        |  CAST(ascii(substr(text, length(text), 1)) AS BIGINT) AS tail_byte,
+        |  CAST((ascii(substr(text, 1, 1)) + ascii(substr(text, length(text), 1))) // 2 AS BIGINT) AS brightness,
+        |  CAST(n_chars % 640 AS BIGINT) AS width,
+        |  CAST((doc_id * 37) % 480 AS BIGINT) AS height
+        |FROM documents WHERE length(text) > 0""".stripMargin)
+}

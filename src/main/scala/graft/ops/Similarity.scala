@@ -1,0 +1,105 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor similarity search over the `embeddings`
+  * table (SURVEY §7.4). Two variants sharing one kernel:
+  *
+  *  - brute-force cosine top-k: the exactness baseline. Query set is
+  *    broadcast; the corpus streams past it, so the only wide operation is
+  *    the per-query top-k (`row_number` over a partitioned window after
+  *    pre-filtering — at 100 TB you'd pre-reduce with a per-partition heap,
+  *    same shape).
+  *  - IVF-style: a coarse quantizer (the `label` column stands in for the
+  *    cluster assignment a k-means pass would produce) restricts each query
+  *    to its own inverted list — the classic recall/cost trade.
+  *
+  * All arithmetic is double with left-fold summation (`aggregate` over
+  * `zip_with`), which both Spark and DuckDB (`list_dot_product`) evaluate in
+  * index order — scores are bit-identical, so only (query, neighbor, rank)
+  * need be emitted.
+  */
+object Similarity {
+
+  private val topK = 10
+  private val queryStride = 500
+
+  /** Corpus with embeddings cast to double + precomputed norms. */
+  private def corpus(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nrm", expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))"))
+
+  private def rankTopK(scored: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= topK)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"))
+  }
+
+  /** Brute-force cosine top-k for a strided query subset (every 500th id). */
+  def bruteForceTopK(s: SparkSession, d: String): DataFrame = {
+    val c = corpus(s, d)
+    val q = c.filter(col("vec_id") % queryStride === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("score",
+        expr("aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x) / (qn * nrm)"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("score"))
+    rankTopK(scored)
+  }
+
+  /** IVF-style search: only the query's own inverted list (same `label`) is
+    * scanned — cost drops by the cluster fan-out, recall bounded by the
+    * quantizer. */
+  def ivfTopK(s: SparkSession, d: String): DataFrame = {
+    val c = corpus(s, d)
+    val q = c.filter(col("vec_id") % queryStride === 0)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val scored = c.join(broadcast(q),
+        col("label") === col("qlabel") && col("vec_id") =!= col("query_id"))
+      .withColumn("score",
+        expr("aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x) / (qn * nrm)"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("score"))
+    rankTopK(scored)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_sim_topk_brute" -> bruteForceTopK,
+    "x_sim_topk_ivf" -> ivfTopK)
+
+  private val cosSql =
+    "list_dot_product(q.qv, c.v) / (q.qn * sqrt(list_dot_product(c.v, c.v)))"
+
+  val oracle: Map[String, String] = Map(
+    "x_sim_topk_brute" ->
+      s"""WITH c AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv, sqrt(list_dot_product(v, v)) AS qn
+         |      FROM c WHERE vec_id % $queryStride = 0),
+         |scored AS (SELECT q.query_id, c.vec_id AS neighbor_id, $cosSql AS score
+         |           FROM c, q WHERE c.vec_id <> q.query_id),
+         |ranked AS (SELECT query_id, neighbor_id,
+         |             CAST(row_number() OVER (PARTITION BY query_id
+         |                    ORDER BY score DESC, neighbor_id ASC) AS BIGINT) AS rnk
+         |           FROM scored)
+         |SELECT query_id, neighbor_id, rnk FROM ranked WHERE rnk <= $topK""".stripMargin,
+    "x_sim_topk_ivf" ->
+      s"""WITH c AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv,
+         |             sqrt(list_dot_product(v, v)) AS qn
+         |      FROM c WHERE vec_id % $queryStride = 0),
+         |scored AS (SELECT q.query_id, c.vec_id AS neighbor_id, $cosSql AS score
+         |           FROM c JOIN q ON c.label = q.qlabel AND c.vec_id <> q.query_id),
+         |ranked AS (SELECT query_id, neighbor_id,
+         |             CAST(row_number() OVER (PARTITION BY query_id
+         |                    ORDER BY score DESC, neighbor_id ASC) AS BIGINT) AS rnk
+         |           FROM scored)
+         |SELECT query_id, neighbor_id, rnk FROM ranked WHERE rnk <= $topK""".stripMargin)
+}

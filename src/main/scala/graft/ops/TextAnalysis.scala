@@ -1,0 +1,145 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis pack over `documents` (SURVEY §7.4): language ID (stopword
+  * heuristic), quality scoring, token counting, and winnowing document
+  * fingerprints. All per-document map-side work (narrow, codegen'd) except
+  * the fingerprint windows — exactly the profile a 100 TB text pipeline
+  * wants: no shuffle until an aggregation the caller adds.
+  *
+  * Ratios are emitted as integer basis points (round(x·10⁴)) so outputs stay
+  * FP-drift-proof under oracle hashing; the underlying division is a single
+  * IEEE op, identical in Spark and DuckDB.
+  */
+object TextAnalysis {
+
+  private val stoplists: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "y", "es"),
+    "fr" -> Seq("le", "la", "de", "et", "est"))
+
+  private def hitsExpr(words: String, list: Seq[String]): String = {
+    val arr = list.map(w => s"'$w'").mkString(", ")
+    s"size(filter($words, x -> array_contains(array($arr), x)))"
+  }
+
+  private def hitsSql(words: String, list: Seq[String]): String = {
+    val arr = list.map(w => s"'$w'").mkString(", ")
+    s"len(list_filter($words, x -> list_contains([$arr], x)))"
+  }
+
+  /** Language ID: argmax of per-language stopword hit counts, deterministic
+    * tie-break in stoplist order (de, en, es, fr). */
+  def langId(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("words"))
+    val scored = stoplists.foldLeft(base) { case (df, (l, list)) =>
+      df.withColumn(s"s_$l", expr(hitsExpr("words", list)).cast("long"))
+    }
+    val pred = when(col("s_de") >= col("s_en") && col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
+      .when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"), "en")
+      .when(col("s_es") >= col("s_fr"), "es")
+      .otherwise("fr")
+    scored.select(col("doc_id"), pred.as("lang_pred"), col("lang"),
+      (pred === col("lang")).as("is_match"))
+  }
+
+  /** Quality scoring: length gates, stopword density, mean word length —
+    * the usual cheap pre-filters before expensive dedup/training steps. */
+  def quality(s: SparkSession, d: String): DataFrame = {
+    val en = stoplists.toMap.apply("en")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("words"))
+      .select(
+        col("doc_id"),
+        size(col("words")).cast("long").as("n_words"),
+        length(col("text")).cast("long").as("n_chars_m"),
+        expr(hitsExpr("words", en)).cast("long").as("n_stop"))
+      .withColumn("avg_word_len_c",
+        expr("CAST(round(CAST(n_chars_m - (n_words - 1) AS DOUBLE) / n_words * 100) AS BIGINT)"))
+      .withColumn("stop_bp",
+        expr("CAST(round(CAST(n_stop AS DOUBLE) * 10000 / n_words) AS BIGINT)"))
+      .withColumn("is_quality",
+        col("n_words") >= 20 && col("n_words") <= 2000 && col("n_stop") >= 1)
+  }
+
+  /** Token counting: whitespace tokens and a BPE-ish regex segmentation
+    * (letter runs / digit runs / single other non-space). */
+  def tokenCounts(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+      expr("CAST(regexp_count(text, '[a-z]+|[0-9]+|[^a-z0-9 ]') AS BIGINT)").as("re_tokens"),
+      length(col("text")).cast("long").as("n_chars_m"))
+
+  /** Winnowing fingerprints: md5 over positional 3-word shingles, minimum
+    * per sliding window of 4 shingles, distinct per doc — the standard
+    * near-dup fingerprint set (Schleimer et al., SIGMOD'03). */
+  def winnow(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .filter(size(col("words")) >= 3)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(1, size(words) - 2), i -> md5(concat_ws(' ', slice(words, i, 3))))")))
+      .select(col("doc_id"), col("pos"), col("col").as("h"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos")).rowsBetween(0, 3)
+    sh.select(col("doc_id"), min(col("h")).over(w).as("fp")).distinct()
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_text_langid" -> langId,
+    "x_text_quality" -> quality,
+    "x_text_tokens" -> tokenCounts,
+    "x_text_winnow" -> winnow)
+
+  val oracle: Map[String, String] = {
+    val hits = (l: String) => hitsSql("words", stoplists.toMap.apply(l))
+    Map(
+      "x_text_langid" ->
+        s"""WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents),
+           |scored AS (SELECT doc_id, lang,
+           |  CAST(${hits("de")} AS BIGINT) AS s_de, CAST(${hits("en")} AS BIGINT) AS s_en,
+           |  CAST(${hits("es")} AS BIGINT) AS s_es, CAST(${hits("fr")} AS BIGINT) AS s_fr
+           |FROM w)
+           |SELECT doc_id,
+           |  CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+           |       WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+           |       WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS lang_pred,
+           |  lang,
+           |  (CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+           |        WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+           |        WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END) = lang AS is_match
+           |FROM scored""".stripMargin,
+      "x_text_quality" ->
+        s"""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents),
+           |base AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words,
+           |    CAST(length(text) AS BIGINT) AS n_chars_m,
+           |    CAST(${hits("en")} AS BIGINT) AS n_stop
+           |  FROM w)
+           |SELECT doc_id, n_words, n_chars_m, n_stop,
+           |  CAST(round(CAST(n_chars_m - (n_words - 1) AS DOUBLE) / n_words * 100) AS BIGINT) AS avg_word_len_c,
+           |  CAST(round(CAST(n_stop AS DOUBLE) * 10000 / n_words) AS BIGINT) AS stop_bp,
+           |  (n_words >= 20 AND n_words <= 2000 AND n_stop >= 1) AS is_quality
+           |FROM base""".stripMargin,
+      "x_text_tokens" ->
+        """SELECT doc_id,
+          |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+          |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tokens,
+          |  CAST(length(text) AS BIGINT) AS n_chars_m
+          |FROM documents""".stripMargin,
+      "x_text_winnow" ->
+        """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+          |s AS (SELECT doc_id, i AS pos, md5(array_to_string(words[i:i+2], ' ')) AS h
+          |      FROM (SELECT doc_id, words, unnest(range(1, greatest(len(words) - 1, 1))) AS i
+          |            FROM w)),
+          |f AS (SELECT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY pos
+          |        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+          |      FROM s)
+          |SELECT DISTINCT doc_id, fp FROM f""".stripMargin)
+  }
+}
