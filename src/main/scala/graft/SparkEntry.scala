@@ -7,7 +7,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Query-name prefixes: `w_` sliding-window KPI core (SURVEY §2.2 C4-C9),
   * `c_` parse chain (C1-C4), `d_` dashboard analytics (§2.3 D1-D12),
   * `h_` relational breadth pack, `x_` LLM-pipeline extensions (§7.4),
-  * `s_` streaming-executed.
+  * `s_` streaming-executed: each runs a real Structured Streaming query
+  * (file source → watermark → windowed agg → foreachBatch upsert sink) to
+  * completion and returns the resolved sink table
+  * ([[graft.streaming.EventPipeline.streamedWindows]]).
   */
 object SparkEntry {
 
@@ -19,7 +22,8 @@ object SparkEntry {
     (ops.Dedup.queries, ops.Dedup.oracle),
     (ops.Similarity.queries, ops.Similarity.oracle),
     (ops.TextAnalysis.queries, ops.TextAnalysis.oracle),
-    (ops.MultimodalPipeline.queries, ops.MultimodalPipeline.oracle))
+    (ops.MultimodalPipeline.queries, ops.MultimodalPipeline.oracle),
+    (streaming.EventPipeline.queries, streaming.EventPipeline.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's core computation: sliding-window per-user interaction

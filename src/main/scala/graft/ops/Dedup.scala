@@ -17,8 +17,9 @@ import org.apache.spark.sql.functions._
   * Scale design: nothing here collects to the driver. Exact dedup is one
   * hash-shuffle. MinHash/SimHash signatures are one groupBy over the exploded
   * shingles (partial aggregation shrinks map-side). Candidate generation is
-  * always *blocked* — LSH band buckets or provenance blocks — never an
-  * all-pairs self-join, so candidate volume stays near-linear at 100 TB.
+  * always *bounded* — LSH band buckets, or df-capped inverted lists whose
+  * per-shingle pair fan-out is ≤ cap²/2 — never an all-pairs or uncapped
+  * equality self-join, so candidate volume stays near-linear at 100 TB.
   */
 object Dedup {
 
@@ -48,16 +49,36 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("content_hash"), col("keep_id"), col("n_copies"))
 
-  /** N-gram Jaccard near-dup pairs, blocked by provenance (lang, source) so
-    * the self-join never goes all-pairs. The τ ≥ 0.5 test is pure integer
-    * arithmetic (2·|∩| ≥ |∪|) — no FP in the cut. */
+  /** Document-frequency cap for the Jaccard candidate universe: a shingle
+    * appearing in more docs than this (within one (lang, source) block) is
+    * dropped before pair generation. This bounds per-shingle candidate pairs
+    * at cap²/2 — without it a hot shingle in k docs emits k² pairs, the
+    * classic near-dup skew killer. Capped-df Jaccard is the standard
+    * formulation (ultra-common shingles carry no dedup signal anyway); the
+    * oracle applies the identical cap. */
+  private[ops] val maxShingleDf = 50
+
+  /** N-gram Jaccard near-dup pairs via per-shingle inverted lists: group
+    * shingles, drop those with df > [[maxShingleDf]], expand each remaining
+    * list's pairs map-side (≤ cap²/2 per shingle), then count shared shingles
+    * per pair. No self-join anywhere — one shuffle to build the inverted
+    * lists, one for the pair counts — so candidate volume is linear in corpus
+    * size times a constant, at any scale. The τ ≥ 0.5 test is pure integer
+    * arithmetic (2·|∩| ≥ |∪|) over the capped universe — no FP in the cut. */
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
-    val sh = shingleSets(s, d)
-    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
-    val pairs = sh.as("a").join(sh.as("b"),
-        col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
-          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val inv = shingleSets(s, d)
+      .groupBy(col("lang"), col("source"), col("sh"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+      .filter(size(col("docs")) <= maxShingleDf)
+    val counts = inv.select(explode(col("docs")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    val pairs = inv
+      .filter(size(col("docs")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(docs, (a, i) ->
+          |  transform(slice(docs, i + 2, size(docs)), b ->
+          |    named_struct('doc_a', a, 'doc_b', b))))""".stripMargin)).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("shared"))
     pairs
       .join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("nsh", "n_a"), "doc_a")
@@ -96,11 +117,15 @@ object Dedup {
 
   /** SimHash (32-bit): bit j is the sign of the sum over shingles of ±1
     * derived from the parity of hex char j of md5(shingle). One groupBy with
-    * 32 integer sums — codegen'd, no per-bit explode. */
+    * 32 integer sums — codegen'd, no per-bit explode. The md5 is projected
+    * ONCE per shingle before the aggregation (aggregate expressions are not
+    * reliably CSE'd, so `md5` inside each of the 32 sums would recompute the
+    * hash 32× per row); the sums then read 32 substrings of one hash. */
   def simhash(s: SparkSession, d: String): DataFrame = {
+    val hashed = shingleSets(s, d).select(col("doc_id"), md5(col("sh")).as("h"))
     val sums = (1 to simBits).map(j =>
-      sum(expr(s"2 * (ascii(substring(md5(sh), $j, 1)) % 2) - 1")).as(s"s$j"))
-    val sig = shingleSets(s, d).groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+      sum(expr(s"2 * (ascii(substring(h, $j, 1)) % 2) - 1")).as(s"s$j"))
+    val sig = hashed.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
     val hash = (1 to simBits)
       .map(j => when(col(s"s$j") > 0, lit(1L << (j - 1))).otherwise(lit(0L)))
       .reduce[Column](_ + _)
@@ -152,9 +177,11 @@ object Dedup {
         |FROM documents GROUP BY 1""".stripMargin,
     "x_dedup_ngram_jaccard" ->
       s"""$shingleSqlCtes,
-         |n AS (SELECT doc_id, count(*) AS nsh FROM s GROUP BY 1),
+         |d AS (SELECT lang, source, sh, count(*) AS df FROM s GROUP BY 1, 2, 3),
+         |k AS (SELECT s.* FROM s JOIN d USING (lang, source, sh) WHERE d.df <= $maxShingleDf),
+         |n AS (SELECT doc_id, count(*) AS nsh FROM k GROUP BY 1),
          |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-         |      FROM s a JOIN s b ON a.lang = b.lang AND a.source = b.source
+         |      FROM k a JOIN k b ON a.lang = b.lang AND a.source = b.source
          |                       AND a.sh = b.sh AND a.doc_id < b.doc_id
          |      GROUP BY 1, 2)
          |SELECT doc_a, doc_b, shared, na.nsh AS n_a, nb.nsh AS n_b

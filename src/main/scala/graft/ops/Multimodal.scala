@@ -66,8 +66,13 @@ object MultimodalPipeline {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_mm_features" -> features)
 
-  /** Oracle mirrors the stub arithmetic on the ASCII source text:
-    * byte length = octet_length, first/last byte = ascii of first/last char. */
+  /** Oracle mirrors the stub arithmetic on the source text. PRECONDITION
+    * (checked by `MultimodalSpec`): the synthetic `documents.text` is pure
+    * ASCII, where DuckDB's `ascii()` codepoint of the first/last *character*
+    * equals the stub's first/last UTF-8 *byte*. On non-ASCII corpora the
+    * engine side is the byte-true one; the oracle would need octet-indexed
+    * extraction, which DuckDB lacks a direct function for. `n_bytes` is
+    * byte-exact (`octet_length`) regardless. */
   val oracle: Map[String, String] = Map(
     "x_mm_features" ->
       """SELECT doc_id,

@@ -63,9 +63,11 @@ object Parse {
 
   val oracle: Map[String, String] = Map(
     "c_parse_props" ->
-      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+      // TRY_CAST: Spark's from_json yields null for a non-numeric `k`; plain
+      // CAST would hard-error in DuckDB instead of mirroring that null.
+      """SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
         |FROM events
-        |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL""".stripMargin,
+        |WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL""".stripMargin,
     "c_roundtrip_json" ->
       """SELECT event_id, user_id, event_type FROM events
         |WHERE event_id IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL""".stripMargin,

@@ -1,18 +1,19 @@
 package graft.ops
 
 import graft.Tables
+import graft.functions.TopK
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor similarity search over the `embeddings`
   * table (SURVEY §7.4). Two variants sharing one kernel:
   *
   *  - brute-force cosine top-k: the exactness baseline. Query set is
-  *    broadcast; the corpus streams past it, so the only wide operation is
-  *    the per-query top-k (`row_number` over a partitioned window after
-  *    pre-filtering — at 100 TB you'd pre-reduce with a per-partition heap,
-  *    same shape).
+  *    broadcast; the corpus streams past it, and the per-query top-k runs
+  *    through [[graft.functions.TopKAgg]] — a bounded-heap Aggregator whose
+  *    map-side partial reduction cuts each partition to k rows before the
+  *    exchange, so the shuffle moves O(k·partitions·queries) rows, never the
+  *    full N×Q scored set.
   *  - IVF-style: a coarse quantizer (the `label` column stands in for the
   *    cluster assignment a k-means pass would produce) restricts each query
   *    to its own inverted list — the classic recall/cost trade.
@@ -34,14 +35,11 @@ object Similarity {
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       .withColumn("nrm", expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))"))
 
-  private def rankTopK(scored: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= topK)
-      .select(col("query_id"), col("neighbor_id"), col("rnk"))
-  }
+  /** Per-query top-k with partial (map-side) reduction — equivalent to
+    * `row_number() OVER (PARTITION BY query_id ORDER BY score DESC,
+    * neighbor_id ASC) <= k` but without shuffling the full scored set. */
+  private def rankTopK(scored: DataFrame): DataFrame =
+    TopK.topK(scored, "query_id", "score", "neighbor_id", topK)
 
   /** Brute-force cosine top-k for a strided query subset (every 500th id). */
   def bruteForceTopK(s: SparkSession, d: String): DataFrame = {

@@ -2,7 +2,6 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis pack over `documents` (SURVEY §7.4): language ID (stopword
@@ -79,17 +78,23 @@ object TextAnalysis {
 
   /** Winnowing fingerprints: md5 over positional 3-word shingles, minimum
     * per sliding window of 4 shingles, distinct per doc — the standard
-    * near-dup fingerprint set (Schleimer et al., SIGMOD'03). */
-  def winnow(s: SparkSession, d: String): DataFrame = {
-    val sh = Tables.documents(s, d)
+    * near-dup fingerprint set (Schleimer et al., SIGMOD'03).
+    *
+    * The computation is strictly per-document, so it stays map-side: build
+    * the shingle-hash array, take the sliding minima with array expressions
+    * (`array_min` over `slice` — windows shrink at the tail, matching SQL
+    * `ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING`), dedup with
+    * `array_distinct`, then explode. Zero shuffles — the explode+
+    * `Window.partitionBy(doc_id)` formulation would shuffle AND sort the
+    * entire exploded shingle set for no semantic gain. */
+  def winnow(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("words"))
       .filter(size(col("words")) >= 3)
-      .select(col("doc_id"), posexplode(expr(
-        "transform(sequence(1, size(words) - 2), i -> md5(concat_ws(' ', slice(words, i, 3))))")))
-      .select(col("doc_id"), col("pos"), col("col").as("h"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos")).rowsBetween(0, 3)
-    sh.select(col("doc_id"), min(col("h")).over(w).as("fp")).distinct()
-  }
+      .withColumn("hs", expr(
+        "transform(sequence(1, size(words) - 2), i -> md5(concat_ws(' ', slice(words, i, 3))))"))
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(1, size(hs)), i -> array_min(slice(hs, i, 4))))")).as("fp"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_text_langid" -> langId,

@@ -9,8 +9,11 @@ import org.apache.spark.sql.functions._
   * grouped count → window-struct flatten; see
   * `/root/reference/consumer/consumer.py:111-140`).
   *
-  * Batch formulation here (the streaming twin lives in
-  * [[graft.streaming.EventPipeline]]). `window()` is a Catalyst built-in that
+  * Batch formulation here; the streaming twin is
+  * [[graft.streaming.EventPipeline]], and both delegate to the same
+  * `EventPipeline.windowCounts` transform (watermark `None` in batch), so the
+  * streaming-vs-batch golden test compares identical lineage.
+  * `window()` is a Catalyst built-in that
   * expands each event into its W/S = 2 overlapping windows *before* the
   * aggregation, so the plan is: scan → generate(2 rows) → partial hash agg →
   * shuffle on (window, key) → final hash agg. At 100 TB the shuffle is keyed
@@ -35,15 +38,7 @@ object WindowAgg {
     windowsBy(Tables.events(spark, sfDir), "event_type")
 
   def windowsBy(events: DataFrame, key: String): DataFrame =
-    events
-      .filter(col(key).isNotNull && col("ts").isNotNull)
-      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col(key))
-      .agg(count(lit(1)).as("total_interactions"))
-      .select(
-        col("window.start").as("window_start"),
-        col("window.end").as("window_end"),
-        col(key),
-        col("total_interactions"))
+    graft.streaming.EventPipeline.windowCounts(events, key, watermark = None)
 
   /** DuckDB-equivalent SQL. DuckDB has no `window()`; reconstruct the two
     * overlapping epoch-aligned windows per event arithmetically:

@@ -1,0 +1,117 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** The reference consumer's streaming core, C4–C10 of SURVEY §2.2:
+  * null-filter → event-time watermark → sliding-window grouped count →
+  * window-struct flatten, run as a Structured Streaming query into a
+  * keyed-upsert sink (`/root/reference/consumer/consumer.py:108-174`).
+  *
+  * One transform serves batch and stream ([[windowCounts]] — the batch twin
+  * [[graft.ops.WindowAgg]] delegates here with no watermark), which is what
+  * makes the streaming-vs-batch golden test meaningful: identical lineage,
+  * only the execution mode differs.
+  *
+  * Sink contract: the reference runs `outputMode("append")` into a Mongo
+  * *upsert* (`consumer/consumer.py:158,173`). Append+upsert and update+upsert
+  * land in the same place — one row per (window_start, window_end, entity),
+  * idempotent under replay — but update mode also upserts still-open windows
+  * (what a live dashboard wants) and never withholds data at stream end, so
+  * the driver-facing queries below run update mode; append-mode
+  * emit-on-watermark-close semantics (C9) are exercised by the MemoryStream
+  * suite in `src/test/scala/graft/StreamingSpec.scala`.
+  *
+  * Scale: state is bounded by |open windows| × |entities| (watermark evicts
+  * closed windows); the only shuffle is the streaming aggregation's exchange
+  * on (window, key) — the output key — and each micro-batch's sink write is
+  * bounded by keys touched per trigger, not event volume.
+  */
+object EventPipeline {
+
+  /** C4–C8: null-reject → (optional watermark) → `window(ts, 10m, 5m)`
+    * grouped count → flatten. Works identically on a batch or streaming
+    * frame with columns (`ts: timestamp`, `key: string`). */
+  def windowCounts(events: DataFrame, key: String, watermark: Option[String]): DataFrame = {
+    val filtered = events.filter(col(key).isNotNull && col("ts").isNotNull)
+    val marked = watermark.fold(filtered)(filtered.withWatermark("ts", _))
+    marked
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col(key))
+      .agg(count(lit(1)).as("total_interactions"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col(key),
+        col("total_interactions"))
+  }
+
+  /** S1's oracle-testable stand-in: a file streaming source over the events
+    * table (the Kafka path is [[KafkaBridge]]; the file source exercises the
+    * same micro-batch machinery — offsets, watermark, state store —
+    * hermetically). Schema comes from a batch peek; `ts` arrives as
+    * TIMESTAMP(NANOS) read as long (see [[graft.Tables.events]]) and is
+    * truncated to micros exactly as the batch reader does. */
+  def fileStream(s: SparkSession, sfDir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$sfDir/events.parquet").schema
+    // FileStreamSource requires a *directory* to monitor; the testdata table
+    // is a single file, so expose it through a scratch dir (symlink — no
+    // copy; fall back to a copy if the filesystem refuses links).
+    val dir = Files.createTempDirectory("graft-events-src-")
+    val link = dir.resolve("part-0.parquet")
+    val target = java.nio.file.Paths.get(s"$sfDir/events.parquet")
+    try Files.createSymbolicLink(link, target)
+    catch { case _: Exception => Files.copy(target, link) }
+    s.readStream.schema(schema).parquet(dir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** One streaming query: windowed counts → upsert deltas (S3) with a
+    * per-query checkpoint (S6, `consumer/consumer.py:143-144`). */
+  def start(
+      events: DataFrame,
+      key: String,
+      sinkDir: String,
+      checkpointDir: String,
+      outputMode: String = "update",
+      watermark: String = "10 minutes",
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    windowCounts(events, key, Some(watermark)).writeStream
+      .outputMode(outputMode)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch((b: Dataset[Row], id: Long) => UpsertSink.writeBatch(b, id, sinkDir))
+      .start()
+
+  /** C10: multi-query fan-out — user and type KPI queries from one source
+    * lineage, each with its own sink + checkpoint, like the reference's two
+    * `writeStream.start()` calls (`consumer/consumer.py:147-174`). */
+  def startBoth(s: SparkSession, sfDir: String, baseDir: String): Seq[StreamingQuery] =
+    Seq("user_id", "event_type").map { key =>
+      start(fileStream(s, sfDir), key, s"$baseDir/$key/sink", s"$baseDir/$key/ckpt")
+    }
+
+  /** Run the streaming pipeline to completion over the events table and
+    * return the resolved KPI table — the driver-facing, DuckDB-checkable
+    * form of the streaming vertical. */
+  def streamedWindows(s: SparkSession, sfDir: String, key: String): DataFrame = {
+    val scratch = Files.createTempDirectory("graft-stream-").toFile.getAbsolutePath
+    val q = start(fileStream(s, sfDir), key, s"$scratch/sink", s"$scratch/ckpt")
+    q.awaitTermination()
+    UpsertSink.resolve(s, s"$scratch/sink", Seq("window_start", "window_end", key))
+      .select(col("window_start"), col("window_end"), col(key), col("total_interactions"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_user_windows_stream" -> ((s, d) => streamedWindows(s, d, "user_id")),
+    "s_type_windows_stream" -> ((s, d) => streamedWindows(s, d, "event_type")))
+
+  /** The streamed KPI table must equal the batch formulation (the core
+    * Structured Streaming guarantee), so the oracle is the same window SQL. */
+  val oracle: Map[String, String] = Map(
+    "s_user_windows_stream" -> graft.ops.WindowAgg.windowsSql("user_id"),
+    "s_type_windows_stream" -> graft.ops.WindowAgg.windowsSql("event_type"))
+}

@@ -1,0 +1,49 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Keyed-upsert sink semantics (SURVEY §2.1 S3) without an external store.
+  *
+  * The reference upserts each micro-batch into MongoDB keyed by
+  * (window_start, window_end, entity) — `idFieldList` + `upsertDocument=true`
+  * at `/root/reference/consumer/consumer.py:147-174`. On a data lake the same
+  * contract is merge-on-read: each micro-batch writes a delta directory named
+  * by its batchId (`mode("overwrite")` → replaying batch N rewrites the same
+  * delta, so the sink is **idempotent under Structured Streaming's
+  * batch-replay recovery**), and readers resolve last-write-wins per key.
+  * This is the MOR upsert pattern Delta/Hudi/Iceberg use; [[compact]] rewrites
+  * the resolved view as a fresh base.
+  *
+  * Scale: a delta holds only the keys updated in that micro-batch — bounded by
+  * |windows| × |entities| touched per trigger, never by raw event volume
+  * (the upstream aggregation is the compaction point). [[resolve]] shuffles
+  * once, on the upsert key, which is also the output key.
+  */
+object UpsertSink {
+
+  /** `foreachBatch` body: persist one micro-batch as delta `b<batchId>`.
+    * Overwriting the batch's own directory makes replay idempotent — the
+    * reference gets the same guarantee from Mongo's `_id` upsert
+    * (`consumer/consumer.py:156,171`). */
+  def writeBatch(batch: DataFrame, batchId: Long, dir: String): Unit =
+    batch.withColumn("_batch_id", lit(batchId))
+      .write.mode("overwrite").parquet(s"$dir/b$batchId")
+
+  /** Read-side merge: last write (highest batchId) wins per key. Each key
+    * appears at most once per delta (aggregation output), so the rank is
+    * unambiguous. */
+  def resolve(s: SparkSession, dir: String, keys: Seq[String]): DataFrame = {
+    val all = s.read.parquet(s"$dir/b*")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("_batch_id").desc)
+    all.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "_batch_id")
+  }
+
+  /** Compaction: materialize the resolved view at `outDir` (what a periodic
+    * maintenance job would do to bound the delta count at 100 TB). */
+  def compact(s: SparkSession, dir: String, keys: Seq[String], outDir: String): Unit =
+    resolve(s, dir, keys).write.mode("overwrite").parquet(outDir)
+}

@@ -1,0 +1,161 @@
+package graft
+
+import graft.ops._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Unit + sf0.001 smoke coverage for the batch ops packs (SURVEY §5.2 item
+  * 2). Heavier cross-engine equality runs through the DuckDB oracle gate
+  * (`graft.Verify` + `tools/check_oracle.py`); these suites pin the semantics
+  * that gate can't see — internal invariants and equivalence of the
+  * scale-rewritten plans to their naive formulations. */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---------------------------------------------------------------- Parse
+
+  test("roundtrip JSON preserves the non-null event rows (C1-C4)") {
+    val events = Tables.events(spark, sf)
+    val expected = events.filter(
+      $"event_id".isNotNull && $"user_id".isNotNull && $"event_type".isNotNull).count()
+    assert(Parse.roundtripJson(spark, sf).count() == expected)
+  }
+
+  test("castFilter derives user keys and dates (D1-D3)") {
+    val out = Parse.castFilter(spark, sf)
+    assert(out.filter(!$"user_key".startsWith("user_")).isEmpty)
+    assert(out.filter($"event_date".isNull).isEmpty)
+  }
+
+  test("parseProps tolerates malformed JSON permissively (C2)") {
+    val df = Seq((1L, """{"k": 42}"""), (2L, """not json"""), (3L, """{"k": "x"}"""))
+      .toDF("event_id", "props")
+    val parsed = df
+      .select($"event_id", from_json($"props", Parse.propsSchema).as("data"))
+      .select($"event_id", $"data.k".as("k_val"))
+    assert(parsed.as[(Long, Option[Long])].collect().toSet ==
+      Set((1L, Some(42L)), (2L, None), (3L, None)))
+  }
+
+  // ------------------------------------------------------------- Analytics
+
+  test("kpiAvg equals the manually computed mean at 2dp") {
+    val uw = WindowAgg.userWindows(spark, sf)
+      .agg(sum("total_interactions").cast("double").as("s"), count(lit(1)).cast("double").as("c"))
+      .as[(Double, Double)].head()
+    val want = BigDecimal(uw._1 / uw._2).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Analytics.kpiAvg(spark, sf).as[Double].head()
+    assert(got == want)
+  }
+
+  test("top-N queries are bounded and ordered") {
+    val top = Analytics.topUsers(spark, sf)
+      .select("total_interactions").as[Long].collect()
+    assert(top.length == 20 && top.sameElements(top.sorted(Ordering[Long].reverse)))
+    assert(Analytics.recentWindows(spark, sf).count() == 100)
+  }
+
+  test("latest snapshot only contains the maximal window_end") {
+    val snap = Analytics.latestSnapshot(spark, sf)
+    assert(snap.select("window_end").distinct().count() == 1)
+  }
+
+  // ------------------------------------------------------------ Relational
+
+  test("rollup emits the grand-total row and is count-consistent") {
+    val roll = Relational.rollupSummary(spark, sf)
+    val total = roll.filter($"l_returnflag".isNull && $"l_linestatus".isNull)
+      .select("n_rows").as[Long].collect()
+    assert(total.length == 1 && total.head == Tables.lineitem(spark, sf).count())
+  }
+
+  test("supplier rank respects the per-flag top-5 contract") {
+    val r = Relational.supplierRank(spark, sf)
+    assert(r.filter($"rnk" > 5).isEmpty)
+    assert(r.groupBy("l_returnflag").count().filter($"count" > 5).isEmpty)
+  }
+
+  test("order priority counts only orders with a later-shipped line") {
+    val got = Relational.orderPriority(spark, sf).agg(sum("n_orders")).as[Long].head()
+    val want = Tables.orders(spark, sf).join(
+        Tables.lineitem(spark, sf),
+        $"o_orderkey" === $"l_orderkey" && $"l_shipdate" > $"o_orderdate", "left_semi")
+      .count()
+    assert(got == want)
+  }
+
+  // ----------------------------------------------------------------- Dedup
+
+  test("exact dedup partitions the corpus: n_copies sums to the doc count") {
+    val ex = Dedup.exact(spark, sf)
+    assert(ex.agg(sum("n_copies")).as[Long].head() == Tables.documents(spark, sf).count())
+    assert(ex.select("content_hash").distinct().count() == ex.count())
+  }
+
+  test("candidate pairs are canonical (doc_a < doc_b) in every near-dup path") {
+    Seq(Dedup.ngramJaccard(spark, sf), Dedup.minhashLsh(spark, sf)).foreach { pairs =>
+      assert(pairs.filter($"doc_a" >= $"doc_b").isEmpty)
+    }
+    assert(Dedup.embeddingCosine(spark, sf).filter($"vec_a" >= $"vec_b").isEmpty)
+  }
+
+  test("simhash emits one 32-bit signature per eligible doc") {
+    val sh = Dedup.simhash(spark, sf)
+    val eligible = Tables.documents(spark, sf)
+      .filter(size(split($"text", " ")) >= 3).count()
+    assert(sh.count() == eligible)
+    assert(sh.filter($"simhash" < 0 || $"simhash" >= (1L << 32)).isEmpty)
+  }
+
+  // ---------------------------------------------------------- TextAnalysis
+
+  test("map-side winnow ≡ the explode+window formulation it replaced") {
+    val naive = {
+      val sh = Tables.documents(spark, sf)
+        .select($"doc_id", split($"text", " ").as("words"))
+        .filter(size($"words") >= 3)
+        .select($"doc_id", posexplode(expr(
+          "transform(sequence(1, size(words) - 2), i -> md5(concat_ws(' ', slice(words, i, 3))))")))
+        .select($"doc_id", $"pos", $"col".as("h"))
+      val w = Window.partitionBy($"doc_id").orderBy($"pos").rowsBetween(0, 3)
+      sh.select($"doc_id", min($"h").over(w).as("fp")).distinct()
+    }
+    val got = TextAnalysis.winnow(spark, sf).as[(Long, String)].collect().toSet
+    assert(got == naive.as[(Long, String)].collect().toSet)
+    assert(got.forall(_._2.matches("[0-9a-f]{32}")))
+  }
+
+  test("language ID prediction is always one of the stoplist languages") {
+    val out = TextAnalysis.langId(spark, sf)
+    assert(out.filter(!$"lang_pred".isin("de", "en", "es", "fr")).isEmpty)
+    // is_match is the equality of prediction and label by construction
+    assert(out.filter(($"lang_pred" === $"lang") =!= $"is_match").isEmpty)
+  }
+
+  test("token counts are consistent: ws_tokens = words, chars ≥ tokens - 1") {
+    val out = TextAnalysis.tokenCounts(spark, sf)
+    assert(out.filter($"ws_tokens" < 1 || $"re_tokens" < 0).isEmpty)
+    assert(out.filter($"n_chars_m" < $"ws_tokens" - 1).isEmpty)
+  }
+
+  // ------------------------------------------------------------ Multimodal
+
+  test("decode stub arithmetic and the documented ASCII oracle precondition") {
+    val f = MultimodalPipeline.decodeStub(
+      MediaRecord(7L, "Hello!".getBytes("UTF-8"), 640, 480))
+    assert(f == MediaFeatures(7L, 6L, 'H'.toInt, '!'.toInt, ('H'.toInt + '!'.toInt) / 2, 640, 480))
+    // empty payload guard
+    assert(MultimodalPipeline.decodeStub(MediaRecord(1L, Array.emptyByteArray, 0, 0))
+      == MediaFeatures(1L, 0L, 0, 0, 0, 0, 0))
+    // PRECONDITION (Multimodal.scala oracle): synthetic docs are pure ASCII,
+    // making DuckDB's char-indexed ascii() equal the stub's byte arithmetic.
+    assert(Tables.documents(spark, sf)
+      .filter(!$"text".rlike("^[\\x00-\\x7F]*$")).isEmpty)
+  }
+
+  test("multimodal features flow through the typed mapPartitions plumbing") {
+    val out = MultimodalPipeline.features(spark, sf)
+    assert(out.count() == Tables.documents(spark, sf).filter(length($"text") > 0).count())
+    assert(out.filter($"head_byte" < 0 || $"head_byte" > 255).isEmpty)
+  }
+}

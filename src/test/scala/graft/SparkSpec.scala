@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** One shared local session for the whole forked test JVM (Spark session
+  * startup is ~5 s; suites must not pay it each). UTC + small shuffle width
+  * mirror the driver harness (`Verify.scala`). */
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-tests")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+trait SparkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  /** Smallest testdata scale — used for end-to-end smokes. */
+  val sf: String = "/root/testdata/sf0.001"
+
+  def ts(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
+}
