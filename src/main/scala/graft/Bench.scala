@@ -6,11 +6,17 @@ import org.apache.spark.sql.SparkSession
   * prints ONE JSON line on stdout (build.sbt routes forked stdout through
   * unprefixed, so the driver can parse the tail line directly).
   *
-  * The timed action is a write to the `noop` datasource — a full execution of
-  * every operator with rows pushed through the whole plan, unlike `count()`,
-  * which lets Catalyst prune the very columns under test. Failures are
-  * reported per query in an `errors` map (and as value -1) instead of
-  * masquerading as fast runs.
+  * Methodology:
+  *  - the timed action is a write to the `noop` datasource — a full execution
+  *    of every operator with rows pushed through the whole plan, unlike
+  *    `count()`, which lets Catalyst prune the very columns under test;
+  *  - an untimed warm-up query absorbs the first-query JVM/session cost
+  *    (JIT, codegen compiler, Hadoop FS init — measured ~10 s);
+  *  - each query runs twice and reports the MIN, measuring steady-state
+  *    operator cost rather than co-tenant machine noise (observed run-to-run
+  *    variance on this host exceeds 5×);
+  *  - failures are reported per query in an `errors` map (and as value -1)
+  *    instead of masquerading as fast runs.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -24,17 +30,28 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    try // warm-up (untimed): exercises scan + shuffle + agg + noop machinery
+      ops.WindowAgg.userWindows(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err =
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          None
-        } catch {
-          case e: Throwable =>
-            Some(e.toString.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160))
-        }
-      val sec = (System.nanoTime() - t0) / 1e9
+      def once(): (Double, Option[String]) = {
+        val t0 = System.nanoTime()
+        val err =
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            None
+          } catch {
+            case e: Throwable =>
+              Some(e.toString.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160))
+          }
+        ((System.nanoTime() - t0) / 1e9, err)
+      }
+      val (s1, e1) = once()
+      val (sec, err) =
+        if (e1.isDefined) (s1, e1)
+        else { val (s2, e2) = once(); (math.min(s1, s2), e2) }
       (name, if (err.isEmpty) sec else -1.0, err)
     }
 

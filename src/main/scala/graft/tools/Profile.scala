@@ -1,0 +1,34 @@
+package graft.tools
+
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc plan/latency profiler: runs the named queries twice each (cold +
+  * warm) against SPARK_GRAFT_SF_DIR and prints per-run seconds, to separate
+  * structural slowness from JVM/codegen warm-up. Args: query names; with
+  * `-e` also prints the formatted physical plan. */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val explain = args.contains("-e")
+    val names = args.filterNot(_ == "-e")
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      if (explain) fn(spark, sfDir).explain("formatted")
+      (1 to 2).foreach { i =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        println(f"PROFILE $name run$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+    }
+    spark.stop()
+  }
+}
