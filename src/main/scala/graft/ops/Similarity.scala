@@ -69,14 +69,47 @@ object Similarity {
     rankTopK(scored)
   }
 
+  /** Per-label centroid components — the M-step of a k-means pass over the
+    * corpus (IVF training / cluster drift monitoring). Emitted in exploded
+    * (label, dim) form with per-dimension values quantized to millionths
+    * BEFORE the cross-row sum: integer sums are associative, so the result
+    * is bit-identical under any partitioning/merge order — cross-row
+    * floating-point accumulation would hash-differ between engines. The
+    * centroid itself is one exact-int division per (label, dim). Plan:
+    * posexplode map-side, partial sums collapse before the single shuffle on
+    * (label, dim). */
+  def centroids(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim").cast("long").as("dim"))
+      .agg(
+        sum(round(col("x").cast("double") * 1000000).cast("long")).as("q_sum"),
+        count(lit(1)).as("n_vecs"))
+      .select(col("label"), col("dim"), col("q_sum"), col("n_vecs"),
+        (col("q_sum").cast("double") / col("n_vecs") / 1000000d).as("centroid"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_sim_topk_brute" -> bruteForceTopK,
-    "x_sim_topk_ivf" -> ivfTopK)
+    "x_sim_topk_ivf" -> ivfTopK,
+    "x_embed_centroids" -> centroids)
 
   private val cosSql =
     "list_dot_product(q.qv, c.v) / (q.qn * sqrt(list_dot_product(c.v, c.v)))"
 
   val oracle: Map[String, String] = Map(
+    "x_embed_centroids" ->
+      """WITH e AS (
+        |  SELECT label, i - 1 AS dim, embedding[i] AS x
+        |  FROM (SELECT label, embedding, unnest(range(1, len(embedding) + 1)) AS i
+        |        FROM embeddings)),
+        |agg AS (
+        |  SELECT label, CAST(dim AS BIGINT) AS dim,
+        |         CAST(sum(CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS q_sum,
+        |         count(*) AS n_vecs
+        |  FROM e GROUP BY 1, 2)
+        |SELECT label, dim, q_sum, n_vecs,
+        |       CAST(q_sum AS DOUBLE) / n_vecs / 1000000 AS centroid
+        |FROM agg""".stripMargin,
     "x_sim_topk_brute" ->
       s"""WITH c AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
          |q AS (SELECT vec_id AS query_id, v AS qv, sqrt(list_dot_product(v, v)) AS qn

@@ -96,10 +96,30 @@ object TextAnalysis {
       .select(col("doc_id"), explode(expr(
         "array_distinct(transform(sequence(1, size(hs)), i -> array_min(slice(hs, i, 4))))")).as("fp"))
 
+  /** Corpus vocabulary: top-20 tokens per language by term frequency — the
+    * counting pass behind tokenizer/vocab construction. Plan: explode →
+    * partial count map-side (the heavy reduction happens before the shuffle;
+    * only distinct (lang, token) partials move) → final count → per-lang
+    * rank over the aggregated vocab. The rank partitions by `lang` (4
+    * values), but its input is already reduced to |vocab| rows, so the
+    * 4-way parallelism ceiling applies to a tiny relation — same shape as
+    * `Relational.supplierRank`. */
+  def vocab(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(s, d)
+      .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("lang"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("tf").desc, col("token").asc)
+    tf.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= 20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_text_langid" -> langId,
     "x_text_quality" -> quality,
     "x_text_tokens" -> tokenCounts,
+    "x_text_vocab" -> vocab,
     "x_text_winnow" -> winnow)
 
   val oracle: Map[String, String] = {
@@ -137,6 +157,18 @@ object TextAnalysis {
           |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tokens,
           |  CAST(length(text) AS BIGINT) AS n_chars_m
           |FROM documents""".stripMargin,
+      "x_text_vocab" ->
+        """WITH tf AS (
+          |  SELECT lang, t.token, count(*) AS tf
+          |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents) t
+          |  WHERE length(t.token) > 0
+          |  GROUP BY 1, 2),
+          |ranked AS (
+          |  SELECT lang, token, tf,
+          |         CAST(row_number() OVER (PARTITION BY lang
+          |                ORDER BY tf DESC, token ASC) AS BIGINT) AS rnk
+          |  FROM tf)
+          |SELECT lang, token, tf, rnk FROM ranked WHERE rnk <= 20""".stripMargin,
       "x_text_winnow" ->
         """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
           |s AS (SELECT doc_id, i AS pos, md5(array_to_string(words[i:i+2], ' ')) AS h

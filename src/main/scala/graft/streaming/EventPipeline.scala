@@ -59,12 +59,20 @@ object EventPipeline {
     val schema = s.read.parquet(s"$sfDir/events.parquet").schema
     // FileStreamSource requires a *directory* to monitor; the testdata table
     // is a single file, so expose it through a scratch dir (symlink — no
-    // copy; fall back to a copy if the filesystem refuses links).
-    val dir = Files.createTempDirectory("graft-events-src-")
+    // copy; fall back to a copy if the filesystem refuses links). The dir is
+    // STABLE per source path — checkpoint recovery must observe the same
+    // source location, else the committed offsets don't cover the "new" file
+    // and a restart would re-ingest it.
+    val tag = java.lang.Integer.toHexString(sfDir.hashCode)
+    val dir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft-events-src-$tag")
+    Files.createDirectories(dir)
     val link = dir.resolve("part-0.parquet")
     val target = java.nio.file.Paths.get(s"$sfDir/events.parquet")
-    try Files.createSymbolicLink(link, target)
-    catch { case _: Exception => Files.copy(target, link) }
+    if (!Files.exists(link)) {
+      try Files.createSymbolicLink(link, target)
+      catch { case _: Exception => Files.copy(target, link) }
+    }
     s.readStream.schema(schema).parquet(dir.toString)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
