@@ -154,15 +154,70 @@ object Dedup {
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
   }
 
+  /** Dedup cluster assignment: connected components over the MinHash-LSH
+    * candidate graph, by iterative min-label propagation — each doc starts
+    * labeled with its own id; every iteration each node takes the minimum
+    * label among itself and its neighbors, until a fixpoint. Converges in
+    * O(graph diameter) rounds (dedup clusters are short chains, so a
+    * handful); each round is one shuffle-join against the cached adjacency
+    * plus a grouped min — the standard big-graph CC recipe (a large-star/
+    * small-star variant would cut rounds further at extreme scale, same
+    * per-round plan shape). The adjacency and the per-round labels are
+    * persisted: iterative algorithms must cut lineage or round N replays
+    * rounds 1..N-1.
+    *
+    * The fixpoint (min reachable id per node) is unique, so the result is
+    * deterministic and oracle-checkable via a recursive reachability CTE. */
+  def components(s: SparkSession, d: String): DataFrame = {
+    val edges = minhashLsh(s, d)
+    val adj = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    var labels = Tables.documents(s, d)
+      .select(col("doc_id"), col("doc_id").as("comp")).persist()
+    var changed = 1L
+    while (changed > 0) {
+      val prop = adj.join(labels.select(col("doc_id").as("dst"), col("comp")), "dst")
+        .groupBy(col("src")).agg(min(col("comp")).as("nbr_min"))
+      val updated = labels
+        .join(prop.withColumnRenamed("src", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"))
+        .persist()
+      changed = labels.select(col("doc_id"), col("comp").as("old_comp"))
+        .join(updated, "doc_id")
+        .filter(col("old_comp") =!= col("comp")).count()
+      labels.unpersist()
+      labels = updated
+    }
+    adj.unpersist()
+    labels
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_dedup_exact" -> exact,
     "x_dedup_ngram_jaccard" -> ngramJaccard,
     "x_dedup_minhash_lsh" -> minhashLsh,
     "x_dedup_simhash" -> simhash,
-    "x_dedup_embedding_cosine" -> embeddingCosine)
+    "x_dedup_embedding_cosine" -> embeddingCosine,
+    "x_dedup_components" -> components)
 
   private def minhashSqlMins =
     (0 until nSeeds).map(i => s"min(md5('$i:' || sh)) AS m$i").mkString(", ")
+
+  /** CTE chain `m, bands, pairs` reproducing [[minhashLsh]] in DuckDB —
+    * appended after [[shingleSqlCtes]] by the LSH and components oracles. */
+  private def minhashPairsSqlCtes: String = {
+    val bands = (0 until nSeeds / bandSize).map { b =>
+      val key = (b * bandSize until (b + 1) * bandSize).map(i => s"m$i").mkString(" || ")
+      s"SELECT doc_id, $b AS band, $key AS bkey FROM m"
+    }.mkString(" UNION ALL ")
+    s"""m AS (SELECT doc_id, $minhashSqlMins FROM s GROUP BY 1),
+       |bands AS ($bands),
+       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |          FROM bands a JOIN bands b
+       |            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)""".stripMargin
+  }
 
   private def simhashSqlTerms = {
     val sums = (1 to simBits)
@@ -190,18 +245,22 @@ object Dedup {
          |SELECT doc_a, doc_b, shared, na.nsh AS n_a, nb.nsh AS n_b
          |FROM p JOIN n na ON p.doc_a = na.doc_id JOIN n nb ON p.doc_b = nb.doc_id
          |WHERE shared * 2 >= na.nsh + nb.nsh - shared""".stripMargin,
-    "x_dedup_minhash_lsh" -> {
-      val bands = (0 until nSeeds / bandSize).map { b =>
-        val key = (b * bandSize until (b + 1) * bandSize).map(i => s"m$i").mkString(" || ")
-        s"SELECT doc_id, $b AS band, $key AS bkey FROM m"
-      }.mkString(" UNION ALL ")
+    "x_dedup_minhash_lsh" ->
       s"""$shingleSqlCtes,
-         |m AS (SELECT doc_id, $minhashSqlMins FROM s GROUP BY 1),
-         |bands AS ($bands)
-         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |FROM bands a JOIN bands b
-         |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id""".stripMargin
-    },
+         |$minhashPairsSqlCtes
+         |SELECT doc_a, doc_b FROM pairs""".stripMargin,
+    "x_dedup_components" ->
+      // min reachable id per node == the min-label-propagation fixpoint;
+      // UNION (set semantics) bounds the recursion.
+      s"""${shingleSqlCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+         |$minhashPairsSqlCtes,
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+         |SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS comp FROM reach GROUP BY 1""".stripMargin,
     "x_dedup_simhash" -> {
       val (sums, bits) = simhashSqlTerms
       s"""$shingleSqlCtes,

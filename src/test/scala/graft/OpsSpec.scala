@@ -99,6 +99,24 @@ class OpsSpec extends SparkSpec {
     assert(Dedup.embeddingCosine(spark, sf).filter($"vec_a" >= $"vec_b").isEmpty)
   }
 
+  test("connected components equal a driver-side union-find over the same pair graph") {
+    val pairs = Dedup.minhashLsh(spark, sf).as[(Long, Long)].collect()
+    val comp = Dedup.components(spark, sf).as[(Long, Long)].collect().toMap
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // root = min id
+    }
+    assert(comp.nonEmpty)
+    assert(comp == comp.keys.map(id => id -> find(id)).toMap)
+    // and every candidate pair landed in one cluster
+    pairs.foreach { case (a, b) => assert(comp(a) == comp(b)) }
+  }
+
   test("simhash emits one 32-bit signature per eligible doc") {
     val sh = Dedup.simhash(spark, sf)
     val eligible = Tables.documents(spark, sf)
