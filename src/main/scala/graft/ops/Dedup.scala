@@ -11,8 +11,9 @@ import org.apache.spark.sql.functions._
   *
   * Hash choice: every hash is derived from `md5` hex strings, which Spark and
   * DuckDB compute identically, so each operator is oracle-checkable bit for
-  * bit. MinHash "permutations" are lexicographic minima of `md5(seed:shingle)`
-  * — a valid min-wise family and engine-portable.
+  * bit. MinHash "permutations" are Kirsch-Mitzenmacher combinations
+  * gᵢ = (h1 + i·h2) mod 2³¹−1 of the two md5 halves — one real hash per
+  * shingle, i synthetic permutations, engine-portable integer arithmetic.
   *
   * Scale design: nothing here collects to the driver. Exact dedup is one
   * hash-shuffle. MinHash/SimHash signatures are one groupBy over the exploded
@@ -93,10 +94,24 @@ object Dedup {
   private val nSeeds = 16
   private val bandSize = 2
 
-  /** Per-doc MinHash signature columns m0..m7. */
+  /** 2^31-1: Mersenne prime for the Kirsch-Mitzenmacher hash family. */
+  private val kmPrime = 2147483647L
+
+  /** Per-doc MinHash signature columns m0..m15, via the Kirsch-Mitzenmacher
+    * construction: ONE md5 per shingle yields two 60-bit base hashes (hex
+    * halves), and permutation i is gᵢ = (h1 + i·h2) mod 2³¹−1 — a 2-universal
+    * family with the same LSH guarantees as i independent hashes (Kirsch &
+    * Mitzenmacher, ESA'06) at 1/16th the hashing cost. All arithmetic stays
+    * under 2⁶³ (h2 reduced mod p before the ≤15× multiply), so Spark and
+    * DuckDB agree exactly. */
   private def minhashSignatures(s: SparkSession, d: String): DataFrame = {
-    val aggs = (0 until nSeeds).map(i => min(md5(concat(lit(s"$i:"), col("sh")))).as(s"m$i"))
-    shingleSets(s, d).groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val based = shingleSets(s, d)
+      .select(col("doc_id"), md5(col("sh")).as("h"))
+      .select(col("doc_id"),
+        expr(s"CAST(conv(substring(h, 1, 15), 16, 10) AS BIGINT) % $kmPrime").as("h1"),
+        expr(s"CAST(conv(substring(h, 17, 15), 16, 10) AS BIGINT) % $kmPrime").as("h2"))
+    val aggs = (0 until nSeeds).map(i => min(expr(s"(h1 + $i * h2) % $kmPrime")).as(s"m$i"))
+    based.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** MinHash + LSH banding: docs sharing any of the 4 band keys become a
@@ -107,7 +122,7 @@ object Dedup {
     val sig = minhashSignatures(s, d)
     val bands = (0 until nSeeds / bandSize).map { b =>
       sig.select(col("doc_id"), lit(b).as("band"),
-        concat((b * bandSize until (b + 1) * bandSize).map(i => col(s"m$i")): _*).as("bkey"))
+        concat_ws(":", (b * bandSize until (b + 1) * bandSize).map(i => col(s"m$i")): _*).as("bkey"))
     }.reduce(_ unionAll _)
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
@@ -155,42 +170,52 @@ object Dedup {
   }
 
   /** Dedup cluster assignment: connected components over the MinHash-LSH
-    * candidate graph, by iterative min-label propagation — each doc starts
-    * labeled with its own id; every iteration each node takes the minimum
-    * label among itself and its neighbors, until a fixpoint. Converges in
-    * O(graph diameter) rounds (dedup clusters are short chains, so a
-    * handful); each round is one shuffle-join against the cached adjacency
-    * plus a grouped min — the standard big-graph CC recipe (a large-star/
-    * small-star variant would cut rounds further at extreme scale, same
-    * per-round plan shape). The adjacency and the per-round labels are
-    * persisted: iterative algorithms must cut lineage or round N replays
-    * rounds 1..N-1.
+    * candidate graph, by iterative min-label propagation WITH pointer
+    * jumping — each round every node takes the minimum of (its label, its
+    * neighbors' labels, its label's label). Neighbor propagation alone needs
+    * O(chain length) rounds on chain-shaped duplicate clusters (measured:
+    * 100+ rounds at sf0.1); the pointer-jumping term compresses paths
+    * geometrically, giving O(log n) rounds — the same trick as
+    * large-star/small-star CC. Each round is two shuffle-joins against
+    * cached relations plus a grouped min; adjacency and per-round labels are
+    * persisted because iterative algorithms must cut lineage or round N
+    * replays rounds 1..N-1.
     *
     * The fixpoint (min reachable id per node) is unique, so the result is
-    * deterministic and oracle-checkable via a recursive reachability CTE. */
+    * deterministic and oracle-checkable via a recursive reachability CTE.
+    *
+    * Lineage control: each round's labels are `localCheckpoint`ed, not just
+    * persisted. Persisting caches the DATA but analysis still walks the full
+    * logical plan, and the pointer-jump self-join would DOUBLE that plan
+    * every round — measured 400+ s of pure driver planning at sf0.1 before
+    * the checkpoint truncated the lineage to a LogicalRDD (O(1) plan per
+    * round, the canonical fix for iterative DataFrame algorithms). */
   def components(s: SparkSession, d: String): DataFrame = {
     val edges = minhashLsh(s, d)
     val adj = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .persist()
+      .localCheckpoint()
     var labels = Tables.documents(s, d)
-      .select(col("doc_id"), col("doc_id").as("comp")).persist()
+      .select(col("doc_id"), col("doc_id").as("comp")).localCheckpoint()
     var changed = 1L
     while (changed > 0) {
       val prop = adj.join(labels.select(col("doc_id").as("dst"), col("comp")), "dst")
         .groupBy(col("src")).agg(min(col("comp")).as("nbr_min"))
+      // pointer jump: the label of my label (labels keyed by doc_id = comp)
+      val jump = labels.select(col("doc_id").as("comp"), col("comp").as("jump_min"))
       val updated = labels
         .join(prop.withColumnRenamed("src", "doc_id"), Seq("doc_id"), "left")
+        .join(jump, Seq("comp"), "left")
         .select(col("doc_id"),
-          least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"))
-        .persist()
+          least(col("comp"),
+            coalesce(col("nbr_min"), col("comp")),
+            coalesce(col("jump_min"), col("comp"))).as("comp"))
+        .localCheckpoint()
       changed = labels.select(col("doc_id"), col("comp").as("old_comp"))
         .join(updated, "doc_id")
         .filter(col("old_comp") =!= col("comp")).count()
-      labels.unpersist()
       labels = updated
     }
-    adj.unpersist()
     labels
   }
 
@@ -203,16 +228,21 @@ object Dedup {
     "x_dedup_components" -> components)
 
   private def minhashSqlMins =
-    (0 until nSeeds).map(i => s"min(md5('$i:' || sh)) AS m$i").mkString(", ")
+    (0 until nSeeds).map(i => s"min((h1 + $i * h2) % $kmPrime) AS m$i").mkString(", ")
 
-  /** CTE chain `m, bands, pairs` reproducing [[minhashLsh]] in DuckDB —
+  /** CTE chain `hv, m, bands, pairs` reproducing [[minhashLsh]] in DuckDB —
     * appended after [[shingleSqlCtes]] by the LSH and components oracles. */
   private def minhashPairsSqlCtes: String = {
     val bands = (0 until nSeeds / bandSize).map { b =>
-      val key = (b * bandSize until (b + 1) * bandSize).map(i => s"m$i").mkString(" || ")
+      val key = (b * bandSize until (b + 1) * bandSize).map(i => s"m$i").mkString(" || ':' || ")
       s"SELECT doc_id, $b AS band, $key AS bkey FROM m"
     }.mkString(" UNION ALL ")
-    s"""m AS (SELECT doc_id, $minhashSqlMins FROM s GROUP BY 1),
+    s"""hk AS (SELECT doc_id, md5(sh) AS h FROM s),
+       |hv AS (SELECT doc_id,
+       |         CAST(('0x' || substr(h, 1, 15))::UBIGINT % $kmPrime AS BIGINT) AS h1,
+       |         CAST(('0x' || substr(h, 17, 15))::UBIGINT % $kmPrime AS BIGINT) AS h2
+       |       FROM hk),
+       |m AS (SELECT doc_id, $minhashSqlMins FROM hv GROUP BY 1),
        |bands AS ($bands),
        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |          FROM bands a JOIN bands b
