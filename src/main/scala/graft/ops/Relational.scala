@@ -111,7 +111,22 @@ object Relational {
     Tables.customer(s, d).select(col("c_custkey").as("custkey"))
       .except(Tables.orders(s, d).select(col("o_custkey").as("custkey")))
 
+  /** Exact percentiles per group (median + p95) — the sort-based aggregate
+    * the dashboards' "distribution" panels need. Spark's `percentile` is the
+    * exact type-7 (linear interpolation) quantile, matching DuckDB's
+    * `quantile_cont` bit for bit on these integer-valued inputs; at 100 TB
+    * you'd swap in `approx_percentile` (t-digest, mergeable sketch) — same
+    * query shape, bounded memory. */
+  def quantiles(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+        expr("percentile(l_quantity, 0.95)").as("p95_qty"),
+        expr("percentile(round(l_extendedprice * 100), 0.5)").as("p50_price_c"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "h_quantiles" -> quantiles,
     "h_pricing_summary" -> pricingSummary,
     "h_region_revenue" -> regionRevenue,
     "h_top_customers" -> topCustomers,
@@ -124,6 +139,12 @@ object Relational {
   private val centsSql = (c: String) => s"CAST(round($c * 100) AS BIGINT)"
 
   val oracle: Map[String, String] = Map(
+    "h_quantiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS p50_qty,
+        |  quantile_cont(l_quantity, 0.95) AS p95_qty,
+        |  quantile_cont(round(l_extendedprice * 100), 0.5) AS p50_price_c
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "h_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,

@@ -14,6 +14,9 @@ object SparkTestSession {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // keep managed-table output (BucketingSpec) out of the repo tree
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse-").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -13,6 +13,9 @@ import org.apache.spark.sql.functions._
 class Streaming2Spec extends SparkSpec {
   import spark.implicits._
 
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toFile.getAbsolutePath
+
   test("stateful dedup drops replayed event ids across micro-batches, keeps state per user") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     // ProcessingTimeTimeout + no-data micro-batches = a busy loop of empty
@@ -65,6 +68,23 @@ class Streaming2Spec extends SparkSpec {
     newDeltas.foreach { d =>
       assert(spark.read.parquet(s"$sink/$d").isEmpty, s"unexpected rows in replayed delta $d")
     }
+  }
+
+  test("compaction rewrites the resolved view and preserves it exactly") {
+    val dir = tmp("graft-compact-")
+    val keys = Seq("window_start", "window_end", "user_id")
+    UpsertSink.writeBatch(Seq(
+      (ts("2026-01-01 00:00:00"), ts("2026-01-01 00:10:00"), "u1", 1L))
+      .toDF("window_start", "window_end", "user_id", "total_interactions"), 0, dir)
+    UpsertSink.writeBatch(Seq(
+      (ts("2026-01-01 00:00:00"), ts("2026-01-01 00:10:00"), "u1", 4L),
+      (ts("2026-01-01 00:05:00"), ts("2026-01-01 00:15:00"), "u2", 2L))
+      .toDF("window_start", "window_end", "user_id", "total_interactions"), 1, dir)
+    val resolved = UpsertSink.resolve(spark, dir, keys).collect().toSet
+    val base = tmp("graft-compact-out-")
+    UpsertSink.compact(spark, dir, keys, base)
+    assert(spark.read.parquet(base).collect().toSet == resolved)
+    assert(resolved.size == 2)
   }
 
   test("sessionization: per-user sessions partition events and respect the 30-minute gap") {
