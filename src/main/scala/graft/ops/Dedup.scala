@@ -195,7 +195,10 @@ object Dedup {
     val adj = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
-    var labels = Tables.documents(s, d)
+    // Only nodes incident to an edge can change labels — iterate over that
+    // (small) vertex set and union the singleton identity rows at the end,
+    // so per-round state is bounded by the candidate graph, not the corpus.
+    var labels = adj.select(col("src").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("comp")).localCheckpoint()
     var changed = 1L
     while (changed > 0) {
@@ -216,7 +219,9 @@ object Dedup {
         .filter(col("old_comp") =!= col("comp")).count()
       labels = updated
     }
-    labels
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(labels.withColumnRenamed("comp", "edge_comp"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("edge_comp"), col("doc_id")).as("comp"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
