@@ -1,0 +1,48 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.functions.Skew
+import org.apache.spark.sql.functions._
+
+/** Lake-layout and skew behaviors that only matter at scale but must be
+  * provably wired: partition-pruned scans on a date-partitioned layout, and
+  * exactness of the salted-aggregation rewrite. */
+class LakeLayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("date-partitioned lake writes prune partitions at the scan") {
+    val dir = Files.createTempDirectory("graft-lake-").toFile.getAbsolutePath
+    val events = Tables.events(spark, sf)
+      .select($"event_id", $"user_id", $"ts".cast("date").as("event_date"))
+    events.write.partitionBy("event_date").mode("overwrite").parquet(dir)
+
+    val day = events.select(min($"event_date")).as[java.sql.Date].head()
+    val pruned = spark.read.parquet(dir).filter($"event_date" === lit(day))
+    val plan = pruned.queryExecution.executedPlan.toString
+
+    assert(plan.contains("PartitionFilters"), s"no partition filters in:\n$plan")
+    assert(plan.contains("event_date"), "pruning predicate must reach the scan")
+    // pruned read returns exactly the rows of that day
+    assert(pruned.count() == events.filter($"event_date" === lit(day)).count())
+    // and the scan only touched that day's directory (partition count = 1)
+    val touched = pruned.select(input_file_name()).distinct()
+      .as[String].collect().map(_.split("/").init.last).toSet
+    assert(touched == Set(s"event_date=$day"))
+  }
+
+  test("salted aggregation is exactly equivalent to the direct groupBy") {
+    val events = Tables.events(spark, sf)
+    val direct = events.groupBy($"user_id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    val salted = Skew.saltedCount(events, "user_id", "n")
+      .as[(Long, Long)].collect().toMap
+    assert(salted == direct)
+
+    val directSum = events.groupBy($"event_type").agg(sum($"user_id").as("s"))
+      .as[(String, Long)].collect().toMap
+    val saltedSum = Skew.saltedSum(events, "event_type", $"user_id", "s", salts = 7)
+      .as[(String, Long)].collect().toMap
+    assert(saltedSum == directSum)
+  }
+}
