@@ -133,21 +133,31 @@ object Dedup {
 
   private val simBits = 32
 
-  /** SimHash (32-bit): bit j is the sign of the sum over shingles of ±1
-    * derived from the parity of hex char j of md5(shingle). One groupBy with
-    * 32 integer sums — codegen'd, no per-bit explode. The md5 is projected
-    * ONCE per shingle before the aggregation (aggregate expressions are not
-    * reliably CSE'd, so `md5` inside each of the 32 sums would recompute the
-    * hash 32× per row); the sums then read 32 substrings of one hash. */
+  /** SimHash (32-bit): bit j is the sign of the sum over distinct shingles
+    * of ±1 derived from the parity of hex char j of md5(shingle).
+    *
+    * Entirely map-side: the per-doc distinct-shingle hash array is projected
+    * ONCE (`transform` evaluates each md5 a single time; CollapseProject
+    * refuses to inline the expensive array into its 32 consumers), then each
+    * bit is an `aggregate` fold over that in-memory array — no explode, no
+    * shuffle, output cardinality = |docs| straight off the scan. The earlier
+    * explode+groupBy formulation pushed ~200 shingle rows per doc through a
+    * hash aggregate for a computation that never needed to leave the row. */
   def simhash(s: SparkSession, d: String): DataFrame = {
-    val hashed = shingleSets(s, d).select(col("doc_id"), md5(col("sh")).as("h"))
-    val sums = (1 to simBits).map(j =>
-      sum(expr(s"2 * (ascii(substring(h, $j, 1)) % 2) - 1")).as(s"s$j"))
-    val sig = hashed.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
-    val hash = (1 to simBits)
-      .map(j => when(col(s"s$j") > 0, lit(1L << (j - 1))).otherwise(lit(0L)))
+    val sums = (1 to simBits).map(j => expr(
+      s"aggregate(hs, CAST(0 AS BIGINT), (acc, h) -> acc + 2 * (ascii(substring(h, $j, 1)) % 2) - 1)"))
+    val hash = sums.zipWithIndex
+      .map { case (sj, i) => when(sj > 0, lit(1L << i)).otherwise(lit(0L)) }
       .reduce[Column](_ + _)
-    sig.select(col("doc_id"), hash.as("simhash"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .filter(size(col("words")) >= 3)
+      .withColumn("hs", expr(
+        """transform(
+          |  array_distinct(transform(sequence(1, size(words) - 2),
+          |    i -> concat_ws(' ', slice(words, i, 3)))),
+          |  sh -> md5(sh))""".stripMargin))
+      .select(col("doc_id"), hash.as("simhash"))
   }
 
   /** Embedding near-dup via random-hyperplane-style LSH: bucket on the sign
