@@ -126,6 +126,38 @@ class Streaming2Spec extends SparkSpec {
     assert(out == Set(("u1", 1L, 2L), ("u1", 2L, 1L), ("u2", 1L, 1L)))
   }
 
+  test("streaming session_window merges a burst and emits it after the watermark closes the gap") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Evt]
+    val out = ms.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .select($"session_window.start".as("s"), $"session_window.end".as("e"),
+        $"user_id", $"n_events")
+    val q = out.writeStream.format("memory").queryName("sess_t")
+      .outputMode("append").start()
+    try {
+      // burst of 3 events within the gap → ONE session
+      ms.addData(
+        Evt("u1", "click", ts("2026-01-01 00:00:00")),
+        Evt("u1", "view", ts("2026-01-01 00:10:00")),
+        Evt("u1", "click", ts("2026-01-01 00:20:00")))
+      q.processAllAvailable()
+      // advance the watermark far past the session's close
+      ms.addData(Evt("adv", "click", ts("2026-01-01 02:00:00")))
+      ms.addData(Evt("adv", "click", ts("2026-01-01 02:00:01")))
+      q.processAllAvailable()
+      val rows = spark.table("sess_t").filter($"user_id" === "u1")
+        .as[(java.sql.Timestamp, java.sql.Timestamp, String, Long)].collect()
+      assert(rows.length == 1, "the burst must merge into exactly one session")
+      val (s, e, _, n) = rows.head
+      assert(n == 3L)
+      assert(s == ts("2026-01-01 00:00:00"))
+      assert(e == ts("2026-01-01 00:50:00")) // last event + 30-minute gap
+    } finally q.stop()
+  }
+
   test("centroid quantized sums are partitioning-invariant") {
     import graft.ops.Similarity
     val a = Similarity.centroids(spark, sf)
