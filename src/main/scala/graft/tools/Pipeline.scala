@@ -37,7 +37,12 @@ object Pipeline {
     Shutdown.installHook(spark)                               // C12
     spark.streams.addListener(new LagMonitor.Listener())      // C11
 
+    // observe(): per-batch input metrics surfaced through the same listener
+    // bus as the lag monitor — the production way to count rows without a
+    // second action (shows up in QueryProgressEvent.observedMetrics)
     val events = RateEvents.stream(spark, rate)               // P1+P2
+      .observe("ingest", org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("rows"))
     val queries = Seq("user_id", "item_id").map { key =>      // C10 fan-out
       EventPipeline.start(
         events, key,

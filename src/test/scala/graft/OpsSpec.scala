@@ -156,6 +156,18 @@ class OpsSpec extends SparkSpec {
     assert(out.filter($"n_chars_m" < $"ws_tokens" - 1).isEmpty)
   }
 
+  // ------------------------------------------------------------- sketches
+
+  test("approx_count_distinct tracks the exact distinct count within HLL error") {
+    // at 100 TB the exact countDistinct in h_distinct_agg becomes the sketch;
+    // pin the accuracy contract the swap relies on (HLL++ rsd default 5%)
+    val l = Tables.lineitem(spark, sf)
+    val exact = l.select(countDistinct($"l_partkey")).as[Long].head().toDouble
+    val approx = l.select(approx_count_distinct($"l_partkey")).as[Long].head().toDouble
+    assert(math.abs(approx - exact) / exact < 0.15,
+      s"approx=$approx exact=$exact drifted beyond 3x rsd")
+  }
+
   // ------------------------------------------------------------ Multimodal
 
   test("decode stub arithmetic and the documented ASCII oracle precondition") {
