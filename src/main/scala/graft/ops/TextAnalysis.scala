@@ -115,9 +115,31 @@ object TextAnalysis {
     tf.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= 20)
   }
 
+  /** Token-rarity scoring: mean corpus frequency of a doc's tokens — low
+    * scores flag documents made of rare/garbage tokens, high scores flag
+    * boilerplate; the cheap corpus-statistics quality filter between the
+    * map-side gates ([[quality]]) and expensive dedup. All-integer (counts
+    * summed exactly; one final division quantized to centi-units) so the
+    * result is partitioning-independent. Plan: one shuffle to build the tf
+    * table, one join keyed by token + per-doc agg — at 100 TB the head of
+    * the tf table (the only skewed part) is broadcastable and the tail is
+    * uniform, the classic frequency-join split. */
+  def rarity(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val tf = toks.groupBy(col("token")).agg(count(lit(1)).as("tf"))
+    toks.join(tf, "token")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("tf")).as("tf_sum"))
+      .select(col("doc_id"), col("n_tokens"), col("tf_sum"),
+        expr("CAST(round(CAST(tf_sum AS DOUBLE) / n_tokens * 100) AS BIGINT)").as("mean_tf_c"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_text_langid" -> langId,
     "x_text_quality" -> quality,
+    "x_text_rarity" -> rarity,
     "x_text_tokens" -> tokenCounts,
     "x_text_vocab" -> vocab,
     "x_text_winnow" -> winnow)
@@ -157,6 +179,13 @@ object TextAnalysis {
           |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tokens,
           |  CAST(length(text) AS BIGINT) AS n_chars_m
           |FROM documents""".stripMargin,
+      "x_text_rarity" ->
+        """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+          |tk AS (SELECT doc_id, token FROM t WHERE length(token) > 0),
+          |tf AS (SELECT token, count(*) AS tf FROM tk GROUP BY 1)
+          |SELECT doc_id, count(*) AS n_tokens, CAST(sum(tf.tf) AS BIGINT) AS tf_sum,
+          |  CAST(round(CAST(sum(tf.tf) AS DOUBLE) / count(*) * 100) AS BIGINT) AS mean_tf_c
+          |FROM tk JOIN tf USING (token) GROUP BY 1""".stripMargin,
       "x_text_vocab" ->
         """WITH tf AS (
           |  SELECT lang, t.token, count(*) AS tf
