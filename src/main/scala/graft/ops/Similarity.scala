@@ -88,15 +88,48 @@ object Similarity {
       .select(col("label"), col("dim"), col("q_sum"), col("n_vecs"),
         (col("q_sum").cast("double") / col("n_vecs") / 1000000d).as("centroid"))
 
+  /** Per-dimension int8 scalar quantization — the storage half of an IVF-PQ
+    * index: each dimension's [min, max] range maps linearly onto 0..255, so
+    * a 4-byte float becomes a 1-byte code (4× memory / bandwidth for the
+    * scan phase of ANN search). Plan: one pass computes the 128-row per-dim
+    * range (partial agg collapses map-side), broadcast back onto the
+    * exploded values for the code assignment — no shuffle touches the
+    * vectors themselves. Emitted exploded (vec_id, dim, code) for exact
+    * row-wise oracle comparison. */
+  def quantize(s: SparkSession, d: String): DataFrame = {
+    val vals = Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        col("x").cast("double").as("x"))
+    val ranges = vals.groupBy(col("dim"))
+      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    vals.join(broadcast(ranges), "dim")
+      .select(col("vec_id"), col("dim"),
+        when(col("hi") === col("lo"), lit(0L))
+          .otherwise(expr("CAST(round((x - lo) / (hi - lo) * 255) AS BIGINT)"))
+          .as("code"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_sim_topk_brute" -> bruteForceTopK,
     "x_sim_topk_ivf" -> ivfTopK,
-    "x_embed_centroids" -> centroids)
+    "x_embed_centroids" -> centroids,
+    "x_embed_quantize" -> quantize)
 
   private val cosSql =
     "list_dot_product(q.qv, c.v) / (q.qn * sqrt(list_dot_product(c.v, c.v)))"
 
   val oracle: Map[String, String] = Map(
+    "x_embed_quantize" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim, CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM (SELECT vec_id, embedding, unnest(range(1, len(embedding) + 1)) AS i
+        |        FROM embeddings)),
+        |r AS (SELECT dim, min(x) AS lo, max(x) AS hi FROM v GROUP BY 1)
+        |SELECT vec_id, dim,
+        |  CASE WHEN hi = lo THEN 0
+        |       ELSE CAST(round((x - lo) / (hi - lo) * 255) AS BIGINT) END AS code
+        |FROM v JOIN r USING (dim)""".stripMargin,
     "x_embed_centroids" ->
       """WITH e AS (
         |  SELECT label, i - 1 AS dim, embedding[i] AS x
