@@ -21,7 +21,10 @@ case class RankedId(neighbor_id: Long, rnk: Long)
   * Total order: score DESC, id ASC — identical to
   * `row_number() OVER (ORDER BY score DESC, neighbor_id ASC)`, so results are
   * deterministic and bit-equal to the window-function formulation (and the
-  * DuckDB oracle) as long as scores themselves are deterministic.
+  * DuckDB oracle) as long as scores themselves are deterministic. The
+  * comparator follows Spark SQL's DOUBLE ordering, not Scala's: NaN ranks
+  * greatest (first under DESC — e.g. a zero-norm vector's 0/0 cosine), and
+  * -0.0 equals 0.0 so their tie breaks on id.
   *
   * The buffer is a plain array compacted geometrically: appends are O(1), and
   * whenever it reaches 4k the buffer is sorted and truncated to k, keeping
@@ -29,8 +32,17 @@ case class RankedId(neighbor_id: Long, rnk: Long)
   */
 class TopKAgg(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[RankedId]] {
 
+  private val sqlDescOrdering: Ordering[Scored] = new Ordering[Scored] {
+    // Spark SQL double semantics: NaN is greatest, -0.0 == 0.0.
+    private def norm(x: Double): Double = if (x == 0.0) 0.0 else x
+    override def compare(a: Scored, b: Scored): Int = {
+      val c = java.lang.Double.compare(norm(b.score), norm(a.score))
+      if (c != 0) c else java.lang.Long.compare(a.id, b.id)
+    }
+  }
+
   private def best(buf: Seq[Scored]): Seq[Scored] =
-    buf.sortBy(s => (-s.score, s.id)).take(k)
+    buf.sorted(sqlDescOrdering).take(k)
 
   override def zero: Seq[Scored] = Vector.empty
 

@@ -113,17 +113,21 @@ object Relational {
 
   /** Exact percentiles per group (median + p95) — the sort-based aggregate
     * the dashboards' "distribution" panels need. Spark's `percentile` is the
-    * exact type-7 (linear interpolation) quantile, matching DuckDB's
-    * `quantile_cont` bit for bit on these integer-valued inputs; at 100 TB
-    * you'd swap in `approx_percentile` (t-digest, mergeable sketch) — same
-    * query shape, bounded memory. */
+    * exact type-7 (linear interpolation) quantile, same definition as
+    * DuckDB's `quantile_cont`; the interpolated value is quantized to
+    * centi-units BEFORE emission because when a percentile position lands
+    * between two distinct values the two engines' interpolation arithmetic
+    * (operation order in double) is not guaranteed bit-identical — the
+    * rounded integer is. At 100 TB you'd swap in `approx_percentile`
+    * (t-digest, mergeable sketch) — same query shape, bounded memory. */
   def quantiles(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(
-        expr("percentile(l_quantity, 0.5)").as("p50_qty"),
-        expr("percentile(l_quantity, 0.95)").as("p95_qty"),
-        expr("percentile(round(l_extendedprice * 100), 0.5)").as("p50_price_c"))
+        expr("CAST(round(percentile(l_quantity, 0.5) * 100) AS BIGINT)").as("p50_qty_c"),
+        expr("CAST(round(percentile(l_quantity, 0.95) * 100) AS BIGINT)").as("p95_qty_c"),
+        expr("CAST(round(percentile(round(l_extendedprice * 100), 0.5) * 100) AS BIGINT)")
+          .as("p50_price_cc"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "h_quantiles" -> quantiles,
@@ -141,9 +145,9 @@ object Relational {
   val oracle: Map[String, String] = Map(
     "h_quantiles" ->
       """SELECT l_returnflag,
-        |  quantile_cont(l_quantity, 0.5) AS p50_qty,
-        |  quantile_cont(l_quantity, 0.95) AS p95_qty,
-        |  quantile_cont(round(l_extendedprice * 100), 0.5) AS p50_price_c
+        |  CAST(round(quantile_cont(l_quantity, 0.5) * 100) AS BIGINT) AS p50_qty_c,
+        |  CAST(round(quantile_cont(l_quantity, 0.95) * 100) AS BIGINT) AS p95_qty_c,
+        |  CAST(round(quantile_cont(round(l_extendedprice * 100), 0.5) * 100) AS BIGINT) AS p50_price_cc
         |FROM lineitem GROUP BY 1""".stripMargin,
     "h_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,

@@ -62,16 +62,33 @@ object EventPipeline {
     // copy; fall back to a copy if the filesystem refuses links). The dir is
     // STABLE per source path — checkpoint recovery must observe the same
     // source location, else the committed offsets don't cover the "new" file
-    // and a restart would re-ingest it.
-    val tag = java.lang.Integer.toHexString(sfDir.hashCode)
+    // and a restart would re-ingest it. Keyed by a digest of the full source
+    // path (hashCode can collide across paths), and installed by staging to a
+    // temp name + ATOMIC_MOVE so concurrent sessions can't observe a
+    // half-written file and a crash can't leave a truncated one behind; a
+    // stale truncated copy from an earlier crash is detected by size and
+    // replaced the same way.
+    val target = java.nio.file.Paths.get(s"$sfDir/events.parquet")
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(target.toAbsolutePath.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
     val dir = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), s"graft-events-src-$tag")
     Files.createDirectories(dir)
     val link = dir.resolve("part-0.parquet")
-    val target = java.nio.file.Paths.get(s"$sfDir/events.parquet")
-    if (!Files.exists(link)) {
-      try Files.createSymbolicLink(link, target)
-      catch { case _: Exception => Files.copy(target, link) }
+    def installed: Boolean = Files.exists(link) &&
+      (Files.isSymbolicLink(link) || Files.size(link) == Files.size(target))
+    if (!installed) {
+      val stage = dir.resolve(s".stage-${java.util.UUID.randomUUID()}")
+      try Files.createSymbolicLink(stage, target)
+      catch {
+        case _: Exception =>
+          Files.copy(target, stage, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      try Files.move(stage, link,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      catch { case _: Exception => Files.deleteIfExists(stage) } // lost the install race: fine
     }
     s.readStream.schema(schema).parquet(dir.toString)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
@@ -104,10 +121,19 @@ object EventPipeline {
 
   /** Run the streaming pipeline to completion over the events table and
     * return the resolved KPI table — the driver-facing, DuckDB-checkable
-    * form of the streaming vertical. */
+    * form of the streaming vertical.
+    *
+    * Uses a watermark far larger than the data's time span so batch
+    * equivalence holds regardless of how the source splits into micro-batches
+    * (with a 10-minute watermark, rows arriving >10 min behind it in a later
+    * batch would be dropped and the oracle would diverge — fine for a live
+    * pipeline, wrong for a bounded replay). Update mode + the upsert sink
+    * keeps state finite for the finite input; the operational 10-minute
+    * configuration is exercised by [[startBoth]] and the streaming suites. */
   def streamedWindows(s: SparkSession, sfDir: String, key: String): DataFrame = {
     val scratch = Files.createTempDirectory("graft-stream-").toFile.getAbsolutePath
-    val q = start(fileStream(s, sfDir), key, s"$scratch/sink", s"$scratch/ckpt")
+    val q = start(fileStream(s, sfDir), key, s"$scratch/sink", s"$scratch/ckpt",
+      watermark = "3650 days")
     q.awaitTermination()
     UpsertSink.resolve(s, s"$scratch/sink", Seq("window_start", "window_end", key))
       .select(col("window_start"), col("window_end"), col(key), col("total_interactions"))

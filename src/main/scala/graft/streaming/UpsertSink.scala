@@ -33,9 +33,21 @@ object UpsertSink {
 
   /** Read-side merge: last write (highest batchId) wins per key. Each key
     * appears at most once per delta (aggregation output), so the rank is
-    * unambiguous. */
+    * unambiguous.
+    *
+    * Deltas are enumerated explicitly rather than via a `b*` glob: Spark's
+    * streaming-sink metadata probe on a glob path throws-and-logs a WARN with
+    * a full stack trace (benign but alarming in harness logs), and an
+    * explicit listing also lets an empty sink fail with a real message
+    * instead of a path-not-found deep in the reader. */
   def resolve(s: SparkSession, dir: String, keys: Seq[String]): DataFrame = {
-    val all = s.read.parquet(s"$dir/b*")
+    val base = new java.io.File(dir)
+    val deltas = Option(base.listFiles())
+      .map(_.filter(f => f.isDirectory && f.getName.startsWith("b")).map(_.getAbsolutePath).sorted)
+      .getOrElse(Array.empty[String])
+    require(deltas.nonEmpty,
+      s"UpsertSink.resolve: no delta directories under $dir — the streaming query produced no batches")
+    val all = s.read.parquet(deltas.toIndexedSeq: _*)
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col("_batch_id").desc)
     all.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
