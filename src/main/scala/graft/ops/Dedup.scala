@@ -114,16 +114,27 @@ object Dedup {
     based.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** MinHash + LSH banding: docs sharing any of the 4 band keys become a
+  /** MinHash + LSH banding: docs sharing any of the 8 band keys become a
     * candidate pair. This is the scale path for near-dedup — signature is
     * O(1) per doc, and the only join is on band buckets whose size is
-    * controlled by the banding parameters, not by corpus size. */
+    * controlled by the banding parameters, not by corpus size.
+    *
+    * The signature table (|docs| rows of 16 longs — a rounding error next to
+    * the corpus at any scale) is `localCheckpoint`ed before banding:
+    * without the cut, the band relation appears on BOTH sides of the
+    * candidate self-join, so the whole shingle→md5→min-agg subtree would be
+    * planned and executed twice (and, in the earlier 8-way unionAll
+    * formulation, up to 16×). Banding itself is a single map-side explode
+    * over the materialized signatures. */
   def minhashLsh(s: SparkSession, d: String): DataFrame = {
-    val sig = minhashSignatures(s, d)
-    val bands = (0 until nSeeds / bandSize).map { b =>
-      sig.select(col("doc_id"), lit(b).as("band"),
+    val sig = minhashSignatures(s, d).localCheckpoint()
+    val bandStructs = (0 until nSeeds / bandSize).map { b =>
+      struct(lit(b).as("band"),
         concat_ws(":", (b * bandSize until (b + 1) * bandSize).map(i => col(s"m$i")): _*).as("bkey"))
-    }.reduce(_ unionAll _)
+    }
+    val bands = sig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -216,18 +227,21 @@ object Dedup {
         .groupBy(col("src")).agg(min(col("comp")).as("nbr_min"))
       // pointer jump: the label of my label (labels keyed by doc_id = comp)
       val jump = labels.select(col("doc_id").as("comp"), col("comp").as("jump_min"))
+      // Carry the previous label through the round so convergence is read off
+      // the checkpointed result with a local scan — no extra join+shuffle per
+      // round just to count changes.
       val updated = labels
+        .withColumnRenamed("comp", "old_comp")
+        .withColumn("comp", col("old_comp"))
         .join(prop.withColumnRenamed("src", "doc_id"), Seq("doc_id"), "left")
         .join(jump, Seq("comp"), "left")
-        .select(col("doc_id"),
-          least(col("comp"),
-            coalesce(col("nbr_min"), col("comp")),
-            coalesce(col("jump_min"), col("comp"))).as("comp"))
+        .select(col("doc_id"), col("old_comp"),
+          least(col("old_comp"),
+            coalesce(col("nbr_min"), col("old_comp")),
+            coalesce(col("jump_min"), col("old_comp"))).as("comp"))
         .localCheckpoint()
-      changed = labels.select(col("doc_id"), col("comp").as("old_comp"))
-        .join(updated, "doc_id")
-        .filter(col("old_comp") =!= col("comp")).count()
-      labels = updated
+      changed = updated.filter(col("old_comp") =!= col("comp")).count()
+      labels = updated.select(col("doc_id"), col("comp"))
     }
     Tables.documents(s, d).select(col("doc_id"))
       .join(labels.withColumnRenamed("comp", "edge_comp"), Seq("doc_id"), "left")
