@@ -22,6 +22,8 @@ object SparkEntry {
     (ops.Dedup.queries, ops.Dedup.oracle),
     (ops.Similarity.queries, ops.Similarity.oracle),
     (ops.TextAnalysis.queries, ops.TextAnalysis.oracle),
+    (ops.Temporal.queries, ops.Temporal.oracle),
+    (ops.Sampling.queries, ops.Sampling.oracle),
     (ops.Sessionize.queries, ops.Sessionize.oracle),
     (ops.MultimodalPipeline.queries, ops.MultimodalPipeline.oracle),
     (streaming.EventPipeline.queries, streaming.EventPipeline.oracle))

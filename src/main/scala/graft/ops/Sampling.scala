@@ -1,0 +1,69 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sampling pack for training-data curation: the step between filtering and
+  * training where a corpus is rebalanced — per-stratum quotas (cap each
+  * (lang, source) bucket so no domain dominates the mix) and a deterministic
+  * uniform subsample. Both use HASH-ordered selection (md5 of the key)
+  * instead of `rand()`: the sample is reproducible across runs, engines and
+  * partitionings — the property a data pipeline needs for auditable training
+  * sets, and the reason every row of the output is oracle-checkable at all.
+  *
+  * Scale: the quota sample is one shuffle on the stratum key; per-stratum
+  * state is the rank counter, and the windows are as parallel as the stratum
+  * count (here |lang|×|source| ≈ 80 — at 100 TB you'd subdivide hot strata
+  * by a hash-salt prefix, same plan). The uniform sample is a pure map-side
+  * filter — no shuffle at all, the same trick as hash-based train/test
+  * splitting.
+  */
+object Sampling {
+
+  private val quotaPerStratum = 5
+
+  /** Per-(lang, source) quota: keep the `quotaPerStratum` docs with the
+    * smallest md5(doc_id) in each stratum — a deterministic "random" draw
+    * with an exact per-stratum cap. */
+  def quotaSample(s: SparkSession, d: String): DataFrame =
+    quotaSampleDocs(Tables.documents(s, d), quotaPerStratum)
+
+  /** [[quotaSample]] over any frame with (doc_id, lang, source). */
+  def quotaSampleDocs(docs: DataFrame, quota: Int): DataFrame = {
+    val w = Window.partitionBy(col("lang"), col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs
+      .select(col("doc_id"), col("lang"), col("source"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= quota)
+  }
+
+  /** Uniform ~25% subsample: keep docs whose md5(doc_id) falls in the first
+    * quarter of hash space (first hex char in 0..3). Map-side only; the
+    * complement is the held-out set, so the same predicate implements
+    * train/test splitting. */
+  def hashSample(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .filter(substring(col("h"), 1, 1).isin("0", "1", "2", "3"))
+      .select(col("doc_id"), col("lang"), col("source"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_sample_quota" -> quotaSample,
+    "x_sample_hash" -> hashSample)
+
+  val oracle: Map[String, String] = Map(
+    "x_sample_quota" ->
+      s"""WITH ranked AS (
+         |  SELECT doc_id, lang, source,
+         |         CAST(row_number() OVER (PARTITION BY lang, source
+         |                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rnk
+         |  FROM documents)
+         |SELECT doc_id, lang, source, rnk FROM ranked WHERE rnk <= $quotaPerStratum""".stripMargin,
+    "x_sample_hash" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1', '2', '3')""".stripMargin)
+}

@@ -1,0 +1,140 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join pack over the `events` stream table — the operators Spark
+  * has no single built-in for but every event-pipeline user reaches for:
+  * as-of join, bounded range join, and the type-pivot rollup. The reference
+  * has none of these (SURVEY §2.6); they extend the engine the same way the
+  * dedup/similarity packs do.
+  *
+  * Both temporal operators are expressed as ONE window pass over the
+  * union of the two event roles, not as a join: the classic scalable as-of
+  * formulation (one shuffle+sort keyed by the entity, state bounded per
+  * partition by the window frame) — a time-condition θ-join would either
+  * explode (equi-join on user then filter k² candidate rows) or fall to a
+  * nested-loop at scale.
+  *
+  * All event-time comparisons happen at MICROSECOND integer precision
+  * (`unix_micros` / DuckDB `epoch_us`): the raw parquet column is
+  * TIMESTAMP(NANOS) which Spark truncates on read (see [[graft.Tables]]),
+  * so comparing raw ns values on the oracle side could order two events
+  * differently than the engine at sub-µs ties.
+  */
+object Temporal {
+
+  /** X1: as-of join — each purchase matched to the same user's latest click
+    * at-or-before the purchase time (inclusive, like DuckDB `ASOF JOIN ON
+    * p.ts >= c.ts`). Emits the matched click's timestamp and the gap in µs;
+    * the click's id is deliberately NOT emitted — when several clicks share
+    * the matched timestamp, which row "wins" is engine-dependent, while the
+    * timestamp itself is unique-per-match and deterministic.
+    *
+    * Plan: union-tag the two roles, one window per user ordered by
+    * (ts, role) with clicks sorting before purchases at equal ts (that IS
+    * the inclusivity), carry the last click time forward, keep purchase
+    * rows. One exchange on user_id; no join. */
+  def asofJoin(s: SparkSession, d: String): DataFrame =
+    asofJoinEvents(Tables.events(s, d))
+
+  /** [[asofJoin]] over any frame with (event_id, user_id, ts, event_type). */
+  def asofJoinEvents(events: DataFrame): DataFrame = {
+    val ev = events
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        when(col("event_type") === "purchase", 1).otherwise(0).as("is_p"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("is_p"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("click_ts_us",
+        last(when(col("is_p") === 0, col("ts_us")), ignoreNulls = true).over(w))
+      .filter(col("is_p") === 1)
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("click_ts_us"),
+        (col("ts_us") - col("click_ts_us")).as("gap_us"))
+  }
+
+  /** X2: bounded range join — for each purchase, how many clicks the same
+    * user made in the preceding 5 minutes (inclusive of the purchase
+    * instant). Expressed as a RANGE window frame over the µs event time, so
+    * the "join" costs one sort per user instead of a candidate-pair
+    * expansion; frame state is bounded by the 5-minute span regardless of
+    * history length. Equal-timestamp clicks are frame peers and count in
+    * both engines (SQL RANGE CURRENT ROW includes peers). */
+  def clicksBeforePurchase(s: SparkSession, d: String): DataFrame =
+    clicksBeforePurchaseEvents(Tables.events(s, d))
+
+  /** [[clicksBeforePurchase]] over any frame with the events schema. */
+  def clicksBeforePurchaseEvents(events: DataFrame): DataFrame = {
+    val spanUs = 5L * 60 * 1000000
+    val ev = events
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-spanUs, 0)
+    ev.withColumn("n_recent_clicks",
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("n_recent_clicks"))
+  }
+
+  private val eventTypes = Seq("click", "view", "purchase", "signup", "error")
+
+  /** X3: pivot — per-user event-type count matrix via the relational pivot
+    * operator (explicit value list, so the plan is a single pass: Catalyst
+    * rewrites it to one aggregate with a conditional-count per column — no
+    * second scan to discover values, which at 100 TB is the difference
+    * between one job and two). Missing combinations surface as 0. */
+  def eventPivot(s: SparkSession, d: String): DataFrame =
+    eventPivotEvents(Tables.events(s, d))
+
+  /** [[eventPivot]] over any frame with (user_id, event_type). */
+  def eventPivotEvents(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"))
+      .pivot("event_type", eventTypes)
+      .agg(count(lit(1)))
+      .select(col("user_id") +: eventTypes.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_asof_join" -> asofJoin,
+    "x_range_clicks" -> clicksBeforePurchase,
+    "x_event_pivot" -> eventPivot)
+
+  val oracle: Map[String, String] = Map(
+    // DuckDB's native ASOF JOIN is the oracle for the window formulation —
+    // two genuinely different algorithms agreeing on the same contract.
+    "x_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+        |           WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events
+        |      WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.ts_us, c.ts_us AS click_ts_us,
+        |       p.ts_us - c.ts_us AS gap_us
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.ts_us >= c.ts_us""".stripMargin,
+    "x_range_clicks" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |framed AS (
+        |  SELECT event_id, user_id, event_type, ts_us,
+        |         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) OVER (
+        |           PARTITION BY user_id ORDER BY ts_us
+        |           RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW) AS n_recent_clicks
+        |  FROM ev)
+        |SELECT event_id, user_id, ts_us, CAST(n_recent_clicks AS BIGINT) AS n_recent_clicks
+        |FROM framed WHERE event_type = 'purchase'""".stripMargin,
+    "x_event_pivot" ->
+      """SELECT user_id,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+        |FROM events GROUP BY 1""".stripMargin)
+}

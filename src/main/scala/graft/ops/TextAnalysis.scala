@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis pack over `documents` (SURVEY §7.4): language ID (stopword
@@ -105,7 +106,6 @@ object TextAnalysis {
     * 4-way parallelism ceiling applies to a tiny relation — same shape as
     * `Relational.supplierRank`. */
   def vocab(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val tf = Tables.documents(s, d)
       .select(col("lang"), explode(split(col("text"), " ")).as("token"))
       .filter(length(col("token")) > 0)
@@ -136,7 +136,34 @@ object TextAnalysis {
         expr("CAST(round(CAST(tf_sum AS DOUBLE) / n_tokens * 100) AS BIGINT)").as("mean_tf_c"))
   }
 
+  /** TF-IDF top terms: the 3 most characteristic tokens per document, scored
+    * tf × N / df (the raw inverse-document-frequency ratio rather than its
+    * log — one exact integer product and ONE IEEE division, so the score is
+    * bit-identical across engines and partitionings, where `ln` would be
+    * library-dependent; the ranking it induces is the same). Plan: tf from
+    * one (doc, token) aggregation, df as a second aggregation OVER the tf
+    * relation (already distinct per doc — no re-scan of the corpus), corpus
+    * size broadcast as a 1-row scalar, and the per-doc top-3 via a window
+    * whose partitions are bounded by per-doc vocabulary. */
+  def tfidf(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("token").asc)
+    tf.join(df, "token")
+      .crossJoin(broadcast(n))
+      .withColumn("score", col("tf").cast("double") * col("n_docs") / col("df"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        expr("CAST(round(score * 100) AS BIGINT)").as("score_c"), col("rnk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_text_tfidf" -> tfidf,
     "x_text_langid" -> langId,
     "x_text_quality" -> quality,
     "x_text_rarity" -> rarity,
@@ -147,6 +174,24 @@ object TextAnalysis {
   val oracle: Map[String, String] = {
     val hits = (l: String) => hitsSql("words", stoplists.toMap.apply(l))
     Map(
+      "x_text_tfidf" ->
+        """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+          |tk AS (SELECT doc_id, token FROM t WHERE length(token) > 0),
+          |tf AS (SELECT doc_id, token, count(*) AS tf FROM tk GROUP BY 1, 2),
+          |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+          |n AS (SELECT count(*) AS n_docs FROM documents),
+          |scored AS (
+          |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+          |         CAST(tf.tf AS DOUBLE) * n.n_docs / df.df AS score
+          |  FROM tf JOIN df USING (token) CROSS JOIN n),
+          |ranked AS (
+          |  SELECT doc_id, token, tf, df, score,
+          |         CAST(row_number() OVER (PARTITION BY doc_id
+          |                ORDER BY score DESC, token ASC) AS BIGINT) AS rnk
+          |  FROM scored)
+          |SELECT doc_id, token, tf, df,
+          |       CAST(round(score * 100) AS BIGINT) AS score_c, rnk
+          |FROM ranked WHERE rnk <= 3""".stripMargin,
       "x_text_langid" ->
         s"""WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents),
            |scored AS (SELECT doc_id, lang,
