@@ -147,45 +147,44 @@ object Dedup {
   /** SimHash (32-bit): bit j is the sign of the sum over distinct shingles
     * of ±1 derived from the parity of hex char j of md5(shingle).
     *
-    * Entirely map-side: the per-doc distinct-shingle hash array is projected
-    * ONCE (`transform` evaluates each md5 a single time; CollapseProject
-    * refuses to inline the expensive array into its 32 consumers), then each
-    * bit is an `aggregate` fold over that in-memory array — no explode, no
-    * shuffle, output cardinality = |docs| straight off the scan. The earlier
-    * explode+groupBy formulation pushed ~200 shingle rows per doc through a
-    * hash aggregate for a computation that never needed to leave the row. */
+    * Formulation: explode the distinct shingles, hash each ONCE, and run the
+    * 32 bit-sums through a codegen'd hash aggregate keyed by doc_id. The
+    * exchange moves only |docs| rows — partial aggregation collapses the
+    * per-shingle ±1 contributions map-side — so shuffle volume is the same
+    * as a map-only plan at any scale. An earlier shuffle-free variant folded
+    * the in-row hash array with 32 `aggregate` lambdas instead, but Spark
+    * evaluates higher-order-function lambdas interpreted (no whole-stage
+    * codegen): 32 folds × |shingles| interpreted evals measured ~2×
+    * slower than the codegen'd aggregate at sf0.1. */
   def simhash(s: SparkSession, d: String): DataFrame = {
-    val sums = (1 to simBits).map(j => expr(
-      s"aggregate(hs, CAST(0 AS BIGINT), (acc, h) -> acc + 2 * (ascii(substring(h, $j, 1)) % 2) - 1)"))
-    val hash = sums.zipWithIndex
-      .map { case (sj, i) => when(sj > 0, lit(1L << i)).otherwise(lit(0L)) }
+    val sums = (1 to simBits).map(j =>
+      sum(expr(s"2 * (ascii(substring(h, $j, 1)) % 2) - 1")).as(s"s$j"))
+    val hash = (1 to simBits)
+      .map(j => when(col(s"s$j") > 0, lit(1L << (j - 1))).otherwise(lit(0L)))
       .reduce[Column](_ + _)
-    Tables.documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("words"))
-      .filter(size(col("words")) >= 3)
-      .withColumn("hs", expr(
-        """transform(
-          |  array_distinct(transform(sequence(1, size(words) - 2),
-          |    i -> concat_ws(' ', slice(words, i, 3)))),
-          |  sh -> md5(sh))""".stripMargin))
+    shingleSets(s, d)
+      .select(col("doc_id"), md5(col("sh")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(sums.head, sums.tail: _*)
       .select(col("doc_id"), hash.as("simhash"))
   }
 
   /** Embedding near-dup via random-hyperplane-style LSH: bucket on the sign
     * pattern of the first 8 dimensions, verify cosine ≥ 0.3 inside buckets
-    * (doubles, identical left-fold order in both engines). 256 buckets keep
-    * within-bucket pair counts ~n²/256 — at 100 TB you'd widen to more
-    * bits/probes, same plan shape. */
+    * with the native codegen'd `cosine_sim` kernel
+    * ([[graft.functions.CosineSimilarity]] — same left-fold accumulation as
+    * DuckDB, bit-identical scores). 256 buckets keep within-bucket pair
+    * counts ~n²/256 — at 100 TB you'd widen to more bits/probes, same plan
+    * shape. */
   def embeddingCosine(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val e = Tables.embeddings(s, d).select(
       col("vec_id"),
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"),
       concat((1 to 8).map(i => when(expr(s"embedding[${i - 1}] >= 0"), lit("1")).otherwise(lit("0"))): _*).as("bucket"))
-      .withColumn("nrm", expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))"))
     e.as("a").join(e.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cosine", expr(
-        "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x) / (a.nrm * b.nrm)"))
+      .withColumn("cosine", expr("cosine_sim(a.v, b.v)"))
       .filter(col("cosine") >= 0.3)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
   }

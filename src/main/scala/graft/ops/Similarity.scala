@@ -18,22 +18,25 @@ import org.apache.spark.sql.functions._
   *    cluster assignment a k-means pass would produce) restricts each query
   *    to its own inverted list — the classic recall/cost trade.
   *
-  * All arithmetic is double with left-fold summation (`aggregate` over
-  * `zip_with`), which both Spark and DuckDB (`list_dot_product`) evaluate in
-  * index order — scores are bit-identical, so only (query, neighbor, rank)
-  * need be emitted.
+  * Scoring runs through the native codegen'd kernel
+  * [[graft.functions.CosineSimilarity]] (`cosine_sim`): a fused
+  * dot-and-norms loop in generated Java rather than interpreted
+  * higher-order-function lambdas. Accumulation is the same left-fold index
+  * order DuckDB's `list_dot_product` uses — scores are bit-identical, so
+  * only (query, neighbor, rank) need be emitted.
   */
 object Similarity {
 
   private val topK = 10
   private val queryStride = 500
 
-  /** Corpus with embeddings cast to double + precomputed norms. */
-  private def corpus(s: SparkSession, d: String): DataFrame =
+  /** Corpus with embeddings cast to double (norms fold into `cosine_sim`). */
+  private def corpus(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("nrm", expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))"))
+  }
 
   /** Per-query top-k with partial (map-side) reduction — equivalent to
     * `row_number() OVER (PARTITION BY query_id ORDER BY score DESC,
@@ -45,10 +48,9 @@ object Similarity {
   def bruteForceTopK(s: SparkSession, d: String): DataFrame = {
     val c = corpus(s, d)
     val q = c.filter(col("vec_id") % queryStride === 0)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
     val scored = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("score",
-        expr("aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x) / (qn * nrm)"))
+      .withColumn("score", expr("cosine_sim(qv, v)"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("score"))
     rankTopK(scored)
   }
@@ -59,12 +61,10 @@ object Similarity {
   def ivfTopK(s: SparkSession, d: String): DataFrame = {
     val c = corpus(s, d)
     val q = c.filter(col("vec_id") % queryStride === 0)
-      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
-        col("v").as("qv"), col("nrm").as("qn"))
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"), col("v").as("qv"))
     val scored = c.join(broadcast(q),
         col("label") === col("qlabel") && col("vec_id") =!= col("query_id"))
-      .withColumn("score",
-        expr("aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x) / (qn * nrm)"))
+      .withColumn("score", expr("cosine_sim(qv, v)"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("score"))
     rankTopK(scored)
   }
