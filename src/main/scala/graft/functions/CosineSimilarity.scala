@@ -105,6 +105,23 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => {
         require(exprs.length == 2, s"cosine_sim expects 2 arguments, got ${exprs.length}")
         CosineSimilarity(exprs.head, exprs(1))
+      }),
+    (new FunctionIdentifier("simhash32"),
+      new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, s"simhash32 expects 1 argument, got ${exprs.length}")
+        SimHash32(exprs.head)
+      }),
+    (new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, s"minhash_sig expects (array, nSeeds literal), got ${exprs.length} args")
+        val n = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"minhash_sig: nSeeds must be an integer literal, got $other")
+        }
+        MinHashSig(exprs.head, n)
       }))
 
   /** Register into a live session (temp function namespace). Idempotent. */

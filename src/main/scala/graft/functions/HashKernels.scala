@@ -1,0 +1,172 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Shared per-thread MD5 plumbing for the signature kernels: one digest
+  * instance reused across rows (MessageDigest.getInstance per call measured
+  * ~30% of kernel time), hex output identical to Spark's `md5()` (lowercase,
+  * 32 chars over the UTF-8 bytes).
+  */
+object HashKernels {
+
+  private val mdPrime = 2147483647L // 2³¹−1, Kirsch-Mitzenmacher modulus
+
+  private val digests = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  /** md5 hex (lowercase, 32 chars) of a UTF8String's bytes — byte-identical
+    * to Spark SQL `md5(CAST(x AS BINARY))`. */
+  private def md5Hex(s: UTF8String): Array[Char] = {
+    val md = digests.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexChars((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexChars(d(i) & 0xf)
+      i += 1
+    }
+    out
+  }
+
+  /** Parse hex[from, from+len) as an unsigned base-16 long (len ≤ 15, so the
+    * value fits in 60 bits) — the kernel twin of Spark
+    * `conv(substring(h, from+1, len), 16, 10)`. */
+  private def hexLong(hex: Array[Char], from: Int, len: Int): Long = {
+    var v = 0L
+    var i = from
+    val end = from + len
+    while (i < end) {
+      val c = hex(i)
+      v = (v << 4) | (if (c <= '9') c - '0' else c - 'a' + 10).toLong
+      i += 1
+    }
+    v
+  }
+
+  /** SimHash-32 of a shingle array: bit j−1 (j = 1..32) is set iff
+    * Σ_shingles (2·(ascii(hexchar j of md5(sh)) % 2) − 1) > 0.
+    * Exactly the arithmetic of the SQL formulation it replaces
+    * (`graft.ops.Dedup.simhash` round 1-2): hex char ASCII parity → ±1 →
+    * signed sum → sign bit. Callers pass DISTINCT shingles (set semantics).
+    *
+    * One MD5 and one 32-step loop per shingle, zero joins/shuffles — the
+    * whole signature is computed where the document row already lives. */
+  def simhash32(shingles: ArrayData): Long = {
+    val counts = new Array[Int](32)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      val hex = md5Hex(shingles.getUTF8String(i))
+      var j = 0
+      while (j < 32) {
+        // ascii parity: '0'..'9','a'..'f' — char code % 2, as in the SQL twin
+        counts(j) += 2 * (hex(j) % 2) - 1
+        j += 1
+      }
+      i += 1
+    }
+    var hash = 0L
+    var j = 0
+    while (j < 32) {
+      if (counts(j) > 0) hash |= 1L << j
+      j += 1
+    }
+    hash
+  }
+
+  /** Kirsch-Mitzenmacher MinHash signature of a shingle array: base hashes
+    * h1 = hex[0,15) % p, h2 = hex[16,31) % p of md5(shingle), permutation i
+    * is gᵢ = (h1 + i·h2) % p, signature element i is the min over shingles.
+    * Identical arithmetic to the SQL formulation (`graft.ops.Dedup`
+    * round 1-2: `conv(substring(h, 1, 15), 16, 10) % p` etc.), so the LSH
+    * band keys — and the DuckDB oracle — are unchanged. */
+  def minhashSig(shingles: ArrayData, nSeeds: Int): ArrayData = {
+    val mins = Array.fill(nSeeds)(Long.MaxValue)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      val hex = md5Hex(shingles.getUTF8String(i))
+      val h1 = hexLong(hex, 0, 15) % mdPrime
+      val h2 = hexLong(hex, 16, 15) % mdPrime
+      var s = 0
+      while (s < nSeeds) {
+        val g = (h1 + s * h2) % mdPrime
+        if (g < mins(s)) mins(s) = g
+        s += 1
+      }
+      i += 1
+    }
+    if (n == 0) null else new GenericArrayData(mins)
+  }
+}
+
+/** `simhash32(shingles)`: the 32-bit SimHash of a document's distinct
+  * shingle set as ONE map-side codegen'd kernel call.
+  *
+  * Why an Expression: the declarative twin explodes |shingles| rows and runs
+  * 32 conditional sums through a hash aggregate — correct, and partial
+  * aggregation keeps the exchange small, but every shingle still pays row
+  * materialization plus 32 interpreted-ish expression evals, and the plan
+  * carries a shuffle purely to regroup what was already per-document data.
+  * This kernel keeps the computation inside the document's own
+  * WholeStageCodegen span: no explode, no exchange, one fused loop
+  * (`HashKernels.simhash32`). The generated code calls the static kernel —
+  * same pattern as Spark's own string expressions delegating to UTF8String.
+  */
+case class SimHash32(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes with Serializable {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash32"
+
+  override def nullSafeEval(arr: Any): Any =
+    HashKernels.simhash32(arr.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.HashKernels.simhash32($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash32 =
+    copy(child = newChild)
+}
+
+/** `minhash_sig(shingles)`: the 16-element Kirsch-Mitzenmacher MinHash
+  * signature as one map-side kernel call (null for an empty shingle set —
+  * no signature, like the aggregate formulation emitting no row). See
+  * [[SimHash32]] for why a native kernel beats the explode+groupBy twin. */
+case class MinHashSig(child: Expression, nSeeds: Int)
+  extends UnaryExpression with ExpectsInputTypes with Serializable {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_sig"
+
+  override def nullSafeEval(arr: Any): Any =
+    HashKernels.minhashSig(arr.asInstanceOf[ArrayData], nSeeds)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val resultCode = nullSafeCodeGen(ctx, ev, a => {
+      val tmp = ctx.freshName("sig")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $tmp =
+         |  graft.functions.HashKernels.minhashSig($a, $nSeeds);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp; }
+       """.stripMargin
+    })
+    resultCode
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}

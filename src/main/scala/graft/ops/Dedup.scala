@@ -24,15 +24,21 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** 3-word shingles (distinct, set semantics) of `text`, with block columns. */
-  private def shingleSets(s: SparkSession, d: String): DataFrame =
+  /** 3-word shingle SET of `text` as an in-row array — the map-side form the
+    * signature kernels consume. */
+  private def shingleArrays(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("source"), split(col("text"), " ").as("words"))
       .filter(size(col("words")) >= 3)
       .select(col("doc_id"), col("lang"), col("source"),
-        explode(expr(
+        expr(
           "array_distinct(transform(sequence(1, size(words) - 2), i -> concat_ws(' ', slice(words, i, 3))))"
-        )).as("sh"))
+        ).as("shs"))
+
+  /** 3-word shingles (distinct, set semantics) of `text`, with block columns. */
+  private def shingleSets(s: SparkSession, d: String): DataFrame =
+    shingleArrays(s, d)
+      .select(col("doc_id"), col("lang"), col("source"), explode(col("shs")).as("sh"))
 
   private val shingleSqlCtes =
     """WITH w AS (SELECT doc_id, lang, source, string_split(text, ' ') AS words FROM documents),
@@ -97,21 +103,24 @@ object Dedup {
   /** 2^31-1: Mersenne prime for the Kirsch-Mitzenmacher hash family. */
   private val kmPrime = 2147483647L
 
-  /** Per-doc MinHash signature columns m0..m15, via the Kirsch-Mitzenmacher
-    * construction: ONE md5 per shingle yields two 60-bit base hashes (hex
-    * halves), and permutation i is gᵢ = (h1 + i·h2) mod 2³¹−1 — a 2-universal
-    * family with the same LSH guarantees as i independent hashes (Kirsch &
-    * Mitzenmacher, ESA'06) at 1/16th the hashing cost. All arithmetic stays
-    * under 2⁶³ (h2 reduced mod p before the ≤15× multiply), so Spark and
-    * DuckDB agree exactly. */
+  /** Per-doc MinHash signature `sig: array<long>` (16 elements), via the
+    * Kirsch-Mitzenmacher construction: ONE md5 per shingle yields two 60-bit
+    * base hashes (hex halves), and permutation i is gᵢ = (h1 + i·h2) mod
+    * 2³¹−1 — a 2-universal family with the same LSH guarantees as i
+    * independent hashes (Kirsch & Mitzenmacher, ESA'06) at 1/16th the
+    * hashing cost. All arithmetic stays under 2⁶³ (h2 reduced mod p before
+    * the ≤15× multiply), so Spark and DuckDB agree exactly.
+    *
+    * Computed by the native kernel [[graft.functions.MinHashSig]]
+    * (`minhash_sig`): the whole signature is one map-side codegen'd loop over
+    * the in-row shingle array — no explode, no exchange. The earlier
+    * explode → 16-min hash-aggregate twin shuffled |docs| signature partials
+    * and paid per-shingle row materialization; this plan's only exchange is
+    * the LSH band join itself, which is the operator's semantic shuffle. */
   private def minhashSignatures(s: SparkSession, d: String): DataFrame = {
-    val based = shingleSets(s, d)
-      .select(col("doc_id"), md5(col("sh")).as("h"))
-      .select(col("doc_id"),
-        expr(s"CAST(conv(substring(h, 1, 15), 16, 10) AS BIGINT) % $kmPrime").as("h1"),
-        expr(s"CAST(conv(substring(h, 17, 15), 16, 10) AS BIGINT) % $kmPrime").as("h2"))
-    val aggs = (0 until nSeeds).map(i => min(expr(s"(h1 + $i * h2) % $kmPrime")).as(s"m$i"))
-    based.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    graft.functions.GraftFunctions.register(s)
+    shingleArrays(s, d)
+      .select(col("doc_id"), expr(s"minhash_sig(shs, $nSeeds)").as("sig"))
   }
 
   /** MinHash + LSH banding: docs sharing any of the 8 band keys become a
@@ -130,7 +139,8 @@ object Dedup {
     val sig = minhashSignatures(s, d).localCheckpoint()
     val bandStructs = (0 until nSeeds / bandSize).map { b =>
       struct(lit(b).as("band"),
-        concat_ws(":", (b * bandSize until (b + 1) * bandSize).map(i => col(s"m$i")): _*).as("bkey"))
+        concat_ws(":",
+          (b * bandSize until (b + 1) * bandSize).map(i => element_at(col("sig"), i + 1)): _*).as("bkey"))
     }
     val bands = sig
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
@@ -147,26 +157,19 @@ object Dedup {
   /** SimHash (32-bit): bit j is the sign of the sum over distinct shingles
     * of ±1 derived from the parity of hex char j of md5(shingle).
     *
-    * Formulation: explode the distinct shingles, hash each ONCE, and run the
-    * 32 bit-sums through a codegen'd hash aggregate keyed by doc_id. The
-    * exchange moves only |docs| rows — partial aggregation collapses the
-    * per-shingle ±1 contributions map-side — so shuffle volume is the same
-    * as a map-only plan at any scale. An earlier shuffle-free variant folded
-    * the in-row hash array with 32 `aggregate` lambdas instead, but Spark
-    * evaluates higher-order-function lambdas interpreted (no whole-stage
-    * codegen): 32 folds × |shingles| interpreted evals measured ~2×
-    * slower than the codegen'd aggregate at sf0.1. */
+    * Computed by the native kernel [[graft.functions.SimHash32]]
+    * (`simhash32`): one fused codegen'd loop per document over the in-row
+    * shingle array — strictly map-side, zero shuffles. Two earlier
+    * formulations measured slower: 32 `aggregate` lambdas over the hash
+    * array (higher-order-function lambdas evaluate interpreted — no
+    * whole-stage codegen), and explode → 32 conditional sums through a hash
+    * aggregate (partial agg kept the exchange small, but every shingle paid
+    * row materialization plus 32 expression evals, and the plan carried a
+    * shuffle purely to regroup per-document data). */
   def simhash(s: SparkSession, d: String): DataFrame = {
-    val sums = (1 to simBits).map(j =>
-      sum(expr(s"2 * (ascii(substring(h, $j, 1)) % 2) - 1")).as(s"s$j"))
-    val hash = (1 to simBits)
-      .map(j => when(col(s"s$j") > 0, lit(1L << (j - 1))).otherwise(lit(0L)))
-      .reduce[Column](_ + _)
-    shingleSets(s, d)
-      .select(col("doc_id"), md5(col("sh")).as("h"))
-      .groupBy(col("doc_id"))
-      .agg(sums.head, sums.tail: _*)
-      .select(col("doc_id"), hash.as("simhash"))
+    graft.functions.GraftFunctions.register(s)
+    shingleArrays(s, d)
+      .select(col("doc_id"), expr("simhash32(shs)").as("simhash"))
   }
 
   /** Embedding near-dup via random-hyperplane-style LSH: bucket on the sign

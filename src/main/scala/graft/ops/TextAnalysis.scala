@@ -162,7 +162,49 @@ object TextAnalysis {
         expr("CAST(round(score * 100) AS BIGINT)").as("score_c"), col("rnk"))
   }
 
+  /** Repetition filtering (the Gopher/MassiveText quality rules): fraction
+    * of duplicate bigram occurrences and of the single most frequent token —
+    * boilerplate and keyword-stuffed documents score high on both. Strictly
+    * per-document map-side array work, zero shuffles.
+    *
+    * The top-token count uses the sorted-runs trick — sort the token array,
+    * find run boundaries, diff adjacent boundaries, take the max run — which
+    * is O(n log n) per document where the naive
+    * `transform(words, w -> size(filter(words, eq w)))` is O(n²): the
+    * difference between "fine on 50-word test docs" and "fine on 100k-token
+    * web documents". Ratios quantized to basis points (integer) like the
+    * rest of the pack. */
+  def repetition(s: SparkSession, d: String): DataFrame =
+    repetitionDocs(Tables.documents(s, d))
+
+  /** [[repetition]] over any frame with (doc_id, text). */
+  def repetitionDocs(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .filter(size(col("words")) >= 2)
+      .withColumn("n_words", size(col("words")).cast("long"))
+      .withColumn("n_bigrams", (col("n_words") - 1).cast("long"))
+      .withColumn("n_dist_bigrams", expr(
+        """CAST(size(array_distinct(
+          |  transform(sequence(1, size(words) - 1), i -> concat_ws(' ', slice(words, i, 2)))
+          |)) AS BIGINT)""".stripMargin))
+      .withColumn("sorted", array_sort(col("words")))
+      .withColumn("bnd", expr(
+        // 1-based positions where a new token run starts in the sorted array
+        "filter(sequence(1, size(sorted)), i -> if(i = 1, true, element_at(sorted, i) != element_at(sorted, i - 1)))"))
+      .withColumn("max_tok", expr(
+        // run lengths = diffs of adjacent boundaries (next boundary or end+1)
+        """CAST(array_max(zip_with(bnd,
+          |  concat(slice(bnd, 2, size(bnd) - 1), array(size(sorted) + 1)),
+          |  (a, b) -> b - a)) AS BIGINT)""".stripMargin))
+      .select(col("doc_id"), col("n_words"), col("n_bigrams"), col("n_dist_bigrams"), col("max_tok"),
+        expr("CAST(round(CAST(n_bigrams - n_dist_bigrams AS DOUBLE) * 10000 / n_bigrams) AS BIGINT)")
+          .as("dup_bigram_bp"),
+        expr("CAST(round(CAST(max_tok AS DOUBLE) * 10000 / n_words) AS BIGINT)").as("top_tok_bp"))
+      .withColumn("is_repetitive", col("dup_bigram_bp") > 2000 || col("top_tok_bp") > 1000)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_text_repetition" -> repetition,
     "x_text_tfidf" -> tfidf,
     "x_text_langid" -> langId,
     "x_text_quality" -> quality,
@@ -174,6 +216,24 @@ object TextAnalysis {
   val oracle: Map[String, String] = {
     val hits = (l: String) => hitsSql("words", stoplists.toMap.apply(l))
     Map(
+      "x_text_repetition" ->
+        """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+          |base AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words, words
+          |         FROM w WHERE len(words) >= 2),
+          |bi AS (SELECT doc_id, array_to_string(words[i:i+1], ' ') AS bg
+          |       FROM (SELECT doc_id, words, unnest(range(1, len(words))) AS i FROM base)),
+          |bstat AS (SELECT doc_id, count(*) AS n_bigrams,
+          |                 count(DISTINCT bg) AS n_dist_bigrams
+          |          FROM bi GROUP BY 1),
+          |tok AS (SELECT doc_id, unnest(words) AS t FROM base),
+          |tstat AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS max_tok
+          |          FROM (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2)
+          |          GROUP BY 1)
+          |SELECT b.doc_id, b.n_words, s.n_bigrams, s.n_dist_bigrams, t.max_tok,
+          |  CAST(round(CAST(s.n_bigrams - s.n_dist_bigrams AS DOUBLE) * 10000 / s.n_bigrams) AS BIGINT) AS dup_bigram_bp,
+          |  CAST(round(CAST(t.max_tok AS DOUBLE) * 10000 / b.n_words) AS BIGINT) AS top_tok_bp,
+          |  (dup_bigram_bp > 2000 OR top_tok_bp > 1000) AS is_repetitive
+          |FROM base b JOIN bstat s USING (doc_id) JOIN tstat t USING (doc_id)""".stripMargin,
       "x_text_tfidf" ->
         """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
           |tk AS (SELECT doc_id, token FROM t WHERE length(token) > 0),

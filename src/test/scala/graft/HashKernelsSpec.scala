@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The native signature kernels ([[graft.functions.SimHash32]],
+  * [[graft.functions.MinHashSig]]) must be bit-identical to the declarative
+  * SQL formulations they replaced — that equivalence is what keeps the DuckDB
+  * oracles for `x_dedup_simhash` / `x_dedup_minhash_lsh` valid. */
+class HashKernelsSpec extends AnyFunSuite with SparkSpec {
+
+  private val kmPrime = 2147483647L
+  private val docs = Seq(
+    (1L, Seq("a b c", "b c d", "c d e")),
+    (2L, Seq("x y z")),
+    (3L, Seq("a b c")), // shares a shingle with doc 1
+    (4L, Seq("ü ö ä", "多 字 节")) // multi-byte UTF-8 shingles
+  )
+
+  test("simhash32 kernel equals the explode + 32-conditional-sum formulation") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val arr = docs.toDF("doc_id", "shs")
+    val kernel = arr.select($"doc_id", expr("simhash32(shs)").as("simhash"))
+
+    val sums = (1 to 32).map(j =>
+      sum(expr(s"2 * (ascii(substring(h, $j, 1)) % 2) - 1")).as(s"s$j"))
+    val hash = (1 to 32)
+      .map(j => when(col(s"s$j") > 0, lit(1L << (j - 1))).otherwise(lit(0L)))
+      .reduce((a, b) => a + b)
+    val sql = arr.select($"doc_id", explode($"shs").as("sh"))
+      .select($"doc_id", md5($"sh").as("h"))
+      .groupBy($"doc_id").agg(sums.head, sums.tail: _*)
+      .select($"doc_id", hash.as("simhash"))
+
+    assert(kernel.orderBy("doc_id").collect().toSeq === sql.orderBy("doc_id").collect().toSeq)
+  }
+
+  test("minhash_sig kernel equals the explode + Kirsch-Mitzenmacher min-agg formulation") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val arr = docs.toDF("doc_id", "shs")
+    val kernel = arr.select($"doc_id", expr("minhash_sig(shs, 16)").as("sig"))
+
+    val based = arr.select($"doc_id", explode($"shs").as("sh"))
+      .select($"doc_id", md5($"sh").as("h"))
+      .select($"doc_id",
+        expr(s"CAST(conv(substring(h, 1, 15), 16, 10) AS BIGINT) % $kmPrime").as("h1"),
+        expr(s"CAST(conv(substring(h, 17, 15), 16, 10) AS BIGINT) % $kmPrime").as("h2"))
+    val aggs = (0 until 16).map(i => min(expr(s"(h1 + $i * h2) % $kmPrime")).as(s"m$i"))
+    val sql = based.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
+      .select($"doc_id", array((0 until 16).map(i => col(s"m$i")): _*).as("sig"))
+
+    val k = kernel.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    val q = sql.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    assert(k.toSeq === q.toSeq)
+  }
+
+  test("kernels stay inside whole-stage codegen and add no exchange") {
+    graft.functions.GraftFunctions.register(spark)
+    val plan = graft.ops.Dedup
+      .queries("x_dedup_simhash")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan
+    val tree = plan.toString
+    assert(!tree.contains("Exchange"), s"simhash plan must be map-side only:\n$tree")
+    // whole-stage codegen spans render as "*(n)" node prefixes
+    assert(tree.contains("*("), s"simhash plan must contain codegen'd spans:\n$tree")
+  }
+
+  test("empty and null shingle arrays yield null signatures, not crashes") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq((1L, Some(Seq.empty[String])), (2L, None))
+      .toDF("doc_id", "shs")
+      .select($"doc_id",
+        expr("minhash_sig(shs, 16)").as("sig"), expr("simhash32(shs)").as("sh"))
+    val rows = df.orderBy("doc_id").collect()
+    assert(rows(0).isNullAt(1)) // empty array: no signature
+    assert(rows(0).getLong(2) === 0L) // empty simhash: all counts 0 -> hash 0
+    assert(rows(1).isNullAt(1) && rows(1).isNullAt(2)) // null propagates
+  }
+}

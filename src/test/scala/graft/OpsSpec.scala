@@ -188,4 +188,26 @@ class OpsSpec extends SparkSpec {
     assert(out.count() == Tables.documents(spark, sf).filter(length($"text") > 0).count())
     assert(out.filter($"head_byte" < 0 || $"head_byte" > 255).isEmpty)
   }
+
+  // ------------------------------------------------------------ Repetition
+
+  test("repetition metrics: dup-bigram and top-token fractions on known docs") {
+    val docs = Seq(
+      (1L, "a a a a"),     // 3 bigrams all "a a": dup 2/3, top token 4/4
+      (2L, "a b c d"),     // all distinct: dup 0, top 1/4
+      (3L, "x y x y x"),   // bigrams xy,yx,xy,yx: dup 2/4, top x=3/5
+      (4L, "solo")         // single word: dropped (no bigrams)
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionDocs(docs)
+      .select("doc_id", "n_words", "n_bigrams", "n_dist_bigrams", "max_tok",
+        "dup_bigram_bp", "top_tok_bp", "is_repetitive")
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(out(0).toSeq == Seq(1L, 4L, 3L, 1L, 4L, 6667L, 10000L, true))
+    assert(out(1).toSeq == Seq(2L, 4L, 3L, 3L, 1L, 0L, 2500L, true))
+    assert(out(2).toSeq == Seq(3L, 5L, 4L, 2L, 3L, 5000L, 6000L, true))
+    // the plan must stay map-side: no exchange anywhere
+    val tree = TextAnalysis.repetitionDocs(docs).queryExecution.executedPlan.toString
+    assert(!tree.contains("Exchange"), s"repetition must not shuffle:\n$tree")
+  }
 }
