@@ -116,10 +116,20 @@ object GraftFunctions {
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       (exprs: Seq[Expression]) => {
         require(exprs.length == 2, s"minhash_sig expects (array, nSeeds literal), got ${exprs.length} args")
+        // Accept any foldable integral expression (e.g. CAST(16 AS BIGINT),
+        // 8+8), not just a bare int literal: fold it and read the constant.
         val n = exprs(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case e if e.foldable =>
+            e.eval() match {
+              case v: Int => v
+              case v: Long if v.isValidInt => v.toInt
+              case v: Short => v.toInt
+              case v: Byte => v.toInt
+              case other => throw new IllegalArgumentException(
+                s"minhash_sig: nSeeds must fold to an integer, got $other")
+            }
           case other => throw new IllegalArgumentException(
-            s"minhash_sig: nSeeds must be an integer literal, got $other")
+            s"minhash_sig: nSeeds must be a constant expression, got $other")
         }
         MinHashSig(exprs.head, n)
       }))

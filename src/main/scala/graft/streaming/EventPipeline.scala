@@ -76,19 +76,32 @@ object EventPipeline {
       System.getProperty("java.io.tmpdir"), s"graft-events-src-$tag")
     Files.createDirectories(dir)
     val link = dir.resolve("part-0.parquet")
+    // A copy (non-symlink) is current only if it matches the target's size AND
+    // mtime — a regenerated table of identical byte size must not reuse it.
     def installed: Boolean = Files.exists(link) &&
-      (Files.isSymbolicLink(link) || Files.size(link) == Files.size(target))
+      (Files.isSymbolicLink(link) ||
+        (Files.size(link) == Files.size(target) &&
+          Files.getLastModifiedTime(link) == Files.getLastModifiedTime(target)))
     if (!installed) {
       val stage = dir.resolve(s".stage-${java.util.UUID.randomUUID()}")
       try Files.createSymbolicLink(stage, target)
       catch {
         case _: Exception =>
-          Files.copy(target, stage, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          Files.copy(target, stage,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+            java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
       }
       try Files.move(stage, link,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      catch { case _: Exception => Files.deleteIfExists(stage) } // lost the install race: fine
+      catch { case _: Exception => Files.deleteIfExists(stage) }
+      // The swallowed move failure is benign ONLY if it was a lost install
+      // race — another session's file must actually be there. Anything else
+      // (e.g. a filesystem without atomic rename) must fail loudly, or the
+      // stream reads an empty dir and emits an empty KPI table.
+      if (!installed)
+        throw new java.io.IOException(
+          s"could not install streaming source file at $link (target: $target)")
     }
     s.readStream.schema(schema).parquet(dir.toString)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))

@@ -2,13 +2,12 @@ package graft
 
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
-import org.scalatest.funsuite.AnyFunSuite
 
 /** The native signature kernels ([[graft.functions.SimHash32]],
   * [[graft.functions.MinHashSig]]) must be bit-identical to the declarative
   * SQL formulations they replaced — that equivalence is what keeps the DuckDB
   * oracles for `x_dedup_simhash` / `x_dedup_minhash_lsh` valid. */
-class HashKernelsSpec extends AnyFunSuite with SparkSpec {
+class HashKernelsSpec extends SparkSpec {
 
   private val kmPrime = 2147483647L
   private val docs = Seq(
@@ -57,10 +56,19 @@ class HashKernelsSpec extends AnyFunSuite with SparkSpec {
     assert(k.toSeq === q.toSeq)
   }
 
+  test("minhash_sig accepts any foldable integral nSeeds, not just a bare literal") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val arr = docs.toDF("doc_id", "shs")
+    val bare = arr.select($"doc_id", expr("minhash_sig(shs, 16)").as("sig"))
+    val folded = arr.select($"doc_id", expr("minhash_sig(shs, CAST(8 + 8 AS BIGINT))").as("sig"))
+    assert(folded.orderBy("doc_id").collect().toSeq === bare.orderBy("doc_id").collect().toSeq)
+  }
+
   test("kernels stay inside whole-stage codegen and add no exchange") {
     graft.functions.GraftFunctions.register(spark)
     val plan = graft.ops.Dedup
-      .queries("x_dedup_simhash")(spark, "/root/testdata/sf0.001")
+      .queries("x_dedup_simhash")(spark, sf)
       .queryExecution.executedPlan
     val tree = plan.toString
     assert(!tree.contains("Exchange"), s"simhash plan must be map-side only:\n$tree")
