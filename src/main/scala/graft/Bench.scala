@@ -14,7 +14,14 @@ import org.apache.spark.sql.SparkSession
   *    (JIT, codegen compiler, Hadoop FS init — measured ~10 s);
   *  - each query runs twice and reports the MIN, measuring steady-state
   *    operator cost rather than co-tenant machine noise (observed run-to-run
-  *    variance on this host exceeds 5×);
+  *    variance on this host exceeds 5×; the round-3 driver run measured the
+  *    whole suite 13× slower than an idle-host run of identical code);
+  *  - when the two runs disagree by more than 2× the query runs a THIRD
+  *    time — two consistent samples mean steady state, two wildly different
+  *    ones mean a co-tenant burst landed on one of them;
+  *  - the 1/5/15-minute system load averages are reported in the JSON
+  *    (`load` field) so a noisy total is diagnosable as contention rather
+  *    than a code regression;
   *  - failures are reported per query in an `errors` map (and as value -1)
   *    instead of masquerading as fast runs.
   */
@@ -51,7 +58,14 @@ object Bench {
       val (s1, e1) = once()
       val (sec, err) =
         if (e1.isDefined) (s1, e1)
-        else { val (s2, e2) = once(); (math.min(s1, s2), e2) }
+        else {
+          val (s2, e2) = once()
+          val best = math.min(s1, s2)
+          if (e2.isEmpty && math.max(s1, s2) > 2 * best) {
+            val (s3, e3) = once() // tie-break a noisy pair
+            (math.min(best, s3), e3)
+          } else (best, e2)
+        }
       (name, if (err.isEmpty) sec else -1.0, err)
     }
 
@@ -59,8 +73,14 @@ object Bench {
     val errs = results.collect { case (k, _, Some(m)) => s""""$k":"$m"""" }
     val errJson = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
+    val loadJson =
+      try {
+        val l = java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+          .split(" ").take(3).mkString(",")
+        s""","load":[$l]"""
+      } catch { case _: Throwable => "" }
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson$loadJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
