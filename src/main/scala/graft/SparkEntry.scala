@@ -23,6 +23,7 @@ object SparkEntry {
     (ops.Similarity.queries, ops.Similarity.oracle),
     (ops.TextAnalysis.queries, ops.TextAnalysis.oracle),
     (ops.Temporal.queries, ops.Temporal.oracle),
+    (ops.Funnel.queries, ops.Funnel.oracle),
     (ops.Sampling.queries, ops.Sampling.oracle),
     (ops.Sessionize.queries, ops.Sessionize.oracle),
     (ops.MultimodalPipeline.queries, ops.MultimodalPipeline.oracle),

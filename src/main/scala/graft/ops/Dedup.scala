@@ -135,8 +135,13 @@ object Dedup {
     * planned and executed twice (and, in the earlier 8-way unionAll
     * formulation, up to 16×). Banding itself is a single map-side explode
     * over the materialized signatures. */
-  def minhashLsh(s: SparkSession, d: String): DataFrame = {
-    val sig = minhashSignatures(s, d).localCheckpoint()
+  def minhashLsh(s: SparkSession, d: String): DataFrame =
+    lshPairs(minhashSignatures(s, d).localCheckpoint())
+
+  /** Band join over a MATERIALIZED signature relation (callers checkpoint —
+    * the band relation sits on both sides of the candidate self-join, so an
+    * unmaterialized signature subtree would be planned and executed twice). */
+  private def lshPairs(sig: DataFrame): DataFrame = {
     val bandStructs = (0 until nSeeds / bandSize).map { b =>
       struct(lit(b).as("band"),
         concat_ws(":",
@@ -150,6 +155,28 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  /** Estimated Jaccard similarity for every LSH candidate pair, read
+    * straight off the signatures: the fraction of agreeing MinHash
+    * components is an unbiased estimator of J(A,B) (the probability two
+    * sets' minhashes collide IS their Jaccard), so near-dup pipelines use it
+    * to rank/threshold candidates WITHOUT re-touching the documents — at
+    * 100 TB the verify step reads 16 longs per doc, not the text. One
+    * signature computation serves both the banding and the estimate (the
+    * checkpointed relation is joined back to the pair set); the component
+    * comparison is an in-row `zip_with` over 16 elements. Emits basis-point
+    * integers — exact, engine-portable. */
+  def jaccardEstimate(s: SparkSession, d: String): DataFrame = {
+    val sig = minhashSignatures(s, d).localCheckpoint()
+    lshPairs(sig)
+      .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        expr("CAST(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b)) AS BIGINT)")
+          .as("n_match"))
+      .withColumn("est_j_bp",
+        expr(s"CAST(round(CAST(n_match AS DOUBLE) * 10000 / $nSeeds) AS BIGINT)"))
   }
 
   private val simBits = 32
@@ -254,6 +281,7 @@ object Dedup {
     "x_dedup_exact" -> exact,
     "x_dedup_ngram_jaccard" -> ngramJaccard,
     "x_dedup_minhash_lsh" -> minhashLsh,
+    "x_dedup_jaccard_est" -> jaccardEstimate,
     "x_dedup_simhash" -> simhash,
     "x_dedup_embedding_cosine" -> embeddingCosine,
     "x_dedup_components" -> components)
@@ -310,6 +338,18 @@ object Dedup {
       s"""$shingleSqlCtes,
          |$minhashPairsSqlCtes
          |SELECT doc_a, doc_b FROM pairs""".stripMargin,
+    "x_dedup_jaccard_est" -> {
+      val nMatch = (0 until nSeeds)
+        .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
+      s"""$shingleSqlCtes,
+         |$minhashPairsSqlCtes,
+         |est AS (SELECT p.doc_a, p.doc_b, CAST($nMatch AS BIGINT) AS n_match
+         |        FROM pairs p JOIN m a ON p.doc_a = a.doc_id
+         |                     JOIN m b ON p.doc_b = b.doc_id)
+         |SELECT doc_a, doc_b, n_match,
+         |       CAST(round(CAST(n_match AS DOUBLE) * 10000 / $nSeeds) AS BIGINT) AS est_j_bp
+         |FROM est""".stripMargin
+    },
     "x_dedup_components" ->
       // min reachable id per node == the min-label-propagation fixpoint;
       // UNION (set semantics) bounds the recursion.

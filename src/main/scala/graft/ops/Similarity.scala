@@ -69,6 +69,30 @@ object Similarity {
     rankTopK(scored)
   }
 
+  /** Recall@k of the IVF search against the brute-force ground truth — the
+    * quality metric that prices IVF's cost cut (an ANN index you can't
+    * measure is an ANN index you can't tune). Reuses both search pipelines
+    * and joins their (query, neighbor) sets; the join input is the already
+    * top-k-reduced result relations (O(k·|queries|) rows), never the scored
+    * candidate sets, so the metric costs two searches plus a dashboard-sized
+    * join at any corpus size. `n_ivf` < k flags queries whose inverted list
+    * ran short — recall and coverage in one row. */
+  def recallIvf(s: SparkSession, d: String): DataFrame = {
+    val brute = bruteForceTopK(s, d).select(col("query_id"), col("neighbor_id"))
+    val ivf = ivfTopK(s, d).select(col("query_id"), col("neighbor_id"))
+    val nB = brute.groupBy(col("query_id")).agg(count(lit(1)).as("n_brute"))
+    val nI = ivf.groupBy(col("query_id")).agg(count(lit(1)).as("n_ivf"))
+    val common = brute.join(ivf, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_common"))
+    nB.join(nI, Seq("query_id"), "left")
+      .join(common, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_brute"),
+        coalesce(col("n_ivf"), lit(0L)).as("n_ivf"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"))
+      .withColumn("recall_bp",
+        expr("CAST(round(CAST(n_common AS DOUBLE) * 10000 / n_brute) AS BIGINT)"))
+  }
+
   /** Per-label centroid components — the M-step of a k-means pass over the
     * corpus (IVF training / cluster drift monitoring). Emitted in exploded
     * (label, dim) form with per-dimension values quantized to millionths
@@ -113,6 +137,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_sim_topk_brute" -> bruteForceTopK,
     "x_sim_topk_ivf" -> ivfTopK,
+    "x_sim_recall" -> recallIvf,
     "x_embed_centroids" -> centroids,
     "x_embed_quantize" -> quantize)
 
@@ -165,5 +190,34 @@ object Similarity {
          |             CAST(row_number() OVER (PARTITION BY query_id
          |                    ORDER BY score DESC, neighbor_id ASC) AS BIGINT) AS rnk
          |           FROM scored)
-         |SELECT query_id, neighbor_id, rnk FROM ranked WHERE rnk <= $topK""".stripMargin)
+         |SELECT query_id, neighbor_id, rnk FROM ranked WHERE rnk <= $topK""".stripMargin,
+    "x_sim_recall" ->
+      s"""WITH c AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv,
+         |             sqrt(list_dot_product(v, v)) AS qn
+         |      FROM c WHERE vec_id % $queryStride = 0),
+         |sb AS (SELECT q.query_id, c.vec_id AS neighbor_id, $cosSql AS score
+         |       FROM c, q WHERE c.vec_id <> q.query_id),
+         |rb AS (SELECT query_id, neighbor_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |                ORDER BY score DESC, neighbor_id ASC) AS rnk
+         |       FROM sb),
+         |tb AS (SELECT query_id, neighbor_id FROM rb WHERE rnk <= $topK),
+         |si AS (SELECT q.query_id, c.vec_id AS neighbor_id, $cosSql AS score
+         |       FROM c JOIN q ON c.label = q.qlabel AND c.vec_id <> q.query_id),
+         |ri AS (SELECT query_id, neighbor_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |                ORDER BY score DESC, neighbor_id ASC) AS rnk
+         |       FROM si),
+         |ti AS (SELECT query_id, neighbor_id FROM ri WHERE rnk <= $topK),
+         |nb AS (SELECT query_id, count(*) AS n_brute FROM tb GROUP BY 1),
+         |ni AS (SELECT query_id, count(*) AS n_ivf FROM ti GROUP BY 1),
+         |cm AS (SELECT tb.query_id, count(*) AS n_common
+         |       FROM tb JOIN ti USING (query_id, neighbor_id) GROUP BY 1)
+         |SELECT nb.query_id, nb.n_brute,
+         |       COALESCE(ni.n_ivf, 0) AS n_ivf,
+         |       COALESCE(cm.n_common, 0) AS n_common,
+         |       CAST(round(CAST(COALESCE(cm.n_common, 0) AS DOUBLE) * 10000 / nb.n_brute)
+         |            AS BIGINT) AS recall_bp
+         |FROM nb LEFT JOIN ni USING (query_id) LEFT JOIN cm USING (query_id)""".stripMargin)
 }

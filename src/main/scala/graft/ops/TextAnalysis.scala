@@ -162,6 +162,35 @@ object TextAnalysis {
         expr("CAST(round(score * 100) AS BIGINT)").as("score_c"), col("rnk"))
   }
 
+  /** Size of the closed vocabulary [[oov]] scores against. */
+  private val oovVocabSize = 16
+
+  /** Out-of-vocabulary rate per document against the corpus's top-N token
+    * vocabulary — the coverage check run before committing to a tokenizer
+    * vocab (docs with high OOV rates are the ones a closed vocab will
+    * mangle). Plan: one aggregation builds the term-frequency table, the
+    * top-N cut ranks the AGGREGATED relation (|vocab| rows — the global
+    * window sorts a dashboard-sized input, not the corpus), and the vocab is
+    * broadcast back onto the token stream, so the per-doc scoring pass is
+    * map-side. Deterministic cut: (tf desc, token asc). */
+  def oov(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val tf = toks.groupBy(col("token")).agg(count(lit(1)).as("tf"))
+    val w = Window.orderBy(col("tf").desc, col("token").asc)
+    val vocab = tf.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= oovVocabSize)
+      .select(col("token"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_bp",
+        expr("CAST(round(CAST(n_oov AS DOUBLE) * 10000 / n_tokens) AS BIGINT)"))
+  }
+
   /** Repetition filtering (the Gopher/MassiveText quality rules): fraction
     * of duplicate bigram occurrences and of the single most frequent token —
     * boilerplate and keyword-stuffed documents score high on both. Strictly
@@ -204,6 +233,7 @@ object TextAnalysis {
       .withColumn("is_repetitive", col("dup_bigram_bp") > 2000 || col("top_tok_bp") > 1000)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_text_oov" -> oov,
     "x_text_repetition" -> repetition,
     "x_text_tfidf" -> tfidf,
     "x_text_langid" -> langId,
@@ -216,6 +246,18 @@ object TextAnalysis {
   val oracle: Map[String, String] = {
     val hits = (l: String) => hitsSql("words", stoplists.toMap.apply(l))
     Map(
+      "x_text_oov" ->
+        s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+           |tk AS (SELECT doc_id, token FROM t WHERE length(token) > 0),
+           |tf AS (SELECT token, count(*) AS tf FROM tk GROUP BY 1),
+           |v AS (SELECT token FROM (
+           |        SELECT token, row_number() OVER (ORDER BY tf DESC, token ASC) AS rnk
+           |        FROM tf) WHERE rnk <= $oovVocabSize)
+           |SELECT tk.doc_id, count(*) AS n_tokens,
+           |       CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           |       CAST(round(CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           |                  * 10000 / count(*)) AS BIGINT) AS oov_bp
+           |FROM tk LEFT JOIN v ON tk.token = v.token GROUP BY 1""".stripMargin,
       "x_text_repetition" ->
         """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
           |base AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words, words

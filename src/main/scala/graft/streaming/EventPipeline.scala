@@ -152,13 +152,83 @@ object EventPipeline {
       .select(col("window_start"), col("window_end"), col(key), col("total_interactions"))
   }
 
+  /** Session gap for the streaming session-window query (matches the batch
+    * [[graft.ops.Sessionize]] 30-minute inactivity gap). */
+  private val sessionGapUs = 30L * 60 * 1000000
+
+  /** Native streaming session windows: null-reject → watermark →
+    * `session_window(ts, 30 minutes)` per user → count. Session windows only
+    * support APPEND output (update mode is rejected by the analyzer —
+    * sessions merge, so an updated row may supersede a different key), so
+    * each session emits exactly once, when the watermark passes its end.
+    * Emits µs longs for the bounds — exact integer comparisons end to end. */
+  def sessionCounts(events: DataFrame, watermark: String): DataFrame =
+    events.filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        unix_micros(col("session_window.end")).as("session_end_us"),
+        col("n_events"))
+
+  /** Run the streaming session query to completion over the events table.
+    * A zero-delay watermark tracks the max event time, so at stream end
+    * every session except those still open against the final watermark has
+    * been appended; the resolved table is oracle-checked against gap-based
+    * batch sessionization restricted to the same closed set. */
+  def streamedSessions(s: SparkSession, sfDir: String): DataFrame = {
+    val scratch = Files.createTempDirectory("graft-sess-").toFile.getAbsolutePath
+    val q = sessionCounts(fileStream(s, sfDir), "0 seconds").writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$scratch/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch((b: Dataset[Row], id: Long) => UpsertSink.writeBatch(b, id, s"$scratch/sink"))
+      .start()
+    q.awaitTermination()
+    UpsertSink.resolve(s, s"$scratch/sink", Seq("user_id", "session_start_us"))
+      .select(col("user_id"), col("session_start_us"), col("session_end_us"), col("n_events"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_user_windows_stream" -> ((s, d) => streamedWindows(s, d, "user_id")),
-    "s_type_windows_stream" -> ((s, d) => streamedWindows(s, d, "event_type")))
+    "s_type_windows_stream" -> ((s, d) => streamedWindows(s, d, "event_type")),
+    "s_session_windows_stream" -> ((s, d) => streamedSessions(s, d)))
 
   /** The streamed KPI table must equal the batch formulation (the core
-    * Structured Streaming guarantee), so the oracle is the same window SQL. */
+    * Structured Streaming guarantee), so the oracle is the same window SQL.
+    *
+    * For sessions, the oracle is gap-based batch sessionization with
+    * `session_window`'s semantics made explicit: a STRICT ≥-gap break (two
+    * events exactly 30 min apart do NOT merge — their [ts, ts+gap) windows
+    * only touch), end = last event + gap, and the append-mode cut: only
+    * sessions the final watermark closed are emitted (end ≤ watermark,
+    * where the zero-delay watermark is the max filtered event time floored
+    * to Spark's millisecond watermark precision). Both cut strictnesses and
+    * the µs/ms variants were verified empirically equal on sf0.01 AND sf0.1
+    * (no boundary ties in the data); ≤ with ms-floor is what
+    * `EventTimeStats`/`WatermarkSupport` actually compute. */
   val oracle: Map[String, String] = Map(
     "s_user_windows_stream" -> graft.ops.WindowAgg.windowsSql("user_id"),
-    "s_type_windows_stream" -> graft.ops.WindowAgg.windowsSql("event_type"))
+    "s_type_windows_stream" -> graft.ops.WindowAgg.windowsSql("event_type"),
+    "s_session_windows_stream" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+         |           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         |o AS (SELECT user_id, event_id, us,
+         |        lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us
+         |      FROM e),
+         |n AS (SELECT user_id, us,
+         |        sum(CASE WHEN prev_us IS NULL OR us - prev_us >= $sessionGapUs
+         |                 THEN 1 ELSE 0 END)
+         |          OVER (PARTITION BY user_id ORDER BY us, event_id
+         |                ROWS UNBOUNDED PRECEDING) AS sess_id
+         |      FROM o),
+         |s AS (SELECT user_id,
+         |        CAST(min(us) AS BIGINT) AS session_start_us,
+         |        CAST(max(us) + $sessionGapUs AS BIGINT) AS session_end_us,
+         |        count(*) AS n_events
+         |      FROM n GROUP BY user_id, sess_id),
+         |wm AS (SELECT (max(us) // 1000) * 1000 AS w FROM e)
+         |SELECT user_id, session_start_us, session_end_us, n_events
+         |FROM s, wm WHERE session_end_us <= w""".stripMargin)
 }

@@ -1,0 +1,127 @@
+package graft
+
+import graft.ops.{Dedup, Funnel, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Round-4 operator pack: conversion funnel, cohort retention, ANN recall,
+  * OOV scoring, MinHash Jaccard estimates, and the streaming session-window
+  * golden. Hand-built frames pin the semantics the oracles then confirm at
+  * sf0.01. */
+class FunnelRecallSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("funnel counts ordered, timely journeys only") {
+    val ev = Seq(
+      // u1: full ordered journey inside the windows → stage 3
+      ("u1", "view", ts("2026-01-01 00:00:00")),
+      ("u1", "click", ts("2026-01-01 01:00:00")),
+      ("u1", "purchase", ts("2026-01-01 02:00:00")),
+      // u2: click BEFORE first view → stage 1 (order matters)
+      ("u2", "click", ts("2026-01-01 00:00:00")),
+      ("u2", "view", ts("2026-01-01 01:00:00")),
+      // u3: click 25h after the view → outside the 24h window → stage 1
+      ("u3", "view", ts("2026-01-01 00:00:00")),
+      ("u3", "click", ts("2026-01-02 01:00:00")),
+      // u4: purchase only (no view) → stage 0
+      ("u4", "purchase", ts("2026-01-01 00:00:00")),
+      // u5: view + click, purchase before the click → stage 2
+      ("u5", "purchase", ts("2026-01-01 00:30:00")),
+      ("u5", "view", ts("2026-01-01 01:00:00")),
+      ("u5", "click", ts("2026-01-01 02:00:00")))
+      .toDF("user_id", "event_type", "ts")
+    val out = Funnel.funnelEvents(ev)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(0L -> 1L, 1L -> 2L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("funnel boundary: a click exactly at view-time and at window-edge counts") {
+    val ev = Seq(
+      ("u1", "view", ts("2026-01-01 00:00:00")),
+      ("u1", "click", ts("2026-01-01 00:00:00")), // same instant: inclusive
+      ("u2", "view", ts("2026-01-01 00:00:00")),
+      ("u2", "click", ts("2026-01-02 00:00:00"))) // exactly +24h: inclusive
+      .toDF("user_id", "event_type", "ts")
+    val out = Funnel.funnelEvents(ev).as[(Long, Long)].collect().toMap
+    assert(out == Map(2L -> 2L))
+  }
+
+  test("retention: cohorts by first day, offsets count distinct active users") {
+    val ev = Seq(
+      ("u1", ts("2026-01-01 10:00:00")), ("u1", ts("2026-01-01 11:00:00")), // same day once
+      ("u1", ts("2026-01-03 10:00:00")), // offset 2
+      ("u2", ts("2026-01-01 23:59:59")), ("u2", ts("2026-01-02 00:00:01")), // offset 0,1
+      ("u3", ts("2026-01-02 05:00:00"))) // later cohort
+      .toDF("user_id", "ts")
+    val out = Funnel.retentionEvents(ev)
+      .as[(Long, Long, Long)].collect().toSet
+    val d0 = ts("2026-01-01 00:00:00").getTime / 86400000
+    assert(out == Set(
+      (d0, 0L, 2L), (d0, 1L, 1L), (d0, 2L, 1L),
+      (d0 + 1, 0L, 1L)))
+  }
+
+  test("recall: IVF hits are a subset of brute-force with consistent counts") {
+    val r = Similarity.recallIvf(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (nB, nI, nC, bp) = (row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4))
+      assert(nC <= nB && nC <= nI, s"common exceeds a side: $row")
+      assert(bp >= 0 && bp <= 10000)
+      assert(bp == math.round(nC.toDouble * 10000 / nB))
+    }
+  }
+
+  test("oov: counts are bounded and the vocabulary cut is deterministic") {
+    val a = TextAnalysis.oov(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(a.nonEmpty)
+    a.foreach { case (_, nTok, nOov, bp) =>
+      assert(nOov >= 0 && nOov <= nTok)
+      assert(bp == math.round(nOov.toDouble * 10000 / nTok))
+    }
+    val b = TextAnalysis.oov(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(a == b)
+  }
+
+  test("jaccard estimate: every LSH candidate pair agrees on at least one full band") {
+    val est = Dedup.jaccardEstimate(spark, sf).collect()
+    assert(est.nonEmpty)
+    est.foreach { row =>
+      val (a, b, m, bp) = (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+      assert(a < b, "pairs must be canonical")
+      // band membership requires >= bandSize equal components
+      assert(m >= 2 && m <= 16, s"n_match out of range: $m")
+      assert(bp == math.round(m.toDouble * 10000 / 16))
+    }
+  }
+
+  test("golden: streamed session windows equal watermark-closed batch sessions") {
+    val streamed = graft.streaming.EventPipeline.streamedSessions(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+    val gap = 30L * 60 * 1000000
+    val order = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"us", $"event_id")
+    val ev = Tables.events(spark, sf)
+      .filter($"user_id".isNotNull && $"ts".isNotNull)
+      .withColumn("us", unix_micros($"ts"))
+    val wm = ev.agg(max($"us")).as[Long].head() / 1000 * 1000
+    val batch = ev
+      .withColumn("prev_us", lag($"us", 1).over(order))
+      .withColumn("new_sess",
+        ($"prev_us".isNull || $"us" - $"prev_us" >= gap).cast("long"))
+      .withColumn("sess_id", sum($"new_sess").over(
+        order.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy($"user_id", $"sess_id")
+      .agg(min($"us").as("session_start_us"),
+        (max($"us") + gap).as("session_end_us"),
+        count(lit(1)).as("n_events"))
+      .filter($"session_end_us" <= wm)
+      .select($"user_id", $"session_start_us", $"session_end_us", $"n_events")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+}
