@@ -190,10 +190,62 @@ object EventPipeline {
       .select(col("user_id"), col("session_start_us"), col("session_end_us"), col("n_events"))
   }
 
+  /** Attribution window for the stream-stream interval join. */
+  private val joinWindowUs = 3600L * 1000000
+
+  /** Stream-stream time-interval join: each click joined to the same user's
+    * purchases within the following hour — the streaming form of purchase
+    * attribution. Two independent streaming scans of the event source (each
+    * keeps its own offsets under the query checkpoint), inner-joined on
+    * user + an event-time range; matches emit as soon as both sides have
+    * arrived (inner-join append semantics — no watermark wait), and the
+    * far-future watermark delay keeps BOTH sides' state alive for the whole
+    * bounded replay so no cross-micro-batch match can be lost to eviction.
+    * In the live configuration the same query runs with a real delay and the
+    * time constraint bounds state to the attribution window per side —
+    * that's the knob this operator exists to demonstrate. */
+  def intervalJoin(clicks: DataFrame, purchases: DataFrame, watermark: String): DataFrame = {
+    val c = clicks
+      .filter(col("event_type") === "click" && col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val p = purchases
+      .filter(col("event_type") === "purchase" && col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    // The range condition stays in raw timestamp arithmetic (no unix_micros
+    // wrapper) so StreamingJoinHelper can extract the state-value watermark
+    // from it — that derivation is what bounds each side's state to the
+    // attribution window under a real watermark delay.
+    c.join(p,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+  }
+
+  /** Run the interval join as a real streaming query over the events table
+    * and return the resolved match table. */
+  def streamedIntervalJoin(s: SparkSession, sfDir: String): DataFrame = {
+    val scratch = Files.createTempDirectory("graft-ssjoin-").toFile.getAbsolutePath
+    val q = intervalJoin(fileStream(s, sfDir), fileStream(s, sfDir), "3650 days").writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$scratch/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch((b: Dataset[Row], id: Long) => UpsertSink.writeBatch(b, id, s"$scratch/sink"))
+      .start()
+    q.awaitTermination()
+    UpsertSink.resolve(s, s"$scratch/sink", Seq("click_id", "purchase_id"))
+      .select(col("click_id"), col("purchase_id"), col("user_id"), col("gap_us"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_user_windows_stream" -> ((s, d) => streamedWindows(s, d, "user_id")),
     "s_type_windows_stream" -> ((s, d) => streamedWindows(s, d, "event_type")),
-    "s_session_windows_stream" -> ((s, d) => streamedSessions(s, d)))
+    "s_session_windows_stream" -> ((s, d) => streamedSessions(s, d)),
+    "s_interval_join_stream" -> ((s, d) => streamedIntervalJoin(s, d)))
 
   /** The streamed KPI table must equal the batch formulation (the core
     * Structured Streaming guarantee), so the oracle is the same window SQL.
@@ -230,5 +282,17 @@ object EventPipeline {
          |      FROM n GROUP BY user_id, sess_id),
          |wm AS (SELECT (max(us) // 1000) * 1000 AS w FROM e)
          |SELECT user_id, session_start_us, session_end_us, n_events
-         |FROM s, wm WHERE session_end_us <= w""".stripMargin)
+         |FROM s, wm WHERE session_end_us <= w""".stripMargin,
+    // Inner stream-stream join emits every match (no watermark cut), so the
+    // oracle is the plain relational interval join.
+    "s_interval_join_stream" ->
+      s"""SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+         |       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+         |FROM (SELECT event_id, user_id, ts FROM events
+         |      WHERE event_type = 'click' AND user_id IS NOT NULL AND ts IS NOT NULL) c
+         |JOIN (SELECT event_id, user_id, ts FROM events
+         |      WHERE event_type = 'purchase' AND user_id IS NOT NULL AND ts IS NOT NULL) p
+         |  ON c.user_id = p.user_id
+         | AND p.ts >= c.ts
+         | AND epoch_us(p.ts) <= epoch_us(c.ts) + $joinWindowUs""".stripMargin)
 }

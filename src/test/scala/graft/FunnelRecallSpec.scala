@@ -124,4 +124,22 @@ class FunnelRecallSpec extends SparkSpec {
     assert(streamed == batch)
     assert(streamed.nonEmpty)
   }
+
+  test("golden: stream-stream interval join equals the batch interval join") {
+    val streamed = graft.streaming.EventPipeline.streamedIntervalJoin(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+    val ev = Tables.events(spark, sf)
+      .filter($"user_id".isNotNull && $"ts".isNotNull)
+    val c = ev.filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id", unix_micros($"ts").as("cus"))
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id".as("pu"), unix_micros($"ts").as("pus"))
+    val batch = c.join(p,
+        $"user_id" === $"pu" && $"pus" >= $"cus" && $"pus" <= $"cus" + 3600L * 1000000)
+      .select($"click_id", $"purchase_id", $"user_id", ($"pus" - $"cus").as("gap_us"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
 }
