@@ -27,6 +27,7 @@ object SparkEntry {
     (ops.Sampling.queries, ops.Sampling.oracle),
     (ops.Sessionize.queries, ops.Sessionize.oracle),
     (ops.MultimodalPipeline.queries, ops.MultimodalPipeline.oracle),
+    (sources.Formats.queries, sources.Formats.oracle),
     (streaming.EventPipeline.queries, streaming.EventPipeline.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

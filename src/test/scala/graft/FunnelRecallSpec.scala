@@ -125,6 +125,24 @@ class FunnelRecallSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("format round-trips are lossless: json and csv rollups equal parquet's") {
+    val direct = {
+      val ev = Tables.events(spark, sf)
+      ev.select($"event_type", unix_micros($"ts").as("ts_us"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("value_c"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"value_c").as("value_c_sum"),
+          min($"ts_us").as("min_ts_us"), max($"ts_us").as("max_ts_us"))
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+    }
+    val viaJson = graft.sources.Formats.jsonRoundtrip(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    val viaCsv = graft.sources.Formats.csvRoundtrip(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(viaJson == direct && viaCsv == direct)
+    assert(direct.nonEmpty)
+  }
+
   test("golden: stream-stream interval join equals the batch interval join") {
     val streamed = graft.streaming.EventPipeline.streamedIntervalJoin(spark, sf)
       .as[(Long, Long, Long, Long)].collect().toSet
