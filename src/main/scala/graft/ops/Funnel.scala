@@ -72,25 +72,28 @@ object Funnel {
 
   /** Cohort retention: users grouped by their first active day (the cohort),
     * counted on each later day-offset they return. `day` is integer
-    * days-since-epoch (µs floor-divided) — the (user, day) activity set is
-    * deduplicated once and reused for both the cohort min and the offset
-    * expansion, so the plan is: distinct → window-min per user → one
-    * aggregation. Output: (cohort_day, day_offset, n_users). */
+    * days-since-epoch (µs floor-divided). Plan: ONE shuffle keyed by user
+    * builds each user's distinct-day set (`collect_set` — partial
+    * aggregation dedups map-side, and the set is bounded by the retention
+    * horizon in days, never by event volume), then cohort = array_min and
+    * the offset expansion are in-row, leaving only the final dashboard-sized
+    * (cohort, offset) aggregation. One fewer exchange than the
+    * distinct → window formulation, which shuffles the activity set twice
+    * (once on (user, day), again on user). Output: (cohort_day, day_offset,
+    * n_users). */
   def retention(s: SparkSession, d: String): DataFrame =
     retentionEvents(Tables.events(s, d))
 
   /** [[retention]] over any frame with (user_id, ts). */
-  def retentionEvents(events: DataFrame): DataFrame = {
-    val act = events
+  def retentionEvents(events: DataFrame): DataFrame =
+    events
       .filter(col("user_id").isNotNull && col("ts").isNotNull)
       .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
-      .distinct()
-    val w = Window.partitionBy(col("user_id"))
-    act
-      .withColumn("cohort_day", min(col("day")).over(w))
+      .groupBy(col("user_id"))
+      .agg(collect_set(col("day")).as("days"))
+      .select(array_min(col("days")).as("cohort_day"), explode(col("days")).as("day"))
       .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
       .agg(count(lit(1)).as("n_users"))
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_funnel" -> funnel,
