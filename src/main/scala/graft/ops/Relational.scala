@@ -129,7 +129,35 @@ object Relational {
         expr("CAST(round(percentile(round(l_extendedprice * 100), 0.5) * 100) AS BIGINT)")
           .as("p50_price_cc"))
 
+  /** CUBE over (returnflag, linestatus): every subtotal combination in one
+    * pass — same Expand + single-shuffle plan as [[rollupSummary]], one more
+    * grouping-set row per combination. */
+  def cubeSummary(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("l_quantity")).cast("long").as("sum_qty"))
+
+  /** Analytic-window suite per customer order history: previous order price
+    * (lag), running revenue (rows-frame sum), order sequence number, and
+    * revenue quartile within the customer (ntile). One shuffle on o_custkey;
+    * all four functions share a single partition/sort spec, so Catalyst
+    * plans ONE Window node over one sort. Ordering ties broken by
+    * o_orderkey so every function is deterministic. */
+  def windowSuite(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        cents(col("o_totalprice")).as("price_c"))
+      .withColumn("prev_price_c", lag(col("price_c"), 1).over(w))
+      .withColumn("running_rev_c",
+        sum(col("price_c")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("order_seq", row_number().over(w).cast("long"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "h_cube_summary" -> cubeSummary,
+    "h_window_suite" -> windowSuite,
     "h_quantiles" -> quantiles,
     "h_pricing_summary" -> pricingSummary,
     "h_region_revenue" -> regionRevenue,
@@ -143,6 +171,20 @@ object Relational {
   private val centsSql = (c: String) => s"CAST(round($c * 100) AS BIGINT)"
 
   val oracle: Map[String, String] = Map(
+    "h_cube_summary" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |       CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "h_window_suite" ->
+      s"""SELECT o_custkey, o_orderkey, o_orderdate,
+         |  ${centsSql("o_totalprice")} AS price_c,
+         |  lag(${centsSql("o_totalprice")}) OVER w AS prev_price_c,
+         |  CAST(sum(${centsSql("o_totalprice")}) OVER (w ROWS UNBOUNDED PRECEDING)
+         |       AS BIGINT) AS running_rev_c,
+         |  CAST(row_number() OVER w AS BIGINT) AS order_seq,
+         |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+         |FROM orders
+         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
     "h_quantiles" ->
       """SELECT l_returnflag,
         |  CAST(round(quantile_cont(l_quantity, 0.5) * 100) AS BIGINT) AS p50_qty_c,

@@ -241,11 +241,41 @@ object EventPipeline {
       .select(col("click_id"), col("purchase_id"), col("user_id"), col("gap_us"))
   }
 
+  /** Stream-static join: the event stream enriched against the batch
+    * customer ⋈ nation dimension (broadcast — the stream side never
+    * shuffles for the join, the pattern every streaming enrichment uses at
+    * scale), then a running per-nation rollup in update mode. No watermark:
+    * an unwindowed streaming aggregation keeps one row of state per nation —
+    * cardinality-bounded, nothing to evict — and each micro-batch upserts
+    * the new cumulative totals, so the resolved table IS the batch rollup. */
+  def streamedEnriched(s: SparkSession, sfDir: String): DataFrame = {
+    val dims = graft.Tables.customer(s, sfDir)
+      .join(broadcast(graft.Tables.nation(s, sfDir)), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+    val scratch = Files.createTempDirectory("graft-enrich-").toFile.getAbsolutePath
+    val agg = fileStream(s, sfDir)
+      .filter(col("user_id").isNotNull)
+      .join(broadcast(dims), col("user_id") === col("c_custkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("value_c_sum"))
+    val q = agg.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", s"$scratch/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch((b: Dataset[Row], id: Long) => UpsertSink.writeBatch(b, id, s"$scratch/sink"))
+      .start()
+    q.awaitTermination()
+    UpsertSink.resolve(s, s"$scratch/sink", Seq("n_name"))
+      .select(col("n_name"), col("n_events"), col("value_c_sum"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_user_windows_stream" -> ((s, d) => streamedWindows(s, d, "user_id")),
     "s_type_windows_stream" -> ((s, d) => streamedWindows(s, d, "event_type")),
     "s_session_windows_stream" -> ((s, d) => streamedSessions(s, d)),
-    "s_interval_join_stream" -> ((s, d) => streamedIntervalJoin(s, d)))
+    "s_interval_join_stream" -> ((s, d) => streamedIntervalJoin(s, d)),
+    "s_enriched_stream" -> ((s, d) => streamedEnriched(s, d)))
 
   /** The streamed KPI table must equal the batch formulation (the core
     * Structured Streaming guarantee), so the oracle is the same window SQL.
@@ -294,5 +324,15 @@ object EventPipeline {
          |      WHERE event_type = 'purchase' AND user_id IS NOT NULL AND ts IS NOT NULL) p
          |  ON c.user_id = p.user_id
          | AND p.ts >= c.ts
-         | AND epoch_us(p.ts) <= epoch_us(c.ts) + $joinWindowUs""".stripMargin)
+         | AND epoch_us(p.ts) <= epoch_us(c.ts) + $joinWindowUs""".stripMargin,
+    // Update-mode cumulative totals: the final upserted row per nation equals
+    // the plain batch rollup over the enriched join.
+    "s_enriched_stream" ->
+      """SELECT n_name, count(*) AS n_events,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c_sum
+        |FROM events e
+        |JOIN customer c ON e.user_id = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE e.user_id IS NOT NULL
+        |GROUP BY 1""".stripMargin)
 }
