@@ -134,7 +134,43 @@ object Similarity {
           .as("code"))
   }
 
+  private val kClusters = 8
+
+  /** One exact Lloyd (k-means) iteration over the embedding corpus — the
+    * training step behind a real IVF coarse quantizer ([[ivfTopK]] uses the
+    * provided `label`; this is how the engine would LEARN that labeling).
+    * Deterministic seeding (`vec_id % k`), and every arithmetic step is
+    * integer: vectors quantize to µ-units, centroid means floor-divide via
+    * one double division (exact — sums ≪ 2⁵³), distances are integer
+    * squared-L2, and the argmin tie-breaks on cluster id through a struct
+    * min. That is what makes a clustering pass hash-comparable across
+    * engines at all.
+    *
+    * Scale shape: one shuffle for the (cluster, dim) means; the k×d centroid
+    * relation (k·d rows — bytes) broadcasts back; assignment is a map-side
+    * cross with k in-row array-fold distances per vector and a partial-agg
+    * min. Iterating = repeating this plan with the previous assignment
+    * (checkpointed) as input; nothing grows with corpus size except the two
+    * linear passes. */
+  def kmeansIter(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))").as("q"))
+    val cents = e
+      .select((col("vec_id") % kClusters).as("cluster"), posexplode(col("q")).as(Seq("dim", "x")))
+      .groupBy(col("cluster"), col("dim"))
+      .agg(expr("CAST(floor(CAST(sum(x) AS DOUBLE) / count(1)) AS BIGINT)").as("c"))
+    val cvecs = cents.groupBy(col("cluster"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, c))), s -> s.c)").as("cv"))
+    e.crossJoin(broadcast(cvecs))
+      .withColumn("dist2",
+        expr("aggregate(zip_with(q, cv, (a, b) -> (a - b) * (a - b)), 0L, (acc, v) -> acc + v)"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist2"), col("cluster"))).as("m"))
+      .select(col("vec_id"), col("m.cluster").as("cluster"), col("m.dist2").as("dist2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_embed_kmeans_iter" -> kmeansIter,
     "x_sim_topk_brute" -> bruteForceTopK,
     "x_sim_topk_ivf" -> ivfTopK,
     "x_sim_recall" -> recallIvf,
@@ -145,6 +181,25 @@ object Similarity {
     "list_dot_product(q.qv, c.v) / (q.qn * sqrt(list_dot_product(c.v, c.v)))"
 
   val oracle: Map[String, String] = Map(
+    "x_embed_kmeans_iter" ->
+      s"""WITH e AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |xp AS (SELECT vec_id, i - 1 AS dim, q[i] AS v
+         |       FROM (SELECT vec_id, q, unnest(range(1, len(q) + 1)) AS i FROM e)),
+         |c AS (SELECT vec_id % $kClusters AS cluster, dim,
+         |        CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS c
+         |      FROM xp GROUP BY 1, 2),
+         |d AS (SELECT xp.vec_id, c.cluster,
+         |        CAST(sum((xp.v - c.c) * (xp.v - c.c)) AS BIGINT) AS dist2
+         |      FROM xp JOIN c USING (dim) GROUP BY 1, 2),
+         |r AS (SELECT vec_id, cluster, dist2,
+         |        row_number() OVER (PARTITION BY vec_id
+         |               ORDER BY dist2 ASC, cluster ASC) AS rn
+         |      FROM d)
+         |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, dist2
+         |FROM r WHERE rn = 1""".stripMargin,
     "x_embed_quantize" ->
       """WITH v AS (
         |  SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim, CAST(embedding[i] AS DOUBLE) AS x

@@ -125,6 +125,31 @@ class FunnelRecallSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("kmeans iteration: total assignment, valid clusters, and true argmin") {
+    val out = Similarity.kmeansIter(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    val nVecs = Tables.embeddings(spark, sf).count()
+    assert(out.length == nVecs, "every vector must be assigned exactly once")
+    assert(out.forall { case (_, c, d2) => c >= 0 && c < 8 && d2 >= 0 })
+
+    // the reported dist2 must be the minimum over all centroids: recompute
+    // distances to EVERY centroid and check none beats the assignment
+    val e = Tables.embeddings(spark, sf).select($"vec_id",
+      expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))").as("q"))
+    val cents = e
+      .select(($"vec_id" % 8).as("cluster"), posexplode($"q").as(Seq("dim", "x")))
+      .groupBy($"cluster", $"dim")
+      .agg(expr("CAST(floor(CAST(sum(x) AS DOUBLE) / count(1)) AS BIGINT)").as("c"))
+      .groupBy($"cluster")
+      .agg(expr("transform(array_sort(collect_list(struct(dim, c))), s -> s.c)").as("cv"))
+    val allDists = e.crossJoin(broadcast(cents))
+      .select($"vec_id", $"cluster",
+        expr("aggregate(zip_with(q, cv, (a, b) -> (a - b) * (a - b)), 0L, (acc, v) -> acc + v)").as("d2"))
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._3).min).toMap
+    out.foreach { case (v, _, d2) => assert(d2 == allDists(v), s"vec $v not at argmin") }
+  }
+
   test("format round-trips are lossless: json and csv rollups equal parquet's") {
     val direct = {
       val ev = Tables.events(spark, sf)
