@@ -13,6 +13,9 @@ case class MediaFeatures(
     doc_id: Long, n_bytes: Long, head_byte: Int, tail_byte: Int,
     brightness: Int, width: Int, height: Int)
 
+/** One sampled frame emitted by the frame-sampling stage. */
+case class MediaFrame(doc_id: Long, frame_idx: Long, frame_bytes: Long, frame_md5: String)
+
 /** Multimodal-column pipeline (SURVEY §7.4): treat media as opaque `binary`
   * payloads with typed metadata, and run a decode/feature-extract stage as a
   * typed `mapPartitions` over the bytes — the Scala analogue of a
@@ -63,8 +66,48 @@ object MultimodalPipeline {
         col("height").cast("long").as("height"))
   }
 
+  /** Fixed frame width (bytes) the sampler slices the payload into. */
+  private val frameSize = 32
+
+  /** At most this many frames are kept per document. */
+  private val maxFrames = 4L
+
+  /** STUB frame-sample: the payload is treated as a sequence of fixed-size
+    * frames (a real video pipeline gets these from the container index) and
+    * a uniform stride keeps ≤ [[maxFrames]] of them — the standard
+    * "N keyframes per clip" sampling a training pipeline does BEFORE the
+    * expensive per-frame model. Emits each kept frame's index, byte length
+    * (the tail frame may run short), and content digest. Pure function of
+    * the bytes — a codec drop-in replaces the slicing, not the plumbing. */
+  def frameSampleStub(r: MediaRecord): Iterator[MediaFrame] = {
+    val n = r.payload.length
+    val frames = ((n + frameSize - 1) / frameSize).toLong
+    val stride = math.max(1L, math.ceil(frames.toDouble / maxFrames).toLong)
+    Iterator.range(0L, frames, stride).map { i =>
+      val off = (i * frameSize).toInt
+      val len = math.min(frameSize, n - off)
+      val bytes = java.util.Arrays.copyOfRange(r.payload, off, off + len)
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(bytes).map("%02x".format(_)).mkString
+      MediaFrame(r.doc_id, i, len.toLong, md5)
+    }
+  }
+
+  /** Frame sampling over partition-batched payloads (one flatMap row per
+    * kept frame — output volume is bounded by maxFrames × documents, never
+    * by payload size). */
+  def frames(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mediaRecords(s, d)
+      .as[MediaRecord]
+      .mapPartitions(_.flatMap(frameSampleStub))
+      .toDF()
+      .select(col("doc_id"), col("frame_idx"), col("frame_bytes"), col("frame_md5"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x_mm_features" -> features)
+    "x_mm_features" -> features,
+    "x_mm_frames" -> frames)
 
   /** Oracle mirrors the stub arithmetic on the source text. PRECONDITION
     * (checked by `MultimodalSpec`): the synthetic `documents.text` is pure
@@ -82,5 +125,19 @@ object MultimodalPipeline {
         |  CAST((ascii(substr(text, 1, 1)) + ascii(substr(text, length(text), 1))) // 2 AS BIGINT) AS brightness,
         |  CAST(n_chars % 640 AS BIGINT) AS width,
         |  CAST((doc_id * 37) % 480 AS BIGINT) AS height
-        |FROM documents WHERE length(text) > 0""".stripMargin)
+        |FROM documents WHERE length(text) > 0""".stripMargin,
+    // Same ASCII precondition: substr by characters == slicing by bytes, so
+    // DuckDB's md5 of the text slice equals the stub's md5 of the byte frame.
+    "x_mm_frames" ->
+      """WITH f AS (SELECT doc_id, text,
+        |             CAST(ceil(CAST(octet_length(encode(text)) AS DOUBLE) / 32) AS BIGINT) AS n_frames
+        |           FROM documents WHERE length(text) > 0),
+        |s AS (SELECT doc_id, text, n_frames,
+        |        greatest(1, CAST(ceil(CAST(n_frames AS DOUBLE) / 4) AS BIGINT)) AS stride
+        |      FROM f),
+        |i AS (SELECT doc_id, text, unnest(range(0, n_frames, stride)) AS frame_idx FROM s)
+        |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |       CAST(length(substr(text, CAST(frame_idx * 32 + 1 AS BIGINT), 32)) AS BIGINT) AS frame_bytes,
+        |       md5(substr(text, CAST(frame_idx * 32 + 1 AS BIGINT), 32)) AS frame_md5
+        |FROM i""".stripMargin)
 }
