@@ -169,7 +169,42 @@ object Similarity {
       .select(col("vec_id"), col("m.cluster").as("cluster"), col("m.dist2").as("dist2"))
   }
 
+  private val pqSubvectors = 4
+  private val pqSubDim = 16 // 64 dims / 4 subvectors
+
+  /** Product-quantization encoding: each vector splits into 4 subvectors of
+    * 16 dims, each subvector snaps to the nearest of 8 per-subspace
+    * centroids, so a 64-float vector compresses to 4 small codes — the
+    * storage format of an IVF-PQ index (scalar int8 [[quantize]] is 4×;
+    * PQ here is 64×). Codebooks are learned the same way [[kmeansIter]]
+    * learns the coarse quantizer (deterministic seeding, integer-exact
+    * means/distances/argmin — see that scaladoc for why exactness is the
+    * point), just per subspace. Plan: one shuffle for the
+    * (sub, cluster, dim) means, a 32-row codebook broadcast, map-side
+    * assignment — two linear passes regardless of corpus size. */
+  def pqEncode(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))").as("q"))
+    val subs = e.select(col("vec_id"), explode(expr(
+        s"transform(sequence(0, ${pqSubvectors - 1}), s -> struct(CAST(s AS BIGINT) AS sub_id, slice(q, s * $pqSubDim + 1, $pqSubDim) AS sq))")).as("sv"))
+      .select(col("vec_id"), col("sv.sub_id").as("sub_id"), col("sv.sq").as("sq"))
+    val cents = subs
+      .select(col("sub_id"), ((col("vec_id") + col("sub_id")) % kClusters).as("cluster"),
+        posexplode(col("sq")).as(Seq("dim", "x")))
+      .groupBy(col("sub_id"), col("cluster"), col("dim"))
+      .agg(expr("CAST(floor(CAST(sum(x) AS DOUBLE) / count(1)) AS BIGINT)").as("c"))
+    val codebook = cents.groupBy(col("sub_id"), col("cluster"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, c))), s -> s.c)").as("cv"))
+    subs.join(broadcast(codebook), Seq("sub_id"))
+      .withColumn("dist2",
+        expr("aggregate(zip_with(sq, cv, (a, b) -> (a - b) * (a - b)), 0L, (acc, v) -> acc + v)"))
+      .groupBy(col("vec_id"), col("sub_id"))
+      .agg(min(struct(col("dist2"), col("cluster"))).as("m"))
+      .select(col("vec_id"), col("sub_id"), col("m.cluster").as("code"), col("m.dist2").as("dist2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_embed_pq" -> pqEncode,
     "x_embed_kmeans_iter" -> kmeansIter,
     "x_sim_topk_brute" -> bruteForceTopK,
     "x_sim_topk_ivf" -> ivfTopK,
@@ -181,6 +216,27 @@ object Similarity {
     "list_dot_product(q.qv, c.v) / (q.qn * sqrt(list_dot_product(c.v, c.v)))"
 
   val oracle: Map[String, String] = Map(
+    "x_embed_pq" ->
+      s"""WITH e AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |xp AS (SELECT vec_id, (i - 1) // $pqSubDim AS sub_id, (i - 1) % $pqSubDim AS dim, q[i] AS v
+         |       FROM (SELECT vec_id, q, unnest(range(1, len(q) + 1)) AS i FROM e)),
+         |c AS (SELECT sub_id, (vec_id + sub_id) % $kClusters AS cluster, dim,
+         |        CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS c
+         |      FROM xp GROUP BY 1, 2, 3),
+         |d AS (SELECT xp.vec_id, xp.sub_id, c.cluster,
+         |        CAST(sum((xp.v - c.c) * (xp.v - c.c)) AS BIGINT) AS dist2
+         |      FROM xp JOIN c ON xp.sub_id = c.sub_id AND xp.dim = c.dim
+         |      GROUP BY 1, 2, 3),
+         |r AS (SELECT vec_id, sub_id, cluster, dist2,
+         |        row_number() OVER (PARTITION BY vec_id, sub_id
+         |               ORDER BY dist2 ASC, cluster ASC) AS rn
+         |      FROM d)
+         |SELECT vec_id, CAST(sub_id AS BIGINT) AS sub_id,
+         |       CAST(cluster AS BIGINT) AS code, dist2
+         |FROM r WHERE rn = 1""".stripMargin,
     "x_embed_kmeans_iter" ->
       s"""WITH e AS (
          |  SELECT vec_id,
