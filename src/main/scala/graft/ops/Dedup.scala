@@ -199,6 +199,31 @@ object Dedup {
       .select(col("doc_id"), expr("simhash32(shs)").as("simhash"))
   }
 
+  private val simBands = 4
+  private val simHammingMax = 3
+
+  /** SimHash near-dup pairs: band the 32-bit signature into 4 bytes (two
+    * signatures within Hamming distance 3 MUST agree on at least one whole
+    * byte — pigeonhole — so banding loses no true pair), join on band
+    * buckets, verify `bit_count(xor) ≤ 3`. This closes the SimHash path
+    * from signature to candidate pairs the same way [[minhashLsh]] does for
+    * MinHash: candidate volume is governed by band-bucket sizes, never an
+    * all-pairs comparison, and the verify reads two longs per pair. */
+  def simhashPairs(s: SparkSession, d: String): DataFrame = {
+    val sig = simhash(s, d).localCheckpoint()
+    val bands = sig.select(col("doc_id"), col("simhash"), explode(expr(
+        s"transform(sequence(0, ${simBands - 1}), b -> named_struct(" +
+          "'band', CAST(b AS BIGINT), 'bkey', shiftright(simhash, b * 8) & 255))")).as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("CAST(bit_count(a.simhash ^ b.simhash) AS BIGINT)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= simHammingMax)
+  }
+
   /** Embedding near-dup via random-hyperplane-style LSH: bucket on the sign
     * pattern of the first 8 dimensions, verify cosine ≥ 0.3 inside buckets
     * with the native codegen'd `cosine_sim` kernel
@@ -283,6 +308,7 @@ object Dedup {
     "x_dedup_minhash_lsh" -> minhashLsh,
     "x_dedup_jaccard_est" -> jaccardEstimate,
     "x_dedup_simhash" -> simhash,
+    "x_dedup_simhash_pairs" -> simhashPairs,
     "x_dedup_embedding_cosine" -> embeddingCosine,
     "x_dedup_components" -> components)
 
@@ -367,6 +393,20 @@ object Dedup {
       s"""$shingleSqlCtes,
          |sums AS (SELECT doc_id, $sums FROM s GROUP BY 1)
          |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM sums""".stripMargin
+    },
+    "x_dedup_simhash_pairs" -> {
+      val (sums, bits) = simhashSqlTerms
+      s"""$shingleSqlCtes,
+         |sums AS (SELECT doc_id, $sums FROM s GROUP BY 1),
+         |sh AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM sums),
+         |bands AS (SELECT doc_id, simhash, b.b AS band,
+         |            (simhash >> (b.b * 8)) & 255 AS bkey
+         |          FROM sh, (SELECT unnest(range(0, $simBands)) AS b) b),
+         |p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |        CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |      FROM bands a JOIN bands b
+         |        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= $simHammingMax""".stripMargin
     },
     "x_dedup_embedding_cosine" -> {
       val bucket = (1 to 8)
