@@ -15,6 +15,12 @@ run / fork := true
 // driver can machine-parse Bench's single JSON line.
 run / outputStrategy := Some(StdoutOutput)
 outputStrategy := Some(StdoutOutput)
+// Suppress sbt's trailing "[success] Total time: …" line: the driver keeps
+// only the last 2000 chars of stdout, and anything printed after Bench's
+// JSON line eats into that budget (round 4's bench JSON was truncated
+// mid-line by exactly this).
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

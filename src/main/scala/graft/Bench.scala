@@ -69,8 +69,12 @@ object Bench {
       (name, if (err.isEmpty) sec else -1.0, err)
     }
 
-    val qs = results.map { case (k, v, _) => s""""$k":$v""" }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(m)) => s""""$k":"$m"""" }
+    // 10ms precision keeps the single JSON line within the driver's
+    // 2000-char stdout tail (full double precision overflowed it at 62
+    // queries and the driver recorded "parsed": null).
+    def fmt(v: Double): String = f"$v%.2f"
+    val qs = results.map { case (k, v, _) => s""""$k":${fmt(v)}""" }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(m)) => s""""$k":"${m.take(80)}"""" }
     val errJson = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
     val loadJson =
@@ -80,7 +84,7 @@ object Bench {
         s""","load":[$l]"""
       } catch { case _: Throwable => "" }
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson$loadJson,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errJson$loadJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
