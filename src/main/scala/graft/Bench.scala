@@ -66,6 +66,18 @@ object Bench {
             (math.min(best, s3), e3)
           } else (best, e2)
         }
+      // Release per-query session state before the next query: the dedup /
+      // components queries localCheckpoint intermediate relations, and those
+      // RDD blocks stay persisted until the owning DataFrame is GC'd. Left
+      // alone, ~30 queries' worth of checkpoint blocks pile up in the one
+      // bench JVM, and the alphabetically-late x_dedup_* family then runs
+      // under storage-memory pressure + GC thrash: the round-4 driver bench
+      // measured ngram_jaccard at 37 s where a clean JVM (same data, same
+      // cpus) measures 3.5 s. Bounded single-purpose JVMs don't have this
+      // problem; a 64-query benchmark loop must clean up after itself.
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.valuesIterator
+        .foreach(_.unpersist(blocking = false))
       (name, if (err.isEmpty) sec else -1.0, err)
     }
 

@@ -73,10 +73,14 @@ object Dedup {
     * size times a constant, at any scale. The τ ≥ 0.5 test is pure integer
     * arithmetic (2·|∩| ≥ |∪|) over the capped universe — no FP in the cut. */
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+    // Materialized once (localCheckpoint): the inverted lists feed BOTH the
+    // per-doc shingle counts and the pair expansion — unmaterialized, the
+    // whole shingle-explode + groupBy subtree would execute twice.
     val inv = shingleSets(s, d)
       .groupBy(col("lang"), col("source"), col("sh"))
       .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
       .filter(size(col("docs")) <= maxShingleDf)
+      .localCheckpoint()
     val counts = inv.select(explode(col("docs")).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
     val pairs = inv
