@@ -183,6 +183,30 @@ object Dedup {
         expr(s"CAST(round(CAST(n_match AS DOUBLE) * 10000 / $nSeeds) AS BIGINT)"))
   }
 
+  /** The complete near-dup pipeline, candidates → EXACT verify: LSH band
+    * pairs ([[minhashLsh]]) verified by true Jaccard over the documents'
+    * shingle SETS. Where [[jaccardEstimate]] reads only the 16-long
+    * signatures (cheap, ±1/√16 error), this reads the two shingle arrays of
+    * each CANDIDATE pair — bounded by LSH candidate volume, never all pairs,
+    * which is exactly how a production near-dup job prices its verify stage.
+    * Plan: two hash joins keyed by doc_id attach the in-row shingle arrays,
+    * then `array_intersect` computes |∩| map-side — the shingle sets
+    * themselves never explode or shuffle. Emits exact basis-point Jaccard
+    * (integer arithmetic end to end). */
+  def lshVerified(s: SparkSession, d: String): DataFrame = {
+    val sig = minhashSignatures(s, d).localCheckpoint()
+    val shs = shingleArrays(s, d).select(col("doc_id"), col("shs"))
+    lshPairs(sig)
+      .join(shs.select(col("doc_id").as("doc_a"), col("shs").as("shs_a")), "doc_a")
+      .join(shs.select(col("doc_id").as("doc_b"), col("shs").as("shs_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        expr("CAST(size(array_intersect(shs_a, shs_b)) AS BIGINT)").as("inter"),
+        expr("CAST(size(shs_a) AS BIGINT)").as("n_a"),
+        expr("CAST(size(shs_b) AS BIGINT)").as("n_b"))
+      .withColumn("j_bp",
+        expr("CAST(round(CAST(inter * 10000 AS DOUBLE) / (n_a + n_b - inter)) AS BIGINT)"))
+  }
+
   private val simBits = 32
 
   /** SimHash (32-bit): bit j is the sign of the sum over distinct shingles
@@ -311,6 +335,7 @@ object Dedup {
     "x_dedup_ngram_jaccard" -> ngramJaccard,
     "x_dedup_minhash_lsh" -> minhashLsh,
     "x_dedup_jaccard_est" -> jaccardEstimate,
+    "x_dedup_lsh_verified" -> lshVerified,
     "x_dedup_simhash" -> simhash,
     "x_dedup_simhash_pairs" -> simhashPairs,
     "x_dedup_embedding_cosine" -> embeddingCosine,
@@ -380,6 +405,23 @@ object Dedup {
          |       CAST(round(CAST(n_match AS DOUBLE) * 10000 / $nSeeds) AS BIGINT) AS est_j_bp
          |FROM est""".stripMargin
     },
+    "x_dedup_lsh_verified" ->
+      s"""$shingleSqlCtes,
+         |$minhashPairsSqlCtes,
+         |n AS (SELECT doc_id, count(*) AS nsh FROM s GROUP BY 1),
+         |i AS (SELECT p.doc_a, p.doc_b, count(*) AS inter
+         |      FROM pairs p JOIN s a ON a.doc_id = p.doc_a
+         |                   JOIN s b ON b.doc_id = p.doc_b AND b.sh = a.sh
+         |      GROUP BY 1, 2)
+         |SELECT p.doc_a, p.doc_b,
+         |       CAST(COALESCE(i.inter, 0) AS BIGINT) AS inter,
+         |       na.nsh AS n_a, nb.nsh AS n_b,
+         |       CAST(round(CAST(COALESCE(i.inter, 0) * 10000 AS DOUBLE)
+         |                  / (na.nsh + nb.nsh - COALESCE(i.inter, 0))) AS BIGINT) AS j_bp
+         |FROM pairs p
+         |JOIN n na ON p.doc_a = na.doc_id
+         |JOIN n nb ON p.doc_b = nb.doc_id
+         |LEFT JOIN i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b""".stripMargin,
     "x_dedup_components" ->
       // min reachable id per node == the min-label-propagation fixpoint;
       // UNION (set semantics) bounds the recursion.

@@ -182,28 +182,92 @@ object Similarity {
     * point), just per subspace. Plan: one shuffle for the
     * (sub, cluster, dim) means, a 32-row codebook broadcast, map-side
     * assignment — two linear passes regardless of corpus size. */
-  def pqEncode(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d).select(col("vec_id"),
+  /** Corpus in µ-quantized integer form: (vec_id, label, q: array<long>). */
+  private def quantizedCorpus(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(col("vec_id"), col("label"),
       expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))").as("q"))
-    val subs = e.select(col("vec_id"), explode(expr(
+
+  /** Per-vector subvector split: (vec_id, sub_id, sq: array<long>[pqSubDim]). */
+  private def pqSubs(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), explode(expr(
         s"transform(sequence(0, ${pqSubvectors - 1}), s -> struct(CAST(s AS BIGINT) AS sub_id, slice(q, s * $pqSubDim + 1, $pqSubDim) AS sq))")).as("sv"))
       .select(col("vec_id"), col("sv.sub_id").as("sub_id"), col("sv.sq").as("sq"))
-    val cents = subs
+
+  /** Per-subspace codebook (sub_id, cluster, cv: array<long>) learned by one
+    * deterministic Lloyd M-step — see [[kmeansIter]] for why every arithmetic
+    * step is integer-exact. kClusters × pqSubvectors rows — always broadcast. */
+  private def pqCodebook(subs: DataFrame): DataFrame =
+    subs
       .select(col("sub_id"), ((col("vec_id") + col("sub_id")) % kClusters).as("cluster"),
         posexplode(col("sq")).as(Seq("dim", "x")))
       .groupBy(col("sub_id"), col("cluster"), col("dim"))
       .agg(expr("CAST(floor(CAST(sum(x) AS DOUBLE) / count(1)) AS BIGINT)").as("c"))
-    val codebook = cents.groupBy(col("sub_id"), col("cluster"))
+      .groupBy(col("sub_id"), col("cluster"))
       .agg(expr("transform(array_sort(collect_list(struct(dim, c))), s -> s.c)").as("cv"))
+
+  /** Nearest-codebook-entry assignment: (vec_id, sub_id, code, dist2). */
+  private def pqAssign(subs: DataFrame, codebook: DataFrame): DataFrame =
     subs.join(broadcast(codebook), Seq("sub_id"))
       .withColumn("dist2",
         expr("aggregate(zip_with(sq, cv, (a, b) -> (a - b) * (a - b)), 0L, (acc, v) -> acc + v)"))
       .groupBy(col("vec_id"), col("sub_id"))
       .agg(min(struct(col("dist2"), col("cluster"))).as("m"))
       .select(col("vec_id"), col("sub_id"), col("m.cluster").as("code"), col("m.dist2").as("dist2"))
+
+  def pqEncode(s: SparkSession, d: String): DataFrame = {
+    // subs feeds both codebook learning and assignment; materialize once.
+    val subs = pqSubs(quantizedCorpus(s, d)).localCheckpoint()
+    pqAssign(subs, pqCodebook(subs))
+  }
+
+  /** IVF-PQ ANN search — the compressed-domain scale path. The corpus is
+    * stored as 4 PQ codes per vector (the [[pqEncode]] format, 64× smaller
+    * than the float vectors); each query routes to its IVF list (`label`,
+    * as in [[ivfTopK]]) and scores candidates by ASYMMETRIC DISTANCE: the
+    * query precomputes a (pqSubvectors × kClusters) lookup table of exact
+    * integer squared-L2 distances from its µ-quantized subvectors to every
+    * codebook centroid, and a candidate's distance is then 4 table lookups
+    * summed — the scan phase never touches a float vector. That is the
+    * IVF-ADC search loop of a production ANN index (Jégou et al., PQ for
+    * nearest neighbor search, TPAMI'11), expressed relationally:
+    *
+    *  - codebook: broadcast (32 rows);
+    *  - LUT: |queries| × 32 rows, built by one broadcast join, folded into
+    *    a 32-slot array per query, broadcast again;
+    *  - scan: corpus codes ⋈ broadcast LUT on the IVF route — map-side,
+    *    no shuffle of the corpus;
+    *  - top-k: [[graft.functions.TopKAgg]] bounded-heap partial reduction.
+    *
+    * Everything is integer (µ² units, < 2⁵³), so ranks are deterministic
+    * and DuckDB-checkable; ties break on neighbor_id like every top-k here. */
+  def ivfpqTopK(s: SparkSession, d: String): DataFrame = {
+    val e = quantizedCorpus(s, d).localCheckpoint()
+    val subs = pqSubs(e).localCheckpoint()
+    val codebook = pqCodebook(subs)
+    val codesWide = pqAssign(subs, codebook)
+      .groupBy(col("vec_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(sub_id, code))), s -> s.code)").as("codes"))
+      .join(e.select(col("vec_id"), col("label")), "vec_id")
+    val queries = e.filter(col("vec_id") % queryStride === 0)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"), col("q"))
+    val lut = queries.crossJoin(broadcast(codebook))
+      .select(col("query_id"), col("qlabel"),
+        (col("sub_id") * kClusters + col("cluster")).as("idx"),
+        expr(s"aggregate(zip_with(slice(q, CAST(sub_id * $pqSubDim + 1 AS INT), $pqSubDim), cv, (a, b) -> (a - b) * (a - b)), 0L, (acc, v) -> acc + v)").as("ldist"))
+      .groupBy(col("query_id"), col("qlabel"))
+      .agg(expr("transform(array_sort(collect_list(struct(idx, ldist))), s -> s.ldist)").as("lut"))
+    val scored = codesWide.join(broadcast(lut),
+        col("label") === col("qlabel") && col("vec_id") =!= col("query_id"))
+      .withColumn("adist", expr(
+        s"aggregate(transform(sequence(0, ${pqSubvectors - 1}), s -> element_at(lut, CAST(s * $kClusters + element_at(codes, CAST(s + 1 AS INT)) + 1 AS INT))), 0L, (acc, v) -> acc + v)"))
+      // integer distances negate exactly in double, so DESC top-k = ASC distance
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (-col("adist").cast("double")).as("score"))
+    rankTopK(scored)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_sim_topk_ivfpq" -> ivfpqTopK,
     "x_embed_pq" -> pqEncode,
     "x_embed_kmeans_iter" -> kmeansIter,
     "x_sim_topk_brute" -> bruteForceTopK,
@@ -216,6 +280,44 @@ object Similarity {
     "list_dot_product(q.qv, c.v) / (q.qn * sqrt(list_dot_product(c.v, c.v)))"
 
   val oracle: Map[String, String] = Map(
+    "x_sim_topk_ivfpq" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, label,
+         |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |xp AS (SELECT vec_id, (i - 1) // $pqSubDim AS sub_id, (i - 1) % $pqSubDim AS dim, q[i] AS v
+         |       FROM (SELECT vec_id, q, unnest(range(1, len(q) + 1)) AS i FROM e)),
+         |c AS (SELECT sub_id, (vec_id + sub_id) % $kClusters AS cluster, dim,
+         |        CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS c
+         |      FROM xp GROUP BY 1, 2, 3),
+         |dsts AS (SELECT xp.vec_id, xp.sub_id, c.cluster,
+         |           CAST(sum((xp.v - c.c) * (xp.v - c.c)) AS BIGINT) AS dist2
+         |         FROM xp JOIN c ON xp.sub_id = c.sub_id AND xp.dim = c.dim
+         |         GROUP BY 1, 2, 3),
+         |codes AS (SELECT vec_id, sub_id, cluster AS code
+         |          FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, sub_id
+         |                       ORDER BY dist2 ASC, cluster ASC) AS rn
+         |                FROM dsts) WHERE rn = 1),
+         |qs AS (SELECT vec_id AS query_id, label AS qlabel FROM e
+         |       WHERE vec_id % $queryStride = 0),
+         |lut AS (SELECT xp.vec_id AS query_id, xp.sub_id, c.cluster,
+         |          CAST(sum((xp.v - c.c) * (xp.v - c.c)) AS BIGINT) AS ldist
+         |        FROM xp JOIN qs ON xp.vec_id = qs.query_id
+         |                JOIN c ON xp.sub_id = c.sub_id AND xp.dim = c.dim
+         |        GROUP BY 1, 2, 3),
+         |scored AS (SELECT qs.query_id, ce.vec_id AS neighbor_id,
+         |             CAST(sum(l.ldist) AS BIGINT) AS adist
+         |           FROM e ce
+         |           JOIN qs ON ce.label = qs.qlabel AND ce.vec_id <> qs.query_id
+         |           JOIN codes ON codes.vec_id = ce.vec_id
+         |           JOIN lut l ON l.query_id = qs.query_id
+         |                     AND l.sub_id = codes.sub_id AND l.cluster = codes.code
+         |           GROUP BY 1, 2),
+         |ranked AS (SELECT query_id, neighbor_id,
+         |             CAST(row_number() OVER (PARTITION BY query_id
+         |                    ORDER BY adist ASC, neighbor_id ASC) AS BIGINT) AS rnk
+         |           FROM scored)
+         |SELECT query_id, neighbor_id, rnk FROM ranked WHERE rnk <= $topK""".stripMargin,
     "x_embed_pq" ->
       s"""WITH e AS (
          |  SELECT vec_id,

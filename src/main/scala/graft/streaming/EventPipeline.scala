@@ -241,6 +241,40 @@ object EventPipeline {
       .select(col("click_id"), col("purchase_id"), col("user_id"), col("gap_us"))
   }
 
+  /** Streaming exact dedup: the event source is read TWICE (union of two
+    * independent streaming scans — every event arrives as a true duplicate,
+    * possibly in different micro-batches) and
+    * `dropDuplicatesWithinWatermark("event_id")` recovers exactly one row
+    * per event — Spark's streaming form of the exact-dedup operator, the
+    * ingest-side guard an LLM-data pipeline puts in front of its lake.
+    * WithinWatermark (not plain dropDuplicates) is the scale-correct
+    * variant: dedup state is evicted once the watermark passes an id's
+    * event time, so state is bounded by the dedup horizon, not the stream's
+    * lifetime. The bounded replay runs with a far watermark so no state
+    * evicts mid-replay; output is append — each id emits exactly once, on
+    * first arrival — and duplicates carry identical attributes, so the
+    * emitted SET is deterministic regardless of which copy wins. */
+  def streamedDedup(s: SparkSession, sfDir: String): DataFrame = {
+    val scratch = Files.createTempDirectory("graft-sdedup-").toFile.getAbsolutePath
+    def src = fileStream(s, sfDir)
+      .filter(col("event_id").isNotNull && col("ts").isNotNull)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+    val q = src.union(src)
+      .withWatermark("ts", "3650 days")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$scratch/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch((b: Dataset[Row], id: Long) => UpsertSink.writeBatch(b, id, s"$scratch/sink"))
+      .start()
+    q.awaitTermination()
+    UpsertSink.resolve(s, s"$scratch/sink", Seq("event_id"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts_us"))
+  }
+
   /** Stream-static join: the event stream enriched against the batch
     * customer ⋈ nation dimension (broadcast — the stream side never
     * shuffles for the join, the pattern every streaming enrichment uses at
@@ -275,7 +309,8 @@ object EventPipeline {
     "s_type_windows_stream" -> ((s, d) => streamedWindows(s, d, "event_type")),
     "s_session_windows_stream" -> ((s, d) => streamedSessions(s, d)),
     "s_interval_join_stream" -> ((s, d) => streamedIntervalJoin(s, d)),
-    "s_enriched_stream" -> ((s, d) => streamedEnriched(s, d)))
+    "s_enriched_stream" -> ((s, d) => streamedEnriched(s, d)),
+    "s_dedup_stream" -> ((s, d) => streamedDedup(s, d)))
 
   /** The streamed KPI table must equal the batch formulation (the core
     * Structured Streaming guarantee), so the oracle is the same window SQL.
@@ -327,6 +362,10 @@ object EventPipeline {
          | AND epoch_us(p.ts) <= epoch_us(c.ts) + $joinWindowUs""".stripMargin,
     // Update-mode cumulative totals: the final upserted row per nation equals
     // the plain batch rollup over the enriched join.
+    // Dedup of the doubled stream recovers exactly the original event set.
+    "s_dedup_stream" ->
+      """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+        |FROM events WHERE event_id IS NOT NULL AND ts IS NOT NULL""".stripMargin,
     "s_enriched_stream" ->
       """SELECT n_name, count(*) AS n_events,
         |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c_sum
