@@ -183,6 +183,29 @@ object Dedup {
         expr(s"CAST(round(CAST(n_match AS DOUBLE) * 10000 / $nSeeds) AS BIGINT)"))
   }
 
+  private val evalMod = 20
+  private val minSharedShingles = 5
+
+  /** Benchmark decontamination: flag training documents sharing ≥
+    * [[minSharedShingles]] distinct 3-word shingles with any document of the
+    * eval set (stand-in: doc_id ≡ 0 mod [[evalMod]]) — the overlap check an
+    * LLM-data pipeline runs against its benchmark suite before training.
+    * Plan shape is the decisive part at 100 TB: an eval/benchmark set is
+    * FIXED-SIZE (it does not grow with the corpus), so its exploded shingle
+    * list is broadcast, and the corpus side stays a map-side explode + hash
+    * join — the only exchange is the partial-aggregated (doc, eval) overlap
+    * count. The corpus text is never shuffled and never self-joined. */
+  def decontaminate(s: SparkSession, d: String): DataFrame = {
+    val sh = shingleSets(s, d).select(col("doc_id"), col("sh"))
+    val eval = sh.filter(col("doc_id") % evalMod === 0)
+      .select(col("sh"), col("doc_id").as("eval_id"))
+    sh.filter(col("doc_id") % evalMod =!= 0)
+      .join(broadcast(eval), "sh")
+      .groupBy(col("doc_id"), col("eval_id"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minSharedShingles)
+  }
+
   /** The complete near-dup pipeline, candidates → EXACT verify: LSH band
     * pairs ([[minhashLsh]]) verified by true Jaccard over the documents'
     * shingle SETS. Where [[jaccardEstimate]] reads only the 16-long
@@ -336,6 +359,7 @@ object Dedup {
     "x_dedup_minhash_lsh" -> minhashLsh,
     "x_dedup_jaccard_est" -> jaccardEstimate,
     "x_dedup_lsh_verified" -> lshVerified,
+    "x_decontaminate" -> decontaminate,
     "x_dedup_simhash" -> simhash,
     "x_dedup_simhash_pairs" -> simhashPairs,
     "x_dedup_embedding_cosine" -> embeddingCosine,
@@ -405,6 +429,13 @@ object Dedup {
          |       CAST(round(CAST(n_match AS DOUBLE) * 10000 / $nSeeds) AS BIGINT) AS est_j_bp
          |FROM est""".stripMargin
     },
+    "x_decontaminate" ->
+      s"""$shingleSqlCtes,
+         |ev AS (SELECT sh, doc_id AS eval_id FROM s WHERE doc_id % $evalMod = 0),
+         |tr AS (SELECT doc_id, sh FROM s WHERE doc_id % $evalMod <> 0)
+         |SELECT tr.doc_id, ev.eval_id, count(*) AS shared
+         |FROM tr JOIN ev USING (sh)
+         |GROUP BY 1, 2 HAVING count(*) >= $minSharedShingles""".stripMargin,
     "x_dedup_lsh_verified" ->
       s"""$shingleSqlCtes,
          |$minhashPairsSqlCtes,

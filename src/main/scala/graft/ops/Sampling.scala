@@ -51,9 +51,31 @@ object Sampling {
       .filter(substring(col("h"), 1, 1).isin("0", "1", "2", "3"))
       .select(col("doc_id"), col("lang"), col("source"))
 
+  /** Domain-mixing weights: the per-stratum resampling factor that rebalances
+    * the corpus toward a uniform-over-domains target mixture (weight > 10000
+    * bp = upsample this stratum, < 10000 bp = downsample) — the knob behind
+    * published training-mixture recipes where rare domains are upweighted
+    * relative to their raw share. weight_bp = target_share / actual_share =
+    * total / (n_strata × n_docs), in basis points; one integer division per
+    * stratum, so exact and engine-portable. Plan: one shuffle for the stratum
+    * counts (partial agg map-side), a 1-row global agg broadcast back —
+    * stratum cardinality is |lang|×|source|, a constant next to corpus size. */
+  def mixWeights(s: SparkSession, d: String): DataFrame = {
+    val strata = Tables.documents(s, d)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val totals = strata.agg(
+      sum(col("n_docs")).as("total"), count(lit(1)).as("n_strata"))
+    strata.crossJoin(broadcast(totals))
+      .select(col("lang"), col("source"), col("n_docs"),
+        expr("CAST(round(CAST(total * 10000 AS DOUBLE) / (n_strata * n_docs)) AS BIGINT)")
+          .as("weight_bp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_sample_quota" -> quotaSample,
-    "x_sample_hash" -> hashSample)
+    "x_sample_hash" -> hashSample,
+    "x_mix_weights" -> mixWeights)
 
   val oracle: Map[String, String] = Map(
     "x_sample_quota" ->
@@ -65,5 +87,11 @@ object Sampling {
          |SELECT doc_id, lang, source, rnk FROM ranked WHERE rnk <= $quotaPerStratum""".stripMargin,
     "x_sample_hash" ->
       """SELECT doc_id, lang, source FROM documents
-        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1', '2', '3')""".stripMargin)
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1', '2', '3')""".stripMargin,
+    "x_mix_weights" ->
+      """WITH strata AS (SELECT lang, source, count(*) AS n_docs FROM documents GROUP BY 1, 2),
+        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total, count(*) AS n_strata FROM strata)
+        |SELECT lang, source, n_docs,
+        |       CAST(round(CAST(total * 10000 AS DOUBLE) / (n_strata * n_docs)) AS BIGINT) AS weight_bp
+        |FROM strata, t""".stripMargin)
 }
