@@ -77,17 +77,26 @@ object Similarity {
     * candidate sets, so the metric costs two searches plus a dashboard-sized
     * join at any corpus size. `n_ivf` < k flags queries whose inverted list
     * ran short — recall and coverage in one row. */
-  def recallIvf(s: SparkSession, d: String): DataFrame = {
-    val brute = bruteForceTopK(s, d).select(col("query_id"), col("neighbor_id"))
-    val ivf = ivfTopK(s, d).select(col("query_id"), col("neighbor_id"))
+  def recallIvf(s: SparkSession, d: String): DataFrame =
+    recallOf(bruteForceTopK(s, d), ivfTopK(s, d), "n_ivf")
+
+  /** Recall@k of the compressed-domain [[ivfpqTopK]] search against the
+    * brute-force ground truth — prices what the 64× PQ compression costs in
+    * answer quality, the number an IVF-PQ deployment tunes m/k against. */
+  def recallPq(s: SparkSession, d: String): DataFrame =
+    recallOf(bruteForceTopK(s, d), ivfpqTopK(s, d), "n_ann")
+
+  private def recallOf(bruteDf: DataFrame, approxDf: DataFrame, nApproxCol: String): DataFrame = {
+    val brute = bruteDf.select(col("query_id"), col("neighbor_id"))
+    val approx = approxDf.select(col("query_id"), col("neighbor_id"))
     val nB = brute.groupBy(col("query_id")).agg(count(lit(1)).as("n_brute"))
-    val nI = ivf.groupBy(col("query_id")).agg(count(lit(1)).as("n_ivf"))
-    val common = brute.join(ivf, Seq("query_id", "neighbor_id"))
+    val nA = approx.groupBy(col("query_id")).agg(count(lit(1)).as(nApproxCol))
+    val common = brute.join(approx, Seq("query_id", "neighbor_id"))
       .groupBy(col("query_id")).agg(count(lit(1)).as("n_common"))
-    nB.join(nI, Seq("query_id"), "left")
+    nB.join(nA, Seq("query_id"), "left")
       .join(common, Seq("query_id"), "left")
       .select(col("query_id"), col("n_brute"),
-        coalesce(col("n_ivf"), lit(0L)).as("n_ivf"),
+        coalesce(col(nApproxCol), lit(0L)).as(nApproxCol),
         coalesce(col("n_common"), lit(0L)).as("n_common"))
       .withColumn("recall_bp",
         expr("CAST(round(CAST(n_common AS DOUBLE) * 10000 / n_brute) AS BIGINT)"))
@@ -273,14 +282,17 @@ object Similarity {
     "x_sim_topk_brute" -> bruteForceTopK,
     "x_sim_topk_ivf" -> ivfTopK,
     "x_sim_recall" -> recallIvf,
+    "x_sim_recall_pq" -> recallPq,
     "x_embed_centroids" -> centroids,
     "x_embed_quantize" -> quantize)
 
   private val cosSql =
     "list_dot_product(q.qv, c.v) / (q.qn * sqrt(list_dot_product(c.v, c.v)))"
 
-  val oracle: Map[String, String] = Map(
-    "x_sim_topk_ivfpq" ->
+  /** CTE chain ending in `ranked` — the full IVF-PQ pipeline (quantize →
+    * codebook → codes → LUT → asymmetric scores → rank); shared by the
+    * `x_sim_topk_ivfpq` and `x_sim_recall_pq` oracles. */
+  private def ivfpqSqlCtes: String =
       s"""WITH e AS (
          |  SELECT vec_id, label,
          |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
@@ -316,8 +328,35 @@ object Similarity {
          |ranked AS (SELECT query_id, neighbor_id,
          |             CAST(row_number() OVER (PARTITION BY query_id
          |                    ORDER BY adist ASC, neighbor_id ASC) AS BIGINT) AS rnk
-         |           FROM scored)
+         |           FROM scored)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "x_sim_topk_ivfpq" ->
+      s"""$ivfpqSqlCtes
          |SELECT query_id, neighbor_id, rnk FROM ranked WHERE rnk <= $topK""".stripMargin,
+    "x_sim_recall_pq" ->
+      s"""$ivfpqSqlCtes,
+         |ta AS (SELECT query_id, neighbor_id FROM ranked WHERE rnk <= $topK),
+         |cc AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |cq AS (SELECT vec_id AS query_id, v AS qv, sqrt(list_dot_product(v, v)) AS qn
+         |       FROM cc WHERE vec_id % $queryStride = 0),
+         |sb AS (SELECT q.query_id, c.vec_id AS neighbor_id, $cosSql AS score
+         |       FROM cc c, cq q WHERE c.vec_id <> q.query_id),
+         |rb AS (SELECT query_id, neighbor_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |                ORDER BY score DESC, neighbor_id ASC) AS rnk
+         |       FROM sb),
+         |tb AS (SELECT query_id, neighbor_id FROM rb WHERE rnk <= $topK),
+         |nb AS (SELECT query_id, count(*) AS n_brute FROM tb GROUP BY 1),
+         |na AS (SELECT query_id, count(*) AS n_ann FROM ta GROUP BY 1),
+         |cm AS (SELECT tb.query_id, count(*) AS n_common
+         |       FROM tb JOIN ta USING (query_id, neighbor_id) GROUP BY 1)
+         |SELECT nb.query_id, nb.n_brute,
+         |       COALESCE(na.n_ann, 0) AS n_ann,
+         |       COALESCE(cm.n_common, 0) AS n_common,
+         |       CAST(round(CAST(COALESCE(cm.n_common, 0) AS DOUBLE) * 10000 / nb.n_brute)
+         |            AS BIGINT) AS recall_bp
+         |FROM nb LEFT JOIN na USING (query_id) LEFT JOIN cm USING (query_id)""".stripMargin,
     "x_embed_pq" ->
       s"""WITH e AS (
          |  SELECT vec_id,
