@@ -72,10 +72,33 @@ object Sampling {
           .as("weight_bp"))
   }
 
+  private val ctxLen = 2048
+
+  /** Training-sequence packing: the assembly step that concatenates a
+    * corpus stream and cuts it into fixed-length context windows
+    * ([[ctxLen]] whitespace tokens) — each document gets its start offset
+    * in the stratum's token stream and the id of the sequence its first
+    * token lands in (documents may span a boundary; the trainer's loader
+    * slices by offset). Deterministic order (doc_id within lang) makes the
+    * packing reproducible and oracle-checkable — the property an auditable
+    * training set needs. Plan: one window cumsum per stratum, parallel
+    * across strata; at 100 TB you'd sub-shard hot strata by a hash prefix
+    * (per-shard token streams), the same plan one level down. */
+  def packSequences(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("start_off", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("seq_id", expr(s"start_off div $ctxLen"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_sample_quota" -> quotaSample,
     "x_sample_hash" -> hashSample,
-    "x_mix_weights" -> mixWeights)
+    "x_mix_weights" -> mixWeights,
+    "x_pack_sequences" -> packSequences)
 
   val oracle: Map[String, String] = Map(
     "x_sample_quota" ->
@@ -93,5 +116,16 @@ object Sampling {
         |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total, count(*) AS n_strata FROM strata)
         |SELECT lang, source, n_docs,
         |       CAST(round(CAST(total * 10000 AS DOUBLE) / (n_strata * n_docs)) AS BIGINT) AS weight_bp
-        |FROM strata, t""".stripMargin)
+        |FROM strata, t""".stripMargin,
+    "x_pack_sequences" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+         |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |           FROM documents),
+         |c AS (SELECT doc_id, lang, n_tokens,
+         |        sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |              ROWS UNBOUNDED PRECEDING) - n_tokens AS start_off
+         |      FROM t)
+         |SELECT doc_id, lang, n_tokens, CAST(start_off AS BIGINT) AS start_off,
+         |       CAST(start_off // $ctxLen AS BIGINT) AS seq_id
+         |FROM c""".stripMargin)
 }

@@ -62,6 +62,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark: dupes inside the horizon drop, evicted ids may re-emit") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Evt]
+    val out = ms.toDF()
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("user_id")
+    val q = out.writeStream.format("memory").queryName("dedup_wm")
+      .outputMode("append").start()
+    try {
+      // Two arrivals of the same id within the horizon: exactly one emits.
+      ms.addData(Evt("a", "click", ts("2026-01-01 00:00:00")))
+      q.processAllAvailable()
+      ms.addData(Evt("a", "view", ts("2026-01-01 00:05:00")))
+      q.processAllAvailable()
+      assert(spark.table("dedup_wm").filter($"user_id" === "a").count() == 1,
+        "duplicate inside the watermark horizon must drop")
+
+      // Advance the watermark past a's expiry (00:10) → its dedup state is
+      // evicted; a re-arrival with a fresh event time emits AGAIN. That leak
+      // is the contract: state is bounded by the horizon, and the horizon is
+      // the dedup guarantee — not stream-lifetime uniqueness.
+      ms.addData(Evt("adv", "click", ts("2026-01-01 01:00:00")))
+      q.processAllAvailable()
+      ms.addData(Evt("a", "purchase", ts("2026-01-01 01:05:00")))
+      q.processAllAvailable()
+      assert(spark.table("dedup_wm").filter($"user_id" === "a").count() == 2,
+        "an id re-arriving after its state was evicted re-emits (bounded state)")
+    } finally q.stop()
+  }
+
   // ------------------------------------------------------------------- S3/S6
 
   test("upsert sink is idempotent under micro-batch replay and last-write-wins per key") {
