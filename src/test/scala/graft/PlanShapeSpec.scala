@@ -1,0 +1,38 @@
+package graft
+
+/** Physical-plan shape assertions for the round-5 curation operators — the
+  * scale properties their scaladocs claim, pinned so a refactor that
+  * silently de-broadcasts a join or adds an exchange fails loudly. */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("decontaminate joins the corpus against a BROADCAST eval set, never sort-merge") {
+    val p = plan("x_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), s"eval shingles must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus must not sort-merge:\n$p")
+  }
+
+  test("mix_weights broadcasts the 1-row totals — no shuffle join") {
+    val p = plan("x_mix_weights")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"totals must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("pack_sequences runs ONE exchange (stratum repartition) then the window") {
+    val p = plan("x_pack_sequences")
+    assert(p.contains("Window"), p)
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, s"expected exactly one exchange (by lang), got $exchanges:\n$p")
+  }
+
+  test("lsh_verified computes intersections in-row: no explode after the candidate join") {
+    val p = plan("x_dedup_lsh_verified")
+    // the only Generate (explode) nodes belong to shingling/banding BEFORE
+    // the pair join; array_intersect must not re-explode shingle sets
+    assert(p.contains("array_intersect"), p)
+    assert(!p.contains("SortMergeJoin"), s"pair verify joins must hash/broadcast:\n$p")
+  }
+}
