@@ -72,7 +72,7 @@ object Sampling {
           .as("weight_bp"))
   }
 
-  private val ctxLen = 2048
+  private[ops] val ctxLen = 2048
 
   /** Training-sequence packing: the assembly step that concatenates a
     * corpus stream and cuts it into fixed-length context windows

@@ -240,7 +240,10 @@ object TextAnalysis {
     * content-hash aggregation joined back semi-style, and the rollup reuses
     * the already-filtered stream. Per-stage doc counts are carried through
     * so the output shows the funnel (total → quality → kept) per stratum. */
-  def curation(s: SparkSession, d: String): DataFrame = {
+  /** Quality gate → exact-dedup keep-list, the curated document set both
+    * [[curation]] (the funnel rollup) and [[packCurated]] (the training-set
+    * assembly) consume. */
+  private def curatedDocs(s: SparkSession, d: String): DataFrame = {
     val en = stoplists.toMap.apply("en")
     val base = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("source"), col("text"),
@@ -254,15 +257,36 @@ object TextAnalysis {
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
     quality.join(keep, Seq("doc_id"), "left_semi")
+  }
+
+  def curation(s: SparkSession, d: String): DataFrame =
+    curatedDocs(s, d)
       .groupBy(col("lang"), col("source"))
       .agg(
         count(lit(1)).as("n_kept"),
         sum(col("n_words")).as("n_tokens"),
         min(col("doc_id")).as("min_doc_id"))
+
+  /** The full training-set assembly, composed end to end: quality gate →
+    * exact dedup → per-stratum sequence packing ([[Sampling.packSequences]]
+    * over the CURATED set instead of the raw corpus). Each surviving
+    * document gets its offset and context-window id in its stratum's token
+    * stream — the handoff artifact between a curation pipeline and a
+    * training loader. Same plan shapes as the parts: gate is map-side, the
+    * keep-list is one content-hash shuffle, packing is one window per
+    * stratum. */
+  def packCurated(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    curatedDocs(s, d)
+      .select(col("doc_id"), col("lang"), col("n_words"))
+      .withColumn("start_off", sum(col("n_words")).over(w) - col("n_words"))
+      .withColumn("seq_id", expr(s"start_off div ${Sampling.ctxLen}"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_curation_pipeline" -> curation,
+    "x_pack_curated" -> packCurated,
     "x_text_oov" -> oov,
     "x_text_repetition" -> repetition,
     "x_text_tfidf" -> tfidf,
@@ -291,6 +315,25 @@ object TextAnalysis {
            |       CAST(min(doc_id) AS BIGINT) AS min_doc_id
            |FROM q WHERE doc_id IN (SELECT doc_id FROM k)
            |GROUP BY 1, 2""".stripMargin,
+      "x_pack_curated" ->
+        s"""WITH w AS (SELECT doc_id, lang, source, text,
+           |             string_split(text, ' ') AS words FROM documents),
+           |b AS (SELECT doc_id, lang, source, text,
+           |        CAST(len(words) AS BIGINT) AS n_words,
+           |        CAST(${hitsSql("words", Seq("the", "a", "of", "and", "is"))} AS BIGINT) AS n_stop
+           |      FROM w),
+           |q AS (SELECT * FROM b
+           |      WHERE n_words >= 20 AND n_words <= 2000 AND n_stop >= 1),
+           |k AS (SELECT CAST(min(doc_id) AS BIGINT) AS doc_id FROM q GROUP BY md5(text)),
+           |kd AS (SELECT doc_id, lang, n_words FROM q
+           |       WHERE doc_id IN (SELECT doc_id FROM k)),
+           |c AS (SELECT doc_id, lang, n_words,
+           |        sum(n_words) OVER (PARTITION BY lang ORDER BY doc_id
+           |              ROWS UNBOUNDED PRECEDING) - n_words AS start_off
+           |      FROM kd)
+           |SELECT doc_id, lang, n_words, CAST(start_off AS BIGINT) AS start_off,
+           |       CAST(start_off // ${Sampling.ctxLen} AS BIGINT) AS seq_id
+           |FROM c""".stripMargin,
       "x_text_oov" ->
         s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
            |tk AS (SELECT doc_id, token FROM t WHERE length(token) > 0),
