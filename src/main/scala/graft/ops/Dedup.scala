@@ -230,6 +230,34 @@ object Dedup {
         expr("CAST(round(CAST(inter * 10000 AS DOUBLE) / (n_a + n_b - inter)) AS BIGINT)"))
   }
 
+  /** Per-document duplicate-shingle coverage: what fraction of a document's
+    * distinct 3-shingles also occur in at least one OTHER document — the
+    * per-doc "how much of this text is boilerplate" score web-corpus
+    * pipelines threshold on after fuzzy dedup (a doc can evade pairwise
+    * dedup yet still be 80% recycled fragments). Plan: one shuffle
+    * aggregates shingle document-frequency, the df≥2 survivors (in a mostly
+    * unique corpus, a small fraction of shingle space) semi-join back
+    * against the exploded shingles, and a per-doc count finishes; the
+    * denominator is read map-side off the in-row shingle array, so the
+    * corpus text itself is never shuffled. Emits basis points — integer,
+    * engine-portable. */
+  def dupCoverage(s: SparkSession, d: String): DataFrame = {
+    val sh = shingleSets(s, d).select(col("doc_id"), col("sh"))
+    val dup = sh.groupBy(col("sh"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+      .select(col("sh"))
+    val perDoc = sh.join(dup, Seq("sh"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+    shingleArrays(s, d)
+      .select(col("doc_id"), size(col("shs")).cast("long").as("n_shingles"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+      .withColumn("dup_bp",
+        expr("CAST(round(CAST(n_dup AS DOUBLE) * 10000 / n_shingles) AS BIGINT)"))
+  }
+
   private val simBits = 32
 
   /** SimHash (32-bit): bit j is the sign of the sum over distinct shingles
@@ -359,6 +387,7 @@ object Dedup {
     "x_dedup_minhash_lsh" -> minhashLsh,
     "x_dedup_jaccard_est" -> jaccardEstimate,
     "x_dedup_lsh_verified" -> lshVerified,
+    "x_dup_coverage" -> dupCoverage,
     "x_decontaminate" -> decontaminate,
     "x_dedup_simhash" -> simhash,
     "x_dedup_simhash_pairs" -> simhashPairs,
@@ -429,6 +458,16 @@ object Dedup {
          |       CAST(round(CAST(n_match AS DOUBLE) * 10000 / $nSeeds) AS BIGINT) AS est_j_bp
          |FROM est""".stripMargin
     },
+    "x_dup_coverage" ->
+      s"""$shingleSqlCtes,
+         |df AS (SELECT sh FROM s GROUP BY sh HAVING count(*) >= 2),
+         |pd AS (SELECT doc_id, count(*) AS n_dup FROM s
+         |       WHERE sh IN (SELECT sh FROM df) GROUP BY doc_id),
+         |tot AS (SELECT doc_id, count(*) AS n_shingles FROM s GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(t.n_shingles AS BIGINT) AS n_shingles,
+         |       CAST(coalesce(pd.n_dup, 0) AS BIGINT) AS n_dup,
+         |       CAST(round(coalesce(pd.n_dup, 0) * 10000.0 / t.n_shingles) AS BIGINT) AS dup_bp
+         |FROM tot t LEFT JOIN pd USING (doc_id)""".stripMargin,
     "x_decontaminate" ->
       s"""$shingleSqlCtes,
          |ev AS (SELECT sh, doc_id AS eval_id FROM s WHERE doc_id % $evalMod = 0),

@@ -155,7 +155,29 @@ object Relational {
       .withColumn("quartile", ntile(4).over(w).cast("long"))
   }
 
+  /** Hot-key aggregation via explicit two-stage salting
+    * ([[graft.functions.Skew.saltedSum]]): per-flag row and quantity totals
+    * over lineitem, whose grouping key has cardinality 3 — the worst-case
+    * "every row funnels to three reducers" shape. The salt splits each flag
+    * into 16 sub-groups for the first aggregation, the second merges the
+    * partials, so no reducer ever sees more than ~1/16 of a flag's rows;
+    * the rewrite is exact (count/sum are algebraic), which is what the
+    * oracle's direct GROUP BY checks. This is the manual form of what
+    * Spark's partial aggregation does for simple aggregates — kept
+    * first-class because the same rewrite is the only remedy for skewed
+    * aggregates partial agg can't reduce (e.g. count-distinctish state) and
+    * for pre-AQE skew joins. */
+  def saltedCounts(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_quantity").cast("long").as("qty"))
+    graft.functions.Skew.saltedSum(li, "l_returnflag", col("qty"), "sum_qty")
+      .join(graft.functions.Skew.saltedCount(li, "l_returnflag", "n_rows"),
+        Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("n_rows"), col("sum_qty"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "h_salted_count" -> saltedCounts,
     "h_cube_summary" -> cubeSummary,
     "h_window_suite" -> windowSuite,
     "h_quantiles" -> quantiles,
@@ -171,6 +193,10 @@ object Relational {
   private val centsSql = (c: String) => s"CAST(round($c * 100) AS BIGINT)"
 
   val oracle: Map[String, String] = Map(
+    "h_salted_count" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "h_cube_summary" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
         |       CAST(sum(l_quantity) AS BIGINT) AS sum_qty

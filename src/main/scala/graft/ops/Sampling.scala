@@ -72,6 +72,28 @@ object Sampling {
           .as("weight_bp"))
   }
 
+  /** Deterministic stratified train/val/test split: the first hex char of
+    * md5(doc_id) buckets each document 12/2/2 sixteenths into
+    * train/val/test, and the query rolls up doc and token counts per
+    * (split, lang) — the audit table a pipeline publishes alongside the
+    * split itself. Membership is a pure function of the stable key, so the
+    * split is reproducible across runs, engines and partitionings, docs
+    * never migrate between splits as the corpus grows, and the held-out
+    * sets stay leak-free without any coordination. Plan: map-side hash +
+    * bucket, one shuffle for the ≤3×|lang| rollup rows. */
+  def splitAssign(s: SparkSession, d: String): DataFrame = {
+    val hx = substring(md5(col("doc_id").cast("string")), 1, 1)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_words"), hx.as("hx"))
+      .withColumn("split",
+        when(col("hx").isin("c", "d"), lit("val"))
+          .when(col("hx").isin("e", "f"), lit("test"))
+          .otherwise(lit("train")))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_tokens"))
+  }
+
   private[ops] val ctxLen = 2048
 
   /** Training-sequence packing: the assembly step that concatenates a
@@ -98,6 +120,7 @@ object Sampling {
     "x_sample_quota" -> quotaSample,
     "x_sample_hash" -> hashSample,
     "x_mix_weights" -> mixWeights,
+    "x_split_assign" -> splitAssign,
     "x_pack_sequences" -> packSequences)
 
   val oracle: Map[String, String] = Map(
@@ -117,6 +140,16 @@ object Sampling {
         |SELECT lang, source, n_docs,
         |       CAST(round(CAST(total * 10000 AS DOUBLE) / (n_strata * n_docs)) AS BIGINT) AS weight_bp
         |FROM strata, t""".stripMargin,
+    "x_split_assign" ->
+      """WITH b AS (SELECT doc_id, lang,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS hx
+        |           FROM documents)
+        |SELECT CASE WHEN hx IN ('c', 'd') THEN 'val'
+        |            WHEN hx IN ('e', 'f') THEN 'test'
+        |            ELSE 'train' END AS split,
+        |       lang, count(*) AS n_docs, CAST(sum(n_words) AS BIGINT) AS n_tokens
+        |FROM b GROUP BY 1, 2""".stripMargin,
     "x_pack_sequences" ->
       s"""WITH t AS (SELECT doc_id, lang,
          |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens

@@ -125,6 +125,49 @@ class OpsSpec extends SparkSpec {
     assert(sh.filter($"simhash" < 0 || $"simhash" >= (1L << 32)).isEmpty)
   }
 
+  test("dup coverage equals a driver-side shingle-frequency recomputation") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .as[(Long, String)].collect()
+    val shingles = docs.map { case (id, t) =>
+      val w = t.split(" ")
+      id -> w.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }.filter(_._2.nonEmpty).toMap
+    val df = shingles.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val want = shingles.map { case (id, shs) =>
+      val nDup = shs.count(df(_) >= 2)
+      (id, shs.size.toLong, nDup.toLong,
+        math.round(nDup.toDouble * 10000 / shs.size))
+    }.toSet
+    val got = Dedup.dupCoverage(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == want)
+  }
+
+  // ------------------------------------------------------------- Sampling
+
+  test("split assignment partitions the corpus: no doc lost, none counted twice") {
+    val out = Sampling.splitAssign(spark, sf).collect()
+    val total = Tables.documents(spark, sf).count()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == total)
+    assert(out.map(r => (r.getString(0), r.getString(1))).distinct.length == out.length)
+    val splits = out.map(_.getString(0)).toSet
+    assert(splits.subsetOf(Set("train", "val", "test")))
+    // hash-space shares: train gets 12/16 of buckets, so it must dominate
+    val perSplit = out.groupBy(_.getString(0)).view.mapValues(_.map(_.getAs[Long]("n_docs")).sum)
+    assert(perSplit.getOrElse("train", 0L) > perSplit.getOrElse("val", 0L))
+    assert(perSplit.getOrElse("train", 0L) > perSplit.getOrElse("test", 0L))
+  }
+
+  test("salted hot-key aggregation ≡ the direct groupBy it rewrites") {
+    val direct = Tables.lineitem(spark, sf)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_rows"), sum($"l_quantity".cast("long")).as("sum_qty"))
+      .as[(String, Long, Long)].collect().toSet
+    val salted = Relational.saltedCounts(spark, sf)
+      .as[(String, Long, Long)].collect().toSet
+    assert(salted == direct)
+  }
+
   // ---------------------------------------------------------- TextAnalysis
 
   test("map-side winnow ≡ the explode+window formulation it replaced") {
