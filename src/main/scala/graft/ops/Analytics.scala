@@ -69,13 +69,40 @@ object Analytics {
     uw(s, d).agg(count(lit(1)).as("user_rows"))
       .crossJoin(tw(s, d).agg(count(lit(1)).as("type_rows")))
 
+  /** Anomalous KPI windows: (window, user) rows whose interaction count
+    * sits more than 3σ above the table-wide mean — the "flag the spike"
+    * query a monitoring dashboard layers on the KPI table. The 3σ test is
+    * evaluated in EXACT integer arithmetic on raw moments
+    * (x − μ > 3σ  ⇔  n·x − s > 0  ∧  (n·x − s)² > 9·(n·ss − s²), with
+    * s = Σx, ss = Σx²), so the flagged set is bit-reproducible across
+    * engines — no floating-point σ near the threshold. (At extreme corpus
+    * sizes the squared terms would outgrow Int64 and a production variant
+    * would move to DECIMAL or double z-scores; the integer form is what
+    * makes the oracle exact.) Plan: one 1-row moment aggregation broadcast
+    * back over the KPI table — map-side filter, no second shuffle. */
+  def anomalyWindows(s: SparkSession, d: String): DataFrame = {
+    val k = uw(s, d)
+    val moments = k.agg(
+      count(lit(1)).as("n"),
+      sum(col("total_interactions")).as("s"),
+      sum(col("total_interactions") * col("total_interactions")).as("ss"))
+    k.crossJoin(broadcast(moments))
+      .filter(col("n") * col("total_interactions") - col("s") > 0)
+      .filter((col("n") * col("total_interactions") - col("s")) *
+        (col("n") * col("total_interactions") - col("s")) >
+        lit(9L) * (col("n") * col("ss") - col("s") * col("s")))
+      .select(col("window_start"), col("window_end"), col("user_id"),
+        col("total_interactions"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_kpi_avg" -> kpiAvg,
     "d_kpi_extremes" -> kpiExtremes,
     "d_recent_windows" -> recentWindows,
     "d_top_users" -> topUsers,
     "d_latest_snapshot" -> latestSnapshot,
-    "d_row_counts" -> rowCounts)
+    "d_row_counts" -> rowCounts,
+    "d_anomaly" -> anomalyWindows)
 
   val oracle: Map[String, String] = Map(
     "d_kpi_avg" ->
@@ -101,5 +128,17 @@ object Analytics {
     "d_row_counts" ->
       s"""WITH uw AS ($uwSql), tw AS ($twSql)
          |SELECT (SELECT count(*) FROM uw) AS user_rows,
-         |       (SELECT count(*) FROM tw) AS type_rows""".stripMargin)
+         |       (SELECT count(*) FROM tw) AS type_rows""".stripMargin,
+    "d_anomaly" ->
+      s"""WITH uw AS ($uwSql),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |             CAST(sum(total_interactions) AS BIGINT) AS s,
+         |             CAST(sum(total_interactions * total_interactions) AS BIGINT) AS ss
+         |      FROM uw)
+         |SELECT window_start, window_end, user_id,
+         |       CAST(total_interactions AS BIGINT) AS total_interactions
+         |FROM uw, m
+         |WHERE n * total_interactions - s > 0
+         |  AND (n * total_interactions - s) * (n * total_interactions - s)
+         |      > 9 * (n * ss - s * s)""".stripMargin)
 }

@@ -70,6 +70,59 @@ class Streaming2Spec extends SparkSpec {
     }
   }
 
+  test("watermark survives restart: late rows stay dropped under the RECOVERED watermark") {
+    // Run 1 ingests events up to 10:09 under a 10-minute watermark (→ 9:59,
+    // persisted in the commit log). Run 2 restarts from the checkpoint and
+    // ingests a 9:30 straggler plus a 10:30 event. A FRESH query would start
+    // at watermark 0, accept the straggler, and emit its windows once 10:30
+    // advanced the watermark past them; a correctly-recovered query drops the
+    // row on arrival (9:30 < 9:59). The straggler's absence from the sink is
+    // therefore exactly the "watermark state is durable" contract (S6 + C5).
+    val scratch = tmp("graft-wm-")
+    val (src, sink, ckpt) = (s"$scratch/src", s"$scratch/sink", s"$scratch/ckpt")
+
+    def feed(rows: (String, String)*): Unit =
+      rows.map { case (t, u) => (ts(t), u) }.toDF("ts", "user_id")
+        .coalesce(1).write.mode("append").parquet(src)
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema(spark.read.parquet(src).schema).parquet(src)
+      val q = EventPipeline.windowCounts(stream, "user_id", Some("10 minutes"))
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    feed(("2026-01-01 09:40:00", "u0"), // closes in run 1
+      ("2026-01-01 10:00:00", "u1"), ("2026-01-01 10:02:00", "u1"),
+      ("2026-01-01 10:09:00", "u1"))
+    run()
+    val first = spark.read.parquet(sink)
+      .select("window_start", "window_end", "user_id", "total_interactions")
+      .as[(java.sql.Timestamp, java.sql.Timestamp, String, Long)].collect().toSet
+    assert(first.map(_._3) == Set("u0"), s"only u0's windows close in run 1: $first")
+
+    feed(("2026-01-01 09:30:00", "u9"), // 29 min late vs recovered 9:59
+      ("2026-01-01 10:30:00", "u2"))    // advances watermark to 10:20
+    run()
+    val second = spark.read.parquet(sink)
+      .select("window_start", "window_end", "user_id", "total_interactions")
+      .as[(java.sql.Timestamp, java.sql.Timestamp, String, Long)].collect().toSeq
+
+    assert(!second.exists(_._3 == "u9"),
+      s"late row must drop under the recovered watermark: $second")
+    // u1's three windows close in run 2 with full counts; nothing re-emits
+    val u1 = second.filter(_._3 == "u1")
+      .map(r => (r._1.toString.take(16), r._4)).toSet
+    assert(u1 == Set(("2026-01-01 09:55", 2L), ("2026-01-01 10:00", 3L),
+      ("2026-01-01 10:05", 1L)), s"u1 windows: $u1")
+    assert(second.size == second.distinct.size, "append must emit each window once")
+    assert(second.toSet.intersect(first) == first, "run-1 rows must persist unchanged")
+  }
+
   test("stop mid-ingest + restart from checkpoint converges to the batch result") {
     // Half the events exist when the first run drains; the rest "arrive"
     // while the query is down. The restarted query must process ONLY the new
