@@ -28,6 +28,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges == 1, s"expected exactly one exchange (by lang), got $exchanges:\n$p")
   }
 
+  test("anomaly windows broadcast the 1-row moments — map-side filter, no second shuffle") {
+    val p = plan("d_anomaly")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"moments must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("split_assign is map-side hash + ONE rollup exchange") {
+    val p = plan("x_split_assign")
+    val shuffles = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange"))
+    assert(shuffles == 1, s"expected one shuffle (the rollup), got $shuffles:\n$p")
+    assert(!p.contains("Join"), s"no join belongs in a hash split:\n$p")
+  }
+
+  test("dup_coverage shuffles shingle PAIRS twice (df agg, doc agg) — text never shuffles") {
+    val p = plan("x_dup_coverage")
+    val shuffles = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange"))
+    assert(shuffles == 2, s"expected df-agg + per-doc-agg shuffles only, got $shuffles:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"join-backs must stay hash/broadcast:\n$p")
+  }
+
   test("lsh_verified computes intersections in-row: no explode after the candidate join") {
     val p = plan("x_dedup_lsh_verified")
     // the only Generate (explode) nodes belong to shingling/banding BEFORE
