@@ -31,6 +31,24 @@ class LakeLayoutSpec extends SparkSpec {
     assert(touched == Set(s"event_date=$day"))
   }
 
+  test("filters and projections reach the parquet scan (PushedFilters + pruned ReadSchema)") {
+    // A 2-column projection with a selective predicate must not read the
+    // whole schema: the predicate shows under PushedFilters and ReadSchema
+    // carries only the referenced columns — the difference between scanning
+    // 2 columns and scanning 100 TB.
+    val q = spark.read.parquet(s"$sf/orders.parquet")
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_orderkey", $"o_orderpriority")
+    val full = q.queryExecution.executedPlan.toString
+    assert(full.contains("PushedFilters: [IsNotNull(o_orderpriority), EqualTo(o_orderpriority,1-URGENT)]"),
+      s"predicate must push to the scan:\n$full")
+    val readSchema = full.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("o_orderkey") && readSchema.contains("o_orderpriority"),
+      readSchema)
+    assert(!readSchema.contains("o_totalprice") && !readSchema.contains("o_custkey"),
+      s"unreferenced columns must prune from the read schema: $readSchema")
+  }
+
   test("salted aggregation is exactly equivalent to the direct groupBy") {
     val events = Tables.events(spark, sf)
     val direct = events.groupBy($"user_id").agg(count(lit(1)).as("n"))
