@@ -3,10 +3,14 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 
-/** Throwaway: dump a subset of SparkEntry queries for a targeted local
-  * oracle check. Usage: runMain graft.tools.Scratch <sfDir> <outDir> <name>...
+/** Targeted slice of `graft.Verify`: dump only the named queries (plus the
+  * matching subset of oracle_sql.json) so a single new/changed operator can
+  * be DuckDB-checked in seconds instead of re-running all of them.
+  *
+  * Usage: runMain graft.tools.VerifySubset <sfDir> <outDir> <name>...
+  * then:  python3 tools/check_oracle.py <sfDir> <outDir>
   */
-object Scratch {
+object VerifySubset {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0); val outDir = args(1); val names = args.drop(2)
     val spark = SparkSession.builder()
