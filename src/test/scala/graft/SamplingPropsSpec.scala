@@ -1,0 +1,43 @@
+package graft
+
+import graft.ops.Sampling
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** ScalaCheck invariants for the deterministic sampling family: the
+  * hash-ordered quota draw must equal an independently computed driver-side
+  * selection on ANY corpus — per-stratum caps hold exactly, and the kept set
+  * is a pure function of (doc_id, lang, source), never of partitioning or
+  * row order (the reproducibility contract auditable training sets rely
+  * on). */
+class SamplingPropsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private val rowGen = for {
+    id <- Gen.choose(0L, 200L)
+    lang <- Gen.oneOf("en", "de", "fr")
+    src <- Gen.oneOf("s0", "s1")
+  } yield (id, lang, src)
+
+  test("quota sample ≡ driver-side smallest-md5 selection; caps exact; order-insensitive") {
+    val quota = 3
+    val corpusGen = Gen.choose(1, 60).flatMap(n => Gen.listOfN(n, rowGen)).map(_.distinct)
+    val prop = Prop.forAll(corpusGen, Gen.choose(1, 8)) { (rows, parts) =>
+      val df = rows.toDF("doc_id", "lang", "source").repartition(parts)
+      val got = Sampling.quotaSampleDocs(df, quota)
+        .as[(Long, String, String, Long)].collect().toSet
+      val want = rows.groupBy(r => (r._2, r._3)).toSeq.flatMap { case (_, g) =>
+        g.sortBy(r => (md5hex(r._1.toString), r._1))
+          .take(quota).zipWithIndex
+          .map { case ((id, l, s), i) => (id, l, s, i + 1L) }
+      }.toSet
+      val capsHold = got.groupBy(r => (r._2, r._3)).forall(_._2.size <= quota)
+      got == want && capsHold
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+}
