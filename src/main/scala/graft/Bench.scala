@@ -81,10 +81,16 @@ object Bench {
       (name, if (err.isEmpty) sec else -1.0, err)
     }
 
-    // 10ms precision keeps the single JSON line within the driver's
-    // 2000-char stdout tail (full double precision overflowed it at 62
-    // queries and the driver recorded "parsed": null).
-    def fmt(v: Double): String = f"$v%.2f"
+    // 10ms precision, trailing zeros stripped, keeps the single JSON line
+    // within the driver's 2000-char stdout tail (full double precision
+    // overflowed it at 62 queries and the driver recorded "parsed": null;
+    // at 76 queries the fixed-2dp form was ~1870 chars — too tight).
+    def fmt(v: Double): String = {
+      val s = java.math.BigDecimal.valueOf(v)
+        .setScale(2, java.math.RoundingMode.HALF_UP)
+        .stripTrailingZeros.toPlainString
+      if (s == "-0" || s == "0E-2") "0" else s
+    }
     val qs = results.map { case (k, v, _) => s""""$k":${fmt(v)}""" }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(m)) => s""""$k":"${m.take(80)}"""" }
     val errJson = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
@@ -92,7 +98,7 @@ object Bench {
     val loadJson =
       try {
         val l = java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
-          .split(" ").take(3).mkString(",")
+          .split(" ").take(3).map(x => f"${x.toDouble}%.1f").mkString(",")
         s""","load":[$l]"""
       } catch { case _: Throwable => "" }
     println(
