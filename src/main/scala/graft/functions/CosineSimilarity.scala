@@ -132,6 +132,12 @@ object GraftFunctions {
             s"minhash_sig: nSeeds must be a constant expression, got $other")
         }
         MinHashSig(exprs.head, n)
+      }),
+    (new FunctionIdentifier("shingles3"),
+      new ExpressionInfo(classOf[Shingles3].getName, "shingles3"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, s"shingles3 expects 1 argument, got ${exprs.length}")
+        Shingles3(exprs.head)
       }))
 
   /** Register into a live session (temp function namespace). Idempotent. */

@@ -108,6 +108,37 @@ object HashKernels {
     }
     if (n == 0) null else new GenericArrayData(mins)
   }
+
+  private val shingleSep = UTF8String.fromString(" ")
+
+  /** Distinct 3-word shingles of a word array, first-occurrence order —
+    * byte-identical to the declarative twin it replaces
+    * (`array_distinct(transform(sequence(1, size(words) - 2),
+    * i -> concat_ws(' ', slice(words, i, 3))))`): `UTF8String.concatWs` IS
+    * `concat_ws` (null elements skipped), and the LinkedHashSet reproduces
+    * `array_distinct`'s keep-first ordering. Arrays shorter than 3 words
+    * yield an empty result (callers filter them out, as the SQL twin did).
+    *
+    * Why a kernel: the HOF twin allocates a sequence array, a lambda frame,
+    * and a sliced copy PER SHINGLE, and higher-order functions evaluate
+    * interpreted — outside whole-stage codegen. One fused loop per document
+    * removes all of it; every shingle-family operator (MinHash/LSH, SimHash,
+    * Jaccard, decontamination, dup coverage) scans through this. */
+  def shingles3(words: ArrayData): ArrayData = {
+    val n = words.numElements()
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i + 2 < n) {
+      seen.add(UTF8String.concatWs(shingleSep,
+        words.getUTF8String(i), words.getUTF8String(i + 1), words.getUTF8String(i + 2)))
+      i += 1
+    }
+    val out = new Array[AnyRef](seen.size())
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
 }
 
 /** `simhash32(shingles)`: the 32-bit SimHash of a document's distinct
@@ -168,5 +199,26 @@ case class MinHashSig(child: Expression, nSeeds: Int)
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** `shingles3(words)`: distinct 3-word shingles as one map-side kernel call
+  * — the shared front stage of the whole dedup family. See
+  * [[graft.functions.HashKernels.shingles3]] for the exact declarative twin
+  * and why the fused loop beats it. */
+case class Shingles3(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes with Serializable {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingles3"
+
+  override def nullSafeEval(arr: Any): Any =
+    HashKernels.shingles3(arr.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.HashKernels.shingles3($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): Shingles3 =
     copy(child = newChild)
 }

@@ -26,14 +26,18 @@ object Dedup {
 
   /** 3-word shingle SET of `text` as an in-row array — the map-side form the
     * signature kernels consume. */
-  private def shingleArrays(s: SparkSession, d: String): DataFrame =
+  private def shingleArrays(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("source"), split(col("text"), " ").as("words"))
       .filter(size(col("words")) >= 3)
       .select(col("doc_id"), col("lang"), col("source"),
-        expr(
-          "array_distinct(transform(sequence(1, size(words) - 2), i -> concat_ws(' ', slice(words, i, 3))))"
-        ).as("shs"))
+        // native fused loop (graft.functions.Shingles3) — byte-identical to
+        // array_distinct(transform(sequence(1, size(words) - 2),
+        //   i -> concat_ws(' ', slice(words, i, 3)))), which evaluates
+        // interpreted (HOF) and allocated per shingle
+        expr("shingles3(words)").as("shs"))
+  }
 
   /** 3-word shingles (distinct, set semantics) of `text`, with block columns. */
   private def shingleSets(s: SparkSession, d: String): DataFrame =
@@ -236,24 +240,24 @@ object Dedup {
     * pipelines threshold on after fuzzy dedup (a doc can evade pairwise
     * dedup yet still be 80% recycled fragments). Plan: one shuffle
     * aggregates shingle document-frequency, the df≥2 survivors (in a mostly
-    * unique corpus, a small fraction of shingle space) semi-join back
-    * against the exploded shingles, and a per-doc count finishes; the
-    * denominator is read map-side off the in-row shingle array, so the
-    * corpus text itself is never shuffled. Emits basis points — integer,
-    * engine-portable. */
+    * unique corpus, a small fraction of shingle space) join back against
+    * the exploded shingles as a membership MARKER, and one per-doc
+    * aggregation computes numerator and denominator together (count of all
+    * shingles, count of marked ones) — two pair-keyed shuffles total, one
+    * join, and the corpus text itself is never shuffled. (An earlier
+    * formulation semi-joined then re-scanned the corpus for denominators:
+    * three text scans and an extra doc-keyed join for the same answer.)
+    * Emits basis points — integer, engine-portable. */
   def dupCoverage(s: SparkSession, d: String): DataFrame = {
     val sh = shingleSets(s, d).select(col("doc_id"), col("sh"))
     val dup = sh.groupBy(col("sh"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2)
-      .select(col("sh"))
-    val perDoc = sh.join(dup, Seq("sh"), "left_semi")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
-    shingleArrays(s, d)
-      .select(col("doc_id"), size(col("shs")).cast("long").as("n_shingles"))
-      .join(perDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_shingles"),
-        coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+      .select(col("sh"), lit(1L).as("is_dup"))
+    sh.join(dup, Seq("sh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        coalesce(sum(col("is_dup")), lit(0L)).as("n_dup"))
       .withColumn("dup_bp",
         expr("CAST(round(CAST(n_dup AS DOUBLE) * 10000 / n_shingles) AS BIGINT)"))
   }

@@ -65,6 +65,27 @@ class HashKernelsSpec extends SparkSpec {
     assert(folded.orderBy("doc_id").collect().toSeq === bare.orderBy("doc_id").collect().toSeq)
   }
 
+  test("shingles3 kernel equals the HOF array_distinct/transform/slice formulation") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val texts = Seq(
+      (1L, "a b c d e"),            // plain
+      (2L, "a b c a b c a b c"),    // duplicate shingles (distinct + order)
+      (3L, "x y z"),                // exactly one shingle
+      (4L, "多 字 节 ü ö"),          // multi-byte UTF-8
+      (5L, "a  b c d"))             // empty token from the double space
+      .toDF("doc_id", "text")
+      .select($"doc_id", split($"text", " ").as("words"))
+      .filter(size($"words") >= 3)
+    val kernel = texts.select($"doc_id", expr("shingles3(words)").as("shs"))
+    val hof = texts.select($"doc_id", expr(
+      "array_distinct(transform(sequence(1, size(words) - 2), i -> concat_ws(' ', slice(words, i, 3))))"
+    ).as("shs"))
+    val k = kernel.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getSeq[String](1)))
+    val h = hof.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getSeq[String](1)))
+    assert(k.toSeq === h.toSeq) // element ORDER included — array_distinct keeps first occurrence
+  }
+
   test("kernels stay inside whole-stage codegen and add no exchange") {
     graft.functions.GraftFunctions.register(spark)
     val plan = graft.ops.Dedup
