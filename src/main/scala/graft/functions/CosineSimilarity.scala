@@ -138,6 +138,12 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => {
         require(exprs.length == 1, s"shingles3 expects 1 argument, got ${exprs.length}")
         Shingles3(exprs.head)
+      }),
+    (new FunctionIdentifier("winnow_fp"),
+      new ExpressionInfo(classOf[WinnowFp].getName, "winnow_fp"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, s"winnow_fp expects 1 argument, got ${exprs.length}")
+        WinnowFp(exprs.head)
       }))
 
   /** Register into a live session (temp function namespace). Idempotent. */

@@ -111,6 +111,47 @@ object HashKernels {
 
   private val shingleSep = UTF8String.fromString(" ")
 
+  /** Winnowing fingerprint set (Schleimer et al., SIGMOD'03) of a word
+    * array: md5 hex over POSITIONAL 3-word shingles (duplicates kept — the
+    * window minima depend on position), minimum per sliding window of 4
+    * (windows shrink at the tail), distinct keeping first occurrence.
+    * Byte-identical to the declarative twin
+    * (`transform(sequence(1, size(words) - 2), i -> md5(concat_ws(' ',
+    * slice(words, i, 3))))` then `array_distinct(transform(sequence(1,
+    * size(hs)), i -> array_min(slice(hs, i, 4))))`): hex strings compare
+    * bytewise in both engines, so the minima agree. Arrays shorter than 3
+    * words yield an empty result. */
+  def winnowFp(words: ArrayData): ArrayData = {
+    val n = words.numElements()
+    val nSh = n - 2
+    if (nSh <= 0) return new GenericArrayData(new Array[AnyRef](0))
+    val hs = new Array[UTF8String](nSh)
+    var i = 0
+    while (i < nSh) {
+      hs(i) = UTF8String.fromString(new String(md5Hex(UTF8String.concatWs(shingleSep,
+        words.getUTF8String(i), words.getUTF8String(i + 1), words.getUTF8String(i + 2)))))
+      i += 1
+    }
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    i = 0
+    while (i < nSh) {
+      var min = hs(i)
+      var j = i + 1
+      val end = math.min(i + 4, nSh)
+      while (j < end) {
+        if (hs(j).compareTo(min) < 0) min = hs(j)
+        j += 1
+      }
+      seen.add(min)
+      i += 1
+    }
+    val out = new Array[AnyRef](seen.size())
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Distinct 3-word shingles of a word array, first-occurrence order —
     * byte-identical to the declarative twin it replaces
     * (`array_distinct(transform(sequence(1, size(words) - 2),
@@ -220,5 +261,25 @@ case class Shingles3(child: Expression)
     defineCodeGen(ctx, ev, a => s"graft.functions.HashKernels.shingles3($a)")
 
   override protected def withNewChildInternal(newChild: Expression): Shingles3 =
+    copy(child = newChild)
+}
+
+/** `winnow_fp(words)`: the distinct winnowing-fingerprint set as one
+  * map-side kernel call — see [[graft.functions.HashKernels.winnowFp]] for
+  * the exact declarative twin. */
+case class WinnowFp(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes with Serializable {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "winnow_fp"
+
+  override def nullSafeEval(arr: Any): Any =
+    HashKernels.winnowFp(arr.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.HashKernels.winnowFp($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFp =
     copy(child = newChild)
 }

@@ -81,21 +81,21 @@ object TextAnalysis {
     * per sliding window of 4 shingles, distinct per doc — the standard
     * near-dup fingerprint set (Schleimer et al., SIGMOD'03).
     *
-    * The computation is strictly per-document, so it stays map-side: build
-    * the shingle-hash array, take the sliding minima with array expressions
-    * (`array_min` over `slice` — windows shrink at the tail, matching SQL
-    * `ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING`), dedup with
-    * `array_distinct`, then explode. Zero shuffles — the explode+
-    * `Window.partitionBy(doc_id)` formulation would shuffle AND sort the
-    * entire exploded shingle set for no semantic gain. */
-  def winnow(s: SparkSession, d: String): DataFrame =
+    * The computation is strictly per-document, so it stays map-side — the
+    * native kernel [[graft.functions.WinnowFp]] (`winnow_fp`): one fused
+    * loop per document (hash shingles, sliding minima with tail-shrinking
+    * windows, keep-first distinct), then explode. Zero shuffles — the
+    * explode+`Window.partitionBy(doc_id)` formulation would shuffle AND
+    * sort the entire exploded shingle set, and the intermediate
+    * `transform`/`array_min`/`slice` HOF twin it previously used evaluated
+    * interpreted, allocating per window. */
+  def winnow(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("words"))
       .filter(size(col("words")) >= 3)
-      .withColumn("hs", expr(
-        "transform(sequence(1, size(words) - 2), i -> md5(concat_ws(' ', slice(words, i, 3))))"))
-      .select(col("doc_id"), explode(expr(
-        "array_distinct(transform(sequence(1, size(hs)), i -> array_min(slice(hs, i, 4))))")).as("fp"))
+      .select(col("doc_id"), explode(expr("winnow_fp(words)")).as("fp"))
+  }
 
   /** Corpus vocabulary: top-20 tokens per language by term frequency — the
     * counting pass behind tokenizer/vocab construction. Plan: explode →

@@ -86,6 +86,28 @@ class HashKernelsSpec extends SparkSpec {
     assert(k.toSeq === h.toSeq) // element ORDER included — array_distinct keeps first occurrence
   }
 
+  test("winnow_fp kernel equals the HOF md5/array_min/slice formulation") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val texts = Seq(
+      (1L, "a b c d e f g h"),       // several windows
+      (2L, "x y z"),                  // single shingle, single window
+      (3L, "a b c a b c a b c a b"), // repeated shingles → duplicate minima
+      (4L, "多 字 节 ü ö é è"))       // multi-byte UTF-8
+      .toDF("doc_id", "text")
+      .select($"doc_id", split($"text", " ").as("words"))
+      .filter(size($"words") >= 3)
+    val kernel = texts.select($"doc_id", expr("winnow_fp(words)").as("fps"))
+    val hof = texts
+      .withColumn("hs", expr(
+        "transform(sequence(1, size(words) - 2), i -> md5(concat_ws(' ', slice(words, i, 3))))"))
+      .select($"doc_id", expr(
+        "array_distinct(transform(sequence(1, size(hs)), i -> array_min(slice(hs, i, 4))))").as("fps"))
+    val k = kernel.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getSeq[String](1)))
+    val h = hof.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getSeq[String](1)))
+    assert(k.toSeq === h.toSeq) // order included — keep-first distinct
+  }
+
   test("kernels stay inside whole-stage codegen and add no exchange") {
     graft.functions.GraftFunctions.register(spark)
     val plan = graft.ops.Dedup
