@@ -82,17 +82,33 @@ object Bench {
     }
 
     // 10ms precision, trailing zeros stripped, keeps the single JSON line
-    // within the driver's 2000-char stdout tail (full double precision
-    // overflowed it at 62 queries and the driver recorded "parsed": null;
-    // at 76 queries the fixed-2dp form was ~1870 chars — too tight).
-    def fmt(v: Double): String = {
-      val s = java.math.BigDecimal.valueOf(v)
-        .setScale(2, java.math.RoundingMode.HALF_UP)
-        .stripTrailingZeros.toPlainString
-      if (s == "-0" || s == "0E-2") "0" else s
-    }
+    println(renderLine(results, sfDir))
+    spark.stop()
+  }
+
+  // Adaptive precision (10 ms under 10 s, 100 ms under 100 s, whole seconds
+  // above), trailing zeros stripped: keeps the single JSON line within the
+  // driver's 2000-char stdout tail even when a noisy round makes every
+  // query slow. Full double precision overflowed the tail at 62 queries
+  // (round 4 recorded "parsed": null), and fixed-2dp would overflow at 76
+  // queries × three-digit values — BenchLineSpec pins the worst case.
+  private def fmt(v: Double): String = {
+    val scale = if (v < 10) 2 else if (v < 100) 1 else 0
+    val s = java.math.BigDecimal.valueOf(v)
+      .setScale(scale, java.math.RoundingMode.HALF_UP)
+      .stripTrailingZeros.toPlainString
+    if (s == "-0" || s == "0E-2") "0" else s
+  }
+
+  /** The driver-contract JSON line. Pure so `BenchLineSpec` can pin its
+    * length budget against the full current query set without running the
+    * 8-minute benchmark. */
+  def renderLine(results: Seq[(String, Double, Option[String])], sfDir: String): String = {
     val qs = results.map { case (k, v, _) => s""""$k":${fmt(v)}""" }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(m)) => s""""$k":"${m.take(80)}"""" }
+    // error messages are sanitized at capture, but renderLine must stay
+    // JSON-safe on its own contract
+    val errs = results.collect { case (k, _, Some(m)) =>
+      s""""$k":"${m.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(80)}"""" }
     val errJson = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
     val loadJson =
@@ -101,8 +117,6 @@ object Bench {
           .split(" ").take(3).map(x => f"${x.toDouble}%.1f").mkString(",")
         s""","load":[$l]"""
       } catch { case _: Throwable => "" }
-    println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errJson$loadJson,"sf":"$sfDir"}""")
-    spark.stop()
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errJson$loadJson,"sf":"$sfDir"}"""
   }
 }

@@ -1,0 +1,35 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The driver parses `graft.Bench`'s stdout from a 2000-char tail buffer: if
+  * the JSON line (plus its newline) doesn't fit, the round records
+  * `"parsed": null` and the bench is lost (it happened in round 4). This
+  * spec renders the line for the FULL current query set under worst-case
+  * values, so adding queries past the budget fails here instead of in the
+  * driver. No Spark session needed — renderLine is pure. */
+class BenchLineSpec extends AnyFunSuite {
+
+  private val sfDir = "/root/testdata/sf0.1"
+
+  test("bench JSON line fits the driver's 2000-char tail with headroom, worst-case values") {
+    // worst case: every query at a three-digit-seconds value, nothing stripped
+    val results = SparkEntry.queries.keys.toSeq.sorted.map(k => (k, 999.99, None))
+    val line = Bench.renderLine(results, sfDir)
+    assert(line.length + 1 <= 1950,
+      s"bench line is ${line.length} chars — too close to the 2000-char tail; " +
+        "shorten query keys or the format before adding more queries")
+  }
+
+  test("bench line is valid JSON shape: balanced braces, quoted keys, no newline") {
+    val results = Seq(("q_ok", 1.5, None), ("q_err", -1.0, Some("boom \"quoted\"\npath\t")))
+    val line = Bench.renderLine(results, sfDir)
+    assert(!line.contains("\n"))
+    assert(line.startsWith("""{"metric":"total","value":1.5,"unit":"sec""""))
+    assert(line.count(_ == '{') == line.count(_ == '}'))
+    // the error payload must not smuggle raw quotes or control chars
+    assert(line.contains(""""errors":{"""))
+    val errPart = line.substring(line.indexOf(""""errors":{"""))
+    assert(!errPart.contains("\"quoted\""), "quotes in messages must be sanitized")
+  }
+}
