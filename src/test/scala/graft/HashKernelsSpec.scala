@@ -110,13 +110,15 @@ class HashKernelsSpec extends SparkSpec {
 
   test("kernels stay inside whole-stage codegen and add no exchange") {
     graft.functions.GraftFunctions.register(spark)
-    val plan = graft.ops.Dedup
-      .queries("x_dedup_simhash")(spark, sf)
-      .queryExecution.executedPlan
-    val tree = plan.toString
-    assert(!tree.contains("Exchange"), s"simhash plan must be map-side only:\n$tree")
-    // whole-stage codegen spans render as "*(n)" node prefixes
-    assert(tree.contains("*("), s"simhash plan must contain codegen'd spans:\n$tree")
+    Seq(
+      "x_dedup_simhash" -> graft.ops.Dedup.queries("x_dedup_simhash"),
+      "x_text_winnow" -> graft.ops.TextAnalysis.queries("x_text_winnow")
+    ).foreach { case (name, q) =>
+      val tree = q(spark, sf).queryExecution.executedPlan.toString
+      assert(!tree.contains("Exchange"), s"$name plan must be map-side only:\n$tree")
+      // whole-stage codegen spans render as "*(n)" node prefixes
+      assert(tree.contains("*("), s"$name plan must contain codegen'd spans:\n$tree")
+    }
   }
 
   test("empty and null shingle arrays yield null signatures, not crashes") {
