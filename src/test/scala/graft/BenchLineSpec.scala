@@ -21,6 +21,12 @@ class BenchLineSpec extends AnyFunSuite {
         "shorten query keys or the format before adding more queries")
   }
 
+  test("every declared query has a DuckDB oracle — no silent rows-only downgrades") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(q == o, s"queries without oracle: ${q -- o}; oracles without query: ${o -- q}")
+  }
+
   test("bench line is valid JSON shape: balanced braces, quoted keys, no newline") {
     val results = Seq(("q_ok", 1.5, None), ("q_err", -1.0, Some("boom \"quoted\"\npath\t")))
     val line = Bench.renderLine(results, sfDir)

@@ -108,6 +108,35 @@ class HashKernelsSpec extends SparkSpec {
     assert(k.toSeq === h.toSeq) // order included — keep-first distinct
   }
 
+  test("shingles3/winnow_fp kernels equal a plain-Scala reference on random corpora") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def refShingles(words: Seq[String]): Seq[String] =
+      words.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSeq.distinct
+    def refWinnow(words: Seq[String]): Seq[String] = {
+      val hs = words.sliding(3).filter(_.length == 3).map(w => md5hex(w.mkString(" "))).toVector
+      hs.indices.map(i => hs.slice(i, math.min(i + 4, hs.length)).min).distinct
+    }
+    val wordGen = Gen.oneOf("a", "bb", "ccc", "", "ü多", "z")
+    val corpusGen = Gen.choose(3, 24).flatMap(n => Gen.listOfN(n, wordGen))
+    val prop = Prop.forAll(Gen.choose(1, 6).flatMap(k => Gen.listOfN(k, corpusGen))) { docs =>
+      val df = docs.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "words")
+      val got = df.select($"doc_id",
+          expr("shingles3(words)").as("shs"), expr("winnow_fp(words)").as("fps"))
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getSeq[String](1), r.getSeq[String](2)))
+      val want = docs.zipWithIndex.map { case (w, i) =>
+        (i.toLong, refShingles(w), refWinnow(w)) }
+      got.toSeq == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("kernels stay inside whole-stage codegen and add no exchange") {
     graft.functions.GraftFunctions.register(spark)
     Seq(
