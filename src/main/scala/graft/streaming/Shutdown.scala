@@ -11,9 +11,30 @@ import org.apache.spark.sql.SparkSession
   */
 object Shutdown {
 
-  /** Stop all active streaming queries on the session. */
+  /** Stop all active streaming queries on the session. `stop()` lands
+    * whenever it lands — an in-flight micro-batch is cancelled (Spark logs
+    * the task kills as ERROR; checkpoint semantics are unharmed, the batch
+    * replays on restart). Appropriate for a JVM shutdown hook, where there
+    * is no time to wait. */
   def stopAll(s: SparkSession): Unit =
     s.streams.active.foreach(_.stop())
+
+  /** Quiesce-then-stop: wait (bounded) for each query to be BETWEEN
+    * micro-batches — `status.isTriggerActive == false` — then stop. No
+    * cancelled batch, no aborted writer tasks in the normal case; if a
+    * batch outlives the bound, fall through to a plain `stop()` (liveness
+    * over elegance). NOTE deliberately not `processAllAvailable()`: on a
+    * continuously-producing source (rate, live Kafka) that call can block
+    * forever — it drains "all available" data, and more keeps arriving.
+    * The planned-shutdown path an operator wants, versus [[stopAll]]'s
+    * last-resort semantics. */
+  def stopAllGraceful(s: SparkSession, quiesceMs: Long = 10000L): Unit =
+    s.streams.active.foreach { q =>
+      val deadline = System.nanoTime() + quiesceMs * 1000000L
+      while (q.status.isTriggerActive && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      q.stop()
+    }
 
   /** Install a JVM shutdown hook doing the same — the Scala analogue of the
     * reference's signal handling. */

@@ -52,7 +52,7 @@ object Pipeline {
     }
 
     Thread.sleep(seconds * 1000L)
-    Shutdown.stopAll(spark)
+    Shutdown.stopAllGraceful(spark) // drain in-flight offsets, stop between batches
     queries.foreach(_.awaitTermination())
 
     Seq("user_id", "item_id").foreach { key =>

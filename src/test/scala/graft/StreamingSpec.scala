@@ -214,6 +214,16 @@ class StreamingSpec extends SparkSpec {
     Shutdown.stopAll(spark)
     assert(spark.streams.active.isEmpty)
     assert(!q.isActive)
+
+    // graceful variant: waits for the trigger gap, stops, and must also
+    // terminate promptly on a query with pending work
+    val ms2 = MemoryStream[Evt]
+    ms2.addData(Evt("u1", "click", ts("2026-01-01 00:00:01")))
+    val q2 = EventPipeline.windowCounts(ms2.toDF(), "user_id", Some("10 minutes"))
+      .writeStream.format("noop").outputMode("update").start()
+    Shutdown.stopAllGraceful(spark, quiesceMs = 5000)
+    assert(spark.streams.active.isEmpty)
+    assert(!q2.isActive)
   }
 
   // ---------------------------------------------------------------- S1/S2/S5
