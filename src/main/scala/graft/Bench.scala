@@ -106,10 +106,16 @@ object Bench {
   def renderLine(results: Seq[(String, Double, Option[String])], sfDir: String): String = {
     val qs = results.map { case (k, v, _) => s""""$k":${fmt(v)}""" }.mkString("{", ",", "}")
     // error messages are sanitized at capture, but renderLine must stay
-    // JSON-safe on its own contract
-    val errs = results.collect { case (k, _, Some(m)) =>
-      s""""$k":"${m.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(80)}"""" }
-    val errJson = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
+    // JSON-safe on its own contract; only the first 3 are spelled out —
+    // a mass failure must not push the line past the driver's tail buffer
+    // (failed queries are still visible as value -1 in `queries`)
+    val errAll = results.collect { case (k, _, Some(m)) =>
+      s""""$k":"${m.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(60)}"""" }
+    val omitted = errAll.size - 2
+    val errJson =
+      if (errAll.isEmpty) ""
+      else errAll.take(2).mkString(""","errors":{""", ",", "}") +
+        (if (omitted > 0) s""","errors_omitted":$omitted""" else "")
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
     val loadJson =
       try {

@@ -21,6 +21,14 @@ class BenchLineSpec extends AnyFunSuite {
         "shorten query keys or the format before adding more queries")
   }
 
+  test("bench line survives a MASS failure round without overflowing the tail") {
+    val msg = Some("org.apache.spark.SparkException: something long enough to be a real stack message " + "x" * 80)
+    val results = SparkEntry.queries.keys.toSeq.sorted.map(k => (k, -1.0, msg))
+    val line = Bench.renderLine(results, sfDir)
+    assert(line.length + 1 <= 1950, s"all-failed line is ${line.length} chars")
+    assert(line.contains(""""errors_omitted":"""), "omission must be visible")
+  }
+
   test("every declared query has a DuckDB oracle — no silent rows-only downgrades") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
