@@ -133,6 +133,26 @@ object GraftFunctions {
         }
         MinHashSig(exprs.head, n)
       }),
+    (new FunctionIdentifier("stopword_hits"),
+      new ExpressionInfo(classOf[StopwordHits].getName, "stopword_hits"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"stopword_hits expects (words, stoplist literal), got ${exprs.length} args")
+        // The stoplist must fold to a constant array of strings (e.g.
+        // array('the', 'a')) — it becomes a plan-time constant in the kernel.
+        val stops = exprs(1) match {
+          case e if e.foldable && e.dataType.isInstanceOf[ArrayType] =>
+            val arr = e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+            (0 until arr.numElements()).map { i =>
+              val v = arr.getUTF8String(i)
+              require(v != null, "stopword_hits: stoplist elements must be non-null")
+              v.toString
+            }
+          case other => throw new IllegalArgumentException(
+            s"stopword_hits: stoplist must fold to an array of strings, got $other")
+        }
+        StopwordHits(exprs.head, stops)
+      }),
     (new FunctionIdentifier("shingles3"),
       new ExpressionInfo(classOf[Shingles3].getName, "shingles3"),
       (exprs: Seq[Expression]) => {

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Shared per-thread MD5 plumbing for the signature kernels: one digest
@@ -152,6 +152,33 @@ object HashKernels {
     new GenericArrayData(out)
   }
 
+  /** Count of elements of `words` that appear in `stops` — the kernel twin
+    * of `size(filter(words, x -> array_contains(array(...), x)))`:
+    * occurrences counted (not distinct), null elements never match (the HOF
+    * twin's lambda yields null for a null word → filtered out). Linear scan
+    * per word over the stoplist — for the constant 5-word lists the text
+    * pack uses, a hash set costs more than it saves; byte-wise
+    * `UTF8String.equals` matches SQL string equality exactly. */
+  def stopwordHits(words: ArrayData, stops: Array[UTF8String]): Int = {
+    val n = words.numElements()
+    var c = 0
+    var i = 0
+    while (i < n) {
+      val w = words.getUTF8String(i)
+      if (w != null) {
+        var j = 0
+        var hit = false
+        while (!hit && j < stops.length) {
+          if (stops(j).equals(w)) hit = true
+          j += 1
+        }
+        if (hit) c += 1
+      }
+      i += 1
+    }
+    c
+  }
+
   /** Distinct 3-word shingles of a word array, first-occurrence order —
     * byte-identical to the declarative twin it replaces
     * (`array_distinct(transform(sequence(1, size(words) - 2),
@@ -261,6 +288,38 @@ case class Shingles3(child: Expression)
     defineCodeGen(ctx, ev, a => s"graft.functions.HashKernels.shingles3($a)")
 
   override protected def withNewChildInternal(newChild: Expression): Shingles3 =
+    copy(child = newChild)
+}
+
+/** `stopword_hits(words, array('the', ...))`: occurrences of stoplist words
+  * in a word array as one codegen'd kernel call — the twin of
+  * `size(filter(words, x -> array_contains(array(...), x)))`, whose lambda
+  * evaluates interpreted per word (outside whole-stage codegen, one closure
+  * dispatch + array_contains scan per element). The language-ID / quality /
+  * curation-gate hot path runs this once per language per document over
+  * every word, so the constant factor is paid corpus × 4 times. The stoplist
+  * folds at plan time into a constant `UTF8String[]` referenced from the
+  * generated code. */
+case class StopwordHits(child: Expression, stops: Seq[String])
+  extends UnaryExpression with ExpectsInputTypes with Serializable {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "stopword_hits"
+
+  @transient private lazy val stopArr: Array[UTF8String] =
+    stops.map(UTF8String.fromString).toArray
+
+  override def nullSafeEval(arr: Any): Any =
+    HashKernels.stopwordHits(arr.asInstanceOf[ArrayData], stopArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("stops", stopArr,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    defineCodeGen(ctx, ev, a => s"graft.functions.HashKernels.stopwordHits($a, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): StopwordHits =
     copy(child = newChild)
 }
 

@@ -77,14 +77,13 @@ object Dedup {
     * size times a constant, at any scale. The τ ≥ 0.5 test is pure integer
     * arithmetic (2·|∩| ≥ |∪|) over the capped universe — no FP in the cut. */
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
-    // Materialized once (localCheckpoint): the inverted lists feed BOTH the
+    // Materialized once (Lineage.cut): the inverted lists feed BOTH the
     // per-doc shingle counts and the pair expansion — unmaterialized, the
     // whole shingle-explode + groupBy subtree would execute twice.
-    val inv = shingleSets(s, d)
+    val inv = Lineage.cut(shingleSets(s, d)
       .groupBy(col("lang"), col("source"), col("sh"))
       .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
-      .filter(size(col("docs")) <= maxShingleDf)
-      .localCheckpoint()
+      .filter(size(col("docs")) <= maxShingleDf))
     val counts = inv.select(explode(col("docs")).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
     val pairs = inv
@@ -144,7 +143,7 @@ object Dedup {
     * formulation, up to 16×). Banding itself is a single map-side explode
     * over the materialized signatures. */
   def minhashLsh(s: SparkSession, d: String): DataFrame =
-    lshPairs(minhashSignatures(s, d).localCheckpoint())
+    lshPairs(Lineage.cut(minhashSignatures(s, d)))
 
   /** Band join over a MATERIALIZED signature relation (callers checkpoint —
     * the band relation sits on both sides of the candidate self-join, so an
@@ -176,7 +175,7 @@ object Dedup {
     * comparison is an in-row `zip_with` over 16 elements. Emits basis-point
     * integers — exact, engine-portable. */
   def jaccardEstimate(s: SparkSession, d: String): DataFrame = {
-    val sig = minhashSignatures(s, d).localCheckpoint()
+    val sig = Lineage.cut(minhashSignatures(s, d))
     lshPairs(sig)
       .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
       .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
@@ -221,7 +220,7 @@ object Dedup {
     * themselves never explode or shuffle. Emits exact basis-point Jaccard
     * (integer arithmetic end to end). */
   def lshVerified(s: SparkSession, d: String): DataFrame = {
-    val sig = minhashSignatures(s, d).localCheckpoint()
+    val sig = Lineage.cut(minhashSignatures(s, d))
     val shs = shingleArrays(s, d).select(col("doc_id"), col("shs"))
     lshPairs(sig)
       .join(shs.select(col("doc_id").as("doc_a"), col("shs").as("shs_a")), "doc_a")
@@ -293,7 +292,7 @@ object Dedup {
     * MinHash: candidate volume is governed by band-bucket sizes, never an
     * all-pairs comparison, and the verify reads two longs per pair. */
   def simhashPairs(s: SparkSession, d: String): DataFrame = {
-    val sig = simhash(s, d).localCheckpoint()
+    val sig = Lineage.cut(simhash(s, d))
     val bands = sig.select(col("doc_id"), col("simhash"), explode(expr(
         s"transform(sequence(0, ${simBands - 1}), b -> named_struct(" +
           "'band', CAST(b AS BIGINT), 'bkey', shiftright(simhash, b * 8) & 255))")).as("bb"))
@@ -342,22 +341,27 @@ object Dedup {
     * The fixpoint (min reachable id per node) is unique, so the result is
     * deterministic and oracle-checkable via a recursive reachability CTE.
     *
-    * Lineage control: each round's labels are `localCheckpoint`ed, not just
-    * persisted. Persisting caches the DATA but analysis still walks the full
+    * Lineage control: each round's labels are cut via [[Lineage.cutFused]] —
+    * persisting alone caches the DATA but analysis still walks the full
     * logical plan, and the pointer-jump self-join would DOUBLE that plan
     * every round — measured 400+ s of pure driver planning at sf0.1 before
     * the checkpoint truncated the lineage to a LogicalRDD (O(1) plan per
-    * round, the canonical fix for iterative DataFrame algorithms). */
+    * round, the canonical fix for iterative DataFrame algorithms). In local
+    * mode the cut is a LAZY localCheckpoint whose materialization fuses into
+    * the convergence count — ONE job per round does both, halving per-round
+    * driver syncs; with `spark.graft.reliableCheckpoints=true` each round is
+    * durably checkpointed instead, so an hours-long 100 TB run survives
+    * executor loss (see [[Lineage]] / SCALE.md). */
   def components(s: SparkSession, d: String): DataFrame = {
     val edges = minhashLsh(s, d)
-    val adj = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint()
+    val adj = Lineage.cut(
+      edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
     // Only nodes incident to an edge can change labels — iterate over that
     // (small) vertex set and union the singleton identity rows at the end,
     // so per-round state is bounded by the candidate graph, not the corpus.
-    var labels = adj.select(col("src").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("comp")).localCheckpoint()
+    var labels = Lineage.cut(adj.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("comp")))
     var changed = 1L
     while (changed > 0) {
       val prop = adj.join(labels.select(col("doc_id").as("dst"), col("comp")), "dst")
@@ -365,9 +369,9 @@ object Dedup {
       // pointer jump: the label of my label (labels keyed by doc_id = comp)
       val jump = labels.select(col("doc_id").as("comp"), col("comp").as("jump_min"))
       // Carry the previous label through the round so convergence is read off
-      // the checkpointed result with a local scan — no extra join+shuffle per
-      // round just to count changes.
-      val updated = labels
+      // the cut result — and the count below IS the materializing action
+      // (Lineage.cutFused), so each round runs exactly one job locally.
+      val updated = Lineage.cutFused(labels
         .withColumnRenamed("comp", "old_comp")
         .withColumn("comp", col("old_comp"))
         .join(prop.withColumnRenamed("src", "doc_id"), Seq("doc_id"), "left")
@@ -375,8 +379,7 @@ object Dedup {
         .select(col("doc_id"), col("old_comp"),
           least(col("old_comp"),
             coalesce(col("nbr_min"), col("old_comp")),
-            coalesce(col("jump_min"), col("old_comp"))).as("comp"))
-        .localCheckpoint()
+            coalesce(col("jump_min"), col("old_comp"))).as("comp")))
       changed = updated.filter(col("old_comp") =!= col("comp")).count()
       labels = updated.select(col("doc_id"), col("comp"))
     }

@@ -225,7 +225,7 @@ object Similarity {
 
   def pqEncode(s: SparkSession, d: String): DataFrame = {
     // subs feeds both codebook learning and assignment; materialize once.
-    val subs = pqSubs(quantizedCorpus(s, d)).localCheckpoint()
+    val subs = Lineage.cut(pqSubs(quantizedCorpus(s, d)))
     pqAssign(subs, pqCodebook(subs))
   }
 
@@ -250,8 +250,8 @@ object Similarity {
     * Everything is integer (µ² units, < 2⁵³), so ranks are deterministic
     * and DuckDB-checkable; ties break on neighbor_id like every top-k here. */
   def ivfpqTopK(s: SparkSession, d: String): DataFrame = {
-    val e = quantizedCorpus(s, d).localCheckpoint()
-    val subs = pqSubs(e).localCheckpoint()
+    val e = Lineage.cut(quantizedCorpus(s, d))
+    val subs = Lineage.cut(pqSubs(e))
     val codebook = pqCodebook(subs)
     val codesWide = pqAssign(subs, codebook)
       .groupBy(col("vec_id"))
@@ -265,6 +265,15 @@ object Similarity {
         expr(s"aggregate(zip_with(slice(q, CAST(sub_id * $pqSubDim + 1 AS INT), $pqSubDim), cv, (a, b) -> (a - b) * (a - b)), 0L, (acc, v) -> acc + v)").as("ldist"))
       .groupBy(col("query_id"), col("qlabel"))
       .agg(expr("transform(array_sort(collect_list(struct(idx, ldist))), s -> s.ldist)").as("lut"))
+      // The scan below indexes the LUT positionally (idx = sub·k + cluster),
+      // which silently mis-addresses if any (sub_id, cluster) pair is absent
+      // from the codebook (possible on a degenerate/tiny corpus where a
+      // centroid captures no subvectors) — fail loudly instead.
+      .select(col("query_id"), col("qlabel"), expr(
+        s"""CASE WHEN size(lut) = ${pqSubvectors * kClusters} THEN lut
+           |ELSE raise_error(concat('ivfpq: LUT has ', CAST(size(lut) AS STRING),
+           |  ' entries, expected ${pqSubvectors * kClusters} — sparse codebook'))
+           |END""".stripMargin).as("lut"))
     val scored = codesWide.join(broadcast(lut),
         col("label") === col("qlabel") && col("vec_id") =!= col("query_id"))
       .withColumn("adist", expr(

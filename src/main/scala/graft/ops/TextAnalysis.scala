@@ -23,9 +23,14 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "de", "y", "es"),
     "fr" -> Seq("le", "la", "de", "et", "est"))
 
+  /** Stopword-hit count via the native [[graft.functions.StopwordHits]]
+    * kernel — byte-equivalent to the interpreted HOF twin
+    * `size(filter(words, x -> array_contains(array(...), x)))` it replaced
+    * (equivalence pinned in HashKernelsSpec); callers must have
+    * [[graft.functions.GraftFunctions.register]]ed the session. */
   private def hitsExpr(words: String, list: Seq[String]): String = {
     val arr = list.map(w => s"'$w'").mkString(", ")
-    s"size(filter($words, x -> array_contains(array($arr), x)))"
+    s"stopword_hits($words, array($arr))"
   }
 
   private def hitsSql(words: String, list: Seq[String]): String = {
@@ -36,6 +41,7 @@ object TextAnalysis {
   /** Language ID: argmax of per-language stopword hit counts, deterministic
     * tie-break in stoplist order (de, en, es, fr). */
   def langId(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val base = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("words"))
     val scored = stoplists.foldLeft(base) { case (df, (l, list)) =>
@@ -52,6 +58,7 @@ object TextAnalysis {
   /** Quality scoring: length gates, stopword density, mean word length —
     * the usual cheap pre-filters before expensive dedup/training steps. */
   def quality(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val en = stoplists.toMap.apply("en")
     Tables.documents(s, d)
       .select(col("doc_id"), col("text"), split(col("text"), " ").as("words"))
@@ -244,6 +251,7 @@ object TextAnalysis {
     * [[curation]] (the funnel rollup) and [[packCurated]] (the training-set
     * assembly) consume. */
   private def curatedDocs(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val en = stoplists.toMap.apply("en")
     val base = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("source"), col("text"),

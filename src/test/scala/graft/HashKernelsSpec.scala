@@ -137,11 +137,52 @@ class HashKernelsSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("stopword_hits kernel equals the interpreted filter/array_contains HOF") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val texts = Seq(
+      (1L, "the cat and the hat"),   // repeated stopwords: occurrences, not distinct
+      (2L, "no stops here"),          // zero hits
+      (3L, "the the the"),            // all hits
+      (4L, "ü of 多 and"),            // multi-byte neighbors
+      (5L, ""),                       // single empty token
+      (6L, "a  of"))                  // empty token from double space
+      .toDF("doc_id", "text")
+      .select($"doc_id", split($"text", " ").as("words"))
+    val stops = "array('the', 'a', 'of', 'and', 'is')"
+    val kernel = texts.select($"doc_id", expr(s"stopword_hits(words, $stops)").as("n"))
+    val hof = texts.select($"doc_id",
+      expr(s"size(filter(words, x -> array_contains($stops, x)))").as("n"))
+    assert(kernel.orderBy("doc_id").collect().toSeq === hof.orderBy("doc_id").collect().toSeq)
+  }
+
+  test("stopword_hits kernel equals the HOF on random corpora") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val stops = Seq("the", "a", "of", "and", "is")
+    val wordGen = Gen.oneOf("the", "a", "of", "and", "is", "cat", "", "ü多", "zz")
+    val corpusGen = Gen.choose(0, 30).flatMap(n => Gen.listOfN(n, wordGen))
+    val prop = Prop.forAll(Gen.choose(1, 6).flatMap(k => Gen.listOfN(k, corpusGen))) { docs =>
+      val df = docs.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "words")
+      val got = df
+        .select($"doc_id",
+          expr(s"stopword_hits(words, array(${stops.map(s => s"'$s'").mkString(", ")}))").as("n"))
+        .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getInt(1)))
+      val want = docs.zipWithIndex.map { case (w, i) => (i.toLong, w.count(stops.contains)) }
+      got.toSeq == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("kernels stay inside whole-stage codegen and add no exchange") {
     graft.functions.GraftFunctions.register(spark)
     Seq(
       "x_dedup_simhash" -> graft.ops.Dedup.queries("x_dedup_simhash"),
-      "x_text_winnow" -> graft.ops.TextAnalysis.queries("x_text_winnow")
+      "x_text_winnow" -> graft.ops.TextAnalysis.queries("x_text_winnow"),
+      "x_text_langid" -> graft.ops.TextAnalysis.queries("x_text_langid"),
+      "x_text_quality" -> graft.ops.TextAnalysis.queries("x_text_quality")
     ).foreach { case (name, q) =>
       val tree = q(spark, sf).queryExecution.executedPlan.toString
       assert(!tree.contains("Exchange"), s"$name plan must be map-side only:\n$tree")
