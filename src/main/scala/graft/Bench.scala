@@ -21,7 +21,10 @@ import org.apache.spark.sql.SparkSession
   *    ones mean a co-tenant burst landed on one of them;
   *  - the 1/5/15-minute system load averages are reported in the JSON
   *    (`load` field) so a noisy total is diagnosable as contention rather
-  *    than a code regression;
+  *    than a code regression, and `resampled`/`spread` summarize how many
+  *    queries needed a third sample and the worst max/min sample ratio —
+  *    distinguishing an unlucky pair from a steady regression without
+  *    re-running;
   *  - failures are reported per query in an `errors` map (and as value -1)
   *    instead of masquerading as fast runs.
   */
@@ -42,6 +45,7 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
 
+    val samples = scala.collection.mutable.Map[String, Seq[Double]]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): (Double, Option[String]) = {
         val t0 = System.nanoTime()
@@ -57,14 +61,15 @@ object Bench {
       }
       val (s1, e1) = once()
       val (sec, err) =
-        if (e1.isDefined) (s1, e1)
+        if (e1.isDefined) { samples(name) = Seq(s1); (s1, e1) }
         else {
           val (s2, e2) = once()
           val best = math.min(s1, s2)
           if (e2.isEmpty && math.max(s1, s2) > 2 * best) {
             val (s3, e3) = once() // tie-break a noisy pair
+            samples(name) = Seq(s1, s2, s3)
             (math.min(best, s3), e3)
-          } else (best, e2)
+          } else { samples(name) = Seq(s1, s2); (best, e2) }
         }
       // Release per-query session state before the next query: the dedup /
       // components queries localCheckpoint intermediate relations, and those
@@ -82,7 +87,7 @@ object Bench {
     }
 
     // 10ms precision, trailing zeros stripped, keeps the single JSON line
-    println(renderLine(results, sfDir))
+    println(renderLine(results, sfDir, samples.toMap))
     spark.stop()
   }
 
@@ -103,10 +108,11 @@ object Bench {
   /** The driver-contract JSON line. Pure so `BenchLineSpec` can pin its
     * length budget against the full current query set without running the
     * 8-minute benchmark. */
-  def renderLine(results: Seq[(String, Double, Option[String])], sfDir: String): String = {
+  def renderLine(results: Seq[(String, Double, Option[String])], sfDir: String,
+      samples: Map[String, Seq[Double]] = Map.empty): String = {
     val qs = results.map { case (k, v, _) => s""""$k":${fmt(v)}""" }.mkString("{", ",", "}")
     // error messages are sanitized at capture, but renderLine must stay
-    // JSON-safe on its own contract; only the first 3 are spelled out —
+    // JSON-safe on its own contract; only the first 2 are spelled out —
     // a mass failure must not push the line past the driver's tail buffer
     // (failed queries are still visible as value -1 in `queries`)
     val errAll = results.collect { case (k, _, Some(m)) =>
@@ -116,6 +122,20 @@ object Bench {
       if (errAll.isEmpty) ""
       else errAll.take(2).mkString(""","errors":{""", ",", "}") +
         (if (omitted > 0) s""","errors_omitted":$omitted""" else "")
+    // Noise summary in ~30 chars instead of a budget-blowing per-query map:
+    // `resampled` = queries whose first two runs disagreed >2× (a third
+    // sample was taken), `spread` = the worst max/min ratio across any
+    // query's samples. A regressed VALUE with resampled=0 and a small
+    // spread is a real change; a big spread says re-measure on a quiet
+    // host before concluding anything.
+    val statsJson =
+      if (samples.isEmpty) ""
+      else {
+        val resampled = samples.count(_._2.size > 2)
+        val spreads = samples.values.collect { case ss if ss.nonEmpty && ss.min > 0 => ss.max / ss.min }
+        val spread = if (spreads.isEmpty) 1.0 else spreads.max
+        s""","resampled":$resampled,"spread":${fmt(spread)}"""
+      }
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
     val loadJson =
       try {
@@ -123,6 +143,6 @@ object Bench {
           .split(" ").take(3).map(x => f"${x.toDouble}%.1f").mkString(",")
         s""","load":[$l]"""
       } catch { case _: Throwable => "" }
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errJson$loadJson,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errJson$statsJson$loadJson,"sf":"$sfDir"}"""
   }
 }

@@ -197,7 +197,14 @@ object Dedup {
     * FIXED-SIZE (it does not grow with the corpus), so its exploded shingle
     * list is broadcast, and the corpus side stays a map-side explode + hash
     * join — the only exchange is the partial-aggregated (doc, eval) overlap
-    * count. The corpus text is never shuffled and never self-joined. */
+    * count. The corpus text is never shuffled and never self-joined.
+    *
+    * Stand-in caveat: the forced `broadcast()` is justified by the
+    * fixed-size property of a REAL benchmark suite. The doc_id-mod stand-in
+    * used here for oracle-checkability is ~5% of the corpus and grows with
+    * it — with a corpus-proportional eval relation, drop the hint and let
+    * the planner choose (the hint bypasses
+    * `spark.sql.autoBroadcastJoinThreshold` and would OOM the driver). */
   def decontaminate(s: SparkSession, d: String): DataFrame = {
     val sh = shingleSets(s, d).select(col("doc_id"), col("sh"))
     val eval = sh.filter(col("doc_id") % evalMod === 0)
@@ -306,19 +313,29 @@ object Dedup {
       .filter(col("hamming") <= simHammingMax)
   }
 
+  /** Sign-bucket width (bits) for [[embeddingCosine]]'s LSH: 2^bits buckets
+    * bound the within-bucket verify at ~n²/2^bits pairs. A TUNABLE like
+    * [[maxShingleDf]] — 8 bits (256 buckets) fits the test corpora; at
+    * 100 TB widen it (every extra bit halves the verify volume and the
+    * per-bucket recall, the standard hyperplane-LSH trade; multi-probe —
+    * also querying the Hamming-1 neighbor buckets — buys the recall back,
+    * see SCALE.md). The oracle SQL derives from the same constant, so
+    * changing it cannot silently diverge the check. */
+  private[ops] val embedLshBits = 8
+
   /** Embedding near-dup via random-hyperplane-style LSH: bucket on the sign
-    * pattern of the first 8 dimensions, verify cosine ≥ 0.3 inside buckets
-    * with the native codegen'd `cosine_sim` kernel
+    * pattern of the first [[embedLshBits]] dimensions, verify cosine ≥ 0.3
+    * inside buckets with the native codegen'd `cosine_sim` kernel
     * ([[graft.functions.CosineSimilarity]] — same left-fold accumulation as
-    * DuckDB, bit-identical scores). 256 buckets keep within-bucket pair
-    * counts ~n²/256 — at 100 TB you'd widen to more bits/probes, same plan
-    * shape. */
+    * DuckDB, bit-identical scores). 2^[[embedLshBits]] buckets keep
+    * within-bucket pair counts ~n²/2^bits — at 100 TB widen the constant,
+    * same plan shape. */
   def embeddingCosine(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val e = Tables.embeddings(s, d).select(
       col("vec_id"),
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"),
-      concat((1 to 8).map(i => when(expr(s"embedding[${i - 1}] >= 0"), lit("1")).otherwise(lit("0"))): _*).as("bucket"))
+      concat((1 to embedLshBits).map(i => when(expr(s"embedding[${i - 1}] >= 0"), lit("1")).otherwise(lit("0"))): _*).as("bucket"))
     e.as("a").join(e.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .withColumn("cosine", expr("cosine_sim(a.v, b.v)"))
@@ -532,7 +549,7 @@ object Dedup {
          |SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= $simHammingMax""".stripMargin
     },
     "x_dedup_embedding_cosine" -> {
-      val bucket = (1 to 8)
+      val bucket = (1 to embedLshBits)
         .map(i => s"CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END").mkString(" || ")
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, ($bucket) AS bucket
          |           FROM embeddings),

@@ -27,14 +27,30 @@ object Shutdown {
     * continuously-producing source (rate, live Kafka) that call can block
     * forever — it drains "all available" data, and more keeps arriving.
     * The planned-shutdown path an operator wants, versus [[stopAll]]'s
-    * last-resort semantics. */
-  def stopAllGraceful(s: SparkSession, quiesceMs: Long = 10000L): Unit =
-    s.streams.active.foreach { q =>
-      val deadline = System.nanoTime() + quiesceMs * 1000000L
-      while (q.status.isTriggerActive && System.nanoTime() < deadline)
-        Thread.sleep(50)
-      q.stop()
+    * last-resort semantics.
+    *
+    * Best-effort by construction: a new trigger can start between the
+    * status check and `stop()` (there is no stop-while-idle primitive in
+    * the public API), in which case that batch is cancelled and replays on
+    * restart — harmless under the sink's idempotent upsert, just not the
+    * quiet path. `quiesceMs` is one SHARED deadline across all queries, so
+    * shutdown latency is bounded by the budget, not nQueries × budget; an
+    * interrupt during the wait stops everything immediately (last-resort
+    * semantics) and re-asserts the thread's interrupt flag. */
+  def stopAllGraceful(s: SparkSession, quiesceMs: Long = 10000L): Unit = {
+    val deadline = System.nanoTime() + quiesceMs * 1000000L
+    try
+      s.streams.active.foreach { q =>
+        while (q.status.isTriggerActive && System.nanoTime() < deadline)
+          Thread.sleep(50)
+        q.stop()
+      }
+    catch {
+      case _: InterruptedException =>
+        s.streams.active.foreach(_.stop())
+        Thread.currentThread().interrupt()
     }
+  }
 
   /** Install a JVM shutdown hook doing the same — the Scala analogue of the
     * reference's signal handling. */

@@ -13,12 +13,23 @@ class BenchLineSpec extends AnyFunSuite {
   private val sfDir = "/root/testdata/sf0.1"
 
   test("bench JSON line fits the driver's 2000-char tail with headroom, worst-case values") {
-    // worst case: every query at a three-digit-seconds value, nothing stripped
+    // worst case: every query at a three-digit-seconds value, nothing
+    // stripped, every query resampled with a two-digit spread
     val results = SparkEntry.queries.keys.toSeq.sorted.map(k => (k, 999.99, None))
-    val line = Bench.renderLine(results, sfDir)
+    val samples = SparkEntry.queries.keys.map(k => k -> Seq(1.0, 99.9, 99.9)).toMap
+    val line = Bench.renderLine(results, sfDir, samples)
     assert(line.length + 1 <= 1950,
       s"bench line is ${line.length} chars — too close to the 2000-char tail; " +
         "shorten query keys or the format before adding more queries")
+  }
+
+  test("resampled/spread noise summary: counted, formatted, absent without samples") {
+    val results = Seq(("q_a", 1.0, None), ("q_b", 2.0, None))
+    val samples = Map("q_a" -> Seq(1.0, 4.0, 1.1), "q_b" -> Seq(2.0, 2.2))
+    val line = Bench.renderLine(results, sfDir, samples)
+    assert(line.contains(""""resampled":1"""), line)
+    assert(line.contains(""""spread":4"""), line) // 4.0/1.0, zeros stripped
+    assert(!Bench.renderLine(results, sfDir).contains("resampled"))
   }
 
   test("bench line survives a MASS failure round without overflowing the tail") {
