@@ -91,26 +91,45 @@ object Bench {
     spark.stop()
   }
 
-  // Adaptive precision (10 ms under 10 s, 100 ms under 100 s, whole seconds
+  // Adaptive precision (10 ms under 1 s, 100 ms under 100 s, whole seconds
   // above), trailing zeros stripped: keeps the single JSON line within the
   // driver's 2000-char stdout tail even when a noisy round makes every
   // query slow. Full double precision overflowed the tail at 62 queries
-  // (round 4 recorded "parsed": null), and fixed-2dp would overflow at 76
-  // queries × three-digit values — BenchLineSpec pins the worst case.
+  // (round 4 recorded "parsed": null); at 83 queries the 1-10 s band had
+  // to drop to 100 ms precision too — BenchLineSpec pins the worst case.
   private def fmt(v: Double): String = {
-    val scale = if (v < 10) 2 else if (v < 100) 1 else 0
+    val scale = if (v < 1) 2 else if (v < 100) 1 else 0
     val s = java.math.BigDecimal.valueOf(v)
       .setScale(scale, java.math.RoundingMode.HALF_UP)
       .stripTrailingZeros.toPlainString
     if (s == "-0" || s == "0E-2") "0" else s
   }
 
+  /** Tenth-of-a-second fallback precision for over-budget lines — loses
+    * the 10 ms digit on sub-second queries, keeps regressions ≥0.1 s
+    * visible. */
+  private def fmtTenths(v: Double): String = {
+    val s = java.math.BigDecimal.valueOf(v)
+      .setScale(if (v < 100) 1 else 0, java.math.RoundingMode.HALF_UP)
+      .stripTrailingZeros.toPlainString
+    if (s == "-0") "0" else s
+  }
+
+  /** Whole-second fallback precision for over-budget lines. */
+  private def fmtCoarse(v: Double): String = fmt(math.rint(v))
+
+  /** Budget for the rendered line + newline. The driver reads a 2000-char
+    * stdout tail and parses the LAST line; Spark logs go to stderr, so
+    * nothing follows the line on stdout — the budget is the tail itself
+    * minus headroom for the newline (truncation ahead of the line is
+    * harmless: only the last line must arrive complete). */
+  private[graft] val lineBudget = 1995
+
   /** The driver-contract JSON line. Pure so `BenchLineSpec` can pin its
     * length budget against the full current query set without running the
     * 8-minute benchmark. */
   def renderLine(results: Seq[(String, Double, Option[String])], sfDir: String,
       samples: Map[String, Seq[Double]] = Map.empty): String = {
-    val qs = results.map { case (k, v, _) => s""""$k":${fmt(v)}""" }.mkString("{", ",", "}")
     // error messages are sanitized at capture, but renderLine must stay
     // JSON-safe on its own contract; only the first 2 are spelled out —
     // a mass failure must not push the line past the driver's tail buffer
@@ -134,15 +153,48 @@ object Bench {
         val resampled = samples.count(_._2.size > 2)
         val spreads = samples.values.collect { case ss if ss.nonEmpty && ss.min > 0 => ss.max / ss.min }
         val spread = if (spreads.isEmpty) 1.0 else spreads.max
-        s""","resampled":$resampled,"spread":${fmt(spread)}"""
+        // a zero resample count carries no information — spend the chars
+        // on per-query precision instead
+        (if (resampled > 0) s""","resampled":$resampled""" else "") +
+          s""","spread":${fmt(spread)}"""
       }
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
     val loadJson =
       try {
-        val l = java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
-          .split(" ").take(3).map(x => f"${x.toDouble}%.1f").mkString(",")
+        // 1- and 15-minute averages: burst now vs baseline over the run
+        val p = java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg")).split(" ")
+        val l = Seq(p(0), p(2)).map(x => f"${x.toDouble}%.1f").mkString(",")
         s""","load":[$l]"""
       } catch { case _: Throwable => "" }
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errJson$statsJson$loadJson,"sf":"$sfDir"}"""
+    // "sf0.1", not the full path: the dir prefix is driver-known, the chars
+    // belong to per-query values
+    val sfJson = s""","sf":"${sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)}""""
+    def line(kept: Seq[(String, Double, Option[String])], f: Double => String): String = {
+      val qs = kept.map { case (k, v, _) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")
+      val dropped = results.size - kept.size
+      val dropJson = if (dropped > 0) s""","queries_omitted":$dropped""" else ""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$dropJson$errJson$statsJson$loadJson$sfJson}"""
+    }
+    // Guaranteed fit, least precision lost first: full precision → tenths
+    // → whole seconds → drop the FASTEST queries (the least informative
+    // casualty) with an explicit queries_omitted marker. A truncated line
+    // the driver can't parse ("parsed": null, round 4) loses EVERYTHING;
+    // an explicit omission under a pathological round loses only
+    // sub-second entries.
+    val sorted = results.sortBy(_._1)
+    Seq(fmt _, fmtTenths _, fmtCoarse _).iterator
+      .map(f => line(sorted, f))
+      .find(_.length + 1 <= lineBudget)
+      .getOrElse {
+        var out = line(sorted, fmtCoarse)
+        var keep = results.size
+        val byCost = results.sortBy(-_._2)
+        while (out.length + 1 > lineBudget && keep > 0) {
+          keep -= 1
+          val keptNames = byCost.take(keep).map(_._1).toSet
+          out = line(sorted.filter(t => keptNames(t._1)), fmtCoarse)
+        }
+        out
+      }
   }
 }

@@ -28,7 +28,8 @@ object SparkEntry {
     (ops.Sessionize.queries, ops.Sessionize.oracle),
     (ops.MultimodalPipeline.queries, ops.MultimodalPipeline.oracle),
     (sources.Formats.queries, sources.Formats.oracle),
-    (streaming.EventPipeline.queries, streaming.EventPipeline.oracle))
+    (streaming.EventPipeline.queries, streaming.EventPipeline.oracle),
+    (streaming.RunningTotals.queries, streaming.RunningTotals.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's core computation: sliding-window per-user interaction

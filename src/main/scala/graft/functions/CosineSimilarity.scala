@@ -164,6 +164,43 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => {
         require(exprs.length == 1, s"winnow_fp expects 1 argument, got ${exprs.length}")
         WinnowFp(exprs.head)
+      }),
+    (new FunctionIdentifier("norm_text"),
+      new ExpressionInfo(classOf[NormText].getName, "norm_text"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, s"norm_text expects 1 argument, got ${exprs.length}")
+        NormText(exprs.head)
+      }),
+    (new FunctionIdentifier("zorder2"),
+      new ExpressionInfo(classOf[ZOrder2].getName, "zorder2"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, s"zorder2 expects 2 arguments, got ${exprs.length}")
+        ZOrder2(exprs.head, exprs(1))
+      }),
+    // Spark's OWN bloom-filter expressions (the machinery behind runtime
+    // row-group filtering), surfaced as SQL functions: Spark 4 registers
+    // neither bloom_filter_agg nor might_contain in the public registry, but
+    // a 100 TB decontamination pass wants exactly them (an eval shingle SET
+    // broadcast as KBs of filter bits instead of MBs of hash rows).
+    (new FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_agg"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3,
+          s"bloom_agg expects (xxhash64 col, estItems, numBits), got ${exprs.length}")
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          exprs.head, exprs(1), exprs(2))
+      }),
+    (new FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "bloom_might_contain"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"bloom_might_contain expects (filter, xxhash64 col), got ${exprs.length}")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          exprs.head, exprs(1))
       }))
 
   /** Register into a live session (temp function namespace). Idempotent. */

@@ -216,6 +216,41 @@ object Dedup {
       .filter(col("shared") >= minSharedShingles)
   }
 
+  /** [[decontaminate]] behind a Bloom prefilter — the formulation for when
+    * even the eval set's shingle ROWS are too many to broadcast as a hash
+    * relation: the eval shingles aggregate into ONE Bloom filter (Spark's
+    * own `BloomFilterAggregate`, the machinery behind its runtime join
+    * filters — KBs per million entries), the filter broadcasts as a 1-row
+    * relation, and the corpus discards non-matching shingles MAP-SIDE
+    * before the exact join. The output is IDENTICAL to [[decontaminate]]:
+    * Bloom filters have no false negatives, and the false positives the
+    * filter admits are eliminated by the exact semi-join that follows — the
+    * bloom is a prefilter, not the verdict — so the exact path's oracle
+    * checks this plan too. At 100 TB the win is that the overwhelming
+    * majority of corpus shingles never reach the join's build-probe
+    * machinery at all. */
+  def decontaminateBloom(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val sh = shingleSets(s, d).select(col("doc_id"), col("sh"))
+    sh.filter(col("doc_id") % evalMod === 0)
+      .select(col("sh"), col("doc_id").as("eval_id"))
+      .createOrReplaceTempView("graft_decontam_eval")
+    sh.filter(col("doc_id") % evalMod =!= 0)
+      .createOrReplaceTempView("graft_decontam_corpus")
+    // `might_contain` requires the filter as a constant or scalar subquery
+    // (Spark's own runtime-filter shape: the subquery runs once, its bytes
+    // inject into the predicate as a literal) — hence SQL, not a join.
+    s.sql(
+      s"""SELECT /*+ BROADCAST(e) */ c.doc_id, e.eval_id, count(*) AS shared
+         |FROM (SELECT doc_id, sh FROM graft_decontam_corpus
+         |      WHERE bloom_might_contain(
+         |        (SELECT bloom_agg(xxhash64(sh), 10000L, 100000L)
+         |         FROM graft_decontam_eval),
+         |        xxhash64(sh))) c
+         |JOIN graft_decontam_eval e ON c.sh = e.sh
+         |GROUP BY 1, 2 HAVING count(*) >= $minSharedShingles""".stripMargin)
+  }
+
   /** The complete near-dup pipeline, candidates → EXACT verify: LSH band
     * pairs ([[minhashLsh]]) verified by true Jaccard over the documents'
     * shingle SETS. Where [[jaccardEstimate]] reads only the 16-long
@@ -343,6 +378,43 @@ object Dedup {
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
   }
 
+  /** Cosine threshold above which two same-cluster embeddings count as
+    * semantic duplicates — a TUNABLE shared with the oracle SQL; real
+    * SemDeDup deployments set it from a held-out precision target. */
+  private[ops] val semCosMin = 0.3
+
+  /** Semantic deduplication (SemDeDup — Abbas et al., 2023): cluster the
+    * embedding corpus with the integer-exact k-means assignment
+    * ([[Similarity.kmeansIter]] — the same pass that trains the IVF coarse
+    * quantizer), then compare pairs ONLY within a cluster and drop every
+    * vector that has a lower-id same-cluster neighbor with cosine ≥
+    * [[semCosMin]]. Near-identical meaning lands in the same centroid cell,
+    * so the clusters ARE the candidate generator: pair volume is Σ nᵢ²
+    * ≈ n²/k instead of n², and at 100 TB k grows with the corpus (√n-ish)
+    * to hold per-cluster volume flat — the published method's own scale
+    * story, same bounded-verify shape as [[embeddingCosine]]'s sign
+    * buckets but with LEARNED buckets.
+    *
+    * Plan: the assignment is materialized once ([[Lineage.cut]] — it feeds
+    * both sides of the pair join and the output), pairs shuffle on the
+    * cluster key only, scoring runs the native `cosine_sim` kernel, and
+    * the keep/drop verdict is a left-anti-style null check — no collect,
+    * no all-pairs anywhere. */
+  def semanticDedup(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val assign = Lineage.cut(
+      Similarity.kmeansIter(s, d).select(col("vec_id"), col("cluster")))
+    val vecs = Tables.embeddings(s, d).select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val cv = assign.join(vecs, "vec_id")
+    val dups = cv.as("a").join(cv.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.vec_id") < col("b.vec_id"))
+      .filter(expr("cosine_sim(a.v, b.v)") >= semCosMin)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    assign.join(dups.withColumn("is_dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("is_dup").isNull.as("is_kept"))
+  }
+
   /** Dedup cluster assignment: connected components over the MinHash-LSH
     * candidate graph, by iterative min-label propagation WITH pointer
     * jumping — each round every node takes the minimum of (its label, its
@@ -413,10 +485,22 @@ object Dedup {
     "x_dedup_lsh_verified" -> lshVerified,
     "x_dup_coverage" -> dupCoverage,
     "x_decontaminate" -> decontaminate,
+    "x_decontam_bloom" -> decontaminateBloom,
     "x_dedup_simhash" -> simhash,
     "x_dedup_simhash_pairs" -> simhashPairs,
     "x_dedup_embedding_cosine" -> embeddingCosine,
+    "x_dedup_semantic" -> semanticDedup,
     "x_dedup_components" -> components)
+
+  /** Oracle for BOTH decontamination paths ([[decontaminate]],
+    * [[decontaminateBloom]]) — bloom prefiltering cannot change the output. */
+  private def decontaminateSql: String =
+    s"""$shingleSqlCtes,
+       |ev AS (SELECT sh, doc_id AS eval_id FROM s WHERE doc_id % $evalMod = 0),
+       |tr AS (SELECT doc_id, sh FROM s WHERE doc_id % $evalMod <> 0)
+       |SELECT tr.doc_id, ev.eval_id, count(*) AS shared
+       |FROM tr JOIN ev USING (sh)
+       |GROUP BY 1, 2 HAVING count(*) >= $minSharedShingles""".stripMargin
 
   private def minhashSqlMins =
     (0 until nSeeds).map(i => s"min((h1 + $i * h2) % $kmPrime) AS m$i").mkString(", ")
@@ -492,13 +576,11 @@ object Dedup {
          |       CAST(coalesce(pd.n_dup, 0) AS BIGINT) AS n_dup,
          |       CAST(round(coalesce(pd.n_dup, 0) * 10000.0 / t.n_shingles) AS BIGINT) AS dup_bp
          |FROM tot t LEFT JOIN pd USING (doc_id)""".stripMargin,
-    "x_decontaminate" ->
-      s"""$shingleSqlCtes,
-         |ev AS (SELECT sh, doc_id AS eval_id FROM s WHERE doc_id % $evalMod = 0),
-         |tr AS (SELECT doc_id, sh FROM s WHERE doc_id % $evalMod <> 0)
-         |SELECT tr.doc_id, ev.eval_id, count(*) AS shared
-         |FROM tr JOIN ev USING (sh)
-         |GROUP BY 1, 2 HAVING count(*) >= $minSharedShingles""".stripMargin,
+    "x_decontaminate" -> decontaminateSql,
+    // same oracle on purpose: the bloom is a prefilter with no false
+    // negatives, and its false positives die in the exact join — the two
+    // plans are output-equivalent by construction, which is the check
+    "x_decontam_bloom" -> decontaminateSql,
     "x_dedup_lsh_verified" ->
       s"""$shingleSqlCtes,
          |$minhashPairsSqlCtes,
@@ -557,5 +639,17 @@ object Dedup {
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
          |FROM en a JOIN en b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.3""".stripMargin
-    })
+    },
+    "x_dedup_semantic" ->
+      s"""WITH ${Similarity.kmeansAssignSqlCtes},
+         |cc AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM cc),
+         |dup AS (SELECT DISTINCT y.vec_id
+         |        FROM ka x JOIN ka y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+         |        JOIN en p ON p.vec_id = x.vec_id
+         |        JOIN en q ON q.vec_id = y.vec_id
+         |        WHERE list_dot_product(p.v, q.v) / (p.nrm * q.nrm) >= $semCosMin)
+         |SELECT ka.vec_id, ka.cluster,
+         |       ka.vec_id NOT IN (SELECT vec_id FROM dup) AS is_kept
+         |FROM ka""".stripMargin)
 }

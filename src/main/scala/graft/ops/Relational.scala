@@ -176,7 +176,44 @@ object Relational {
       .select(col("l_returnflag"), col("n_rows"), col("sum_qty"))
   }
 
+  /** Files the z-order layout packs rows into — sized so per-file stats are
+    * meaningful at sf0.01; shared with the oracle SQL. */
+  private val zFiles = 32
+
+  /** Z-order (Morton) data-layout optimization — the write-side clustering
+    * pass behind Delta/Iceberg `OPTIMIZE ZORDER BY`: interleave the bits of
+    * (l_partkey, l_suppkey) with the native [[graft.functions.ZOrder2]]
+    * kernel, lay rows out in z-key order, and emit each output file's
+    * min/max statistics for BOTH dimensions. Because the z-curve localizes
+    * both keys at once, every file covers a narrow rectangle of
+    * (partkey, suppkey) space — a predicate on EITHER column prunes most
+    * files from the scan, which a single-column sort only achieves for its
+    * own column ([[graft.ZOrderSpec]] quantifies the difference vs an
+    * orderkey-sorted layout). At 100 TB this is the difference between
+    * reading the table and reading the matching ~1%.
+    *
+    * The ntile-over-global-sort formulation is the oracle-exact twin of the
+    * write path; a cluster write runs the identical plan as
+    * `repartitionByRange(zkey)` + `sortWithinPartitions(zkey)` →
+    * per-partition files, where the range exchange IS the distributed sort
+    * (sampled bounds, no single-node bottleneck). */
+  def zorderLayout(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val li = Tables.lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      col("l_partkey").cast("long").as("pk"),
+      col("l_suppkey").cast("long").as("sk"))
+      .withColumn("zkey", expr("zorder2(pk, sk)"))
+    val w = Window.orderBy(col("zkey"), col("l_orderkey"), col("l_linenumber"))
+    li.withColumn("file_id", ntile(zFiles).over(w).cast("long"))
+      .groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("pk")).as("pk_lo"), max(col("pk")).as("pk_hi"),
+        min(col("sk")).as("sk_lo"), max(col("sk")).as("sk_hi"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_zorder_layout" -> zorderLayout,
     "h_salted_count" -> saltedCounts,
     "h_cube_summary" -> cubeSummary,
     "h_window_suite" -> windowSuite,
@@ -192,7 +229,27 @@ object Relational {
 
   private val centsSql = (c: String) => s"CAST(round($c * 100) AS BIGINT)"
 
+  /** The [[graft.functions.ZOrder2]] kernel's SQL twin: the 2·bits-term
+    * shift-mask-or chain, generated from the same [[graft.functions.ZOrder2.bits]]
+    * constant so kernel and oracle cannot silently diverge. */
+  private def zorderSqlExpr(a: String, b: String): String =
+    (0 until graft.functions.ZOrder2.bits).map(i =>
+      s"((($a >> $i) & 1) << ${2 * i}) + ((($b >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+
   val oracle: Map[String, String] = Map(
+    "x_zorder_layout" ->
+      s"""WITH z AS (SELECT l_orderkey, l_linenumber,
+         |             CAST(l_partkey AS BIGINT) AS pk, CAST(l_suppkey AS BIGINT) AS sk,
+         |             ${zorderSqlExpr("CAST(l_partkey AS BIGINT)", "CAST(l_suppkey AS BIGINT)")} AS zkey
+         |           FROM lineitem),
+         |f AS (SELECT pk, sk,
+         |        CAST(ntile($zFiles) OVER (ORDER BY zkey, l_orderkey, l_linenumber) AS BIGINT) AS file_id
+         |      FROM z)
+         |SELECT file_id, count(*) AS n_rows,
+         |       min(pk) AS pk_lo, max(pk) AS pk_hi,
+         |       min(sk) AS sk_lo, max(sk) AS sk_hi
+         |FROM f GROUP BY 1""".stripMargin,
     "h_salted_count" ->
       """SELECT l_returnflag, count(*) AS n_rows,
         |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty

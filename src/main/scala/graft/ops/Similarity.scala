@@ -86,6 +86,45 @@ object Similarity {
   def recallPq(s: SparkSession, d: String): DataFrame =
     recallOf(bruteForceTopK(s, d), ivfpqTopK(s, d), "n_ann")
 
+  /** Sign bits for the multi-probe LSH bucket (2^mpBits buckets) — shared
+    * with the oracle SQL like [[Dedup.embedLshBits]]. */
+  private val mpBits = 8
+
+  /** Multi-probe hyperplane-LSH top-k: corpus vectors bucket on the sign
+    * pattern of their first [[mpBits]] dimensions (an integer key, not a
+    * string — bit flips are one XOR), and each query probes its home bucket
+    * PLUS the [[mpBits]] Hamming-1 neighbor buckets — the multi-probe trick
+    * (Lv et al., VLDB'07) that buys back the recall a single-bucket lookup
+    * loses, for (mpBits+1)/2^mpBits of the brute-force cost instead of more
+    * tables or wider buckets. This implements the widening path
+    * [[Dedup.embeddingCosine]]'s scaladoc and SCALE.md promise: at 100 TB,
+    * widen the bucket (halving per-bucket volume per bit) and add probes to
+    * hold recall.
+    *
+    * Plan shape: bucketing is map-side arithmetic on the scan; the probe
+    * set (|queries|·(mpBits+1) rows) is broadcast; the scan joins on
+    * bucket = probe — no corpus shuffle — and per-query top-k runs through
+    * the bounded-heap [[graft.functions.TopKAgg]] partial reduction. */
+  def multiProbeTopK(s: SparkSession, d: String): DataFrame = {
+    val bucketExpr = (0 until mpBits)
+      .map(i => s"(CASE WHEN v[$i] >= 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+    val c = corpus(s, d).withColumn("bucket", expr(s"CAST($bucketExpr AS BIGINT)"))
+    val probes = c.filter(col("vec_id") % queryStride === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("bucket").as("qb"))
+      .select(col("query_id"), col("qv"), explode(expr(
+        s"concat(array(qb), transform(sequence(0, ${mpBits - 1}), i -> qb ^ CAST(shiftleft(1, i) AS BIGINT)))")).as("probe"))
+    val scored = c.join(broadcast(probes),
+        col("bucket") === col("probe") && col("vec_id") =!= col("query_id"))
+      .withColumn("score", expr("cosine_sim(qv, v)"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("score"))
+    rankTopK(scored)
+  }
+
+  /** Recall@k of the multi-probe LSH search against brute force — the
+    * number that tunes the bits-vs-probes trade ([[multiProbeTopK]]). */
+  def recallMultiProbe(s: SparkSession, d: String): DataFrame =
+    recallOf(bruteForceTopK(s, d), multiProbeTopK(s, d), "n_mp")
+
   private def recallOf(bruteDf: DataFrame, approxDf: DataFrame, nApproxCol: String): DataFrame = {
     val brute = bruteDf.select(col("query_id"), col("neighbor_id"))
     val approx = approxDf.select(col("query_id"), col("neighbor_id"))
@@ -285,6 +324,8 @@ object Similarity {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_sim_topk_mp" -> multiProbeTopK,
+    "x_sim_recall_mp" -> recallMultiProbe,
     "x_sim_topk_ivfpq" -> ivfpqTopK,
     "x_embed_pq" -> pqEncode,
     "x_embed_kmeans_iter" -> kmeansIter,
@@ -339,7 +380,82 @@ object Similarity {
          |                    ORDER BY adist ASC, neighbor_id ASC) AS BIGINT) AS rnk
          |           FROM scored)""".stripMargin
 
+  /** CTE chain ending in `ranked` — the multi-probe LSH pipeline (sign
+    * buckets → probe fan-out → bucket-joined cosine → rank); shared by the
+    * `x_sim_topk_mp` and `x_sim_recall_mp` oracles.
+    * DuckDB arrays are 1-based, so `v[i] >= 0` here pairs with Spark's
+    * `v[i-1] >= 0`. */
+  private def multiProbeSqlCtes: String = {
+    val bucket = (1 to mpBits)
+      .map(i => s"(CASE WHEN v[$i] >= 0 THEN ${1L << (i - 1)} ELSE 0 END)").mkString(" + ")
+    s"""WITH cb AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+       |              ($bucket) AS bucket
+       |            FROM embeddings),
+       |qh AS (SELECT vec_id AS query_id, v AS qv,
+       |              sqrt(list_dot_product(v, v)) AS qn, bucket AS qb
+       |       FROM cb WHERE vec_id % $queryStride = 0),
+       |pr AS (SELECT query_id, qv, qn,
+       |              unnest(list_concat([qb],
+       |                list_transform(range(0, $mpBits), i -> xor(qb, 1 << i)))) AS probe
+       |       FROM qh),
+       |scored AS (SELECT q.query_id, c.vec_id AS neighbor_id, $cosSql AS score
+       |           FROM cb c JOIN pr q ON c.bucket = q.probe AND c.vec_id <> q.query_id),
+       |ranked AS (SELECT query_id, neighbor_id,
+       |             CAST(row_number() OVER (PARTITION BY query_id
+       |                    ORDER BY score DESC, neighbor_id ASC) AS BIGINT) AS rnk
+       |           FROM scored)""".stripMargin
+  }
+
+  /** CTE chain (no leading WITH) ending in `ka` (vec_id → cluster, dist2) —
+    * the integer-exact one-iteration Lloyd assignment; shared by the
+    * `x_embed_kmeans_iter` oracle and [[Dedup]]'s `x_dedup_semantic`. */
+  private[ops] val kmeansAssignSqlCtes: String =
+    s"""e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |xp AS (SELECT vec_id, i - 1 AS dim, q[i] AS v
+       |       FROM (SELECT vec_id, q, unnest(range(1, len(q) + 1)) AS i FROM e)),
+       |c AS (SELECT vec_id % $kClusters AS cluster, dim,
+       |        CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS c
+       |      FROM xp GROUP BY 1, 2),
+       |d AS (SELECT xp.vec_id, c.cluster,
+       |        CAST(sum((xp.v - c.c) * (xp.v - c.c)) AS BIGINT) AS dist2
+       |      FROM xp JOIN c USING (dim) GROUP BY 1, 2),
+       |r AS (SELECT vec_id, cluster, dist2,
+       |        row_number() OVER (PARTITION BY vec_id
+       |               ORDER BY dist2 ASC, cluster ASC) AS rn
+       |      FROM d),
+       |ka AS (SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, dist2
+       |       FROM r WHERE rn = 1)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "x_sim_topk_mp" ->
+      s"""$multiProbeSqlCtes
+         |SELECT query_id, neighbor_id, rnk FROM ranked WHERE rnk <= $topK""".stripMargin,
+    "x_sim_recall_mp" ->
+      s"""$multiProbeSqlCtes,
+         |ta AS (SELECT query_id, neighbor_id FROM ranked WHERE rnk <= $topK),
+         |cc AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cq AS (SELECT vec_id AS query_id, v AS qv, sqrt(list_dot_product(v, v)) AS qn
+         |       FROM cc WHERE vec_id % $queryStride = 0),
+         |sb AS (SELECT q.query_id, c.vec_id AS neighbor_id, $cosSql AS score
+         |       FROM cc c, cq q WHERE c.vec_id <> q.query_id),
+         |rb AS (SELECT query_id, neighbor_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |                ORDER BY score DESC, neighbor_id ASC) AS rnk
+         |       FROM sb),
+         |tb AS (SELECT query_id, neighbor_id FROM rb WHERE rnk <= $topK),
+         |nb AS (SELECT query_id, count(*) AS n_brute FROM tb GROUP BY 1),
+         |na AS (SELECT query_id, count(*) AS n_mp FROM ta GROUP BY 1),
+         |cm AS (SELECT tb.query_id, count(*) AS n_common
+         |       FROM tb JOIN ta USING (query_id, neighbor_id) GROUP BY 1)
+         |SELECT nb.query_id, nb.n_brute,
+         |       COALESCE(na.n_mp, 0) AS n_mp,
+         |       COALESCE(cm.n_common, 0) AS n_common,
+         |       CAST(round(CAST(COALESCE(cm.n_common, 0) AS DOUBLE) * 10000 / nb.n_brute)
+         |            AS BIGINT) AS recall_bp
+         |FROM nb LEFT JOIN na USING (query_id) LEFT JOIN cm USING (query_id)""".stripMargin,
     "x_sim_topk_ivfpq" ->
       s"""$ivfpqSqlCtes
          |SELECT query_id, neighbor_id, rnk FROM ranked WHERE rnk <= $topK""".stripMargin,
@@ -388,24 +504,8 @@ object Similarity {
          |       CAST(cluster AS BIGINT) AS code, dist2
          |FROM r WHERE rn = 1""".stripMargin,
     "x_embed_kmeans_iter" ->
-      s"""WITH e AS (
-         |  SELECT vec_id,
-         |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
-         |  FROM embeddings),
-         |xp AS (SELECT vec_id, i - 1 AS dim, q[i] AS v
-         |       FROM (SELECT vec_id, q, unnest(range(1, len(q) + 1)) AS i FROM e)),
-         |c AS (SELECT vec_id % $kClusters AS cluster, dim,
-         |        CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS c
-         |      FROM xp GROUP BY 1, 2),
-         |d AS (SELECT xp.vec_id, c.cluster,
-         |        CAST(sum((xp.v - c.c) * (xp.v - c.c)) AS BIGINT) AS dist2
-         |      FROM xp JOIN c USING (dim) GROUP BY 1, 2),
-         |r AS (SELECT vec_id, cluster, dist2,
-         |        row_number() OVER (PARTITION BY vec_id
-         |               ORDER BY dist2 ASC, cluster ASC) AS rn
-         |      FROM d)
-         |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, dist2
-         |FROM r WHERE rn = 1""".stripMargin,
+      s"""WITH $kmeansAssignSqlCtes
+         |SELECT vec_id, cluster, dist2 FROM ka""".stripMargin,
     "x_embed_quantize" ->
       """WITH v AS (
         |  SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim, CAST(embedding[i] AS DOUBLE) AS x

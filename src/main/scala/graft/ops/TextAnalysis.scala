@@ -239,6 +239,101 @@ object TextAnalysis {
         expr("CAST(round(CAST(max_tok AS DOUBLE) * 10000 / n_words) AS BIGINT)").as("top_tok_bp"))
       .withColumn("is_repetitive", col("dup_bigram_bp") > 2000 || col("top_tok_bp") > 1000)
 
+  /** Minimum document frequency at which a winnow fingerprint counts as
+    * boilerplate — a TUNABLE shared with the oracle SQL like
+    * [[Dedup.maxShingleDf]]; real pipelines set it from the corpus's
+    * site/template fan-out. */
+  private val boilerMinDf = 2
+
+  /** Boilerplate detection: the fraction of a document's winnowing
+    * fingerprints shared by ≥ [[boilerMinDf]] documents — headers, footers,
+    * navigation chrome, and license blocks fingerprint identically across a
+    * template's pages, so a high shared-fingerprint fraction flags
+    * boilerplate-heavy pages the way CCNet/RefinedWeb-style pipelines do
+    * before training. Plan: the fingerprint sets come from the fused
+    * [[graft.functions.WinnowFp]] kernel (map-side), document frequency is
+    * one aggregation over (fp) — hashes move, never text — and the per-doc
+    * score joins fps back on fp then aggregates per doc: two shuffles of a
+    * fingerprint relation whose width is one hash + one id. At 100 TB the
+    * df head (true boilerplate — the most frequent fps) is the only skewed
+    * part and is exactly the part a frequency-split broadcast handles, same
+    * as [[rarity]]. */
+  def boilerplate(s: SparkSession, d: String): DataFrame = {
+    val fps = winnow(s, d)
+    val df = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+    fps.join(df, "fp")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_fps"),
+        sum(when(col("df") >= boilerMinDf, 1L).otherwise(0L)).as("n_boiler"))
+      .withColumn("boiler_bp",
+        expr("CAST(round(CAST(n_boiler AS DOUBLE) * 10000 / n_fps) AS BIGINT)"))
+  }
+
+  /** Text canonicalization ahead of content hashing: NFC + lowercase +
+    * whitespace-collapse + trim via the native [[graft.functions.NormText]]
+    * kernel — the normalize-before-dedup stage every web-corpus pipeline
+    * runs (byte-different encodings of the same rendered text must hash
+    * together). The corpus fixture is pure lowercase ASCII, so the query
+    * injects deterministic case + whitespace noise (uppercased prefix, a
+    * tab-space run, an uppercase suffix) IDENTICALLY in the Spark and
+    * oracle expressions — the normalizer's fold/collapse/trim paths all
+    * execute against driver-provided table data. Strictly map-side; the
+    * emitted md5 commits the entire normalized string to the oracle
+    * comparison. */
+  def normalize(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    Tables.documents(s, d)
+      .select(col("doc_id"), concat(
+        upper(substring(col("text"), 1, 10)), expr("substring(text, 11)"),
+        lit("\t "), lit("END")).as("raw"))
+      .withColumn("norm", expr("norm_text(raw)"))
+      .select(col("doc_id"), md5(col("norm")).as("norm_h"),
+        length(col("raw")).cast("long").as("n_raw"),
+        length(col("norm")).cast("long").as("n_norm"),
+        (col("raw") =!= col("norm")).as("is_changed"))
+  }
+
+  private val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val ipPat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val numPat = "\\d{4,}"
+
+  /** PII scrubbing: staged regex redaction (emails → IPv4 → long digit
+    * runs) with per-stage match counts and the scrubbed-text hash — the
+    * compliance pass a training-data pipeline runs before packing. The
+    * synthetic corpus contains no natural PII, so the query injects a
+    * deterministic PII tail (email always; a second email and an IP on
+    * doc_id-dependent schedules; a long numeric ref) IDENTICALLY in both
+    * engines — match counts vary per document and every redaction branch
+    * executes. Patterns are in the RE2-compatible subset (character
+    * classes, bounded repeats, ASCII `\b`), so Java and DuckDB agree
+    * byte-for-byte. Strictly map-side: three regex passes per document,
+    * zero shuffles, and the staged order means counts are over already-
+    * redacted text (an email's digits are not double-counted as a number
+    * run). */
+  def piiScrub(s: SparkSession, d: String): DataFrame = {
+    val did = col("doc_id").cast("string")
+    val injected = Tables.documents(s, d).select(col("doc_id"), concat(
+      col("text"),
+      lit(" contact user"), did, lit("@mail.example.com"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" cc admin"), (col("doc_id") % 7).cast("string"), lit("@ex.org")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 5 =!= 0,
+        concat(lit(" from 10."), (col("doc_id") % 256).cast("string"), lit(".0."),
+          ((col("doc_id") * 31) % 256).cast("string")))
+        .otherwise(lit("")),
+      lit(" ref "), (col("doc_id") * 7919).cast("string")).as("raw"))
+    injected
+      .withColumn("n_emails", regexp_count(col("raw"), lit(emailPat)).cast("long"))
+      .withColumn("s1", regexp_replace(col("raw"), emailPat, "<EMAIL>"))
+      .withColumn("n_ips", regexp_count(col("s1"), lit(ipPat)).cast("long"))
+      .withColumn("s2", regexp_replace(col("s1"), ipPat, "<IP>"))
+      .withColumn("n_nums", regexp_count(col("s2"), lit(numPat)).cast("long"))
+      .withColumn("scrub_h", md5(regexp_replace(col("s2"), numPat, "<NUM>")))
+      .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_nums"), col("scrub_h"))
+  }
+
   /** The full curation funnel in ONE composed query — quality gate →
     * exact-dedup survivor selection → per-(lang, source) corpus stats —
     * because a training-data engine is judged on composed pipelines, not
@@ -293,6 +388,9 @@ object TextAnalysis {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_text_boilerplate" -> boilerplate,
+    "x_text_normalize" -> normalize,
+    "x_pii_scrub" -> piiScrub,
     "x_curation_pipeline" -> curation,
     "x_pack_curated" -> packCurated,
     "x_text_oov" -> oov,
@@ -305,9 +403,69 @@ object TextAnalysis {
     "x_text_vocab" -> vocab,
     "x_text_winnow" -> winnow)
 
+  /** CTE chain ending in `fps` (the distinct per-doc winnow fingerprint
+    * set) — the oracle twin of [[winnow]], shared by the `x_text_winnow`
+    * and `x_text_boilerplate` oracles. */
+  private val winnowSqlCtes =
+    """w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      |s AS (SELECT doc_id, i AS pos, md5(array_to_string(words[i:i+2], ' ')) AS h
+      |      FROM (SELECT doc_id, words, unnest(range(1, greatest(len(words) - 1, 1))) AS i
+      |            FROM w)),
+      |f AS (SELECT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY pos
+      |        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      |      FROM s),
+      |fps AS (SELECT DISTINCT doc_id, fp FROM f)""".stripMargin
+
   val oracle: Map[String, String] = {
     val hits = (l: String) => hitsSql("words", stoplists.toMap.apply(l))
     Map(
+      "x_text_boilerplate" ->
+        s"""WITH $winnowSqlCtes,
+           |df AS (SELECT fp, count(*) AS df FROM fps GROUP BY 1)
+           |SELECT fps.doc_id, count(*) AS n_fps,
+           |       CAST(sum(CASE WHEN df.df >= $boilerMinDf THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+           |       CAST(round(CAST(sum(CASE WHEN df.df >= $boilerMinDf THEN 1 ELSE 0 END) AS DOUBLE)
+           |                  * 10000 / count(*)) AS BIGINT) AS boiler_bp
+           |FROM fps JOIN df USING (fp) GROUP BY 1""".stripMargin,
+      "x_text_normalize" ->
+        """WITH r AS (SELECT doc_id,
+          |             upper(text[1:10]) || text[11:] || chr(9) || ' ' || 'END' AS raw
+          |           FROM documents),
+          |n AS (SELECT doc_id, raw,
+          |        trim(regexp_replace(lower(nfc_normalize(raw)), '[ \t\r\n]+', ' ', 'g')) AS norm
+          |      FROM r)
+          |SELECT doc_id, md5(norm) AS norm_h,
+          |       CAST(length(raw) AS BIGINT) AS n_raw,
+          |       CAST(length(norm) AS BIGINT) AS n_norm,
+          |       raw <> norm AS is_changed
+          |FROM n""".stripMargin,
+      "x_pii_scrub" -> {
+        // literal backslashes: DuckDB '' strings do not process escapes
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+        val num = "\\d{4,}"
+        s"""WITH r AS (SELECT doc_id,
+           |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+           |    || CASE WHEN doc_id % 3 = 0
+           |            THEN ' cc admin' || CAST(doc_id % 7 AS VARCHAR) || '@ex.org'
+           |            ELSE '' END
+           |    || CASE WHEN doc_id % 5 <> 0
+           |            THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+           |                 || CAST((doc_id * 31) % 256 AS VARCHAR)
+           |            ELSE '' END
+           |    || ' ref ' || CAST(doc_id * 7919 AS VARCHAR) AS raw
+           |  FROM documents),
+           |s1 AS (SELECT doc_id,
+           |         CAST(len(regexp_extract_all(raw, '$email')) AS BIGINT) AS n_emails,
+           |         regexp_replace(raw, '$email', '<EMAIL>', 'g') AS t FROM r),
+           |s2 AS (SELECT doc_id, n_emails,
+           |         CAST(len(regexp_extract_all(t, '$ip')) AS BIGINT) AS n_ips,
+           |         regexp_replace(t, '$ip', '<IP>', 'g') AS t FROM s1),
+           |s3 AS (SELECT doc_id, n_emails, n_ips,
+           |         CAST(len(regexp_extract_all(t, '$num')) AS BIGINT) AS n_nums,
+           |         md5(regexp_replace(t, '$num', '<NUM>', 'g')) AS scrub_h FROM s2)
+           |SELECT doc_id, n_emails, n_ips, n_nums, scrub_h FROM s3""".stripMargin
+      },
       "x_curation_pipeline" ->
         s"""WITH w AS (SELECT doc_id, lang, source, text,
            |             string_split(text, ' ') AS words FROM documents),
@@ -442,13 +600,7 @@ object TextAnalysis {
           |  FROM tf)
           |SELECT lang, token, tf, rnk FROM ranked WHERE rnk <= 20""".stripMargin,
       "x_text_winnow" ->
-        """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-          |s AS (SELECT doc_id, i AS pos, md5(array_to_string(words[i:i+2], ' ')) AS h
-          |      FROM (SELECT doc_id, words, unnest(range(1, greatest(len(words) - 1, 1))) AS i
-          |            FROM w)),
-          |f AS (SELECT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY pos
-          |        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
-          |      FROM s)
-          |SELECT DISTINCT doc_id, fp FROM f""".stripMargin)
+        s"""WITH $winnowSqlCtes
+           |SELECT doc_id, fp FROM fps""".stripMargin)
   }
 }

@@ -5,22 +5,53 @@ import org.scalatest.funsuite.AnyFunSuite
 /** The driver parses `graft.Bench`'s stdout from a 2000-char tail buffer: if
   * the JSON line (plus its newline) doesn't fit, the round records
   * `"parsed": null` and the bench is lost (it happened in round 4). This
-  * spec renders the line for the FULL current query set under worst-case
-  * values, so adding queries past the budget fails here instead of in the
-  * driver. No Spark session needed — renderLine is pure. */
+  * spec renders the line for the FULL current query set, so adding queries
+  * past the budget fails here instead of in the driver. renderLine now
+  * ENFORCES the budget itself (precision degradation, then dropping the
+  * fastest queries with an explicit `queries_omitted` marker) — the specs
+  * pin both the guarantee and that realistic rounds never need the
+  * fallback. No Spark session needed — renderLine is pure. */
 class BenchLineSpec extends AnyFunSuite {
 
   private val sfDir = "/root/testdata/sf0.1"
 
-  test("bench JSON line fits the driver's 2000-char tail with headroom, worst-case values") {
-    // worst case: every query at a three-digit-seconds value, nothing
-    // stripped, every query resampled with a two-digit spread
+  test("realistic round: full per-query map, no omission, within budget") {
+    // realistic: most queries sub-second, streaming family ~3 s, the
+    // slowest ~12 s — the r5 measured shape
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val results = names.zipWithIndex.map { case (k, i) =>
+      (k, if (i % 10 == 0) 12.34 else if (i % 3 == 0) 3.27 else 0.42, None)
+    }
+    val samples = names.map(k => k -> Seq(1.0, 1.1)).toMap
+    val line = Bench.renderLine(results, sfDir, samples)
+    assert(line.length + 1 <= Bench.lineBudget, s"realistic line is ${line.length} chars")
+    assert(!line.contains("queries_omitted"), "realistic round must keep every query")
+    names.foreach(n => assert(line.contains(s""""$n":"""), s"$n missing from line"))
+    // precision may degrade at most to tenths in a realistic round — the
+    // whole-second collapse would make sub-second regressions invisible
+    val probe = names.zipWithIndex.collectFirst {
+      case (n, i) if i % 10 != 0 && i % 3 == 0 => n
+    }.get
+    assert(line.contains(s""""$probe":3.27""") || line.contains(s""""$probe":3.3"""),
+      s"realistic round lost tenths precision: $line")
+  }
+
+  test("worst-case values still fit: budget enforced via degradation/omission") {
     val results = SparkEntry.queries.keys.toSeq.sorted.map(k => (k, 999.99, None))
     val samples = SparkEntry.queries.keys.map(k => k -> Seq(1.0, 99.9, 99.9)).toMap
     val line = Bench.renderLine(results, sfDir, samples)
-    assert(line.length + 1 <= 1950,
-      s"bench line is ${line.length} chars — too close to the 2000-char tail; " +
-        "shorten query keys or the format before adding more queries")
+    assert(line.length + 1 <= Bench.lineBudget, s"worst-case line is ${line.length} chars")
+  }
+
+  test("over-budget fallback drops the FASTEST queries and marks the omission") {
+    // force the fallback with long synthetic names; slow queries must survive
+    val slow = ("q_slow_one", 40.0, None) :: ("q_slow_two", 30.0, None) :: Nil
+    val fast = (1 to 200).map(i => (f"q_fast_with_a_really_long_name_$i%03d", 0.01, None))
+    val line = Bench.renderLine(slow ++ fast, sfDir)
+    assert(line.length + 1 <= Bench.lineBudget, s"fallback line is ${line.length} chars")
+    assert(line.contains(""""queries_omitted":"""), "omission must be visible")
+    assert(line.contains(""""q_slow_one":40"""), "slowest query must survive omission")
+    assert(line.contains(""""q_slow_two":30"""), "second-slowest must survive omission")
   }
 
   test("resampled/spread noise summary: counted, formatted, absent without samples") {
@@ -36,7 +67,7 @@ class BenchLineSpec extends AnyFunSuite {
     val msg = Some("org.apache.spark.SparkException: something long enough to be a real stack message " + "x" * 80)
     val results = SparkEntry.queries.keys.toSeq.sorted.map(k => (k, -1.0, msg))
     val line = Bench.renderLine(results, sfDir)
-    assert(line.length + 1 <= 1950, s"all-failed line is ${line.length} chars")
+    assert(line.length + 1 <= Bench.lineBudget, s"all-failed line is ${line.length} chars")
     assert(line.contains(""""errors_omitted":"""), "omission must be visible")
   }
 
@@ -56,5 +87,7 @@ class BenchLineSpec extends AnyFunSuite {
     assert(line.contains(""""errors":{"""))
     val errPart = line.substring(line.indexOf(""""errors":{"""))
     assert(!errPart.contains("\"quoted\""), "quotes in messages must be sanitized")
+    // sf renders as the basename, not the full path
+    assert(line.endsWith(""","sf":"sf0.1"}"""), line)
   }
 }
