@@ -115,6 +115,14 @@ object Bench {
     if (s == "-0") "0" else s
   }
 
+  /** Mixed fallback: tenths for values ≥ 1 s, whole seconds below — at 91
+    * queries the keys alone consume most of the tail budget, so uniform
+    * tenths no longer fits and the precision chars go where the magnitude
+    * is. A sub-second query that REGRESSES past 1 s re-enters the tenths
+    * band in the same round its regression becomes interesting. */
+  private def fmtMixed(v: Double): String =
+    if (v < 1) fmtCoarse(v) else fmtTenths(v)
+
   /** Whole-second fallback precision for over-budget lines. */
   private def fmtCoarse(v: Double): String = fmt(math.rint(v))
 
@@ -169,30 +177,37 @@ object Bench {
     // "sf0.1", not the full path: the dir prefix is driver-known, the chars
     // belong to per-query values
     val sfJson = s""","sf":"${sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)}""""
-    def line(kept: Seq[(String, Double, Option[String])], f: Double => String): String = {
+    def line(kept: Seq[(String, Double, Option[String])], f: Double => String,
+        withStats: Boolean): String = {
       val qs = kept.map { case (k, v, _) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")
       val dropped = results.size - kept.size
       val dropJson = if (dropped > 0) s""","queries_omitted":$dropped""" else ""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$dropJson$errJson$statsJson$loadJson$sfJson}"""
+      val diag = if (withStats) s"$statsJson$loadJson" else ""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$dropJson$errJson$diag$sfJson}"""
     }
-    // Guaranteed fit, least precision lost first: full precision → tenths
-    // → whole seconds → drop the FASTEST queries (the least informative
-    // casualty) with an explicit queries_omitted marker. A truncated line
-    // the driver can't parse ("parsed": null, round 4) loses EVERYTHING;
-    // an explicit omission under a pathological round loses only
-    // sub-second entries.
+    // Guaranteed fit, least information lost first: full precision →
+    // uniform tenths → mixed (tenths ≥1 s, whole below) → mixed without
+    // the ~33-char spread/load diagnostics (per-query precision outranks
+    // run-noise summary) → whole seconds → drop the FASTEST queries (the
+    // least informative casualty) with an explicit queries_omitted marker.
+    // A truncated line the driver can't parse ("parsed": null, round 4)
+    // loses EVERYTHING; an explicit omission under a pathological round
+    // loses only sub-second entries.
     val sorted = results.sortBy(_._1)
-    Seq(fmt _, fmtTenths _, fmtCoarse _).iterator
-      .map(f => line(sorted, f))
+    val tiers: Seq[(Double => String, Boolean)] = Seq(
+      (fmt _, true), (fmtTenths _, true), (fmtMixed _, true),
+      (fmtMixed _, false), (fmtCoarse _, false))
+    tiers.iterator
+      .map { case (f, st) => line(sorted, f, st) }
       .find(_.length + 1 <= lineBudget)
       .getOrElse {
-        var out = line(sorted, fmtCoarse)
+        var out = line(sorted, fmtCoarse, withStats = false)
         var keep = results.size
         val byCost = results.sortBy(-_._2)
         while (out.length + 1 > lineBudget && keep > 0) {
           keep -= 1
           val keptNames = byCost.take(keep).map(_._1).toSet
-          out = line(sorted.filter(t => keptNames(t._1)), fmtCoarse)
+          out = line(sorted.filter(t => keptNames(t._1)), fmtCoarse, withStats = false)
         }
         out
       }

@@ -60,6 +60,50 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("content_hash"), col("keep_id"), col("n_copies"))
 
+  /** Non-overlapping segment width (words) for [[segmentDedup]] — a TUNABLE
+    * shared with the oracle SQL. Sized so the fixture's 31-word vocabulary
+    * actually produces cross-document duplicate segments (~10% of segment
+    * occurrences at sf0.01); a web-corpus pipeline runs paragraph- or
+    * sentence-sized segments, same plan. */
+  private[ops] val segLen = 4
+
+  /** Segment-level dedup: split each document into non-overlapping
+    * [[segLen]]-word segments, hash each, and score every document by the
+    * fraction of its segments that also occur elsewhere in the corpus — the
+    * paragraph-dedup pass (CCNet/RefinedWeb style) that removes repeated
+    * boilerplate paragraphs WITHIN surviving documents, where document-level
+    * dedup ([[exact]], [[minhashLsh]]) can only drop whole near-identical
+    * docs. The trailing partial segment is dropped (standard: a tail
+    * shorter than the segment width carries no stable dedup signal).
+    *
+    * Plan: segmentation + hashing are map-side (one pass per document),
+    * global segment frequency is one aggregation keyed by the hash, and the
+    * per-doc score joins hashes back then aggregates per doc — two shuffles
+    * of a (hash, id) relation; the text itself never shuffles, the same
+    * 100 TB-shape as [[exact]] and [[TextAnalysis.boilerplate]]. */
+  def segmentDedup(s: SparkSession, d: String): DataFrame =
+    segmentDedupDocs(Tables.documents(s, d))
+
+  /** [[segmentDedup]] over any frame with (doc_id, text). */
+  def segmentDedupDocs(docs: DataFrame): DataFrame = {
+    val segs = docs
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .filter(size(col("words")) >= segLen)
+      .select(col("doc_id"), col("words"),
+        explode(expr(s"sequence(0L, size(words) div $segLen - 1)")).as("seg_idx"))
+      .select(col("doc_id"), col("seg_idx"),
+        md5(concat_ws(" ",
+          expr(s"slice(words, CAST(seg_idx * $segLen + 1 AS INT), $segLen)"))).as("h"))
+    val freq = segs.groupBy(col("h")).agg(count(lit(1)).as("n_occ"))
+    segs.join(freq, "h")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_segs"),
+        sum(when(col("n_occ") >= 2, 1L).otherwise(0L)).as("n_dup_segs"))
+      .withColumn("dup_seg_bp",
+        expr("CAST(round(CAST(n_dup_segs AS DOUBLE) * 10000 / n_segs) AS BIGINT)"))
+  }
+
   /** Document-frequency cap for the Jaccard candidate universe: a shingle
     * appearing in more docs than this (within one (lang, source) block) is
     * dropped before pair generation. This bounds per-shingle candidate pairs
@@ -479,6 +523,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_dedup_exact" -> exact,
+    "x_dedup_segments" -> segmentDedup,
     "x_dedup_ngram_jaccard" -> ngramJaccard,
     "x_dedup_minhash_lsh" -> minhashLsh,
     "x_dedup_jaccard_est" -> jaccardEstimate,
@@ -538,6 +583,19 @@ object Dedup {
       """SELECT md5(text) AS content_hash, CAST(min(doc_id) AS BIGINT) AS keep_id,
         |       count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
+    "x_dedup_segments" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+         |g AS (SELECT doc_id,
+         |        md5(array_to_string(
+         |          words[i * $segLen + 1 : i * $segLen + $segLen], ' ')) AS h
+         |      FROM (SELECT doc_id, words, unnest(range(0, len(words) // $segLen)) AS i
+         |            FROM w WHERE len(words) >= $segLen)),
+         |f AS (SELECT h, count(*) AS n_occ FROM g GROUP BY 1)
+         |SELECT g.doc_id, count(*) AS n_segs,
+         |       CAST(sum(CASE WHEN f.n_occ >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segs,
+         |       CAST(round(CAST(sum(CASE WHEN f.n_occ >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         |                  * 10000 / count(*)) AS BIGINT) AS dup_seg_bp
+         |FROM g JOIN f USING (h) GROUP BY 1""".stripMargin,
     "x_dedup_ngram_jaccard" ->
       s"""$shingleSqlCtes,
          |d AS (SELECT lang, source, sh, count(*) AS df FROM s GROUP BY 1, 2, 3),

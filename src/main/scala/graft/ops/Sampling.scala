@@ -94,6 +94,66 @@ object Sampling {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_tokens"))
   }
 
+  /** Shard fan-out for [[shuffleShard]] — a TUNABLE shared with the oracle;
+    * a real training run sets it to the loader's file parallelism. */
+  private val nShards = 8
+
+  /** Deterministic global shuffle + shard assignment: the step that turns a
+    * curated corpus into training shards read in pseudorandom order. Each
+    * document is assigned a shard (its md5 hex prefix mod [[nShards]]) and
+    * a position within the shard (rank by full md5) — a reproducible
+    * permutation that is a pure function of the stable key, so re-running
+    * the pipeline (or growing the corpus) never silently reorders existing
+    * epochs' data the way `rand()`-ordered writes do.
+    *
+    * Plan: the shard id is map-side; the per-shard position is one shuffle
+    * keyed by shard with a rank ordered by the hash. The window's
+    * parallelism equals the shard count — which is exactly right, because
+    * each shard is one output stream; at 100 TB you raise [[nShards]] to
+    * the loader's file fan-out (thousands) and the same plan gives
+    * thousands-way parallelism with per-shard state of one counter. */
+  def shuffleShard(s: SparkSession, d: String): DataFrame =
+    shuffleShardDocs(Tables.documents(s, d))
+
+  /** [[shuffleShard]] over any frame with (doc_id, lang). */
+  def shuffleShardDocs(docs: DataFrame): DataFrame = {
+    val h = md5(col("doc_id").cast("string"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    docs
+      .select(col("doc_id"), col("lang"), h.as("h"))
+      .withColumn("shard",
+        expr(s"(instr('0123456789abcdef', substring(h, 1, 1)) - 1) % $nShards").cast("long"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("lang"), col("shard"), col("pos"))
+  }
+
+  /** Per-stratum relative quality gate: keep each (lang, source) stratum's
+    * upper half by document length — the percentile-style cut real curation
+    * recipes apply per domain (an absolute threshold that suits one domain
+    * starves another; a relative cut adapts to each stratum's own
+    * distribution). Exact integer formulation: rank by (n_words desc,
+    * doc_id) and keep rows with 2·rank ≤ stratum count — no FP percentile,
+    * so the kept set is identical across engines and partitionings.
+    *
+    * Plan: one shuffle keyed by the stratum for rank + count over the same
+    * window partitioning (a single sort serves both), parallel across
+    * |lang|×|source| strata; hot strata sub-shard by hash prefix exactly
+    * like [[quotaSample]]. */
+  def percentileGate(s: SparkSession, d: String): DataFrame =
+    percentileGateDocs(Tables.documents(s, d))
+
+  /** [[percentileGate]] over any frame with (doc_id, lang, source, text). */
+  def percentileGateDocs(docs: DataFrame): DataFrame = {
+    val part = Window.partitionBy(col("lang"), col("source"))
+    val w = part.orderBy(col("n_words").desc, col("doc_id"))
+    docs
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_words"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("n_stratum", count(lit(1)).over(part).cast("long"))
+      .filter(col("rnk") * 2 <= col("n_stratum"))
+  }
+
   private[ops] val ctxLen = 2048
 
   /** Training-sequence packing: the assembly step that concatenates a
@@ -121,9 +181,33 @@ object Sampling {
     "x_sample_hash" -> hashSample,
     "x_mix_weights" -> mixWeights,
     "x_split_assign" -> splitAssign,
-    "x_pack_sequences" -> packSequences)
+    "x_pack_sequences" -> packSequences,
+    "x_shuffle_shard" -> shuffleShard,
+    "x_gate_percentile" -> percentileGate)
 
   val oracle: Map[String, String] = Map(
+    "x_shuffle_shard" ->
+      s"""WITH b AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h
+         |           FROM documents),
+         |s AS (SELECT doc_id, lang, h,
+         |        CAST((instr('0123456789abcdef', substr(h, 1, 1)) - 1) % $nShards
+         |             AS BIGINT) AS shard
+         |      FROM b)
+         |SELECT doc_id, lang, shard,
+         |       CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+         |            AS BIGINT) AS pos
+         |FROM s""".stripMargin,
+    "x_gate_percentile" ->
+      """WITH b AS (SELECT doc_id, lang, source,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+        |           FROM documents),
+        |r AS (SELECT doc_id, lang, source, n_words,
+        |        CAST(row_number() OVER (PARTITION BY lang, source
+        |               ORDER BY n_words DESC, doc_id) AS BIGINT) AS rnk,
+        |        CAST(count(*) OVER (PARTITION BY lang, source) AS BIGINT) AS n_stratum
+        |      FROM b)
+        |SELECT doc_id, lang, source, n_words, rnk, n_stratum
+        |FROM r WHERE rnk * 2 <= n_stratum""".stripMargin,
     "x_sample_quota" ->
       s"""WITH ranked AS (
          |  SELECT doc_id, lang, source,

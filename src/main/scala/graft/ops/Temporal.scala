@@ -82,6 +82,44 @@ object Temporal {
       .select(col("event_id"), col("user_id"), col("ts_us"), col("n_recent_clicks"))
   }
 
+  /** X4: SCD2 run collapse — fold each user's event stream into
+    * slowly-changing-dimension type-2 validity ranges: one row per maximal
+    * run of consecutive equal `event_type`, carrying `[valid_from_us,
+    * valid_to_us)` where `valid_to_us` is the next run's start (NULL for
+    * the user's current/open run) — the state-history table a warehouse
+    * derives from an event stream for point-in-time joins. Classic
+    * gaps-and-islands: a lag-based change flag, a running sum numbering the
+    * runs, then one aggregate per run and a lead for the closing edge.
+    *
+    * Plan: every window and the aggregate are keyed by `user_id`, so the
+    * whole operator is ONE exchange — Catalyst reuses the partitioning
+    * across the two window passes and the grouped agg; per-partition state
+    * is a single row of carry. Run numbering is deterministic because the
+    * sort key (ts_us, event_id) is unique. */
+  def scd2(s: SparkSession, d: String): DataFrame =
+    scd2Events(Tables.events(s, d))
+
+  /** [[scd2]] over any frame with (event_id, user_id, ts, event_type). */
+  def scd2Events(events: DataFrame): DataFrame = {
+    val ev = events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val prev = lag(col("event_type"), 1).over(wOrd)
+    val runs = ev
+      .withColumn("chg", when(prev.isNull || prev =!= col("event_type"), 1L).otherwise(0L))
+      .withColumn("run_id", sum(col("chg"))
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+    val wRun = Window.partitionBy(col("user_id")).orderBy(col("run_id"))
+    runs.groupBy(col("user_id"), col("run_id"))
+      .agg(
+        min(col("event_type")).as("event_type"),
+        min(col("ts_us")).as("valid_from_us"),
+        count(lit(1)).as("n_events"))
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(wRun))
+  }
+
   private val eventTypes = Seq("click", "view", "purchase", "signup", "error")
 
   /** X3: pivot — per-user event-type count matrix via the relational pivot
@@ -103,7 +141,8 @@ object Temporal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_asof_join" -> asofJoin,
     "x_range_clicks" -> clicksBeforePurchase,
-    "x_event_pivot" -> eventPivot)
+    "x_event_pivot" -> eventPivot,
+    "x_scd2_ranges" -> scd2)
 
   val oracle: Map[String, String] = Map(
     // DuckDB's native ASOF JOIN is the oracle for the window formulation —
@@ -136,5 +175,30 @@ object Temporal {
         |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
         |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
         |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
-        |FROM events GROUP BY 1""".stripMargin)
+        |FROM events GROUP BY 1""".stripMargin,
+    "x_scd2_ranges" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL),
+        |c AS (
+        |  SELECT user_id, ts_us, event_id, event_type,
+        |         CASE WHEN lag(event_type) OVER w IS NULL
+        |                OR lag(event_type) OVER w <> event_type
+        |              THEN 1 ELSE 0 END AS chg
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |r AS (
+        |  SELECT user_id, ts_us, event_type,
+        |         CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
+        |  FROM c),
+        |a AS (
+        |  SELECT user_id, run_id, min(event_type) AS event_type,
+        |         CAST(min(ts_us) AS BIGINT) AS valid_from_us,
+        |         count(*) AS n_events
+        |  FROM r GROUP BY 1, 2)
+        |SELECT user_id, run_id, event_type, valid_from_us, n_events,
+        |       lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY run_id)
+        |         AS valid_to_us
+        |FROM a""".stripMargin)
 }

@@ -239,6 +239,78 @@ object TextAnalysis {
         expr("CAST(round(CAST(max_tok AS DOUBLE) * 10000 / n_words) AS BIGINT)").as("top_tok_bp"))
       .withColumn("is_repetitive", col("dup_bigram_bp") > 2000 || col("top_tok_bp") > 1000)
 
+  /** Chunk geometry — TUNABLES shared with the oracle SQL. Sized so the
+    * fixture (10-99 words/doc, median 56) exercises both the single-chunk
+    * and the multi-chunk overlap path; a real RAG/context-window pipeline
+    * runs 512/384-token chunks, same plan. */
+  private val chunkLen = 32
+  private val chunkStride = 24
+
+  /** Document chunking: overlapping fixed-length word windows (length
+    * [[chunkLen]], stride [[chunkStride]]) — the retrieval/context-window
+    * splitter every RAG and long-document training pipeline runs between
+    * curation and embedding. Each chunk carries its offset geometry and a
+    * content hash (the downstream join key for embedding/dedup over
+    * chunks). Chunk count is exact integer arithmetic
+    * (`1 + ceil((n-len)/stride)` via `div`), so the chunking is
+    * reproducible across engines and partitionings; the final chunk is
+    * allowed to run short rather than re-reading the tail twice.
+    *
+    * Plan: strictly per-document map-side explode — zero shuffles, and the
+    * fan-out factor is n_words/stride ≈ 1.3-4× here (bounded by document
+    * length over stride, not corpus size), so the operator scales linearly
+    * with input bytes at 100 TB. */
+  def chunks(s: SparkSession, d: String): DataFrame =
+    chunksDocs(Tables.documents(s, d))
+
+  /** [[chunks]] over any frame with (doc_id, text). */
+  def chunksDocs(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .withColumn("n_words", size(col("words")).cast("long"))
+      .withColumn("n_chunks", expr(
+        s"""CASE WHEN n_words <= $chunkLen THEN 1L
+           |     ELSE 1L + (n_words - $chunkLen + $chunkStride - 1) div $chunkStride
+           |END""".stripMargin))
+      .select(col("doc_id"), col("words"), col("n_words"),
+        explode(expr("sequence(0L, n_chunks - 1)")).as("chunk_id"))
+      .withColumn("start_w", col("chunk_id") * chunkStride)
+      .withColumn("len_w", least(lit(chunkLen.toLong), col("n_words") - col("start_w")))
+      .select(col("doc_id"), col("chunk_id"), col("start_w"), col("len_w"),
+        md5(concat_ws(" ",
+          expr(s"slice(words, CAST(start_w + 1 AS INT), $chunkLen)"))).as("chunk_h"))
+
+  /** Per-language n-gram top-k rank depth — TUNABLE shared with the oracle. */
+  private val ngramTopN = 10
+
+  /** Corpus n-gram statistics: the [[ngramTopN]] most document-frequent
+    * 3-word shingles per language — the head of the n-gram frequency table
+    * that drives boilerplate lists, stopword induction, and contamination
+    * screens. Counts DOCUMENT frequency (each doc contributes its distinct
+    * shingle set once, via the fused [[graft.functions.Shingles3]] kernel),
+    * so a single repetitive document cannot dominate the corpus statistic.
+    *
+    * Plan: map-side kernel + explode, one shuffle for the (lang, shingle)
+    * count with map-side partial aggregation, then a per-lang rank over the
+    * ALREADY-AGGREGATED relation — the window sorts |distinct shingles|
+    * rows, not the corpus, same shape as [[vocab]]. Deterministic cut:
+    * (df desc, shingle asc). */
+  def ngramTopK(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    ngramTopKDocs(Tables.documents(s, d))
+  }
+
+  /** [[ngramTopK]] over any frame with (lang, text); callers must have
+    * [[graft.functions.GraftFunctions.register]]ed the session. */
+  def ngramTopKDocs(docs: DataFrame): DataFrame = {
+    val sh = docs
+      .select(col("lang"), explode(expr("shingles3(split(text, ' '))")).as("sh"))
+    val df = sh.groupBy(col("lang"), col("sh")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("df").desc, col("sh").asc)
+    df.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= ngramTopN)
+  }
+
   /** Minimum document frequency at which a winnow fingerprint counts as
     * boilerplate — a TUNABLE shared with the oracle SQL like
     * [[Dedup.maxShingleDf]]; real pipelines set it from the corpus's
@@ -388,6 +460,8 @@ object TextAnalysis {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_text_chunks" -> chunks,
+    "x_ngram_topk" -> ngramTopK,
     "x_text_boilerplate" -> boilerplate,
     "x_text_normalize" -> normalize,
     "x_pii_scrub" -> piiScrub,
@@ -419,6 +493,36 @@ object TextAnalysis {
   val oracle: Map[String, String] = {
     val hits = (l: String) => hitsSql("words", stoplists.toMap.apply(l))
     Map(
+      "x_text_chunks" ->
+        s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+           |b AS (SELECT doc_id, words, CAST(len(words) AS BIGINT) AS n_words FROM w),
+           |n AS (SELECT doc_id, words, n_words,
+           |        CASE WHEN n_words <= $chunkLen THEN 1
+           |             ELSE 1 + (n_words - $chunkLen + $chunkStride - 1) // $chunkStride
+           |        END AS n_chunks
+           |      FROM b),
+           |c AS (SELECT doc_id, words, n_words,
+           |        CAST(unnest(range(0, n_chunks)) AS BIGINT) AS chunk_id
+           |      FROM n)
+           |SELECT doc_id, chunk_id,
+           |       CAST(chunk_id * $chunkStride AS BIGINT) AS start_w,
+           |       CAST(least($chunkLen, n_words - chunk_id * $chunkStride) AS BIGINT) AS len_w,
+           |       md5(array_to_string(
+           |         words[chunk_id * $chunkStride + 1 : chunk_id * $chunkStride + $chunkLen],
+           |         ' ')) AS chunk_h
+           |FROM c""".stripMargin,
+      "x_ngram_topk" ->
+        s"""WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents),
+           |s AS (SELECT DISTINCT doc_id, lang, array_to_string(words[i:i+2], ' ') AS sh
+           |      FROM (SELECT doc_id, lang, words,
+           |              unnest(range(1, greatest(len(words) - 1, 1))) AS i
+           |            FROM w)),
+           |df AS (SELECT lang, sh, count(*) AS df FROM s GROUP BY 1, 2)
+           |SELECT lang, sh, df, rnk FROM (
+           |  SELECT lang, sh, df,
+           |         CAST(row_number() OVER (PARTITION BY lang
+           |                ORDER BY df DESC, sh ASC) AS BIGINT) AS rnk
+           |  FROM df) WHERE rnk <= $ngramTopN""".stripMargin,
       "x_text_boilerplate" ->
         s"""WITH $winnowSqlCtes,
            |df AS (SELECT fp, count(*) AS df FROM fps GROUP BY 1)

@@ -1,0 +1,114 @@
+package graft
+
+import graft.ops.{Dedup, Sampling, Temporal, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Edge-semantics pins for the round-6 corpus-assembly ops — the cases the
+  * DuckDB oracle gate exercises only incidentally: chunk geometry at the
+  * single/multi-chunk boundary and the short tail, document-frequency (not
+  * occurrence) counting in the n-gram top-k, segment-tail drop and
+  * cross-document dup attribution, shuffle-shard permutation completeness
+  * and determinism, the exact-half percentile cut on odd strata, and SCD2
+  * run splitting on A-B-A interleaves with an open final range. */
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String, String, String)*) =
+    rows.toDF("doc_id", "lang", "source", "text")
+
+  test("chunks: one full chunk at/below chunkLen, overlapping tail above it") {
+    val d = docs(
+      (1L, "en", "s", (1 to 32).map(i => s"w$i").mkString(" ")), // exactly chunkLen
+      (2L, "en", "s", (1 to 33).map(i => s"w$i").mkString(" ")), // one word over
+      (3L, "en", "s", "a b c"))                                  // tiny doc
+    val out = TextAnalysis.chunksDocs(d)
+      .select($"doc_id", $"chunk_id", $"start_w", $"len_w")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (1L, 0L, 0L, 32L),
+      (2L, 0L, 0L, 32L), (2L, 1L, 24L, 9L), // stride 24, short tail
+      (3L, 0L, 0L, 3L)))
+  }
+
+  test("chunks: chunk hash commits to the exact word window") {
+    val d = docs((7L, "en", "s", (1 to 40).map(i => s"w$i").mkString(" ")))
+    val out = TextAnalysis.chunksDocs(d)
+      .select($"chunk_id", $"chunk_h").as[(Long, String)].collect().toMap
+    val exp0 = (1 to 32).map(i => s"w$i").mkString(" ")
+    val exp1 = (25 to 40).map(i => s"w$i").mkString(" ")
+    val md5s = (t: String) =>
+      java.security.MessageDigest.getInstance("MD5").digest(t.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    assert(out == Map(0L -> md5s(exp0), 1L -> md5s(exp1)))
+  }
+
+  test("ngramTopK counts document frequency, not occurrences") {
+    graft.functions.GraftFunctions.register(spark)
+    // doc 1 repeats "x y z" twice but contributes the shingle ONCE; the
+    // shingle "x y z" appears in 2 docs while "p q r" appears in 1.
+    val d = docs(
+      (1L, "en", "s", "x y z x y z"),
+      (2L, "en", "s", "x y z"),
+      (3L, "en", "s", "p q r"))
+    val out = TextAnalysis.ngramTopKDocs(d)
+      .select($"sh", $"df").as[(String, Long)].collect().toMap
+    assert(out("x y z") == 2L && out("p q r") == 1L)
+  }
+
+  test("segmentDedup drops the short tail and attributes cross-doc dups") {
+    // segLen = 4: doc 1 = segments [a b c d][e f g h] + dropped tail "t";
+    // doc 2 shares [a b c d] exactly; doc 3 is too short to segment.
+    val d = docs(
+      (1L, "en", "s", "a b c d e f g h t"),
+      (2L, "en", "s", "a b c d"),
+      (3L, "en", "s", "x y z"))
+    val out = Dedup.segmentDedupDocs(d)
+      .select($"doc_id", $"n_segs", $"n_dup_segs", $"dup_seg_bp")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L, 1L, 5000L), (2L, 1L, 1L, 10000L)))
+  }
+
+  test("shuffleShard is a complete deterministic permutation with dense positions") {
+    val d = docs((0L until 64L).map(i => (i, "en", "s", "t")): _*)
+    val run = () => Sampling.shuffleShardDocs(d)
+      .select($"doc_id", $"shard", $"pos").as[(Long, Long, Long)].collect().toSet
+    val out = run()
+    assert(out.map(_._1) == (0L until 64L).toSet)         // every doc exactly once
+    assert(out.forall { case (_, s, _) => s >= 0 && s < 8 })
+    out.groupBy(_._2).foreach { case (_, rows) =>          // dense rank per shard
+      assert(rows.map(_._3) == (1L to rows.size).toSet)
+    }
+    assert(run() == out)                                   // reproducible
+  }
+
+  test("percentileGate keeps the exact upper half per stratum, ties by doc_id") {
+    // stratum of 5: keep 2 (2*rnk <= 5); equal lengths break by doc_id.
+    val d = docs(
+      (1L, "en", "s", "a b c"), (2L, "en", "s", "a b c d"),
+      (3L, "en", "s", "a b c d"), (4L, "en", "s", "a"), (5L, "en", "s", "a b"),
+      (6L, "fr", "s", "a b"), (7L, "fr", "s", "a"))  // stratum of 2: keep 1
+    val out = Sampling.percentileGateDocs(d)
+      .select($"doc_id", $"rnk").as[(Long, Long)].collect().toSet
+    assert(out == Set((2L, 1L), (3L, 2L), (6L, 1L)))
+  }
+
+  test("scd2 splits A-B-A into three runs and leaves the last range open") {
+    val ev = Seq(
+      (1L, "u1", "2024-01-01 10:00:00", "click"),
+      (2L, "u1", "2024-01-01 10:01:00", "click"),
+      (3L, "u1", "2024-01-01 10:02:00", "view"),
+      (4L, "u1", "2024-01-01 10:03:00", "click"), // back to A → NEW run
+      (5L, "u2", "2024-01-01 09:00:00", "view"))
+      .toDF("event_id", "user_id", "ts_s", "event_type")
+      .select($"event_id", $"user_id", to_timestamp($"ts_s").as("ts"), $"event_type")
+    val us = (s: String) => java.sql.Timestamp.valueOf(s).getTime * 1000L
+    val out = Temporal.scd2Events(ev)
+      .select($"user_id", $"run_id", $"event_type", $"valid_from_us", $"valid_to_us", $"n_events")
+      .as[(String, Long, String, Long, Option[Long], Long)].collect().toSet
+    assert(out == Set(
+      ("u1", 1L, "click", us("2024-01-01 10:00:00"), Some(us("2024-01-01 10:02:00")), 2L),
+      ("u1", 2L, "view", us("2024-01-01 10:02:00"), Some(us("2024-01-01 10:03:00")), 1L),
+      ("u1", 3L, "click", us("2024-01-01 10:03:00"), None, 1L),
+      ("u2", 1L, "view", us("2024-01-01 09:00:00"), None, 1L)))
+  }
+}
