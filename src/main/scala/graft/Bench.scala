@@ -123,6 +123,13 @@ object Bench {
   private def fmtMixed(v: Double): String =
     if (v < 1) fmtCoarse(v) else fmtTenths(v)
 
+  /** Slow-tenths fallback: tenths only for values ≥ 10 s, whole seconds
+    * below — the floor tier before the all-whole-seconds collapse; the
+    * handful of structurally slow queries (the ones a scale regression
+    * shows up in first) keep their fractional digit longest. */
+  private def fmtSlowTenths(v: Double): String =
+    if (v < 10) fmtCoarse(v) else fmtTenths(v)
+
   /** Whole-second fallback precision for over-budget lines. */
   private def fmtCoarse(v: Double): String = fmt(math.rint(v))
 
@@ -196,7 +203,7 @@ object Bench {
     val sorted = results.sortBy(_._1)
     val tiers: Seq[(Double => String, Boolean)] = Seq(
       (fmt _, true), (fmtTenths _, true), (fmtMixed _, true),
-      (fmtMixed _, false), (fmtCoarse _, false))
+      (fmtMixed _, false), (fmtSlowTenths _, false), (fmtCoarse _, false))
     tiers.iterator
       .map { case (f, st) => line(sorted, f, st) }
       .find(_.length + 1 <= lineBudget)

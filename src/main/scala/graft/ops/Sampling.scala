@@ -113,18 +113,19 @@ object Sampling {
     * the loader's file fan-out (thousands) and the same plan gives
     * thousands-way parallelism with per-shard state of one counter. */
   def shuffleShard(s: SparkSession, d: String): DataFrame =
-    shuffleShardDocs(Tables.documents(s, d))
+    shuffleShardDocs(Tables.documents(s, d).select(col("doc_id"), col("lang")))
 
-  /** [[shuffleShard]] over any frame with (doc_id, lang). */
+  /** [[shuffleShard]] over any frame with a `doc_id` key: appends (shard,
+    * pos), passing every input column through — so composed pipelines
+    * ([[curateShard]]) carry their payload columns into the shards. */
   def shuffleShardDocs(docs: DataFrame): DataFrame = {
-    val h = md5(col("doc_id").cast("string"))
     val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
     docs
-      .select(col("doc_id"), col("lang"), h.as("h"))
+      .withColumn("h", md5(col("doc_id").cast("string")))
       .withColumn("shard",
         expr(s"(instr('0123456789abcdef', substring(h, 1, 1)) - 1) % $nShards").cast("long"))
       .withColumn("pos", row_number().over(w).cast("long"))
-      .select(col("doc_id"), col("lang"), col("shard"), col("pos"))
+      .drop("h")
   }
 
   /** Per-stratum relative quality gate: keep each (lang, source) stratum's
@@ -153,6 +154,18 @@ object Sampling {
       .withColumn("n_stratum", count(lit(1)).over(part).cast("long"))
       .filter(col("rnk") * 2 <= col("n_stratum"))
   }
+
+  /** The full corpus-to-loader handoff, composed end to end: quality gate →
+    * exact dedup ([[TextAnalysis.curatedDocs]]) → deterministic shuffle into
+    * training shards ([[shuffleShardDocs]]), with each surviving document's
+    * token count carried through — the artifact a training loader actually
+    * mounts. Composition is the point: the gate fuses into the scan, the
+    * keep-list is one content-hash shuffle, and the shard rank is one
+    * shard-keyed shuffle — three exchanges total at any corpus size, and
+    * the only rows that reach the shard shuffle are curated survivors. */
+  def curateShard(s: SparkSession, d: String): DataFrame =
+    shuffleShardDocs(TextAnalysis.curatedDocs(s, d)
+      .select(col("doc_id"), col("lang"), col("n_words")))
 
   private[ops] val ctxLen = 2048
 
@@ -183,9 +196,31 @@ object Sampling {
     "x_split_assign" -> splitAssign,
     "x_pack_sequences" -> packSequences,
     "x_shuffle_shard" -> shuffleShard,
-    "x_gate_percentile" -> percentileGate)
+    "x_gate_percentile" -> percentileGate,
+    "x_curate_shard" -> curateShard)
 
   val oracle: Map[String, String] = Map(
+    "x_curate_shard" ->
+      s"""WITH w AS (SELECT doc_id, lang, source, text,
+         |             string_split(text, ' ') AS words FROM documents),
+         |b AS (SELECT doc_id, lang, text,
+         |        CAST(len(words) AS BIGINT) AS n_words,
+         |        CAST(len(list_filter(words,
+         |          x -> list_contains(['the', 'a', 'of', 'and', 'is'], x))) AS BIGINT) AS n_stop
+         |      FROM w),
+         |q AS (SELECT * FROM b
+         |      WHERE n_words >= 20 AND n_words <= 2000 AND n_stop >= 1),
+         |k AS (SELECT CAST(min(doc_id) AS BIGINT) AS doc_id FROM q GROUP BY md5(text)),
+         |kd AS (SELECT doc_id, lang, n_words, md5(CAST(doc_id AS VARCHAR)) AS h
+         |       FROM q WHERE doc_id IN (SELECT doc_id FROM k)),
+         |s AS (SELECT doc_id, lang, n_words, h,
+         |        CAST((instr('0123456789abcdef', substr(h, 1, 1)) - 1) % $nShards
+         |             AS BIGINT) AS shard
+         |      FROM kd)
+         |SELECT doc_id, lang, n_words, shard,
+         |       CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+         |            AS BIGINT) AS pos
+         |FROM s""".stripMargin,
     "x_shuffle_shard" ->
       s"""WITH b AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h
          |           FROM documents),

