@@ -199,7 +199,12 @@ object Bench {
     // least informative casualty) with an explicit queries_omitted marker.
     // A truncated line the driver can't parse ("parsed": null, round 4)
     // loses EVERYTHING; an explicit omission under a pathological round
-    // loses only sub-second entries.
+    // loses only sub-second entries. At 100 queries the keys alone outgrow
+    // the tail even at whole-second precision, so the omission tier IS the
+    // steady state: the contract (pinned by BenchLineSpec) is that every
+    // query ≥1 s is always present — omission eats upward from the
+    // cheapest, and a sub-second query that regresses past 1 s re-enters
+    // the map in the round its regression becomes interesting.
     val sorted = results.sortBy(_._1)
     val tiers: Seq[(Double => String, Boolean)] = Seq(
       (fmt _, true), (fmtTenths _, true), (fmtMixed _, true),

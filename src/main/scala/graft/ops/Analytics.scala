@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -95,7 +96,37 @@ object Analytics {
         col("total_interactions"))
   }
 
+  private val profileCols =
+    Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  /** Data-quality profile of the ingest table: per column, the null count
+    * and exact distinct cardinality (plus the shared row count) — the
+    * monitoring table a pipeline publishes to catch schema drift, null
+    * floods, and key-cardinality surprises before they poison downstream
+    * KPIs. Exact distincts keep every cell oracle-checkable; Catalyst plans
+    * the multi-distinct aggregate as ONE scan + Expand (one stream per
+    * distinct column). At 100 TB the same query swaps `count_distinct` for
+    * `approx_count_distinct` — single pass, no Expand, ±2% — since a
+    * profile monitor tolerates sketch error; the nulls/rows side is always
+    * one-pass partial aggregation. The pivot to rows happens AFTER
+    * aggregation (stack over a single 13-column row — free). */
+  def statsProfile(s: SparkSession, d: String): DataFrame = {
+    val aggs =
+      count(lit(1)).as("n_rows") +:
+      profileCols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"),
+        countDistinct(col(c)).as(s"dist_$c")))
+    val stackArgs = profileCols
+      .map(c => s"'$c', null_$c, dist_$c").mkString(", ")
+    Tables.events(s, d)
+      .agg(aggs.head, aggs.tail: _*)
+      .selectExpr(
+        s"stack(${profileCols.size}, $stackArgs) AS (col_name, n_null, n_distinct)",
+        "n_rows")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_stats_profile" -> statsProfile,
     "d_kpi_avg" -> kpiAvg,
     "d_kpi_extremes" -> kpiExtremes,
     "d_recent_windows" -> recentWindows,
@@ -105,6 +136,16 @@ object Analytics {
     "d_anomaly" -> anomalyWindows)
 
   val oracle: Map[String, String] = Map(
+    "d_stats_profile" -> {
+      val aggCols = profileCols.flatMap(c => Seq(
+        s"CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_$c",
+        s"CAST(count(DISTINCT $c) AS BIGINT) AS dist_$c")).mkString(", ")
+      val rows = profileCols.map(c =>
+        s"SELECT '$c' AS col_name, null_$c AS n_null, dist_$c AS n_distinct, n_rows FROM a")
+        .mkString(" UNION ALL ")
+      s"""WITH a AS (SELECT count(*) AS n_rows, $aggCols FROM events)
+         |$rows""".stripMargin
+    },
     "d_kpi_avg" ->
       s"""WITH uw AS ($uwSql)
          |SELECT round(CAST(sum(total_interactions) AS DOUBLE) / count(*), 2) AS avg_interactions

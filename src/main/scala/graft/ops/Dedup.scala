@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication pack for LLM-training-data pipelines (SURVEY §7.4 /
@@ -189,18 +190,26 @@ object Dedup {
   def minhashLsh(s: SparkSession, d: String): DataFrame =
     lshPairs(Lineage.cut(minhashSignatures(s, d)))
 
-  /** Band join over a MATERIALIZED signature relation (callers checkpoint —
-    * the band relation sits on both sides of the candidate self-join, so an
-    * unmaterialized signature subtree would be planned and executed twice). */
-  private def lshPairs(sig: DataFrame): DataFrame = {
+  /** The (doc_id, band, bkey) LSH band relation of a signature frame — one
+    * map-side explode, 8 rows per doc. Shared by the self-join candidate
+    * path ([[lshPairs]]) and the asymmetric incremental path
+    * ([[incremental]]). */
+  private def bandRelation(sig: DataFrame): DataFrame = {
     val bandStructs = (0 until nSeeds / bandSize).map { b =>
       struct(lit(b).as("band"),
         concat_ws(":",
           (b * bandSize until (b + 1) * bandSize).map(i => element_at(col("sig"), i + 1)): _*).as("bkey"))
     }
-    val bands = sig
+    sig
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+  }
+
+  /** Band join over a MATERIALIZED signature relation (callers checkpoint —
+    * the band relation sits on both sides of the candidate self-join, so an
+    * unmaterialized signature subtree would be planned and executed twice). */
+  private def lshPairs(sig: DataFrame): DataFrame = {
+    val bands = bandRelation(sig)
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -521,6 +530,80 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("edge_comp"), col("doc_id")).as("comp"))
   }
 
+  /** Survivor selection — the step that turns dedup CLUSTERS into a dedup
+    * DECISION: per [[components]] cluster, keep the longest document
+    * (n_words desc, doc_id tiebreak), the "keep best, drop the rest" policy
+    * production near-dedup passes apply (length or quality argmax, rather
+    * than [[exact]]'s arbitrary min-id, so boilerplate-trimmed fragments
+    * lose to their fuller originals). Emits one row per cluster: the
+    * survivor and how many members it displaced.
+    *
+    * Plan: components' iterative labeling (O(log n) rounds, see
+    * [[components]]), then ONE extra shuffle keyed by cluster for the
+    * argmax window + member count (a single sort serves both). Window
+    * partitions are dedup clusters — bounded by duplicate-group size, never
+    * corpus size — so parallelism holds at 100 TB; the text itself never
+    * shuffles (only (doc_id, comp, n_words) triples move). */
+  def keepBest(s: SparkSession, d: String): DataFrame = {
+    val len = Tables.documents(s, d)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_words"))
+    val part = Window.partitionBy(col("comp"))
+    val w = part.orderBy(col("n_words").desc, col("doc_id"))
+    components(s, d).join(len, "doc_id")
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("n_members", count(lit(1)).over(part).cast("long"))
+      .filter(col("rnk") === 1)
+      .select(col("comp"), col("doc_id").as("keep_id"),
+        col("n_words").as("keep_words"), col("n_members"))
+  }
+
+  /** Modulus selecting the stand-in "incoming batch" for [[incremental]]
+    * (doc_id % [[newMod]] == [[newRem]], ~10% of the corpus) — a real
+    * pipeline passes the actual new partition. */
+  private val newMod = 10
+  private val newRem = 7
+
+  /** Incremental (ingestion-time) dedup: match an incoming batch against the
+    * already-indexed corpus WITHOUT re-deduping the corpus against itself —
+    * the steady-state shape of a production pipeline, where full-corpus
+    * dedup runs once and every later ingest only asks "is this new doc a
+    * near-dup of anything I already have?". Candidates come from the same
+    * MinHash band index as [[minhashLsh]], but the join is asymmetric:
+    * new-batch bands × corpus bands, never corpus × corpus. A candidate
+    * whose signature-estimated Jaccard is ≥ 1/2 marks the new doc a dup of
+    * its smallest-id match; unmatched new docs are admitted.
+    *
+    * Plan: signatures are computed once over the combined relation (in a
+    * real pipeline the corpus side is a PERSISTED index — only the batch
+    * pays hashing); the batch band relation is broadcast (a day's ingest is
+    * orders of magnitude smaller than the corpus), so the corpus-side index
+    * scan joins with NO shuffle at all, and the verify step reads 16 longs
+    * per doc off the signature index, never the text. Output is one row per
+    * new doc — dup verdict, matched corpus doc, match count. */
+  def incremental(s: SparkSession, d: String): DataFrame = {
+    val sig = Lineage.cut(minhashSignatures(s, d))
+    val bands = bandRelation(sig)
+    val isNew = col("doc_id") % newMod === newRem
+    val cand = bands.filter(!isNew).as("o")
+      .join(broadcast(bands.filter(isNew).as("n")),
+        col("n.band") === col("o.band") && col("n.bkey") === col("o.bkey"))
+      .select(col("n.doc_id").as("new_id"), col("o.doc_id").as("old_id"))
+      .distinct()
+    val hits = cand
+      .join(sig.select(col("doc_id").as("new_id"), col("sig").as("sig_n")), "new_id")
+      .join(sig.select(col("doc_id").as("old_id"), col("sig").as("sig_o")), "old_id")
+      .withColumn("n_match",
+        expr("CAST(size(filter(zip_with(sig_n, sig_o, (x, y) -> x = y), b -> b)) AS BIGINT)"))
+      .filter(col("n_match") * 2 >= nSeeds)
+      .groupBy(col("new_id"))
+      .agg(min(col("old_id")).as("dup_of"), count(lit(1)).as("n_matches"))
+    Tables.documents(s, d).filter(isNew).select(col("doc_id").as("new_id"))
+      .join(hits, Seq("new_id"), "left")
+      .select(col("new_id"), col("dup_of"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        col("dup_of").isNotNull.as("is_dup"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_dedup_exact" -> exact,
     "x_dedup_segments" -> segmentDedup,
@@ -535,7 +618,9 @@ object Dedup {
     "x_dedup_simhash_pairs" -> simhashPairs,
     "x_dedup_embedding_cosine" -> embeddingCosine,
     "x_dedup_semantic" -> semanticDedup,
-    "x_dedup_components" -> components)
+    "x_dedup_components" -> components,
+    "x_dedup_keep_best" -> keepBest,
+    "x_dedup_incremental" -> incremental)
 
   /** Oracle for BOTH decontamination paths ([[decontaminate]],
     * [[decontaminateBloom]]) — bloom prefiltering cannot change the output. */
@@ -668,6 +753,50 @@ object Dedup {
          |  UNION
          |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
          |SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS comp FROM reach GROUP BY 1""".stripMargin,
+    "x_dedup_keep_best" ->
+      s"""${shingleSqlCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+         |$minhashPairsSqlCtes,
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+         |comp AS (SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS comp
+         |         FROM reach GROUP BY 1),
+         |len AS (SELECT doc_id,
+         |          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+         |        FROM documents),
+         |r AS (SELECT c.comp, c.doc_id, l.n_words,
+         |        row_number() OVER (PARTITION BY c.comp
+         |          ORDER BY l.n_words DESC, c.doc_id) AS rnk,
+         |        count(*) OVER (PARTITION BY c.comp) AS n_members
+         |      FROM comp c JOIN len l USING (doc_id))
+         |SELECT comp, doc_id AS keep_id, n_words AS keep_words,
+         |       CAST(n_members AS BIGINT) AS n_members
+         |FROM r WHERE rnk = 1""".stripMargin,
+    "x_dedup_incremental" -> {
+      val nMatch = (0 until nSeeds)
+        .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
+      s"""$shingleSqlCtes,
+         |$minhashPairsSqlCtes,
+         |cand AS (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+         |         FROM bands n JOIN bands o
+         |           ON n.band = o.band AND n.bkey = o.bkey
+         |         WHERE n.doc_id % $newMod = $newRem
+         |           AND o.doc_id % $newMod <> $newRem),
+         |est AS (SELECT c.new_id, c.old_id, CAST($nMatch AS BIGINT) AS n_match
+         |        FROM cand c JOIN m a ON c.new_id = a.doc_id
+         |                    JOIN m b ON c.old_id = b.doc_id),
+         |hit AS (SELECT new_id, CAST(min(old_id) AS BIGINT) AS dup_of,
+         |          count(*) AS n_matches
+         |        FROM est WHERE n_match * 2 >= $nSeeds GROUP BY 1)
+         |SELECT d.doc_id AS new_id, h.dup_of,
+         |       CAST(coalesce(h.n_matches, 0) AS BIGINT) AS n_matches,
+         |       h.dup_of IS NOT NULL AS is_dup
+         |FROM documents d LEFT JOIN hit h ON d.doc_id = h.new_id
+         |WHERE d.doc_id % $newMod = $newRem""".stripMargin
+    },
     "x_dedup_simhash" -> {
       val (sums, bits) = simhashSqlTerms
       s"""$shingleSqlCtes,

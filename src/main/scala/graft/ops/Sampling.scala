@@ -189,6 +189,43 @@ object Sampling {
       .withColumn("seq_id", expr(s"start_off div $ctxLen"))
   }
 
+  /** Draw size and ticket cap for [[weightedSample]] — TUNABLEs shared with
+    * the oracle SQL. */
+  private val weightedK = 50
+  private val maxTickets = 8
+
+  /** Weighted sampling without replacement, deterministic and exact: each
+    * document holds `weight` lottery tickets (integer, 1 + n_words/100
+    * capped at [[maxTickets]] — longer docs are proportionally likelier),
+    * each ticket is the md5 of (doc_id, ticket#), the doc's draw key is its
+    * MINIMUM ticket, and the sample is the [[weightedK]] smallest keys.
+    * Since all tickets are i.i.d. uniform in hash space, each of a doc's w
+    * tickets is equally likely to be the global minimum, so selection
+    * probability is proportional to weight — the hash-seeded counterpart of
+    * Efraimidis-Spirakis priority sampling, with the property the curation
+    * pipeline needs: the draw is a pure function of stable keys, so it is
+    * reproducible across runs, engines, and partitionings (and
+    * oracle-checkable row for row).
+    *
+    * Plan: the ticket minimum is computed IN-ROW (`array_min` over a
+    * `transform(sequence(...))` of ≤ [[maxTickets]] md5s — no explode, no
+    * shuffle), and the global top-k compiles to `TakeOrderedAndProject`
+    * (per-partition heap + driver merge of k rows, no global sort). Cost is
+    * O(corpus) map work + k-row merge at any scale; for unbounded weights
+    * switch the ticket loop to the exponential-key form (one ln per doc),
+    * same plan. */
+  def weightedSample(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_words"))
+      .withColumn("weight",
+        least(expr("n_words div 100 + 1"), lit(maxTickets.toLong)).cast("long"))
+      .withColumn("ticket",
+        expr("array_min(transform(sequence(1, CAST(weight AS INT)), " +
+          "j -> md5(concat(CAST(doc_id AS STRING), ':', CAST(j AS STRING)))))"))
+      .orderBy(col("ticket"), col("doc_id"))
+      .limit(weightedK)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_sample_quota" -> quotaSample,
     "x_sample_hash" -> hashSample,
@@ -197,9 +234,23 @@ object Sampling {
     "x_pack_sequences" -> packSequences,
     "x_shuffle_shard" -> shuffleShard,
     "x_gate_percentile" -> percentileGate,
-    "x_curate_shard" -> curateShard)
+    "x_curate_shard" -> curateShard,
+    "x_sample_weighted" -> weightedSample)
 
   val oracle: Map[String, String] = Map(
+    "x_sample_weighted" ->
+      s"""WITH b AS (SELECT doc_id, lang,
+         |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+         |           FROM documents),
+         |w AS (SELECT doc_id, lang, n_words,
+         |        CAST(least(n_words // 100 + 1, $maxTickets) AS BIGINT) AS weight
+         |      FROM b),
+         |t AS (SELECT doc_id, lang, n_words, weight,
+         |        list_min(list_transform(range(1, CAST(weight AS INT) + 1),
+         |          j -> md5(CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)))) AS ticket
+         |      FROM w)
+         |SELECT doc_id, lang, n_words, weight, ticket
+         |FROM t ORDER BY ticket, doc_id LIMIT $weightedK""".stripMargin,
     "x_curate_shard" ->
       s"""WITH w AS (SELECT doc_id, lang, source, text,
          |             string_split(text, ' ') AS words FROM documents),

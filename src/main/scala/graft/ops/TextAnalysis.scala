@@ -493,7 +493,76 @@ object TextAnalysis {
       .withColumn("seq_id", expr(s"start_off div ${Sampling.ctxLen}"))
   }
 
+  /** Integer milli-unit weights of the linear quality-classifier gate
+    * ([[modelGate]]) — stand-ins for offline-trained values (a fastText-
+    * style filter's logistic layer), shared with the oracle SQL. */
+  private val gwStop = 4L
+  private val gwPunct = -3L
+  private val gwLen = 2L
+  private val gwBias = -900L
+  private val gwLenCap = 500L
+
+  /** Model-based quality gate: a linear classifier over cheap per-doc
+    * features (stopword per-mille, punctuation per-mille, capped length),
+    * admitting docs with non-negative score — the shape of the trained
+    * quality filters (fastText / logistic over handcrafted features) that
+    * curation pipelines run after the rule gates in [[quality]]. A logistic
+    * output layer is monotone in the logit, so thresholding p ≥ 1/2 IS
+    * thresholding the linear score at 0 — the gate needs no exp/sigmoid,
+    * keeping every value integer-exact and engine-portable (weights are
+    * integer milli-units; swap in trained values without changing the
+    * plan).
+    *
+    * Plan: pure map-side — one projection per doc, no shuffle, fuses into
+    * whole-stage codegen with the scan; the 100 TB cost is exactly one
+    * corpus read (the same pass can carry [[langId]]/[[quality]] columns). */
+  def modelGate(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val en = stoplists.toMap.apply("en")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("words"))
+      .select(
+        col("doc_id"),
+        size(col("words")).cast("long").as("n_words"),
+        expr(hitsExpr("words", en)).cast("long").as("n_stop"),
+        expr("CAST(regexp_count(text, '[^a-z0-9 ]') AS BIGINT)").as("n_punct"))
+      .withColumn("stop_pm", expr("n_stop * 1000 div n_words"))
+      .withColumn("punct_pm", expr("n_punct * 1000 div n_words"))
+      .withColumn("score_m",
+        expr(s"$gwStop * stop_pm + ($gwPunct) * punct_pm" +
+          s" + $gwLen * least(n_words, $gwLenCap) + ($gwBias)"))
+      .withColumn("is_admit", col("score_m") >= 0)
+  }
+
+  /** Dataset card: the one-row corpus summary a curated training set ships
+    * with — document/token volume, language and source diversity, exact-dup
+    * rate, mean document length. Exact distinct counts keep the card
+    * oracle-checkable; at 100 TB the same query swaps them for
+    * `approx_count_distinct` (one pass, no Expand) since a card tolerates
+    * ±2% HLL error. Plan: one corpus scan into a multi-distinct aggregate
+    * (Catalyst expands one stream per distinct — 4 streams of (key) rows,
+    * text reduced to its md5 map-side), then constant-folding arithmetic on
+    * the single result row. */
+  def datasetCard(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        md5(col("text")).as("h"),
+        size(split(col("text"), " ")).cast("long").as("n_words"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("h")).as("n_unique"))
+      .withColumn("n_dup_docs", expr("n_docs - n_unique"))
+      .withColumn("dup_bp",
+        expr("CAST(round(CAST(n_dup_docs AS DOUBLE) * 10000 / n_docs) AS BIGINT)"))
+      .withColumn("mean_words_c",
+        expr("CAST(round(CAST(n_tokens AS DOUBLE) * 100 / n_docs) AS BIGINT)"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_model_gate" -> modelGate,
+    "x_dataset_card" -> datasetCard,
     "x_text_chunks" -> chunks,
     "x_ngram_topk" -> ngramTopK,
     "x_bpe_pairs" -> bpePairs,
@@ -528,6 +597,41 @@ object TextAnalysis {
   val oracle: Map[String, String] = {
     val hits = (l: String) => hitsSql("words", stoplists.toMap.apply(l))
     Map(
+      "x_model_gate" ->
+        s"""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS words
+           |           FROM documents),
+           |f AS (SELECT doc_id,
+           |        CAST(len(words) AS BIGINT) AS n_words,
+           |        CAST(${hitsSql("words", stoplists.toMap.apply("en"))} AS BIGINT) AS n_stop,
+           |        CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS BIGINT) AS n_punct
+           |      FROM w),
+           |p AS (SELECT doc_id, n_words, n_stop, n_punct,
+           |        CAST(n_stop * 1000 // n_words AS BIGINT) AS stop_pm,
+           |        CAST(n_punct * 1000 // n_words AS BIGINT) AS punct_pm
+           |      FROM f)
+           |SELECT doc_id, n_words, n_stop, n_punct, stop_pm, punct_pm,
+           |       CAST($gwStop * stop_pm + ($gwPunct) * punct_pm
+           |            + $gwLen * least(n_words, $gwLenCap) + ($gwBias) AS BIGINT) AS score_m,
+           |       ($gwStop * stop_pm + ($gwPunct) * punct_pm
+           |            + $gwLen * least(n_words, $gwLenCap) + ($gwBias)) >= 0 AS is_admit
+           |FROM p""".stripMargin,
+      "x_dataset_card" ->
+        """WITH b AS (SELECT doc_id, lang, source, md5(text) AS h,
+          |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+          |           FROM documents),
+          |a AS (SELECT count(*) AS n_docs,
+          |        CAST(sum(n_words) AS BIGINT) AS n_tokens,
+          |        CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+          |        CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+          |        CAST(count(DISTINCT h) AS BIGINT) AS n_unique
+          |      FROM b)
+          |SELECT n_docs, n_tokens, n_langs, n_sources, n_unique,
+          |       n_docs - n_unique AS n_dup_docs,
+          |       CAST(round(CAST(n_docs - n_unique AS DOUBLE) * 10000 / n_docs)
+          |            AS BIGINT) AS dup_bp,
+          |       CAST(round(CAST(n_tokens AS DOUBLE) * 100 / n_docs)
+          |            AS BIGINT) AS mean_words_c
+          |FROM a""".stripMargin,
       "x_text_chunks" ->
         s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
            |b AS (SELECT doc_id, words, CAST(len(words) AS BIGINT) AS n_words FROM w),

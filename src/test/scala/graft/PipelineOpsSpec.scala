@@ -1,0 +1,120 @@
+package graft
+
+import graft.ops.{Analytics, Dedup, Sampling, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Semantic pins for the round-6 pipeline ops, beyond what the DuckDB
+  * oracle's value-hash asserts: survivor-selection invariants (one survivor
+  * per cluster, argmax by length, member conservation), the incremental
+  * dedup's asymmetry contract (new docs never match new docs), the weighted
+  * sampler's ticket arithmetic and draw determinism, the model gate's
+  * decision boundary, and the profile/card cross-checks against
+  * independently computed counts. */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def md5hex(t: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(t.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("keepBest: one survivor per component, argmax by (n_words, doc_id), members conserved") {
+    val comp = Dedup.components(spark, sf).withColumnRenamed("comp", "c")
+    val best = Dedup.keepBest(spark, sf)
+    val nDocs = Tables.documents(spark, sf).count()
+    // every component appears exactly once and membership sums to the corpus
+    assert(best.groupBy($"comp").count().filter($"count" > 1).isEmpty)
+    assert(best.agg(sum($"n_members")).as[Long].head() == nDocs)
+    // the survivor is its component's max-length doc (min doc_id tiebreak)
+    val lens = Tables.documents(spark, sf)
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("len"))
+    val argmax = comp.join(lens, "doc_id")
+      .groupBy($"c").agg(
+        max(struct($"len", (-$"doc_id").as("negid"))).as("m"))
+      .select($"c".as("comp"), $"m.len".as("exp_words"),
+        (-$"m.negid").as("exp_id"))
+    val joined = best.join(argmax, "comp")
+    assert(joined.filter($"keep_id" =!= $"exp_id" || $"keep_words" =!= $"exp_words").isEmpty)
+  }
+
+  test("incremental: covers exactly the new batch, matches only corpus docs, verdict consistent") {
+    val out = Dedup.incremental(spark, sf).cache()
+    val newIds = Tables.documents(spark, sf)
+      .filter($"doc_id" % 10 === 7).select($"doc_id").as[Long].collect().toSet
+    assert(out.select($"new_id").as[Long].collect().toSet == newIds)
+    // dup_of always points INTO the indexed corpus, never at the new batch
+    assert(out.filter($"dup_of".isNotNull && $"dup_of" % 10 === 7).isEmpty)
+    assert(out.filter($"is_dup" =!= $"dup_of".isNotNull).isEmpty)
+    assert(out.filter(!$"is_dup" && $"n_matches" =!= 0).isEmpty)
+    out.unpersist()
+  }
+
+  test("weightedSample: ticket arithmetic, cap, and draw determinism") {
+    val out = Sampling.queries("x_sample_weighted")(spark, sf)
+    val rows = out.select($"doc_id", $"n_words", $"weight", $"ticket")
+      .as[(Long, Long, Long, String)].collect()
+    assert(rows.length == 50)
+    rows.foreach { case (id, nw, w, t) =>
+      assert(w == math.min(nw / 100 + 1, 8L))
+      val exp = (1L to w).map(j => md5hex(s"$id:$j")).min
+      assert(t == exp, s"doc $id ticket mismatch")
+    }
+    // pure function of stable keys: a second run draws the identical sample
+    val again = Sampling.queries("x_sample_weighted")(spark, sf)
+      .select($"doc_id").as[Long].collect().toSeq
+    assert(again == rows.map(_._1).toSeq)
+  }
+
+  test("weightedSample: tickets are the 50 smallest in the corpus") {
+    val all = Tables.documents(spark, sf)
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("nw"))
+      .as[(Long, Long)].collect()
+    val keys = all.map { case (id, nw) =>
+      val w = math.min(nw / 100 + 1, 8L)
+      ((1L to w).map(j => md5hex(s"$id:$j")).min, id)
+    }.sorted.take(50).map(_._2).toSeq
+    val got = Sampling.queries("x_sample_weighted")(spark, sf)
+      .select($"doc_id").as[Long].collect().toSeq
+    assert(got == keys)
+  }
+
+  test("modelGate: admits exactly score_m >= 0, score matches the published weights") {
+    val out = TextAnalysis.modelGate(spark, sf)
+    assert(out.filter($"is_admit" =!= ($"score_m" >= 0)).isEmpty)
+    val bad = out.filter(
+      $"score_m" =!= lit(4L) * $"stop_pm" - lit(3L) * $"punct_pm" +
+        lit(2L) * least($"n_words", lit(500L)) - 900L)
+    assert(bad.isEmpty)
+    // per-mille features are integer division of the raw counts
+    assert(out.filter($"stop_pm" =!= expr("n_stop * 1000 div n_words")).isEmpty)
+  }
+
+  test("datasetCard: one row, cross-checked against independent counts") {
+    val row = TextAnalysis.datasetCard(spark, sf)
+    val docs = Tables.documents(spark, sf).cache()
+    val nDocs = docs.count()
+    val nUnique = docs.select(md5($"text")).distinct().count()
+    val nLangs = docs.select($"lang").distinct().count()
+    val r = row.select($"n_docs", $"n_unique", $"n_langs", $"n_dup_docs")
+      .as[(Long, Long, Long, Long)].head()
+    assert(r == ((nDocs, nUnique, nLangs, nDocs - nUnique)))
+    docs.unpersist()
+  }
+
+  test("statsProfile: six column rows cross-checked against direct counts") {
+    val ev = Tables.events(spark, sf).cache()
+    val out = Analytics.statsProfile(spark, sf)
+      .select($"col_name", $"n_null", $"n_distinct", $"n_rows")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out.keySet ==
+      Set("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val nRows = ev.count()
+    assert(out.values.forall(_._3 == nRows))
+    val idNull = ev.filter($"event_id".isNull).count()
+    val idDist = ev.filter($"event_id".isNotNull).select($"event_id").distinct().count()
+    assert(out("event_id") == ((idNull, idDist, nRows)))
+    val etDist = ev.filter($"event_type".isNotNull).select($"event_type").distinct().count()
+    assert(out("event_type")._2 == etDist)
+    ev.unpersist()
+  }
+}
