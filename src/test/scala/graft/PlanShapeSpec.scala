@@ -58,4 +58,56 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("array_intersect"), p)
     assert(!p.contains("SortMergeJoin"), s"pair verify joins must hash/broadcast:\n$p")
   }
+
+  /** Executed final plan (AQE resolved) — for shapes that only settle at
+    * runtime. */
+  private def finalPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect()
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.toString
+      case other => other.toString
+    }
+  }
+
+  test("incremental dedup BROADCASTS the batch bands — the corpus index probe is shuffle-free") {
+    val p = finalPlan("x_dedup_incremental")
+    assert(p.contains("BroadcastHashJoin"), s"batch band relation must broadcast:\n$p")
+  }
+
+  test("weighted sample is a zero-shuffle TakeOrderedAndProject — no explode, no window") {
+    val p = plan("x_sample_weighted")
+    assert(p.contains("TakeOrderedAndProject"), s"global top-k must heap-merge, not sort:\n$p")
+    val shuffles = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange"))
+    assert(shuffles == 0, s"ticket min is in-row; expected zero shuffles, got $shuffles:\n$p")
+    assert(!p.contains("Generate"), s"tickets must not explode:\n$p")
+    assert(!p.contains("Window"), s"rank must not move rows to one partition:\n$p")
+  }
+
+  test("model gate is pure map-side: no exchange, no join, inside codegen") {
+    val p = plan("x_model_gate")
+    val shuffles = p.linesIterator.count(l => l.contains("Exchange"))
+    assert(shuffles == 0, s"a scan-fused gate must not shuffle, got $shuffles:\n$p")
+    assert(!p.contains("Join"), p)
+    // `*(n)` prefixes are the whole-stage-codegen markers in simpleString
+    assert(p.contains("*("), s"gate must stay codegen'd:\n$p")
+  }
+
+  test("keep_best: argmax and member count share ONE comp-keyed sort/window pass") {
+    // The operator's claimed incremental cost over components is a single
+    // cluster-keyed exchange where one sort serves both the row_number
+    // argmax and the member count — i.e. at most one Window-node PAIR over
+    // the same partitioning, not a window per aggregate. (The label/length
+    // join-backs are corpus-sized on both sides, so their strategy is the
+    // planner's call — SMJ there is correct, not a regression.)
+    val p = plan("x_dedup_keep_best")
+    val windows = p.linesIterator.count(_.trim.startsWith("Window"))
+    assert(windows <= 2, s"argmax and member count must share the comp sort:\n$p")
+    val compExchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(comp"))
+    assert(compExchanges == 1,
+      s"expected exactly one comp-keyed exchange, got $compExchanges:\n$p")
+  }
 }
