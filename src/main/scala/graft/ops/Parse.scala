@@ -65,10 +65,37 @@ object Parse {
         col("ts").cast(DateType).as("event_date"))
       .filter(col("user_key").isNotNull && col("event_date").isNotNull)
 
+  /** Dead-letter audit — the accountability twin of the C4 null-rejection
+    * filter: instead of silently dropping malformed events, classify every
+    * row by its FIRST failing required-field check (the reference's event
+    * contract: event_id, ts, user_id, event_type, value —
+    * `consumer/consumer.py:108-112` drops rows where any is null) and
+    * publish per-reason counts with an id range for tracing back into the
+    * source. A real pipeline writes the quarantined rows to a dead-letter
+    * table and THIS summary to its monitoring sink; the summary is the
+    * oracle-checkable surface. Plan: one scan, map-side CASE classify, one
+    * tiny aggregation keyed by reason (≤6 groups) — partial agg shrinks it
+    * map-side, so the 100 TB cost is the scan it shares with ingest. */
+  def deadLetter(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("reason",
+        when(col("event_id").isNull, "null_event_id")
+          .when(col("ts").isNull, "null_ts")
+          .when(col("user_id").isNull, "null_user_id")
+          .when(col("event_type").isNull, "null_event_type")
+          .when(col("value").isNull, "null_value")
+          .otherwise("ok"))
+      .groupBy(col("reason"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("event_id")).as("min_event_id"),
+        max(col("event_id")).as("max_event_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c_parse_props" -> parseProps,
     "c_roundtrip_json" -> roundtripJson,
-    "c_cast_filter" -> castFilter)
+    "c_cast_filter" -> castFilter,
+    "c_dead_letter" -> deadLetter)
 
   val oracle: Map[String, String] = Map(
     "c_parse_props" ->
@@ -82,5 +109,18 @@ object Parse {
         |WHERE event_id IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL""".stripMargin,
     "c_cast_filter" ->
       """SELECT event_id, 'user_' || user_id AS user_key, CAST(ts AS DATE) AS event_date
-        |FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL""".stripMargin)
+        |FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL""".stripMargin,
+    "c_dead_letter" ->
+      """WITH c AS (SELECT event_id,
+        |             CASE WHEN event_id IS NULL THEN 'null_event_id'
+        |                  WHEN ts IS NULL THEN 'null_ts'
+        |                  WHEN user_id IS NULL THEN 'null_user_id'
+        |                  WHEN event_type IS NULL THEN 'null_event_type'
+        |                  WHEN value IS NULL THEN 'null_value'
+        |                  ELSE 'ok' END AS reason
+        |           FROM events)
+        |SELECT reason, count(*) AS n_rows,
+        |       CAST(min(event_id) AS BIGINT) AS min_event_id,
+        |       CAST(max(event_id) AS BIGINT) AS max_event_id
+        |FROM c GROUP BY 1""".stripMargin)
 }

@@ -100,6 +100,21 @@ class PipelineOpsSpec extends SparkSpec {
     docs.unpersist()
   }
 
+  test("deadLetter: reasons partition the table, 'ok' equals the C4-filtered row count") {
+    val ev = Tables.events(spark, sf).cache()
+    val out = graft.ops.Parse.deadLetter(spark, sf)
+      .select($"reason", $"n_rows").as[(String, Long)].collect().toMap
+    assert(out.values.sum == ev.count(), "every row must land in exactly one reason")
+    val okExpected = ev.filter(
+      $"event_id".isNotNull && $"ts".isNotNull && $"user_id".isNotNull &&
+        $"event_type".isNotNull && $"value".isNotNull).count()
+    assert(out("ok") == okExpected)
+    // first-null-wins: a row with null event_id lands there even if ts is also null
+    val idNull = ev.filter($"event_id".isNull).count()
+    assert(out.getOrElse("null_event_id", 0L) == idNull)
+    ev.unpersist()
+  }
+
   test("statsProfile: six column rows cross-checked against direct counts") {
     val ev = Tables.events(spark, sf).cache()
     val out = Analytics.statsProfile(spark, sf)
