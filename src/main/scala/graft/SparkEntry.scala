@@ -22,6 +22,7 @@ object SparkEntry {
     (ops.Dedup.queries, ops.Dedup.oracle),
     (ops.Similarity.queries, ops.Similarity.oracle),
     (ops.TextAnalysis.queries, ops.TextAnalysis.oracle),
+    (ops.Bpe.queries, ops.Bpe.oracle),
     (ops.Temporal.queries, ops.Temporal.oracle),
     (ops.Funnel.queries, ops.Funnel.oracle),
     (ops.Sampling.queries, ops.Sampling.oracle),

@@ -1,0 +1,49 @@
+package graft
+
+import graft.ops.Bpe
+import org.apache.spark.sql.functions._
+
+/** Pins the BPE trainer's merge semantics on a hand-computed corpus —
+  * overlap counting in selection, left-greedy non-overlapping application,
+  * lexicographic tie-breaks, and merged symbols merging again in later
+  * rounds. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("three rounds on 'a a a b': overlap counts, left-greedy, merged symbols remerge") {
+    val docs = Seq((1L, "en", "s", "a a a b")).toDF("doc_id", "lang", "source", "text")
+    val out = Bpe.bpeMergesDocs(docs)
+      .select($"round", $"merged_tok", $"n_occ", $"n_tokens_after")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      // (a,a) counted twice (overlap); left-greedy merges pos 0, absorbs 1,
+      // leaves pos 2 alone -> [a a, a, b]
+      (1L, "a a", 2L, 3L),
+      // counts now {(a a, a): 1, (a, b): 1}; tie-break: "a" < "a a"
+      (2L, "a b", 1L, 2L),
+      (3L, "a a a b", 1L, 1L)))
+  }
+
+  test("left-greedy inside a 4-run: positions 0 and 2 merge, 1 and 3 absorb") {
+    val docs = Seq((1L, "en", "s", "x x x x")).toDF("doc_id", "lang", "source", "text")
+    val out = Bpe.bpeMergesDocs(docs)
+      .select($"round", $"merged_tok", $"n_occ", $"n_tokens_after")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    // round 1: (x,x) x3 (overlaps), merges at 0 and 2 -> [x x, x x]
+    assert(out.head == ((1L, "x x", 3L, 2L)))
+    // round 2: the two merged symbols pair up -> one 4-gram
+    assert(out(1) == ((2L, "x x x x", 1L, 1L)))
+  }
+
+  test("non-adjacent candidates merge independently; singleton docs pass through") {
+    val docs = Seq(
+      (1L, "en", "s", "p q r p q"),
+      (2L, "en", "s", "lonely")).toDF("doc_id", "lang", "source", "text")
+    val r1 = Bpe.bpeMergesDocs(docs).filter($"round" === 1)
+      .select($"merged_tok", $"n_occ", $"n_tokens_after")
+      .as[(String, Long, Long)].head()
+    // (p,q) appears twice, non-adjacent starts -> both merge; corpus shrinks
+    // by exactly 2 (5 + 1 tokens -> 3 + 1)
+    assert(r1 == (("p q", 2L, 4L)))
+  }
+}
