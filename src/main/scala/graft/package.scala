@@ -7,15 +7,18 @@
   *  - [[graft.ops]] — batch operator packs: parse chain (`Parse`), sliding
   *    -window KPIs (`WindowAgg`), dashboard analytics (`Analytics`),
   *    relational breadth (`Relational`), dedup family (`Dedup`), ANN /
-  *    embeddings (`Similarity`), text curation (`TextAnalysis`), sampling /
-  *    splits / packing (`Sampling`), sessionization, temporal joins,
-  *    funnels, multimodal plumbing.
+  *    embeddings (`Similarity`), text curation (`TextAnalysis`), BPE merge
+  *    training (`Bpe`), sampling / splits / packing (`Sampling`),
+  *    sessionization, temporal joins, funnels, multimodal plumbing,
+  *    iterative-lineage control (`Lineage`).
   *  - [[graft.streaming]] — the Structured Streaming vertical:
   *    `EventPipeline` (watermark → sliding-window agg → keyed-upsert sink),
   *    `UpsertSink`, `StatefulDedup`, `RateEvents`, `LagMonitor`,
   *    `Shutdown`, `KafkaBridge`.
   *  - [[graft.functions]] — native Catalyst kernels (`shingles3`,
-  *    `minhash_sig`, `simhash32`, `winnow_fp`, `cosine_sim`; register via
+  *    `minhash_sig`, `simhash32`, `winnow_fp`, `cosine_sim`,
+  *    `stopword_hits`, `norm_text`, `zorder2`, plus the surfaced Bloom
+  *    aggregate pair `bloom_agg`/`bloom_might_contain`; register via
   *    `GraftFunctions.register(spark)` or
   *    `spark.sql.extensions=graft.functions.GraftExtensions`), the
   *    bounded-heap `TopKAgg`, and the `Skew` salted-aggregation rewrites.
