@@ -42,7 +42,7 @@ object Bpe {
   private[ops] val bpeRounds = 3
 
   /** (doc_id, pos, tok) with dense 0-based positions per doc. */
-  private def tokenize(docs: DataFrame): DataFrame = {
+  private[graft] def tokenize(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
     docs
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("idx", "tok")))
@@ -52,7 +52,7 @@ object Bpe {
 
   /** One learn+apply round over a MATERIALIZED token relation. Returns the
     * (summaryRow, rewrittenTokens) pair; the caller cuts the tokens. */
-  private def round(toks: DataFrame, r: Int): (DataFrame, DataFrame) = {
+  private[graft] def round(toks: DataFrame, r: Int): (DataFrame, DataFrame) = {
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val paired = toks.withColumn("ntok", lead(col("tok"), 1).over(wDoc))
     val top = paired.filter(col("ntok").isNotNull)

@@ -95,6 +95,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("*("), s"gate must stay codegen'd:\n$p")
   }
 
+  test("bpe trainer: merge sets broadcast into the rewrite — the token relation never sort-merges") {
+    // the full query's rewrite joins hide behind the per-round lineage cuts
+    // (separate checkpoint jobs), so pin the rewrite STAGE directly
+    val docs = Tables.documents(spark, sf)
+    val (_, rewritten) = graft.ops.Bpe.round(graft.ops.Bpe.tokenize(docs), 1)
+    rewritten.collect()
+    val p = rewritten.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.toString
+      case other => other.toString
+    }
+    assert(p.contains("BroadcastHashJoin"), s"merge-occurrence joins must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus-sized token relation must not sort for a tiny merge set:\n$p")
+  }
+
   test("keep_best: argmax and member count share ONE comp-keyed sort/window pass") {
     // The operator's claimed incremental cost over components is a single
     // cluster-keyed exchange where one sort serves both the row_number
