@@ -35,6 +35,55 @@ class BpeSpec extends SparkSpec {
     assert(out(1) == ((2L, "x x x x", 1L, 1L)))
   }
 
+  /** Plain-Scala ground truth: one BPE round — count all adjacent pairs,
+    * pick (max count, lexicographic) — then the left-greedy rewrite as the
+    * obvious sequential while-loop. */
+  private def refRounds(docs0: Map[Long, Vector[String]], rounds: Int)
+      : Seq[(Long, String, Long, Long)] = {
+    var docs = docs0
+    (1 to rounds).flatMap { r =>
+      val counts = scala.collection.mutable.Map[(String, String), Long]().withDefaultValue(0L)
+      docs.values.foreach(_.sliding(2).foreach {
+        case Seq(a, b) => counts((a, b)) += 1
+        case _ =>
+      })
+      if (counts.isEmpty) None
+      else {
+        val ((a, b), n) = counts.toSeq.sortBy { case ((x, y), c) => (-c, x, y) }.head
+        docs = docs.map { case (id, toks) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < toks.length) {
+            if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
+              out += s"$a $b"; i += 2
+            } else { out += toks(i); i += 1 }
+          }
+          id -> out.result()
+        }
+        Some((r.toLong, s"$a $b", n, docs.values.map(_.size.toLong).sum))
+      }
+    }
+  }
+
+  test("differential: random small-alphabet corpora match the sequential reference") {
+    val rnd = new scala.util.Random(7)
+    val alphabet = Vector("a", "b", "c", "d")
+    (1 to 2).foreach { trial =>
+      val corpus = (1L to 25L).map { id =>
+        id -> Vector.fill(rnd.nextInt(13))(alphabet(rnd.nextInt(alphabet.size)))
+      }.toMap
+      val docs = corpus.toSeq.map { case (id, toks) =>
+        (id, "en", "s", toks.mkString(" "))
+      }.toDF("doc_id", "lang", "source", "text")
+      val got = Bpe.bpeMergesDocs(docs)
+        .select($"round", $"merged_tok", $"n_occ", $"n_tokens_after")
+        .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+      // empty-text docs tokenize to zero rows; the reference drops them too
+      val exp = refRounds(corpus.filter(_._2.nonEmpty), 3)
+      assert(got == exp, s"trial $trial diverged: got $got, expected $exp")
+    }
+  }
+
   test("non-adjacent candidates merge independently; singleton docs pass through") {
     val docs = Seq(
       (1L, "en", "s", "p q r p q"),
