@@ -138,13 +138,63 @@ object Temporal {
       .agg(count(lit(1)))
       .select(col("user_id") +: eventTypes.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
 
+  /** Snapshot-membership moduli for [[snapshotDiff]]'s two stand-in corpus
+    * versions — TUNABLEs shared with the oracle: the "old" snapshot drops
+    * doc_id % 7 = 3, the "new" one drops % 11 = 4 and edits % 13 = 2. A
+    * real pipeline passes two actual table versions. */
+  private val oldDropMod = 7
+  private val newDropMod = 11
+  private val editMod = 13
+
+  /** Snapshot diff — the audit a versioned lake publishes between two table
+    * versions: every doc_id present in either snapshot classified as
+    * added / removed / changed / unchanged by comparing CONTENT HASHES
+    * across one FULL OUTER join on the stable key. Hash-compare is the
+    * point at scale: the join moves (doc_id, md5) pairs, never the text,
+    * so diffing two 100 TB snapshots shuffles gigabytes, not terabytes —
+    * and on a lake where both versions share partitioning/bucketing by the
+    * key, the join is co-located with no shuffle at all. Stand-in
+    * versions are deterministic doc_id slices with an injected edit
+    * ([[editMod]]), so every class is populated and oracle-checkable. */
+  def snapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val old = docs.filter(col("doc_id") % oldDropMod =!= 3)
+      .select(col("doc_id").as("old_id"), md5(col("text")).as("h_old"))
+    val neu = docs.filter(col("doc_id") % newDropMod =!= 4)
+      .select(col("doc_id").as("new_id"),
+        md5(when(col("doc_id") % editMod === 2, concat(col("text"), lit(" v2")))
+          .otherwise(col("text"))).as("h_new"))
+    old.join(neu, col("old_id") === col("new_id"), "full_outer")
+      .select(
+        coalesce(col("old_id"), col("new_id")).as("doc_id"),
+        col("h_old"), col("h_new"),
+        when(col("old_id").isNull, "added")
+          .when(col("new_id").isNull, "removed")
+          .when(col("h_old") =!= col("h_new"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_snapshot_diff" -> snapshotDiff,
     "x_asof_join" -> asofJoin,
     "x_range_clicks" -> clicksBeforePurchase,
     "x_event_pivot" -> eventPivot,
     "x_scd2_ranges" -> scd2)
 
   val oracle: Map[String, String] = Map(
+    "x_snapshot_diff" ->
+      s"""WITH o AS (SELECT doc_id, md5(text) AS h_old FROM documents
+         |           WHERE doc_id % $oldDropMod <> 3),
+         |n AS (SELECT doc_id,
+         |        md5(CASE WHEN doc_id % $editMod = 2 THEN text || ' v2'
+         |                 ELSE text END) AS h_new
+         |      FROM documents WHERE doc_id % $newDropMod <> 4)
+         |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, h_old, h_new,
+         |       CASE WHEN o.doc_id IS NULL THEN 'added'
+         |            WHEN n.doc_id IS NULL THEN 'removed'
+         |            WHEN h_old <> h_new THEN 'changed'
+         |            ELSE 'unchanged' END AS status
+         |FROM o FULL JOIN n ON o.doc_id = n.doc_id""".stripMargin,
     // DuckDB's native ASOF JOIN is the oracle for the window formulation —
     // two genuinely different algorithms agreeing on the same contract.
     "x_asof_join" ->
