@@ -72,12 +72,15 @@ object Bpe {
     // the merge set is the top pair's occurrence list — orders of magnitude
     // smaller than the corpus (and re-derived per round), so it broadcasts:
     // a shuffle join here would sort the full token relation twice per
-    // round. At a scale where even ONE pair's occurrences outgrow the
-    // driver, drop the hint — the join keys are the windows' doc
-    // partitioning, so the shuffle alternative co-partitions cheaply.
+    // round. BUT the list scales with corpus size (the most frequent pair
+    // in natural language is ~1% of all tokens), so at a scale where one
+    // pair's occurrences outgrow the driver the hint must go — which is a
+    // CONF (`spark.graft.broadcastSmallSides=false`, [[Lineage]]/[[Hints]]),
+    // not a code edit: the join keys are the windows' doc partitioning, so
+    // the shuffle alternative co-partitions cheaply.
     val rewritten = paired
-      .join(broadcast(merges), Seq("doc_id", "pos"), "left")
-      .join(broadcast(merges.select(col("doc_id"), (col("pos") + 1).as("pos"),
+      .join(Hints.broadcastSmall(merges), Seq("doc_id", "pos"), "left")
+      .join(Hints.broadcastSmall(merges.select(col("doc_id"), (col("pos") + 1).as("pos"),
           lit(true).as("absorbed"))), Seq("doc_id", "pos"), "left")
       .filter(col("absorbed").isNull)
       .select(col("doc_id"), col("pos").as("old_pos"),

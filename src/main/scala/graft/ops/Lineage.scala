@@ -51,3 +51,26 @@ object Lineage {
   def cutFused(df: DataFrame): DataFrame =
     if (reliable(df)) df.checkpoint(eager = true) else df.localCheckpoint(eager = false)
 }
+
+/** Join-side hints whose validity is DATA-dependent, behind a conf (the
+  * [[Lineage.reliableConf]] pattern): some relations are small by
+  * construction at the tested scales but only heuristically small at 100 TB
+  * — a BPE round's top-pair occurrence list (the most frequent pair in a
+  * natural-language corpus is ~1% of all tokens), or an incremental-dedup
+  * "new batch" a caller might point at a bigger-than-a-day partition.
+  * Forcing `broadcast()` there would OOM the driver; silently dropping the
+  * hint everywhere would cost the tested scales their no-shuffle plans. So
+  * the hint is ON by default and a cluster deployment whose sides outgrow
+  * the driver sets `spark.graft.broadcastSmallSides=false` to fall back to
+  * the co-partitioned shuffle join — a conf switch, not a code edit. */
+object Hints {
+
+  /** Conf key: `false` drops the data-dependent broadcast hints. */
+  val broadcastSmallSidesConf = "spark.graft.broadcastSmallSides"
+
+  /** `broadcast(df)` unless the session opted out. */
+  def broadcastSmall(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf.getOption(broadcastSmallSidesConf).forall(_.toBoolean))
+      org.apache.spark.sql.functions.broadcast(df)
+    else df
+}

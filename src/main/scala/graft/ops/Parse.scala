@@ -67,9 +67,12 @@ object Parse {
 
   /** Dead-letter audit — the accountability twin of the C4 null-rejection
     * filter: instead of silently dropping malformed events, classify every
-    * row by its FIRST failing required-field check (the reference's event
-    * contract: event_id, ts, user_id, event_type, value —
-    * `consumer/consumer.py:108-112` drops rows where any is null) and
+    * row by its FIRST failing required-field check. The reference's filter
+    * (`consumer/consumer.py:111`) checks its wire schema's three required
+    * fields (user_id, item_id, timestamp); the five-field list here
+    * (event_id, ts, user_id, event_type, value) is this repo's
+    * events-schema ANALOGUE of that contract, not the reference's list —
+    * same drop-if-any-null semantics over the local table's columns — and
     * publish per-reason counts with an id range for tracing back into the
     * source. A real pipeline writes the quarantined rows to a dead-letter
     * table and THIS summary to its monitoring sink; the summary is the

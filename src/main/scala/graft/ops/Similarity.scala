@@ -182,29 +182,35 @@ object Similarity {
           .as("code"))
   }
 
-  private val kClusters = 8
+  /** Default coarse-quantizer cluster count. This is a TUNABLE, not a format
+    * constant: the SemDeDup/IVF candidate bound is Σ nᵢ² ≈ n²/k, so k must
+    * GROW with the corpus (k ≈ √n keeps per-cluster volume flat — SCALE.md
+    * §kmeans). Every consumer ([[kmeansIter]], [[kmeansConverged]],
+    * [[Dedup.semanticDedup]]) takes k as a parameter defaulting to this
+    * value, and the oracle SQL builders interpolate the same number, so
+    * retuning is one constant — or one call-site argument — on both sides. */
+  private[ops] val defaultKClusters = 8
 
-  /** One exact Lloyd (k-means) iteration over the embedding corpus — the
-    * training step behind a real IVF coarse quantizer ([[ivfTopK]] uses the
-    * provided `label`; this is how the engine would LEARN that labeling).
-    * Deterministic seeding (`vec_id % k`), and every arithmetic step is
-    * integer: vectors quantize to µ-units, centroid means floor-divide via
-    * one double division (exact — sums ≪ 2⁵³), distances are integer
-    * squared-L2, and the argmin tie-breaks on cluster id through a struct
-    * min. That is what makes a clustering pass hash-comparable across
-    * engines at all.
-    *
-    * Scale shape: one shuffle for the (cluster, dim) means; the k×d centroid
-    * relation (k·d rows — bytes) broadcasts back; assignment is a map-side
-    * cross with k in-row array-fold distances per vector and a partial-agg
-    * min. Iterating = repeating this plan with the previous assignment
-    * (checkpointed) as input; nothing grows with corpus size except the two
-    * linear passes. */
-  def kmeansIter(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d).select(col("vec_id"),
-      expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))").as("q"))
-    val cents = e
-      .select((col("vec_id") % kClusters).as("cluster"), posexplode(col("q")).as(Seq("dim", "x")))
+  /** Lloyd iteration cap for [[kmeansConverged]]. The oracle unrolls exactly
+    * this many rounds; the Spark side may stop earlier on convergence
+    * (assignment unchanged ⇒ centroids unchanged ⇒ fixpoint — extra unrolled
+    * rounds are identity), so both sides agree for ANY cap. 15 covers true
+    * convergence at sf0.001 (12 rounds) and sf0.01 (13, measured); sf0.1
+    * rides a small limit cycle (~0.2% of vectors flapping between
+    * equidistant-ish centroids, a known Lloyd artifact) and both sides
+    * deterministically stop at the cap there. */
+  private[ops] val kmeansMaxRounds = 15
+
+  /** One Lloyd step, factored so the single-iteration query and the
+    * to-convergence loop share a plan: centroids (M-step) from `assign`
+    * (vec_id, cluster), then nearest-centroid reassignment (E-step) of the
+    * µ-quantized corpus `e` (vec_id, q). One shuffle for the (cluster, dim)
+    * means; the k×d centroid relation (k·d rows — bytes) broadcasts back;
+    * assignment is a map-side cross with k in-row array-fold distances per
+    * vector and a partial-agg min. */
+  private def lloydStep(e: DataFrame, assign: DataFrame): DataFrame = {
+    val cents = e.join(assign.select(col("vec_id"), col("cluster")), "vec_id")
+      .select(col("cluster"), posexplode(col("q")).as(Seq("dim", "x")))
       .groupBy(col("cluster"), col("dim"))
       .agg(expr("CAST(floor(CAST(sum(x) AS DOUBLE) / count(1)) AS BIGINT)").as("c"))
     val cvecs = cents.groupBy(col("cluster"))
@@ -217,8 +223,102 @@ object Similarity {
       .select(col("vec_id"), col("m.cluster").as("cluster"), col("m.dist2").as("dist2"))
   }
 
+  /** One exact Lloyd (k-means) iteration over the embedding corpus — the
+    * training step behind a real IVF coarse quantizer ([[ivfTopK]] uses the
+    * provided `label`; this is how the engine would LEARN that labeling).
+    * Deterministic seeding (`vec_id % k`), and every arithmetic step is
+    * integer: vectors quantize to µ-units, centroid means floor-divide via
+    * one double division (exact — sums ≪ 2⁵³), distances are integer
+    * squared-L2, and the argmin tie-breaks on cluster id through a struct
+    * min. That is what makes a clustering pass hash-comparable across
+    * engines at all.
+    *
+    * Scale shape: see [[lloydStep]] — nothing grows with corpus size except
+    * the two linear passes. */
+  def kmeansIter(s: SparkSession, d: String, k: Int = defaultKClusters): DataFrame = {
+    val e = quantizedCorpus(s, d).select(col("vec_id"), col("q"))
+    lloydStep(e, e.select(col("vec_id"), (col("vec_id") % k).as("cluster")))
+  }
+
+  /** Lloyd iterated to convergence (or the [[kmeansMaxRounds]] cap): the
+    * full coarse-quantizer TRAINING loop, not just one step. Convergence =
+    * the assignment is unchanged from the previous round, read off a fused
+    * per-round count exactly like [[Dedup.components]] (each round's
+    * assignment is lineage-cut — [[Lineage.cutFused]] — so round N's plan
+    * does not replay rounds 1..N-1, and the count that materializes the cut
+    * IS the convergence check: one job per round). Once assignments repeat,
+    * centroids recompute identically and every further step is the identity,
+    * which is what lets the DuckDB oracle unroll a FIXED [[kmeansMaxRounds]]
+    * rounds while the engine stops as early as it can.
+    *
+    * Like [[Dedup.components]]' labeling, the converged assignment is
+    * memoized per (session, table dir, k) as a SPILLED parquet relation: a
+    * trained quantizer is an INDEX, and every same-session consumer
+    * ([[kmeansIvfTopK]], a re-run of the training query) reads the tiny
+    * (vec_id, cluster, dist2) table back instead of re-running the loop. */
+  def kmeansConverged(s: SparkSession, d: String, k: Int = defaultKClusters): DataFrame = {
+    val key = (System.identityHashCode(s), d, k)
+    val path = kmeansMemo.getOrElseUpdate(key, {
+      val out = java.nio.file.Files.createTempDirectory("graft-kmeans-")
+      computeKmeansConverged(s, d, k).write.mode("overwrite").parquet(out.toString)
+      out.toString
+    })
+    s.read.parquet(path)
+  }
+
+  /** [[kmeansConverged]] memo: (session identity, table dir, k) → spilled
+    * parquet path of the converged assignment. */
+  private val kmeansMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String, Int), String]
+
+  private def computeKmeansConverged(s: SparkSession, d: String, k: Int): DataFrame = {
+    val e = Lineage.cut(quantizedCorpus(s, d).select(col("vec_id"), col("q")))
+    var assign = Lineage.cut(
+      e.select(col("vec_id"), (col("vec_id") % k).as("cluster"), lit(-1L).as("dist2")))
+    var rounds = 0
+    var changed = 1L
+    while (changed > 0 && rounds < kmeansMaxRounds) {
+      rounds += 1
+      val next = Lineage.cutFused(
+        lloydStep(e, assign)
+          .join(assign.select(col("vec_id"), col("cluster").as("prev")), "vec_id"))
+      changed = next.filter(col("cluster") =!= col("prev")).count()
+      assign = next.select(col("vec_id"), col("cluster"), col("dist2"))
+    }
+    assign
+  }
+
+  /** IVF search over LEARNED buckets: identical plan to [[ivfTopK]] but the
+    * inverted lists are the [[kmeansConverged]] assignment instead of the
+    * provided `label` — each query scans only its own trained cluster. The
+    * assignment comes back from [[kmeansConverged]]'s session memo (a
+    * parquet read — the training loop runs once per session, not per
+    * consumer) and feeds both the corpus and query sides. */
+  def kmeansIvfTopK(s: SparkSession, d: String): DataFrame = {
+    val assign = kmeansConverged(s, d).select(col("vec_id"), col("cluster"))
+    val c = corpus(s, d).join(assign, "vec_id")
+    val q = c.filter(col("vec_id") % queryStride === 0)
+      .select(col("vec_id").as("query_id"), col("cluster").as("qcluster"), col("v").as("qv"))
+    val scored = c.join(broadcast(q),
+        col("cluster") === col("qcluster") && col("vec_id") =!= col("query_id"))
+      .withColumn("score", expr("cosine_sim(qv, v)"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("score"))
+    rankTopK(scored)
+  }
+
+  /** Recall@k of the learned-bucket IVF ([[kmeansIvfTopK]]) against brute
+    * force — prices the CONVERGED quantizer's buckets the same way
+    * [[recallIvf]] prices the provided labels, so the two queries' recall_bp
+    * columns are directly comparable: that delta is what k-means training
+    * buys (or costs) the index. */
+  def recallKmeans(s: SparkSession, d: String): DataFrame =
+    recallOf(bruteForceTopK(s, d), kmeansIvfTopK(s, d), "n_kivf")
+
   private val pqSubvectors = 4
   private val pqSubDim = 16 // 64 dims / 4 subvectors
+  // Codebook entries per PQ subspace — a storage-FORMAT constant (code width
+  // = log2(pqK) bits), unlike the coarse [[defaultKClusters]] tunable.
+  private val pqK = 8
 
   /** Product-quantization encoding: each vector splits into 4 subvectors of
     * 16 dims, each subvector snaps to the nearest of 8 per-subspace
@@ -243,10 +343,10 @@ object Similarity {
 
   /** Per-subspace codebook (sub_id, cluster, cv: array<long>) learned by one
     * deterministic Lloyd M-step — see [[kmeansIter]] for why every arithmetic
-    * step is integer-exact. kClusters × pqSubvectors rows — always broadcast. */
+    * step is integer-exact. pqK × pqSubvectors rows — always broadcast. */
   private def pqCodebook(subs: DataFrame): DataFrame =
     subs
-      .select(col("sub_id"), ((col("vec_id") + col("sub_id")) % kClusters).as("cluster"),
+      .select(col("sub_id"), ((col("vec_id") + col("sub_id")) % pqK).as("cluster"),
         posexplode(col("sq")).as(Seq("dim", "x")))
       .groupBy(col("sub_id"), col("cluster"), col("dim"))
       .agg(expr("CAST(floor(CAST(sum(x) AS DOUBLE) / count(1)) AS BIGINT)").as("c"))
@@ -272,7 +372,7 @@ object Similarity {
     * stored as 4 PQ codes per vector (the [[pqEncode]] format, 64× smaller
     * than the float vectors); each query routes to its IVF list (`label`,
     * as in [[ivfTopK]]) and scores candidates by ASYMMETRIC DISTANCE: the
-    * query precomputes a (pqSubvectors × kClusters) lookup table of exact
+    * query precomputes a (pqSubvectors × pqK) lookup table of exact
     * integer squared-L2 distances from its µ-quantized subvectors to every
     * codebook centroid, and a candidate's distance is then 4 table lookups
     * summed — the scan phase never touches a float vector. That is the
@@ -300,7 +400,7 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("label").as("qlabel"), col("q"))
     val lut = queries.crossJoin(broadcast(codebook))
       .select(col("query_id"), col("qlabel"),
-        (col("sub_id") * kClusters + col("cluster")).as("idx"),
+        (col("sub_id") * pqK + col("cluster")).as("idx"),
         expr(s"aggregate(zip_with(slice(q, CAST(sub_id * $pqSubDim + 1 AS INT), $pqSubDim), cv, (a, b) -> (a - b) * (a - b)), 0L, (acc, v) -> acc + v)").as("ldist"))
       .groupBy(col("query_id"), col("qlabel"))
       .agg(expr("transform(array_sort(collect_list(struct(idx, ldist))), s -> s.ldist)").as("lut"))
@@ -309,14 +409,14 @@ object Similarity {
       // from the codebook (possible on a degenerate/tiny corpus where a
       // centroid captures no subvectors) — fail loudly instead.
       .select(col("query_id"), col("qlabel"), expr(
-        s"""CASE WHEN size(lut) = ${pqSubvectors * kClusters} THEN lut
+        s"""CASE WHEN size(lut) = ${pqSubvectors * pqK} THEN lut
            |ELSE raise_error(concat('ivfpq: LUT has ', CAST(size(lut) AS STRING),
-           |  ' entries, expected ${pqSubvectors * kClusters} — sparse codebook'))
+           |  ' entries, expected ${pqSubvectors * pqK} — sparse codebook'))
            |END""".stripMargin).as("lut"))
     val scored = codesWide.join(broadcast(lut),
         col("label") === col("qlabel") && col("vec_id") =!= col("query_id"))
       .withColumn("adist", expr(
-        s"aggregate(transform(sequence(0, ${pqSubvectors - 1}), s -> element_at(lut, CAST(s * $kClusters + element_at(codes, CAST(s + 1 AS INT)) + 1 AS INT))), 0L, (acc, v) -> acc + v)"))
+        s"aggregate(transform(sequence(0, ${pqSubvectors - 1}), s -> element_at(lut, CAST(s * $pqK + element_at(codes, CAST(s + 1 AS INT)) + 1 AS INT))), 0L, (acc, v) -> acc + v)"))
       // integer distances negate exactly in double, so DESC top-k = ASC distance
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (-col("adist").cast("double")).as("score"))
@@ -328,7 +428,9 @@ object Similarity {
     "x_sim_recall_mp" -> recallMultiProbe,
     "x_sim_topk_ivfpq" -> ivfpqTopK,
     "x_embed_pq" -> pqEncode,
-    "x_embed_kmeans_iter" -> kmeansIter,
+    "x_embed_kmeans_iter" -> ((s, d) => kmeansIter(s, d)),
+    "x_embed_kmeans_conv" -> ((s, d) => kmeansConverged(s, d)),
+    "x_sim_recall_kmeans" -> recallKmeans,
     "x_sim_topk_brute" -> bruteForceTopK,
     "x_sim_topk_ivf" -> ivfTopK,
     "x_sim_recall" -> recallIvf,
@@ -349,7 +451,7 @@ object Similarity {
          |  FROM embeddings),
          |xp AS (SELECT vec_id, (i - 1) // $pqSubDim AS sub_id, (i - 1) % $pqSubDim AS dim, q[i] AS v
          |       FROM (SELECT vec_id, q, unnest(range(1, len(q) + 1)) AS i FROM e)),
-         |c AS (SELECT sub_id, (vec_id + sub_id) % $kClusters AS cluster, dim,
+         |c AS (SELECT sub_id, (vec_id + sub_id) % $pqK AS cluster, dim,
          |        CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS c
          |      FROM xp GROUP BY 1, 2, 3),
          |dsts AS (SELECT xp.vec_id, xp.sub_id, c.cluster,
@@ -407,16 +509,18 @@ object Similarity {
   }
 
   /** CTE chain (no leading WITH) ending in `ka` (vec_id → cluster, dist2) —
-    * the integer-exact one-iteration Lloyd assignment; shared by the
-    * `x_embed_kmeans_iter` oracle and [[Dedup]]'s `x_dedup_semantic`. */
-  private[ops] val kmeansAssignSqlCtes: String =
+    * the integer-exact one-iteration Lloyd assignment at cluster count `k`;
+    * shared by the `x_embed_kmeans_iter` oracle and [[Dedup]]'s
+    * `x_dedup_semantic` (both interpolate the SAME k their Spark side runs,
+    * so the tunable cannot drift between engine and oracle). */
+  private[ops] def kmeansAssignSqlCtes(k: Int = defaultKClusters): String =
     s"""e AS (
        |  SELECT vec_id,
        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
        |  FROM embeddings),
        |xp AS (SELECT vec_id, i - 1 AS dim, q[i] AS v
        |       FROM (SELECT vec_id, q, unnest(range(1, len(q) + 1)) AS i FROM e)),
-       |c AS (SELECT vec_id % $kClusters AS cluster, dim,
+       |c AS (SELECT vec_id % $k AS cluster, dim,
        |        CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS c
        |      FROM xp GROUP BY 1, 2),
        |d AS (SELECT xp.vec_id, c.cluster,
@@ -428,6 +532,43 @@ object Similarity {
        |      FROM d),
        |ka AS (SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, dist2
        |       FROM r WHERE rn = 1)""".stripMargin
+
+  /** CTE chain (no leading WITH) ending in `a$rounds` (vec_id, cluster,
+    * dist2) — [[kmeansConverged]]'s oracle: the Lloyd recurrence UNROLLED a
+    * fixed `rounds` times (the `x_bpe_merges` pattern). The engine may stop
+    * earlier on convergence; a converged assignment is a fixpoint (same
+    * assignment ⇒ same centroids ⇒ same assignment AND same dist2), so the
+    * extra unrolled rounds change nothing.
+    *
+    * The multiply-referenced CTEs are `AS MATERIALIZED`: DuckDB otherwise
+    * inlines the chain per reference, and the unrolled recurrence then plans
+    * exponentially (measured: 10 rounds 25 s, 15 rounds unfinishable;
+    * materialized, 15 rounds run in under a second at sf0.01). */
+  private[ops] def kmeansConvSqlCtes(k: Int = defaultKClusters,
+      rounds: Int = kmeansMaxRounds): String = {
+    val head =
+      s"""e AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |xp AS MATERIALIZED (SELECT vec_id, i - 1 AS dim, q[i] AS v
+         |       FROM (SELECT vec_id, q, unnest(range(1, len(q) + 1)) AS i FROM e)),
+         |a0 AS (SELECT vec_id, vec_id % $k AS cluster FROM e)""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      s"""c$r AS (SELECT a.cluster, xp.dim,
+         |        CAST(floor(CAST(sum(xp.v) AS DOUBLE) / count(*)) AS BIGINT) AS c
+         |      FROM xp JOIN a${r - 1} a USING (vec_id) GROUP BY 1, 2),
+         |d$r AS (SELECT xp.vec_id, c.cluster,
+         |        CAST(sum((xp.v - c.c) * (xp.v - c.c)) AS BIGINT) AS dist2
+         |      FROM xp JOIN c$r c USING (dim) GROUP BY 1, 2),
+         |a$r AS MATERIALIZED (SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, dist2
+         |      FROM (SELECT vec_id, cluster, dist2,
+         |              row_number() OVER (PARTITION BY vec_id
+         |                     ORDER BY dist2 ASC, cluster ASC) AS rn
+         |            FROM d$r) WHERE rn = 1)""".stripMargin
+    }
+    (head +: steps).mkString(",\n")
+  }
 
   val oracle: Map[String, String] = Map(
     "x_sim_topk_mp" ->
@@ -489,7 +630,7 @@ object Similarity {
          |  FROM embeddings),
          |xp AS (SELECT vec_id, (i - 1) // $pqSubDim AS sub_id, (i - 1) % $pqSubDim AS dim, q[i] AS v
          |       FROM (SELECT vec_id, q, unnest(range(1, len(q) + 1)) AS i FROM e)),
-         |c AS (SELECT sub_id, (vec_id + sub_id) % $kClusters AS cluster, dim,
+         |c AS (SELECT sub_id, (vec_id + sub_id) % $pqK AS cluster, dim,
          |        CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS c
          |      FROM xp GROUP BY 1, 2, 3),
          |d AS (SELECT xp.vec_id, xp.sub_id, c.cluster,
@@ -504,8 +645,42 @@ object Similarity {
          |       CAST(cluster AS BIGINT) AS code, dist2
          |FROM r WHERE rn = 1""".stripMargin,
     "x_embed_kmeans_iter" ->
-      s"""WITH $kmeansAssignSqlCtes
+      s"""WITH ${kmeansAssignSqlCtes()}
          |SELECT vec_id, cluster, dist2 FROM ka""".stripMargin,
+    "x_embed_kmeans_conv" ->
+      s"""WITH ${kmeansConvSqlCtes()}
+         |SELECT vec_id, cluster, dist2 FROM a$kmeansMaxRounds""".stripMargin,
+    "x_sim_recall_kmeans" ->
+      s"""WITH ${kmeansConvSqlCtes()},
+         |cc AS (SELECT e2.vec_id, a.cluster, e2.embedding::DOUBLE[] AS v
+         |       FROM embeddings e2 JOIN a$kmeansMaxRounds a ON e2.vec_id = a.vec_id),
+         |cq AS (SELECT vec_id AS query_id, cluster AS qcluster, v AS qv,
+         |              sqrt(list_dot_product(v, v)) AS qn
+         |       FROM cc WHERE vec_id % $queryStride = 0),
+         |si AS (SELECT q.query_id, c.vec_id AS neighbor_id, $cosSql AS score
+         |       FROM cc c JOIN cq q ON c.cluster = q.qcluster AND c.vec_id <> q.query_id),
+         |ri AS (SELECT query_id, neighbor_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |                ORDER BY score DESC, neighbor_id ASC) AS rnk
+         |       FROM si),
+         |ta AS (SELECT query_id, neighbor_id FROM ri WHERE rnk <= $topK),
+         |sb AS (SELECT q.query_id, c.vec_id AS neighbor_id, $cosSql AS score
+         |       FROM cc c, cq q WHERE c.vec_id <> q.query_id),
+         |rb AS (SELECT query_id, neighbor_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |                ORDER BY score DESC, neighbor_id ASC) AS rnk
+         |       FROM sb),
+         |tb AS (SELECT query_id, neighbor_id FROM rb WHERE rnk <= $topK),
+         |nb AS (SELECT query_id, count(*) AS n_brute FROM tb GROUP BY 1),
+         |na AS (SELECT query_id, count(*) AS n_kivf FROM ta GROUP BY 1),
+         |cm AS (SELECT tb.query_id, count(*) AS n_common
+         |       FROM tb JOIN ta USING (query_id, neighbor_id) GROUP BY 1)
+         |SELECT nb.query_id, nb.n_brute,
+         |       COALESCE(na.n_kivf, 0) AS n_kivf,
+         |       COALESCE(cm.n_common, 0) AS n_common,
+         |       CAST(round(CAST(COALESCE(cm.n_common, 0) AS DOUBLE) * 10000 / nb.n_brute)
+         |            AS BIGINT) AS recall_bp
+         |FROM nb LEFT JOIN na USING (query_id) LEFT JOIN cm USING (query_id)""".stripMargin,
     "x_embed_quantize" ->
       """WITH v AS (
         |  SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim, CAST(embedding[i] AS DOUBLE) AS x

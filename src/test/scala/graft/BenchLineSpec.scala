@@ -63,6 +63,40 @@ class BenchLineSpec extends AnyFunSuite {
     assert(line.contains(""""q_slow_two":30"""), "second-slowest must survive omission")
   }
 
+  test("load diagnostics survive EVERY degradation tier, including omission fallback") {
+    // Round 6 lost the load field in the exact round four queries printed
+    // 2-6× their warm cost (co-tenant burst), making the numbers
+    // unattributable. The contract now: `load` outranks both the
+    // spread/resampled summary AND per-query entries — it survives even the
+    // drop-the-fastest fallback. (Skipped only where /proc/loadavg does not
+    // exist; on this platform it always does.)
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get("/proc/loadavg")))
+    // full-set realistic round
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val results = names.zipWithIndex.map { case (k, i) =>
+      (k, if (i % 10 == 0) 12.34 else 0.42, None)
+    }
+    val samples = names.map(k => k -> Seq(1.0, 1.1)).toMap
+    assert(Bench.renderLine(results, sfDir, samples).contains(""","load":["""))
+    // forced omission fallback (long synthetic names blow every tier)
+    val fast = (1 to 200).map(i => (f"q_fast_with_a_really_long_name_$i%03d", 0.01, None))
+    val fallback = Bench.renderLine(("q_slow", 40.0, None) +: fast, sfDir)
+    assert(fallback.contains(""""queries_omitted":"""), "must be in the fallback tier")
+    assert(fallback.contains(""","load":["""), s"load must survive the fallback: $fallback")
+  }
+
+  test("bench_full artifact: full precision, all samples, errors, valid shape") {
+    val results = Seq(("q_a", 1.23456, None), ("q_err", -1.0, Some("boom \"q\"\n")))
+    val samples = Map("q_a" -> Seq(1.23456, 2.5, 1.3))
+    val full = Bench.renderFull(results, sfDir, samples)
+    assert(full.contains(""""q_a": {"sec": 1.2346, "samples": [1.2346,2.5,1.3]}"""), full)
+    assert(full.contains(""""q_err": {"sec": -1, "samples": [-1],"error":"boom  q"""), full)
+    assert(full.contains(""""sf": "sf0.1""""), full)
+    assert(full.contains(""""total_sec": 1.2346"""), full) // errors excluded from total
+    assert(full.count(_ == '{') == full.count(_ == '}'))
+    assert(!full.contains("\"q\""), "quotes in error messages must be sanitized")
+  }
+
   test("resampled/spread noise summary: counted, formatted, absent without samples") {
     val results = Seq(("q_a", 1.0, None), ("q_b", 2.0, None))
     val samples = Map("q_a" -> Seq(1.0, 4.0, 1.1), "q_b" -> Seq(2.0, 2.2))

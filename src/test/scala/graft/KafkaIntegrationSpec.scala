@@ -50,4 +50,40 @@ class KafkaIntegrationSpec extends SparkSpec {
     assert(spark.table("kafka_it").agg(sum("count")).head.getLong(0) === 6L)
     assert(spark.table("kafka_it").select("user_id").distinct().count() === 2L)
   }
+
+  test("live Kafka: tools.Pipeline's broker path end-to-end (kafkaSource -> fan-out -> upsert sinks)") {
+    assume(broker.isDefined,
+      "SPARK_GRAFT_KAFKA unset — no broker in this environment (skip is expected here)")
+    import spark.implicits._
+    val bs = broker.get
+    val topic = s"graft_pipe_${System.currentTimeMillis()}"
+    val outDir = java.nio.file.Files.createTempDirectory("graft-pipe-it-").toString
+
+    val events = Seq(
+      ("u1", "i1", "click", "2024-01-01T00:00:05"),
+      ("u1", "i2", "view", "2024-01-01T00:00:20"),
+      ("u2", "i1", "click", "2024-01-01T00:01:05"),
+      (null, "i9", "click", "2024-01-01T00:01:10")) // null gate must drop this
+      .toDF("user_id", "item_id", "interaction_type", "timestamp")
+    KafkaBridge.toWire(events).write.format("kafka")
+      .option("kafka.bootstrap.servers", bs).option("topic", topic).save()
+
+    // The binary's exact topology: broker source + the C10 fan-out into
+    // keyed-upsert sinks — what `SPARK_GRAFT_KAFKA=... runMain
+    // graft.tools.Pipeline` runs, driven here with AvailableNow.
+    val qs = graft.tools.Pipeline.startQueries(
+      graft.tools.Pipeline.kafkaSource(spark, bs, topic), outDir,
+      Trigger.AvailableNow())
+    try qs.foreach(_.awaitTermination(120000)) finally qs.foreach(_.stop())
+
+    // 3 surviving events × 2 overlapping windows each, per fan-out key
+    val userKpi = graft.streaming.UpsertSink.resolve(spark, s"$outDir/user_id/sink",
+      Seq("window_start", "window_end", "user_id"))
+    val itemKpi = graft.streaming.UpsertSink.resolve(spark, s"$outDir/item_id/sink",
+      Seq("window_start", "window_end", "item_id"))
+    assert(userKpi.agg(sum("total_interactions")).head.getLong(0) === 6L)
+    assert(itemKpi.agg(sum("total_interactions")).head.getLong(0) === 6L)
+    assert(userKpi.select("user_id").distinct().count() === 2L)
+    assert(itemKpi.select("item_id").distinct().count() === 3L)
+  }
 }

@@ -111,6 +111,38 @@ class PlanShapeSpec extends SparkSpec {
       s"the corpus-sized token relation must not sort for a tiny merge set:\n$p")
   }
 
+  test("broadcastSmallSides=false drops the data-dependent hints — shuffle join, same rows") {
+    // The conf is the cluster escape hatch for sides that are only
+    // heuristically small (BPE merge occurrences, incremental's batch
+    // bands): hint gone + auto-broadcast off must yield a non-broadcast
+    // join AND identical results.
+    val docs = Tables.documents(spark, sf)
+    val withHint = graft.ops.Bpe.round(graft.ops.Bpe.tokenize(docs), 1)._2
+      .orderBy("doc_id", "pos").collect().toSeq
+    spark.conf.set(graft.ops.Hints.broadcastSmallSidesConf, "false")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val rewritten = graft.ops.Bpe.round(graft.ops.Bpe.tokenize(docs), 1)._2
+      assert(rewritten.orderBy("doc_id", "pos").collect().toSeq === withHint)
+      val p = rewritten.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan.toString
+        case other => other.toString
+      }
+      // the LIMIT-1 top-pair join stays broadcast (genuinely constant-size,
+      // not gated); the two gated MERGE-set left-outer joins must not
+      assert(!p.linesIterator.exists(l =>
+          l.contains("BroadcastHashJoin") && l.contains("LeftOuter")),
+        s"conf off + no auto-broadcast must shuffle-join the merge sets:\n$p")
+      assert(p.linesIterator.exists(l =>
+          l.contains("SortMergeJoin") && l.contains("LeftOuter")), p)
+    } finally {
+      spark.conf.unset(graft.ops.Hints.broadcastSmallSidesConf)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
+
   test("keep_best: argmax and member count share ONE comp-keyed sort/window pass") {
     // The operator's claimed incremental cost over components is a single
     // cluster-keyed exchange where one sort serves both the row_number
