@@ -97,10 +97,11 @@ object Bpe {
     (summary, rewritten)
   }
 
-  /** [[bpeRounds]] learn+apply rounds; one summary row per round (the
-    * learned merge, its selection count, and the corpus token count after
-    * applying it). */
-  def bpeMergesDocs(docs: DataFrame): DataFrame = {
+  /** The full trainer over a document frame: [[bpeRounds]] learn+apply
+    * rounds. Returns (per-round summaries, FINAL rewritten token relation)
+    * — the second component is the corpus ENCODED with the learned merges,
+    * which is what [[bpeEncode]] profiles. */
+  private[graft] def train(docs: DataFrame): (DataFrame, DataFrame) = {
     var toks = Lineage.cut(tokenize(docs))
     val summaries = (1 to bpeRounds).map { r =>
       val (summary, rewritten) = round(toks, r)
@@ -108,14 +109,55 @@ object Bpe {
       summary.crossJoin(broadcast(
         toks.agg(count(lit(1)).as("n_tokens_after"))))
     }
-    summaries.reduce(_ unionAll _)
+    (summaries.reduce(_ unionAll _), toks)
   }
 
+  /** [[bpeRounds]] learn+apply rounds; one summary row per round (the
+    * learned merge, its selection count, and the corpus token count after
+    * applying it). */
+  def bpeMergesDocs(docs: DataFrame): DataFrame = train(docs)._1
+
+  /** Trainer memo: (session identity, table dir) → spilled parquet paths of
+    * (summaries, final tokens) — the [[Similarity.kmeansConverged]] pattern:
+    * the 3-round loop runs once per session and BOTH consumers
+    * (`x_bpe_merges`, `x_bpe_encode`) read the tiny materialized relations
+    * back instead of re-running the rewrites. */
+  private val trainMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), (String, String)]
+
+  private def trainedPaths(s: SparkSession, d: String): (String, String) =
+    trainMemo.getOrElseUpdate((System.identityHashCode(s), d), {
+      val dir = java.nio.file.Files.createTempDirectory("graft-bpe-").toString
+      val (summaries, toks) = train(Tables.documents(s, d))
+      summaries.write.mode("overwrite").parquet(s"$dir/summaries")
+      toks.write.mode("overwrite").parquet(s"$dir/tokens")
+      (s"$dir/summaries", s"$dir/tokens")
+    })
+
   def bpeMerges(s: SparkSession, d: String): DataFrame =
-    bpeMergesDocs(Tables.documents(s, d))
+    s.read.parquet(trainedPaths(s, d)._1)
+
+  /** Tokenizer APPLICATION — the other half of the trainer: the corpus
+    * encoded with the learned merges, profiled per document. `n_tokens` is
+    * the doc's post-merge token count (what a sequence-length budget sees),
+    * `n_merged` counts multi-word merged symbols, and `n_chars` sums
+    * non-space characters per token — an end-to-end integrity invariant,
+    * since merging rearranges boundaries but never characters, so per doc it
+    * must equal the pre-merge non-space character count (pinned in BpeSpec).
+    * Plan: the memoized encoded relation is scanned once; the profile is one
+    * partial-agg shuffle on doc_id. */
+  def bpeEncodeDocs(toks: DataFrame): DataFrame =
+    toks.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_tokens"),
+      sum(when(col("tok").contains(" "), 1L).otherwise(0L)).as("n_merged"),
+      sum(length(translate(col("tok"), " ", ""))).cast("long").as("n_chars"))
+
+  def bpeEncode(s: SparkSession, d: String): DataFrame =
+    bpeEncodeDocs(s.read.parquet(trainedPaths(s, d)._2))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x_bpe_merges" -> bpeMerges)
+    "x_bpe_merges" -> bpeMerges,
+    "x_bpe_encode" -> bpeEncode)
 
   /** One unrolled round of the oracle twin: t$r from t${r-1}. */
   private def roundSql(r: Int): String =
@@ -141,12 +183,10 @@ object Bpe {
        |        WHERE NOT EXISTS (SELECT 1 FROM m$r x
        |                          WHERE x.doc_id = p.doc_id AND x.pos = p.pos - 1))""".stripMargin
 
-  private def mergesSql: String = {
+  /** Shared oracle prefix: tokenization + the unrolled round chain, ending
+    * with the final relation `t$bpeRounds`. */
+  private def corpusCtes: String = {
     val rounds = (1 to bpeRounds).map(roundSql).mkString(",\n")
-    val out = (1 to bpeRounds).map { r =>
-      s"""SELECT CAST($r AS BIGINT) AS round, m_a || ' ' || m_b AS merged_tok,
-         |       n_occ, (SELECT count(*) FROM t$r) AS n_tokens_after FROM top$r""".stripMargin
-    }.mkString("\nUNION ALL\n")
     s"""WITH raw AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
        |ex AS (SELECT doc_id, unnest(range(1, len(words) + 1)) AS idx, words FROM raw),
        |tk AS (SELECT doc_id, idx, words[idx] AS tok FROM ex WHERE length(words[idx]) > 0),
@@ -154,9 +194,25 @@ object Bpe {
        |         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY idx) - 1
        |              AS BIGINT) AS pos, tok
        |       FROM tk),
-       |$rounds
-       |$out""".stripMargin
+       |$rounds""".stripMargin
   }
 
-  val oracle: Map[String, String] = Map("x_bpe_merges" -> mergesSql)
+  private def mergesSql: String = {
+    val out = (1 to bpeRounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS round, m_a || ' ' || m_b AS merged_tok,
+         |       n_occ, (SELECT count(*) FROM t$r) AS n_tokens_after FROM top$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"$corpusCtes\n$out"
+  }
+
+  private def encodeSql: String =
+    s"""$corpusCtes
+       |SELECT doc_id, count(*) AS n_tokens,
+       |       CAST(sum(CASE WHEN tok LIKE '% %' THEN 1 ELSE 0 END) AS BIGINT) AS n_merged,
+       |       CAST(sum(length(replace(tok, ' ', ''))) AS BIGINT) AS n_chars
+       |FROM t$bpeRounds GROUP BY 1""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "x_bpe_merges" -> mergesSql,
+    "x_bpe_encode" -> encodeSql)
 }

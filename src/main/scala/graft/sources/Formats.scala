@@ -59,9 +59,17 @@ object Formats {
     * pipeline eventually meets). */
   def csvRoundtrip(s: SparkSession, d: String): DataFrame = roundtrip(s, d, "csv")
 
+  /** ORC sink → source round-trip — the other columnar lake format Spark
+    * ships natively. Unlike the text formats, ORC is typed and compressed
+    * on disk (predicate pushdown and column pruning work the same as
+    * parquet), so this pins that the engine's SECOND columnar path
+    * preserves values end to end, not just the text interchange ones. */
+  def orcRoundtrip(s: SparkSession, d: String): DataFrame = roundtrip(s, d, "orc")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c_io_json_roundtrip" -> jsonRoundtrip,
-    "c_io_csv_roundtrip" -> csvRoundtrip)
+    "c_io_csv_roundtrip" -> csvRoundtrip,
+    "c_io_orc_roundtrip" -> orcRoundtrip)
 
   private val rollupSql =
     """SELECT event_type, count(*) AS n,
@@ -74,5 +82,6 @@ object Formats {
     * the ORIGINAL table — any value corrupted in flight breaks the hash. */
   val oracle: Map[String, String] = Map(
     "c_io_json_roundtrip" -> rollupSql,
-    "c_io_csv_roundtrip" -> rollupSql)
+    "c_io_csv_roundtrip" -> rollupSql,
+    "c_io_orc_roundtrip" -> rollupSql)
 }

@@ -305,6 +305,105 @@ object EventPipeline {
         col("purchase_id"), col("gap_us"))
   }
 
+  /** Stream-stream FULL OUTER interval join — completes the join family
+    * (inner [[intervalJoin]], left-outer [[leftOuterJoin]]): matches, plus
+    * unmatched clicks (purchase columns null), plus unmatched purchases
+    * (click columns null) — the two-sided reconciliation feed (every click
+    * AND every purchase accounted for exactly once). Outer-row timing is
+    * per side and asymmetric, because eviction follows each side's state
+    * watermark as derived from the range condition: a click can stop
+    * matching only once the watermark passes the END of its attribution
+    * window (`click_ts + window < wm`), while a purchase can stop matching
+    * as soon as the watermark passes its own event time (future clicks
+    * arrive with `click_ts ≥ wm`, and a match needs `click_ts ≤
+    * purchase_ts`) — so the purchase cut is `purchase_ts < wm`. The oracle
+    * encodes both cuts explicitly; strictness verified empirically on
+    * sf0.01 and sf0.1 (same methodology as the left-outer note). */
+  def fullOuterJoin(clicks: DataFrame, purchases: DataFrame, watermark: String): DataFrame = {
+    val c = clicks
+      .filter(col("event_type") === "click" && col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val p = purchases
+      .filter(col("event_type") === "purchase" && col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    c.join(p,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+        "full_outer")
+      .select(col("click_id"),
+        coalesce(col("user_id"), col("p_user_id")).as("user_id"),
+        unix_micros(col("click_ts")).as("click_ts_us"),
+        col("purchase_id"),
+        unix_micros(col("purchase_ts")).as("purchase_ts_us"))
+  }
+
+  /** Run the full-outer interval join as a real streaming query (shared
+    * single source scan, same watermark delay as the left-outer run) and
+    * return the resolved three-part result. */
+  def streamedFullJoin(s: SparkSession, sfDir: String): DataFrame = {
+    val scratch = Files.createTempDirectory("graft-ssfull-").toFile.getAbsolutePath
+    val src = fileStream(s, sfDir)
+    val q = fullOuterJoin(src, src, outerJoinDelay)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$scratch/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch((b: Dataset[Row], id: Long) => UpsertSink.writeBatch(b, id, s"$scratch/sink"))
+      .start()
+    q.awaitTermination()
+    UpsertSink.resolve(s, s"$scratch/sink", Seq("click_id", "purchase_id"))
+      .select(col("click_id"), col("user_id"), col("click_ts_us"),
+        col("purchase_id"), col("purchase_ts_us"))
+  }
+
+  /** Stream-stream LEFT SEMI interval join — the last member of the join
+    * family: converted clicks ONLY (click columns, no purchase payload),
+    * each emitted EXACTLY ONCE, on its first match — where the inner join
+    * emits one row per (click, purchase) pair, the semi join is the
+    * "attributed clicks" feed at click granularity, with no downstream
+    * dedup step. Spark keeps the click in state with a matched bit so a
+    * second purchase emits nothing; state bounds are the inner join's.
+    * The bounded replay's far watermark means every match is found, so the
+    * oracle is the EXISTS form of the inner join's condition. */
+  def semiJoin(clicks: DataFrame, purchases: DataFrame, watermark: String): DataFrame = {
+    val c = clicks
+      .filter(col("event_type") === "click" && col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val p = purchases
+      .filter(col("event_type") === "purchase" && col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    c.join(p,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+        "left_semi")
+      .select(col("click_id"), col("user_id"), unix_micros(col("click_ts")).as("click_ts_us"))
+  }
+
+  /** Run the semi join as a real streaming query (shared single source
+    * scan, far watermark — bounded replay finds every match). */
+  def streamedSemiJoin(s: SparkSession, sfDir: String): DataFrame = {
+    val scratch = Files.createTempDirectory("graft-sssemi-").toFile.getAbsolutePath
+    val src = fileStream(s, sfDir)
+    val q = semiJoin(src, src, "3650 days")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$scratch/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch((b: Dataset[Row], id: Long) => UpsertSink.writeBatch(b, id, s"$scratch/sink"))
+      .start()
+    q.awaitTermination()
+    UpsertSink.resolve(s, s"$scratch/sink", Seq("click_id"))
+      .select(col("click_id"), col("user_id"), col("click_ts_us"))
+  }
+
   /** Streaming exact dedup: the event source is read TWICE (union of two
     * independent streaming scans — every event arrives as a true duplicate,
     * possibly in different micro-batches) and
@@ -374,6 +473,8 @@ object EventPipeline {
     "s_session_windows_stream" -> ((s, d) => streamedSessions(s, d)),
     "s_interval_join_stream" -> ((s, d) => streamedIntervalJoin(s, d)),
     "s_left_join_stream" -> ((s, d) => streamedLeftJoin(s, d)),
+    "s_full_join_stream" -> ((s, d) => streamedFullJoin(s, d)),
+    "s_semi_join_stream" -> ((s, d) => streamedSemiJoin(s, d)),
     "s_enriched_stream" -> ((s, d) => streamedEnriched(s, d)),
     "s_dedup_stream" -> ((s, d) => streamedDedup(s, d)))
 
@@ -459,6 +560,54 @@ object EventPipeline {
          |                  WHERE p.p_user = c.user_id
          |                    AND p.pts >= c.cts AND p.pts <= c.cts + $joinWindowUs)
          |  AND c.cts + $joinWindowUs < wm.w""".stripMargin,
+    // Semi = clicks with at least one purchase in the window, click columns
+    // only, exactly once each — the EXISTS form; no watermark cut (matches
+    // emit on arrival, and the far-watermark replay finds them all).
+    "s_semi_join_stream" ->
+      s"""SELECT c.event_id AS click_id, c.user_id, epoch_us(c.ts) AS click_ts_us
+         |FROM events c
+         |WHERE c.event_type = 'click' AND c.user_id IS NOT NULL AND c.ts IS NOT NULL
+         |  AND EXISTS (SELECT 1 FROM events p
+         |              WHERE p.event_type = 'purchase'
+         |                AND p.user_id = c.user_id AND p.ts IS NOT NULL
+         |                AND p.ts >= c.ts
+         |                AND epoch_us(p.ts) <= epoch_us(c.ts) + $joinWindowUs)""".stripMargin,
+    // Full-outer = inner matches ∪ watermark-cut unmatched rows from BOTH
+    // sides; the per-side cuts differ (see the fullOuterJoin scaladoc): a
+    // click's null row needs the watermark past its whole attribution
+    // window, a purchase's null row only needs the watermark past its own
+    // event time.
+    "s_full_join_stream" ->
+      s"""WITH c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS cts
+         |           FROM events
+         |           WHERE event_type = 'click' AND user_id IS NOT NULL AND ts IS NOT NULL),
+         |p AS (SELECT event_id AS purchase_id, user_id AS p_user, epoch_us(ts) AS pts
+         |      FROM events
+         |      WHERE event_type = 'purchase' AND user_id IS NOT NULL AND ts IS NOT NULL),
+         |wm AS (SELECT least((SELECT (max(cts) // 1000) * 1000 FROM c),
+         |                    (SELECT (max(pts) // 1000) * 1000 FROM p))
+         |              - $outerJoinDelayUs AS w)
+         |SELECT c.click_id, c.user_id, CAST(c.cts AS BIGINT) AS click_ts_us,
+         |       p.purchase_id, CAST(p.pts AS BIGINT) AS purchase_ts_us
+         |FROM c JOIN p
+         |  ON c.user_id = p.p_user
+         | AND p.pts >= c.cts AND p.pts <= c.cts + $joinWindowUs
+         |UNION ALL
+         |SELECT c.click_id, c.user_id, CAST(c.cts AS BIGINT),
+         |       NULL, NULL
+         |FROM c, wm
+         |WHERE NOT EXISTS (SELECT 1 FROM p
+         |                  WHERE p.p_user = c.user_id
+         |                    AND p.pts >= c.cts AND p.pts <= c.cts + $joinWindowUs)
+         |  AND c.cts + $joinWindowUs < wm.w
+         |UNION ALL
+         |SELECT NULL, p.p_user, NULL,
+         |       p.purchase_id, CAST(p.pts AS BIGINT)
+         |FROM p, wm
+         |WHERE NOT EXISTS (SELECT 1 FROM c
+         |                  WHERE c.user_id = p.p_user
+         |                    AND p.pts >= c.cts AND p.pts <= c.cts + $joinWindowUs)
+         |  AND p.pts < wm.w""".stripMargin,
     // Update-mode cumulative totals: the final upserted row per nation equals
     // the plain batch rollup over the enriched join.
     // Dedup of the doubled stream recovers exactly the original event set.

@@ -84,6 +84,27 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("encode profile: token budget, merge counts, and the character invariant") {
+    val docs = Seq(
+      (1L, "en", "s", "a a a b"),
+      (2L, "en", "s", "b c"),
+      (3L, "en", "s", "zz")).toDF("doc_id", "lang", "source", "text")
+    val (_, toks) = Bpe.train(docs)
+    val got = Bpe.bpeEncodeDocs(toks)
+      .select($"doc_id", $"n_tokens", $"n_merged", $"n_chars")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // rounds on this corpus: (a,a) -> (a,b) -> (a a, a b); doc 1 collapses
+    // to one 4-gram token, doc 2 keeps [b, c], doc 3 passes through.
+    assert(got == Seq((1L, 1L, 1L, 4L), (2L, 2L, 0L, 2L), (3L, 1L, 0L, 2L)))
+    // invariant: merging rearranges token boundaries, never characters —
+    // per doc, n_chars must equal the pre-merge non-space character count.
+    val pre = docs.select($"doc_id",
+      length(translate($"text", " ", "")).cast("long").as("pre_chars"))
+    val mismatches = Bpe.bpeEncodeDocs(toks).join(pre, "doc_id")
+      .filter($"n_chars" =!= $"pre_chars").count()
+    assert(mismatches == 0L)
+  }
+
   test("non-adjacent candidates merge independently; singleton docs pass through") {
     val docs = Seq(
       (1L, "en", "s", "p q r p q"),
