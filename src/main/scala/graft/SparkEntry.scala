@@ -19,6 +19,7 @@ object SparkEntry {
     (ops.Parse.queries, ops.Parse.oracle),
     (ops.Analytics.queries, ops.Analytics.oracle),
     (ops.Relational.queries, ops.Relational.oracle),
+    (ops.Sketches.queries, ops.Sketches.oracle),
     (ops.Dedup.queries, ops.Dedup.oracle),
     (ops.Similarity.queries, ops.Similarity.oracle),
     (ops.TextAnalysis.queries, ops.TextAnalysis.oracle),
