@@ -37,8 +37,13 @@ object Sketches {
   /** HLL++ distinct users per event type vs the exact count. `hll_ok` pins
     * the estimate within 3×rsd of truth (observed error on uniform keys is
     * ≪ rsd; 3× makes the flag stable while still failing on a broken
-    * sketch). Plan: one shuffle on event_type; both aggregates carry
-    * map-side partials — the HLL side moves registers, not keys. */
+    * sketch). Plan: the DIFFERENTIAL query pays the exact side's two-phase
+    * distinct (pre-aggregate on (type, key), exchange, merge — that cost is
+    * the point of computing truth alongside); the HLL side rides it as
+    * `partial_approx_count_distinct` register arrays merged map-side from
+    * the first phase on. The production form drops `n_exact` and is a
+    * single register-only exchange at any key cardinality — the shape
+    * `PlanShapeSpec` pins. */
   def hllDistinct(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .filter(col("user_id").isNotNull)

@@ -317,8 +317,10 @@ object EventPipeline {
     * as soon as the watermark passes its own event time (future clicks
     * arrive with `click_ts ≥ wm`, and a match needs `click_ts ≤
     * purchase_ts`) — so the purchase cut is `purchase_ts < wm`. The oracle
-    * encodes both cuts explicitly; strictness verified empirically on
-    * sf0.01 and sf0.1 (same methodology as the left-outer note). */
+    * encodes both cuts explicitly; their STRICT `<` is pinned at the exact
+    * millisecond boundary by `FullJoinSpec` (held at `== wm`, emitted one
+    * ms past) on both sides, and the hashes match DuckDB at sf0.01 and
+    * sf0.1. */
   def fullOuterJoin(clicks: DataFrame, purchases: DataFrame, watermark: String): DataFrame = {
     val c = clicks
       .filter(col("event_type") === "click" && col("user_id").isNotNull && col("ts").isNotNull)
@@ -530,9 +532,11 @@ object EventPipeline {
     // matched rows emit on join; an unmatched click emits (null purchase)
     // only once the final global watermark — min over both sides of the
     // ms-floored max event time minus the delay — passes the end of its
-    // attribution window, i.e. click_ts + window < wm. Strictness verified
-    // empirically on sf0.01 AND sf0.1 (no boundary ties in the data; see
-    // the session-window note above for the same methodology).
+    // attribution window, i.e. click_ts + window < wm. The STRICT `<` is
+    // pinned by FullJoinSpec's boundary test (a row exactly at the
+    // watermark tick is still held; one ms past, it emits) — the sf
+    // fixtures have no boundary ties, so only that test distinguishes
+    // strictness.
     "s_left_join_stream" ->
       s"""WITH c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS cts
          |           FROM events

@@ -63,4 +63,55 @@ class FullJoinSpec extends SparkSpec {
         "matched rows must never emit outer duplicates on either side")
     } finally q.stop()
   }
+
+  test("outer cuts are STRICT: a row exactly AT the watermark boundary is still held") {
+    // Pins the `<` (not `≤`) in both oracle cuts — the sf fixtures have no
+    // boundary ties, so only this test distinguishes the strictness.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val clicks = MemoryStream[JEvt]
+    val purchases = MemoryStream[JEvt]
+    val out = EventPipeline.fullOuterJoin(clicks.toDF(), purchases.toDF(), "10 minutes")
+    val q = out.writeStream.format("memory").queryName("fjb_t")
+      .outputMode("append").start()
+    def outers = spark.table("fjb_t")
+      .select($"click_id", $"purchase_id")
+      .as[(Option[Long], Option[Long])].collect()
+      .filter(r => r._1.isEmpty || r._2.isEmpty)
+    try {
+      // Unmatched on both sides: click c2 at 00:00:00 (window end 01:00:00),
+      // purchase p2 (other user) at 00:50:00.
+      clicks.addData(JEvt(2L, "u2", "click", ts("2026-01-01 00:00:00")))
+      purchases.addData(JEvt(20L, "u3", "purchase", ts("2026-01-01 00:50:00")))
+      q.processAllAvailable()
+
+      // Advance both maxima to 01:00:00 → wm = 00:50:00 == p2's event time:
+      // exactly at the boundary, p2 must still be held.
+      clicks.addData(JEvt(90L, "adv", "click", ts("2026-01-01 01:00:00")))
+      purchases.addData(JEvt(91L, "adv", "purchase", ts("2026-01-01 01:00:00")))
+      q.processAllAvailable()
+      assert(!outers.exists(_._2.contains(20L)),
+        "purchase exactly at the watermark must not emit its outer row yet")
+
+      // One millisecond past → p2 emits.
+      clicks.addData(JEvt(92L, "adv", "click", ts("2026-01-01 01:00:00.001")))
+      purchases.addData(JEvt(93L, "adv", "purchase", ts("2026-01-01 01:00:00.001")))
+      q.processAllAvailable()
+      assert(outers.count(_._2.contains(20L)) == 1,
+        "one ms past the boundary the purchase outer row must emit exactly once")
+
+      // Advance to 01:10:00 → wm = 01:00:00 == c2's window end: still held.
+      clicks.addData(JEvt(94L, "adv", "click", ts("2026-01-01 01:10:00")))
+      purchases.addData(JEvt(95L, "adv", "purchase", ts("2026-01-01 01:10:00")))
+      q.processAllAvailable()
+      assert(!outers.exists(_._1.contains(2L)),
+        "click whose window end equals the watermark must not emit yet")
+
+      // One millisecond past the window end → c2 emits.
+      clicks.addData(JEvt(96L, "adv", "click", ts("2026-01-01 01:10:00.001")))
+      purchases.addData(JEvt(97L, "adv", "purchase", ts("2026-01-01 01:10:00.001")))
+      q.processAllAvailable()
+      assert(outers.count(_._1.contains(2L)) == 1,
+        "one ms past its window end the click outer row must emit exactly once")
+    } finally q.stop()
+  }
 }

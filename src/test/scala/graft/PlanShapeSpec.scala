@@ -158,4 +158,44 @@ class PlanShapeSpec extends SparkSpec {
     assert(compExchanges == 1,
       s"expected exactly one comp-keyed exchange, got $compExchanges:\n$p")
   }
+
+  test("sketch distinct: HLL partials merge from phase one; null filter reaches the scan") {
+    val p = SparkEntry.queries("x_sketch_distinct")(spark, sf)
+      .queryExecution.executedPlan
+    val s = p.toString
+    // The differential query carries the exact side's two-phase distinct;
+    // the HLL registers must still be map-side partials (no raw-key pass
+    // dedicated to the sketch), and the null gate must be a pushed filter.
+    assert(s.contains("partial_approx_count_distinct"),
+      s"HLL must aggregate map-side:\n$s")
+    val shuffles = s.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange"))
+    assert(shuffles == 2, s"exact-distinct pair only; got $shuffles exchanges:\n$s")
+    val scan = s.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(scan.contains("IsNotNull"), s"user_id null gate must push to parquet:\n$s")
+  }
+
+  test("sketch quantile: ONE exchange — percentile and t-digest partials both map-side") {
+    val p = plan("x_sketch_quantile")
+    assert(p.contains("ObjectHashAggregate"), s"sort-based agg regression:\n$p")
+    val shuffles = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange"))
+    assert(shuffles == 1, s"expected the single returnflag exchange, got $shuffles:\n$p")
+  }
+
+  /** The PRODUCTION sketch form (estimate only, no exact twin): the plan
+    * must move register arrays through ONE exchange and never shuffle raw
+    * keys — this is the shape that makes HLL the 100 TB distinct path. */
+  test("estimate-only HLL is a single register exchange, no raw-key pre-aggregation") {
+    import org.apache.spark.sql.functions._
+    val df = graft.Tables.events(spark, sf)
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.05).as("n_hll"))
+    val s = df.queryExecution.executedPlan.toString
+    val shuffles = s.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange"))
+    assert(shuffles == 1, s"registers merge through one exchange, got $shuffles:\n$s")
+    assert(!s.contains("count(distinct"), s"no exact distinct belongs here:\n$s")
+  }
 }
