@@ -651,6 +651,66 @@ object Dedup {
         col("dup_of").isNotNull.as("is_dup"))
   }
 
+  /** PageRank iteration count — a fixed hyperparameter like [[Bpe.bpeRounds]]
+    * (kept small so the unrolled oracle stays readable; the loop is
+    * round-count-agnostic). */
+  private[ops] val pagerankRounds = 3
+
+  /** Fixed-point scale for integer-exact PageRank: rank 1.0 ≡ 10^9. */
+  private val prScale = 1000000000L
+
+  /** PageRank centrality over the near-dup candidate graph — the second
+    * graph-analytics operator beside [[components]], and the curation signal
+    * components cannot give: inside a dup cluster, WHICH document is the
+    * hub (template/original) and which are leaf variants. Runs
+    * [[pagerankRounds]] damped (0.85) power-iteration rounds over the
+    * symmetrized [[minhashLsh]] pair graph, restricted to edge-incident
+    * vertices (isolated docs have no centrality to compute).
+    *
+    * Arithmetic is integer FIXED-POINT ([[prScale]]; contributions and the
+    * damping step use integer division) — the float formulation's
+    * per-partition summation order is not engine-reproducible, the integer
+    * one is exact in any summation order, which is what lets the DuckDB
+    * twin unroll the same rounds and hash-match ([[Similarity]]'s
+    * quantized-k-means trick applied to message passing).
+    *
+    * Plan, per round: contributions are one co-partitioned join of the
+    * adjacency against (rank ⋈ degree) on src — only (dst, contrib) longs
+    * move, never text — then one shuffle keyed by dst for the sum;
+    * lineage-cut per round ([[Lineage]] reliable-mode contract applies).
+    * State between rounds is one long per incident vertex. Rounds are a
+    * fixed hyperparameter; at 100 TB the per-round cost is two exchanges
+    * of the (bounded) candidate-graph relation, the same scale class as
+    * one [[components]] round. */
+  def pagerank(s: SparkSession, d: String): DataFrame = {
+    val edges = minhashLsh(s, d)
+    pagerankOf(
+      edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+  }
+
+  /** The [[pagerank]] power iteration over an arbitrary symmetrized
+    * `(src, dst)` adjacency (exposed for the hand-computed spec). */
+  private[graft] def pagerankOf(adjacency: DataFrame): DataFrame = {
+    val adj = Lineage.cut(adjacency)
+    val deg = Lineage.cut(adj.groupBy(col("src")).agg(count(lit(1)).as("deg")))
+    var rank = deg.select(col("src").as("doc_id"), lit(prScale).as("r"))
+    for (_ <- 1 to pagerankRounds) {
+      val contrib = adj
+        .join(deg, "src")
+        .join(rank.withColumnRenamed("doc_id", "src"), "src")
+        .select(col("dst"), expr("r div deg").as("c"))
+      val acc = contrib.groupBy(col("dst")).agg(sum(col("c")).as("acc"))
+      rank = Lineage.cut(
+        deg.select(col("src").as("doc_id"))
+          .join(acc.withColumnRenamed("dst", "doc_id"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            (lit(15L * prScale / 100) +
+              expr("(85 * coalesce(acc, 0L)) div 100")).as("r")))
+    }
+    rank.select(col("doc_id"), col("r").as("rank_fp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_dedup_exact" -> exact,
     "x_dedup_segments" -> segmentDedup,
@@ -664,6 +724,7 @@ object Dedup {
     "x_dedup_simhash" -> simhash,
     "x_dedup_simhash_pairs" -> simhashPairs,
     "x_dedup_embedding_cosine" -> embeddingCosine,
+    "x_graph_pagerank" -> pagerank,
     "x_dedup_semantic" -> ((s, d) => semanticDedup(s, d)),
     "x_dedup_components" -> components,
     "x_dedup_keep_best" -> keepBest,
@@ -788,6 +849,30 @@ object Dedup {
          |JOIN n na ON p.doc_a = na.doc_id
          |JOIN n nb ON p.doc_b = nb.doc_id
          |LEFT JOIN i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b""".stripMargin,
+    "x_graph_pagerank" -> {
+      // Unrolled integer fixed-point power iteration — DuckDB's `//` floor
+      // division matches Spark's `div` on the all-positive ranks, and
+      // integer sums are order-independent, so the hashes can't drift.
+      val rounds = (1 to pagerankRounds).map { i =>
+        s"""acc$i AS (SELECT e.dst AS doc_id, SUM(r.r // g.deg) AS acc
+           |          FROM edges e
+           |          JOIN pr${i - 1} r ON e.src = r.doc_id
+           |          JOIN deg g ON e.src = g.doc_id
+           |          GROUP BY 1),
+           |pr$i AS (SELECT d.doc_id,
+           |           CAST(${15L * prScale / 100} + (85 * COALESCE(a.acc, 0)) // 100
+           |                AS BIGINT) AS r
+           |         FROM deg d LEFT JOIN acc$i a USING (doc_id))""".stripMargin
+      }.mkString(",\n")
+      s"""$shingleSqlCtes,
+         |$minhashPairsSqlCtes,
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         |deg AS (SELECT src AS doc_id, count(*) AS deg FROM edges GROUP BY 1),
+         |pr0 AS (SELECT doc_id, CAST($prScale AS BIGINT) AS r FROM deg),
+         |$rounds
+         |SELECT doc_id, r AS rank_fp FROM pr$pagerankRounds""".stripMargin
+    },
     "x_dedup_components" ->
       // min reachable id per node == the min-label-propagation fixpoint;
       // UNION (set semantics) bounds the recursion.

@@ -79,20 +79,29 @@ object Parse {
     * oracle-checkable surface. Plan: one scan, map-side CASE classify, one
     * tiny aggregation keyed by reason (≤6 groups) — partial agg shrinks it
     * map-side, so the 100 TB cost is the scan it shares with ingest. */
-  def deadLetter(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
-      .withColumn("reason",
-        when(col("event_id").isNull, "null_event_id")
-          .when(col("ts").isNull, "null_ts")
-          .when(col("user_id").isNull, "null_user_id")
-          .when(col("event_type").isNull, "null_event_type")
-          .when(col("value").isNull, "null_value")
-          .otherwise("ok"))
+  /** First-failing-required-field classification — shared by the batch
+    * rollup below and the streaming twin
+    * ([[graft.streaming.EventPipeline.streamedDeadLetter]]). */
+  private[graft] def deadLetterReason: org.apache.spark.sql.Column =
+    when(col("event_id").isNull, "null_event_id")
+      .when(col("ts").isNull, "null_ts")
+      .when(col("user_id").isNull, "null_user_id")
+      .when(col("event_type").isNull, "null_event_type")
+      .when(col("value").isNull, "null_value")
+      .otherwise("ok")
+
+  /** Per-reason rollup over a classified frame (batch and streaming share
+    * this aggregation — identical lineage, only execution mode differs). */
+  private[graft] def deadLetterRollup(classified: DataFrame): DataFrame =
+    classified
       .groupBy(col("reason"))
       .agg(
         count(lit(1)).as("n_rows"),
         min(col("event_id")).as("min_event_id"),
         max(col("event_id")).as("max_event_id"))
+
+  def deadLetter(s: SparkSession, d: String): DataFrame =
+    deadLetterRollup(Tables.events(s, d).withColumn("reason", deadLetterReason))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c_parse_props" -> parseProps,

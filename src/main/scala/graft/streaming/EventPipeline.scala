@@ -469,6 +469,31 @@ object EventPipeline {
       .select(col("n_name"), col("n_events"), col("value_c_sum"))
   }
 
+  /** Streaming dead-letter accounting — the C4 null-rejection filter's
+    * accountability twin run as a STREAM: classify every arriving event by
+    * its first failing required-field check and keep cumulative per-reason
+    * counts in update mode (≤6 rows of state — cardinality-bounded like
+    * [[streamedEnriched]]'s rollup, nothing to evict). This is the shape a
+    * real ingest pipeline runs: the quarantine summary updates per
+    * micro-batch while the main feed flows on; the resolved table equals
+    * the batch rollup, so it shares `c_dead_letter`'s oracle. Shares the
+    * classification and aggregation lineage with the batch twin
+    * ([[graft.ops.Parse.deadLetterReason]]/`deadLetterRollup`). */
+  def streamedDeadLetter(s: SparkSession, sfDir: String): DataFrame = {
+    val scratch = Files.createTempDirectory("graft-sdl-").toFile.getAbsolutePath
+    val agg = graft.ops.Parse.deadLetterRollup(
+      fileStream(s, sfDir).withColumn("reason", graft.ops.Parse.deadLetterReason))
+    val q = agg.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", s"$scratch/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch((b: Dataset[Row], id: Long) => UpsertSink.writeBatch(b, id, s"$scratch/sink"))
+      .start()
+    q.awaitTermination()
+    UpsertSink.resolve(s, s"$scratch/sink", Seq("reason"))
+      .select(col("reason"), col("n_rows"), col("min_event_id"), col("max_event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_user_windows_stream" -> ((s, d) => streamedWindows(s, d, "user_id")),
     "s_type_windows_stream" -> ((s, d) => streamedWindows(s, d, "event_type")),
@@ -478,7 +503,8 @@ object EventPipeline {
     "s_full_join_stream" -> ((s, d) => streamedFullJoin(s, d)),
     "s_semi_join_stream" -> ((s, d) => streamedSemiJoin(s, d)),
     "s_enriched_stream" -> ((s, d) => streamedEnriched(s, d)),
-    "s_dedup_stream" -> ((s, d) => streamedDedup(s, d)))
+    "s_dedup_stream" -> ((s, d) => streamedDedup(s, d)),
+    "s_dead_letter_stream" -> ((s, d) => streamedDeadLetter(s, d)))
 
   /** The streamed KPI table must equal the batch formulation (the core
     * Structured Streaming guarantee), so the oracle is the same window SQL.
@@ -618,6 +644,9 @@ object EventPipeline {
     "s_dedup_stream" ->
       """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
         |FROM events WHERE event_id IS NOT NULL AND ts IS NOT NULL""".stripMargin,
+    // Cumulative per-reason counts: the final upsert equals the batch
+    // classification rollup — same oracle as the batch twin.
+    "s_dead_letter_stream" -> graft.ops.Parse.oracle("c_dead_letter"),
     "s_enriched_stream" ->
       """SELECT n_name, count(*) AS n_events,
         |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c_sum
