@@ -187,8 +187,27 @@ object Dedup {
     * planned and executed twice (and, in the earlier 8-way unionAll
     * formulation, up to 16×). Banding itself is a single map-side explode
     * over the materialized signatures. */
-  def minhashLsh(s: SparkSession, d: String): DataFrame =
-    lshPairs(Lineage.cut(minhashSignatures(s, d)))
+  def minhashLsh(s: SparkSession, d: String): DataFrame = {
+    val key = (System.identityHashCode(s), d)
+    val path = pairsMemo.getOrElseUpdate(key, {
+      val out = java.nio.file.Files.createTempDirectory("graft-lshpairs-")
+      lshPairs(Lineage.cut(minhashSignatures(s, d)))
+        .write.mode("overwrite").parquet(out.toString)
+      out.toString
+    })
+    s.read.parquet(path)
+  }
+
+  /** Memo of the [[minhashLsh]] candidate-pair relation: (session identity,
+    * table dir) → spilled parquet path. The pair graph is consumed by four
+    * operators ([[minhashLsh]]'s own query, [[components]]'s fixpoint,
+    * [[pagerank]], [[triangles]]) — the [[componentLabels]] "persisted
+    * index" shape applied one level down: derive shingles → signatures →
+    * band join once per session, then every graph consumer reads back a
+    * tiny (doc_a, doc_b) long-pair table. Parquet, not cache, for the same
+    * eviction-immunity reasons. */
+  private val pairsMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
 
   /** The (doc_id, band, bkey) LSH band relation of a signature frame — one
     * map-side explode, 8 rows per doc. Shared by the self-join candidate
@@ -711,6 +730,67 @@ object Dedup {
     rank.select(col("doc_id"), col("r").as("rank_fp"))
   }
 
+  /** Triangle counting + local clustering coefficient over the near-dup
+    * candidate graph — the third graph-analytics operator beside
+    * [[components]] (WHICH docs group) and [[pagerank]] (WHO is the hub):
+    * triangle density says HOW a dup cluster is shaped. A high-LCC vertex
+    * sits in a clique (mirror sets, template families — safe to collapse
+    * aggressively); a high-degree zero-LCC vertex is a star center
+    * (boilerplate stitching otherwise-unrelated docs — collapsing the
+    * neighborhood would over-delete). Emits, per edge-incident vertex, its
+    * degree, triangle count, and LCC in basis points (floor division —
+    * engine-exact).
+    *
+    * The 100 TB design choice is DEGREE ORIENTATION (the classic
+    * compact-forward bound): orient each undirected edge from its
+    * (degree, id)-lower endpoint to the higher, enumerate wedges only at
+    * each triangle's lowest-rank vertex, and close them with one hash join
+    * against the oriented edge list. Out-degrees under this orientation are
+    * O(√m), so wedge volume — the only super-linear relation — is O(m^1.5)
+    * regardless of skew; the naive id-ordered join the (tiny-graph) oracle
+    * runs would instead explode on the hottest vertex. Only (long, long)
+    * edges and wedges move; text never does. */
+  def triangles(s: SparkSession, d: String): DataFrame =
+    trianglesOf(minhashLsh(s, d))
+
+  /** [[triangles]] over an arbitrary `(doc_a < doc_b)` distinct pair
+    * relation (exposed for the hand-computed spec). */
+  private[graft] def trianglesOf(pairs: DataFrame): DataFrame = {
+    val p = Lineage.cut(pairs)
+    val sym = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val deg = Lineage.cut(
+      sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .select(col("src").as("v"), col("deg")))
+    // Orient low-rank → high-rank under the (deg, id) total order; keep the
+    // head's rank key so the wedge join can order its two endpoints without
+    // another degree lookup.
+    val oriented = Lineage.cut(
+      sym.join(deg.select(col("v").as("src"), col("deg").as("deg_s")), "src")
+        .join(deg.select(col("v").as("dst"), col("deg").as("deg_d")), "dst")
+        .filter(col("deg_s") < col("deg_d") ||
+          (col("deg_s") === col("deg_d") && col("src") < col("dst")))
+        .select(col("src"), col("dst"), col("deg_d")))
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") &&
+          (col("e1.deg_d") < col("e2.deg_d") ||
+            (col("e1.deg_d") === col("e2.deg_d") && col("e1.dst") < col("e2.dst"))))
+      .select(col("e1.src").as("u"), col("e1.dst").as("v"), col("e2.dst").as("w"))
+    val tri = wedges.join(
+      oriented.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+    val perNode = tri.select(col("u").as("doc_id"))
+      .union(tri.select(col("v").as("doc_id")))
+      .union(tri.select(col("w").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_tri"))
+    deg.select(col("v").as("doc_id"), col("deg"))
+      .join(perNode, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("lcc_bp",
+        when(col("deg") < 2, lit(0L))
+          .otherwise(expr("(20000 * n_tri) div (deg * (deg - 1))")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_dedup_exact" -> exact,
     "x_dedup_segments" -> segmentDedup,
@@ -725,6 +805,7 @@ object Dedup {
     "x_dedup_simhash_pairs" -> simhashPairs,
     "x_dedup_embedding_cosine" -> embeddingCosine,
     "x_graph_pagerank" -> pagerank,
+    "x_graph_triangles" -> triangles,
     "x_dedup_semantic" -> ((s, d) => semanticDedup(s, d)),
     "x_dedup_components" -> components,
     "x_dedup_keep_best" -> keepBest,
@@ -873,6 +954,29 @@ object Dedup {
          |$rounds
          |SELECT doc_id, r AS rank_fp FROM pr$pagerankRounds""".stripMargin
     },
+    "x_graph_triangles" ->
+      // Naive id-ordered triangle enumeration (a<b<c, each once) — fine on
+      // the oracle's tiny graph; the Spark side's degree orientation finds
+      // the SAME triangle set (orientation changes where a triangle is
+      // enumerated, never whether), so the per-node rollups hash-match.
+      s"""$shingleSqlCtes,
+         |$minhashPairsSqlCtes,
+         |tri AS (SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+         |        FROM pairs e1
+         |        JOIN pairs e2 ON e2.doc_a = e1.doc_b
+         |        JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+         |tn AS (SELECT a AS doc_id FROM tri
+         |       UNION ALL SELECT b FROM tri
+         |       UNION ALL SELECT c FROM tri),
+         |tc AS (SELECT doc_id, count(*) AS n_tri FROM tn GROUP BY 1),
+         |ed AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |       UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |dg AS (SELECT src AS doc_id, count(*) AS deg FROM ed GROUP BY 1)
+         |SELECT d.doc_id, d.deg, CAST(COALESCE(t.n_tri, 0) AS BIGINT) AS n_tri,
+         |       CAST(CASE WHEN d.deg < 2 THEN 0
+         |                 ELSE (20000 * COALESCE(t.n_tri, 0)) // (d.deg * (d.deg - 1))
+         |            END AS BIGINT) AS lcc_bp
+         |FROM dg d LEFT JOIN tc t USING (doc_id)""".stripMargin,
     "x_dedup_components" ->
       // min reachable id per node == the min-label-propagation fixpoint;
       // UNION (set semantics) bounds the recursion.

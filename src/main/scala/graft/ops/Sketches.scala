@@ -74,9 +74,70 @@ object Sketches {
         col("l_returnflag"), col("p50_qty_c"),
         (col("td") >= col("lo") && col("td") <= col("hi")).as("td_ok"))
 
+  /** Count-min geometry: [[cmRows]] independent hash rows × [[cmWidth]]
+    * counters — 256 longs total, a fixed-size sketch regardless of key
+    * cardinality or data volume. Shared with the oracle twin. */
+  private[graft] val cmRows = 4
+  private[graft] val cmWidth = 64
+  private[graft] val cmTopN = 20
+
+  /** Per-event count-min cell coordinates for hash row `i`: the house
+    * md5-prefix integer hash ([[Dedup]]'s minhash idiom), salted by the row
+    * index, modulo [[cmWidth]]. */
+  private def cmBucket(i: Int): org.apache.spark.sql.Column =
+    expr(s"CAST(conv(substring(md5(concat('$i:', CAST(user_id AS STRING))), 1, 15), 16, 10) AS BIGINT)") % cmWidth
+
+  /** Count-min heavy hitters — the frequency member of the sketch family
+    * (Bloom: membership, HLL: cardinality, t-digest: rank, CM: counts).
+    * Estimates per-user event counts from a [[cmRows]]×[[cmWidth]] integer
+    * counter grid and compares them against exact truth for the exact
+    * top-[[cmTopN]] users.
+    *
+    * Unlike HLL/t-digest, this sketch is built from DETERMINISTIC md5
+    * hashes and integer increments, so the DuckDB twin reproduces the
+    * ESTIMATE itself, not just a bound flag — the whole differential
+    * hash-matches, making it the only member of the family whose
+    * approximate values are engine-pinned exactly. The structural CM
+    * guarantee (estimates never undercount: every cell a key hashes to
+    * received all of that key's increments) is still emitted as `cm_ge_ok`.
+    *
+    * Plan / 100 TB story: the sketch build is one scan whose explode
+    * (×[[cmRows]]) collapses map-side to ≤256 partial counters per task —
+    * the exchange moves a few KB no matter how many events or distinct
+    * users, which is the entire point of CM over exact `groupBy(key)`
+    * counting (whose shuffle grows with key cardinality). The probe side
+    * joins the top-k relation against the BROADCAST 256-row counter grid —
+    * fixed-size by construction, so the hint is structurally safe (unlike
+    * the corpus-derived stand-ins [[Dedup.incremental]] documents). The
+    * exact side's full aggregation is paid only because this is the
+    * differential form; the production form reads estimates for any probe
+    * set straight off the grid. */
+  def cmHeavyHitters(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
+    val cellStructs = (0 until cmRows).map(i =>
+      struct(lit(i.toLong).as("r"), cmBucket(i).as("b")))
+    val counters = ev
+      .select(explode(array(cellStructs: _*)).as("c"))
+      .select(col("c.r").as("r"), col("c.b").as("b"))
+      .groupBy(col("r"), col("b")).agg(count(lit(1)).as("cnt"))
+    val top = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("user_id").asc).limit(cmTopN)
+    top
+      .select(col("user_id"), col("n_exact"),
+        explode(array(cellStructs: _*)).as("c"))
+      .select(col("user_id"), col("n_exact"),
+        col("c.r").as("r"), col("c.b").as("b"))
+      .join(broadcast(counters), Seq("r", "b"))
+      .groupBy(col("user_id"), col("n_exact"))
+      .agg(min(col("cnt")).as("n_cm"))
+      .select(col("user_id"), col("n_exact"), col("n_cm"),
+        (col("n_cm") >= col("n_exact")).as("cm_ge_ok"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_sketch_distinct" -> hllDistinct,
-    "x_sketch_quantile" -> tdigestQuantile)
+    "x_sketch_quantile" -> tdigestQuantile,
+    "x_sketch_heavy_hitters" -> cmHeavyHitters)
 
   /** The oracle computes the exact side and pins each bound flag to true —
     * DuckDB cannot reproduce the sketch, but it can (exactly) reproduce the
@@ -89,5 +150,27 @@ object Sketches {
       """SELECT l_returnflag,
         |       CAST(round(quantile_cont(l_quantity, 0.5) * 100) AS BIGINT) AS p50_qty_c,
         |       true AS td_ok
-        |FROM lineitem GROUP BY 1""".stripMargin)
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    // CM is hash-deterministic, so this twin rebuilds the ENTIRE sketch
+    // (same md5 row-salted buckets) and pins the estimates exactly.
+    "x_sketch_heavy_hitters" ->
+      s"""WITH ev AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+         |rows_ AS (SELECT unnest(range($cmRows)) AS r),
+         |cells AS (
+         |  SELECT r.r,
+         |         CAST(('0x' || substr(md5(r.r || ':' || CAST(e.user_id AS VARCHAR)), 1, 15))::UBIGINT
+         |              % $cmWidth AS BIGINT) AS b
+         |  FROM ev e CROSS JOIN rows_ r),
+         |counters AS (SELECT r, b, count(*) AS cnt FROM cells GROUP BY 1, 2),
+         |top AS (SELECT user_id, count(*) AS n_exact FROM ev GROUP BY 1
+         |        ORDER BY n_exact DESC, user_id ASC LIMIT $cmTopN),
+         |probes AS (
+         |  SELECT t.user_id, t.n_exact, r.r,
+         |         CAST(('0x' || substr(md5(r.r || ':' || CAST(t.user_id AS VARCHAR)), 1, 15))::UBIGINT
+         |              % $cmWidth AS BIGINT) AS b
+         |  FROM top t CROSS JOIN rows_ r)
+         |SELECT p.user_id, p.n_exact, CAST(min(c.cnt) AS BIGINT) AS n_cm,
+         |       min(c.cnt) >= p.n_exact AS cm_ge_ok
+         |FROM probes p JOIN counters c USING (r, b)
+         |GROUP BY 1, 2""".stripMargin)
 }

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -174,7 +174,71 @@ object Temporal {
           .otherwise("unchanged").as("status"))
   }
 
+  /** Changeset slice moduli for [[cdcMerge]] — TUNABLEs shared with the
+    * oracle. Deletes and updates deliberately OVERLAP (lcm keys get both a
+    * 'U' and a later 'D'), exercising in-changeset precedence; inserts are
+    * keyed past [[insOffset]] so they cannot collide with base ids. */
+  private val delMod = 19
+  private val updMod = 13
+  private val insMod = 23
+  private val insOffset = 1000000000L
+
+  /** Batch CDC MERGE — the lakehouse `MERGE INTO` a pipeline runs to fold a
+    * captured changeset (inserts / updates / deletes, each stamped with a
+    * change sequence) into a keyed snapshot; the batch complement of the
+    * streaming MOR upsert ([[graft.streaming.UpsertSink]] resolves exactly
+    * this relation incrementally). Two stages: (1) collapse the changeset
+    * to its LAST change per key (`max_by` over the sequence — partial
+    * aggregation discards superseded versions map-side, so replayed or
+    * chatty CDC feeds shrink before the exchange); (2) one full-outer join
+    * on the stable key — base-only keys pass through, 'D' keys drop,
+    * anything else takes the change's values. At 100 TB the join is the
+    * decisive cost: a real changeset is orders of magnitude smaller than
+    * the snapshot (broadcastable — but NOT forced here, because this
+    * oracle-checkable stand-in derives the changeset from the corpus
+    * itself and grows with it; the planner's threshold decides, the
+    * [[graft.ops.Dedup.incremental]] caveat verbatim), and on a lake
+    * bucketed by the merge key both sides co-locate with no shuffle at
+    * all. Emits the merged snapshot with an md5 payload hash. */
+  def cdcMerge(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    def leg(f: DataFrame => DataFrame, seq: Long, op: String,
+        lang: Column, source: Column, text: Column) =
+      f(docs).select(col("doc_id"), lit(seq).as("seq"), lit(op).as("op"),
+        lang.as("c_lang"), source.as("c_source"), text.as("c_text"))
+    val nullS = lit(null).cast("string")
+    val changes = leg(_.filter(col("doc_id") % delMod === 5), 3L, "D", nullS, nullS, nullS)
+      .unionAll(leg(_.filter(col("doc_id") % updMod === 2), 1L, "U",
+        col("lang"), col("source"), concat(col("text"), lit(" v1"))))
+      .unionAll(leg(_.filter(col("doc_id") % updMod === 2), 2L, "U",
+        col("lang"), col("source"), concat(col("text"), lit(" v2"))))
+      .unionAll(
+        docs.filter(col("doc_id") % insMod === 7)
+          .select((col("doc_id") + insOffset).as("doc_id"), lit(1L).as("seq"),
+            lit("I").as("op"), lit("xx").as("c_lang"), lit("cdc").as("c_source"),
+            concat(lit("ins "), col("doc_id")).as("c_text")))
+    cdcMergeApply(docs, changes)
+  }
+
+  /** [[cdcMerge]]'s generic core: fold a `(doc_id, seq, op, c_lang,
+    * c_source, c_text)` changeset into a `(doc_id, lang, source, text)`
+    * snapshot (exposed for the precedence spec). */
+  private[graft] def cdcMergeApply(base: DataFrame, changes: DataFrame): DataFrame = {
+    val latest = changes.groupBy(col("doc_id"))
+      .agg(max_by(struct(col("op"), col("c_lang"), col("c_source"), col("c_text")),
+        col("seq")).as("c"))
+      .select(col("doc_id"), col("c.op").as("op"), col("c.c_lang").as("c_lang"),
+        col("c.c_source").as("c_source"), col("c.c_text").as("c_text"))
+    base.join(latest, Seq("doc_id"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(col("doc_id"),
+        when(col("op").isNull, col("lang")).otherwise(col("c_lang")).as("lang"),
+        when(col("op").isNull, col("source")).otherwise(col("c_source")).as("source"),
+        md5(when(col("op").isNull, col("text")).otherwise(col("c_text"))).as("text_h"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_cdc_merge" -> cdcMerge,
     "x_snapshot_diff" -> snapshotDiff,
     "x_asof_join" -> asofJoin,
     "x_range_clicks" -> clicksBeforePurchase,
@@ -182,6 +246,30 @@ object Temporal {
     "x_scd2_ranges" -> scd2)
 
   val oracle: Map[String, String] = Map(
+    "x_cdc_merge" ->
+      s"""WITH ch AS (
+         |  SELECT doc_id, 3 AS seq, 'D' AS op,
+         |         NULL AS c_lang, NULL AS c_source, NULL AS c_text
+         |  FROM documents WHERE doc_id % $delMod = 5
+         |  UNION ALL
+         |  SELECT doc_id, 1, 'U', lang, source, text || ' v1'
+         |  FROM documents WHERE doc_id % $updMod = 2
+         |  UNION ALL
+         |  SELECT doc_id, 2, 'U', lang, source, text || ' v2'
+         |  FROM documents WHERE doc_id % $updMod = 2
+         |  UNION ALL
+         |  SELECT doc_id + $insOffset, 1, 'I', 'xx', 'cdc', 'ins ' || doc_id
+         |  FROM documents WHERE doc_id % $insMod = 7),
+         |latest AS (
+         |  SELECT doc_id, op, c_lang, c_source, c_text FROM (
+         |    SELECT ch.*, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn
+         |    FROM ch) WHERE rn = 1)
+         |SELECT coalesce(b.doc_id, l.doc_id) AS doc_id,
+         |       CASE WHEN l.op IS NULL THEN b.lang ELSE l.c_lang END AS lang,
+         |       CASE WHEN l.op IS NULL THEN b.source ELSE l.c_source END AS source,
+         |       md5(CASE WHEN l.op IS NULL THEN b.text ELSE l.c_text END) AS text_h
+         |FROM documents b FULL JOIN latest l ON b.doc_id = l.doc_id
+         |WHERE l.op IS NULL OR l.op <> 'D'""".stripMargin,
     "x_snapshot_diff" ->
       s"""WITH o AS (SELECT doc_id, md5(text) AS h_old FROM documents
          |           WHERE doc_id % $oldDropMod <> 3),

@@ -143,6 +143,45 @@ object TextAnalysis {
         expr("CAST(round(CAST(tf_sum AS DOUBLE) / n_tokens * 100) AS BIGINT)").as("mean_tf_c"))
   }
 
+  /** Unigram-surprisal quality score — the engine-exact stand-in for the
+    * language-model perplexity filter LLM pipelines run between heuristics
+    * and dedup (CCNet-style: score each doc by how surprising its tokens
+    * are under a corpus LM; prune both tails). The per-token surprisal
+    * −log₂ p(tok) = log₂ N − log₂ tf is quantized to INTEGER BIT LENGTHS:
+    * bitlen(N) − bitlen(tf) (⌈log₂⌉ resolution). Floats would make the
+    * per-doc sum partition-order-dependent and `ln` library-dependent;
+    * bit length is exact in both engines (`length(bin(x))` here,
+    * `length(printf('%b', x))` in the twin), so sums commute and the
+    * result is reproducible on any cluster layout.
+    *
+    * Plan: one corpus scan builds (doc, token); the unigram table is one
+    * count aggregation (map-side partials shrink it before the exchange);
+    * N is a 1-row broadcast scalar; the score join is the same
+    * frequency-join shape as [[rarity]] — at 100 TB the skewed head of the
+    * unigram table is broadcastable, the tail uniform, and the final
+    * per-doc agg is partial-aggregated. The corpus text moves only as
+    * (token, doc_id) pairs, never re-joined to itself. */
+  def surprisal(s: SparkSession, d: String): DataFrame =
+    surprisalDocs(Tables.documents(s, d))
+
+  /** [[surprisal]] over an arbitrary documents frame (exposed for the
+    * hand-computed bit-length spec). */
+  private[graft] def surprisalDocs(documents: DataFrame): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val tf = toks.groupBy(col("token")).agg(count(lit(1)).as("tf"))
+    val n = tf.agg(sum(col("tf")).as("n_corpus"))
+    toks.join(tf, "token")
+      .crossJoin(broadcast(n))
+      .withColumn("s_bits",
+        expr("CAST(length(bin(n_corpus)) - length(bin(tf)) AS BIGINT)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("s_bits")).as("bits_sum"))
+      .select(col("doc_id"), col("n_tokens"), col("bits_sum"),
+        expr("(100 * bits_sum) div n_tokens").as("mean_bits_c"))
+  }
+
   /** TF-IDF top terms: the 3 most characteristic tokens per document, scored
     * tf × N / df (the raw inverse-document-frequency ratio rather than its
     * log — one exact integer product and ONE IEEE division, so the score is
@@ -577,6 +616,7 @@ object TextAnalysis {
     "x_text_langid" -> langId,
     "x_text_quality" -> quality,
     "x_text_rarity" -> rarity,
+    "x_text_surprisal" -> surprisal,
     "x_text_tokens" -> tokenCounts,
     "x_text_vocab" -> vocab,
     "x_text_winnow" -> winnow)
@@ -840,6 +880,20 @@ object TextAnalysis {
           |SELECT doc_id, count(*) AS n_tokens, CAST(sum(tf.tf) AS BIGINT) AS tf_sum,
           |  CAST(round(CAST(sum(tf.tf) AS DOUBLE) / count(*) * 100) AS BIGINT) AS mean_tf_c
           |FROM tk JOIN tf USING (token) GROUP BY 1""".stripMargin,
+      "x_text_surprisal" ->
+        // bitlen via binary printf — integer-exact twin of Spark's
+        // length(bin(x)); the HUGEINT sum is cast back per the house rule.
+        """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+          |tk AS (SELECT doc_id, token FROM t WHERE length(token) > 0),
+          |tf AS (SELECT token, count(*) AS tf FROM tk GROUP BY 1),
+          |n AS (SELECT CAST(sum(tf) AS BIGINT) AS n_corpus FROM tf),
+          |agg AS (SELECT doc_id, count(*) AS n_tokens,
+          |          CAST(sum(length(printf('%b', n.n_corpus))
+          |                   - length(printf('%b', tf.tf))) AS BIGINT) AS bits_sum
+          |        FROM tk JOIN tf USING (token) CROSS JOIN n GROUP BY 1)
+          |SELECT doc_id, n_tokens, bits_sum,
+          |       CAST((100 * bits_sum) // n_tokens AS BIGINT) AS mean_bits_c
+          |FROM agg""".stripMargin,
       "x_text_vocab" ->
         """WITH tf AS (
           |  SELECT lang, t.token, count(*) AS tf

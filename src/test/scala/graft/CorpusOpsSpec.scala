@@ -42,6 +42,18 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out == Map(0L -> md5s(exp0), 1L -> md5s(exp1)))
   }
 
+  test("surprisal quantizes -log2 p to bit lengths, exactly") {
+    // Corpus: 6 tokens total → bitlen(6)=3; tf(a)=5 (bitlen 3), tf(b)=1
+    // (bitlen 1). So s(a)=0 bits, s(b)=2 bits.
+    val d = docs((1L, "en", "s", "a a a a"), (2L, "en", "s", "a b"))
+    val out = TextAnalysis.surprisalDocs(d)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out == Map(
+      1L -> ((4L, 0L, 0L)),
+      2L -> ((2L, 2L, 100L)))) // (100*2) div 2
+  }
+
   test("ngramTopK counts document frequency, not occurrences") {
     graft.functions.GraftFunctions.register(spark)
     // doc 1 repeats "x y z" twice but contributes the shingle ONCE; the

@@ -57,6 +57,32 @@ class TemporalSamplingSpec extends SparkSpec {
     assert(out == Set(("u1", 2L, 0L, 0L, 0L, 1L), ("u2", 0L, 1L, 0L, 0L, 0L)))
   }
 
+  test("cdcMergeApply: last change per key wins, D drops, I adds, others pass through") {
+    val base = Seq(
+      (1L, "en", "web", "keep me"),
+      (2L, "en", "web", "update me"),
+      (3L, "en", "web", "delete me"),
+      (4L, "en", "web", "update then delete")).toDF("doc_id", "lang", "source", "text")
+    val changes = Seq(
+      (2L, 1L, "U", "en", "cdc", "v1"),
+      (2L, 2L, "U", "en", "cdc", "v2"),     // higher seq wins
+      (3L, 1L, "D", null, null, null),
+      (4L, 1L, "U", "en", "cdc", "ghost"),
+      (4L, 2L, "D", null, null, null),      // delete supersedes the update
+      (9L, 1L, "I", "xx", "cdc", "new row")
+    ).toDF("doc_id", "seq", "op", "c_lang", "c_source", "c_text")
+    val got = Temporal.cdcMergeApply(base, changes)
+      .select($"doc_id", $"lang", $"source", $"text_h")
+      .as[(Long, String, String, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    def h(t: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got == Map(
+      1L -> (("en", "web", h("keep me"))),
+      2L -> (("en", "cdc", h("v2"))),
+      9L -> (("xx", "cdc", h("new row")))))
+  }
+
   test("quota sample caps each stratum exactly and keeps short strata whole") {
     val docs = ((1L to 10L).map(i => (i, "en", "srcA")) ++
       Seq((11L, "en", "srcB"), (12L, "en", "srcB")))
