@@ -87,6 +87,30 @@ object Sketches {
   private def cmBucket(i: Int): org.apache.spark.sql.Column =
     expr(s"CAST(conv(substring(md5(concat('$i:', CAST(user_id AS STRING))), 1, 15), 16, 10) AS BIGINT)") % cmWidth
 
+  /** The ×[[cmRows]] (row, bucket) cell fan-out of a `user_id` column —
+    * shared by the batch grid build, the probe side, and the streaming
+    * grid ([[graft.streaming.EventPipeline.streamedSketch]]). */
+  private[graft] def cmCellStructs: Seq[org.apache.spark.sql.Column] =
+    (0 until cmRows).map(i => struct(lit(i.toLong).as("r"), cmBucket(i).as("b")))
+
+  /** [[cmHeavyHitters]]'s probe stage over an arbitrary `(r, b, cnt)`
+    * counter grid: exact top-[[cmTopN]] users from `ev`, estimates read
+    * off the BROADCAST grid (fixed 256 cells by construction). */
+  private[graft] def cmProbe(counters: DataFrame, ev: DataFrame): DataFrame = {
+    val top = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("user_id").asc).limit(cmTopN)
+    top
+      .select(col("user_id"), col("n_exact"),
+        explode(array(cmCellStructs: _*)).as("c"))
+      .select(col("user_id"), col("n_exact"),
+        col("c.r").as("r"), col("c.b").as("b"))
+      .join(broadcast(counters), Seq("r", "b"))
+      .groupBy(col("user_id"), col("n_exact"))
+      .agg(min(col("cnt")).as("n_cm"))
+      .select(col("user_id"), col("n_exact"), col("n_cm"),
+        (col("n_cm") >= col("n_exact")).as("cm_ge_ok"))
+  }
+
   /** Count-min heavy hitters — the frequency member of the sketch family
     * (Bloom: membership, HLL: cardinality, t-digest: rank, CM: counts).
     * Estimates per-user event counts from a [[cmRows]]×[[cmWidth]] integer
@@ -114,24 +138,11 @@ object Sketches {
     * set straight off the grid. */
   def cmHeavyHitters(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
-    val cellStructs = (0 until cmRows).map(i =>
-      struct(lit(i.toLong).as("r"), cmBucket(i).as("b")))
     val counters = ev
-      .select(explode(array(cellStructs: _*)).as("c"))
+      .select(explode(array(cmCellStructs: _*)).as("c"))
       .select(col("c.r").as("r"), col("c.b").as("b"))
       .groupBy(col("r"), col("b")).agg(count(lit(1)).as("cnt"))
-    val top = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
-      .orderBy(col("n_exact").desc, col("user_id").asc).limit(cmTopN)
-    top
-      .select(col("user_id"), col("n_exact"),
-        explode(array(cellStructs: _*)).as("c"))
-      .select(col("user_id"), col("n_exact"),
-        col("c.r").as("r"), col("c.b").as("b"))
-      .join(broadcast(counters), Seq("r", "b"))
-      .groupBy(col("user_id"), col("n_exact"))
-      .agg(min(col("cnt")).as("n_cm"))
-      .select(col("user_id"), col("n_exact"), col("n_cm"),
-        (col("n_cm") >= col("n_exact")).as("cm_ge_ok"))
+    cmProbe(counters, ev)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

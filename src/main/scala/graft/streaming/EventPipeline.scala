@@ -494,6 +494,40 @@ object EventPipeline {
       .select(col("reason"), col("n_rows"), col("min_event_id"), col("max_event_id"))
   }
 
+  /** Streaming count-min ingestion — the sketch family's streaming
+    * execution: the 4×64 integer counter grid of
+    * [[graft.ops.Sketches.cmHeavyHitters]] maintained INCREMENTALLY as
+    * events arrive (update-mode aggregation over the ×4 cell fan-out;
+    * state is the fixed 256-cell grid — the textbook bounded-state shape:
+    * an unbounded key space monitored through a sketch whose state cannot
+    * grow), then probed in batch for the exact top-20 once the stream
+    * drains. This is how production monitors frequencies over infinite
+    * streams — the grid updates forever in KB of state while exact
+    * per-key counting would accumulate unbounded keys. Because every
+    * count-min cell is a deterministic hash bucket, the resolved streamed
+    * grid equals the batch grid EXACTLY, so this shares
+    * `x_sketch_heavy_hitters`' full-estimate-pinning oracle. */
+  def streamedSketch(s: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val scratch = Files.createTempDirectory("graft-scm-").toFile.getAbsolutePath
+    val grid = fileStream(s, sfDir)
+      .filter(col("user_id").isNotNull)
+      .select(explode(array(graft.ops.Sketches.cmCellStructs: _*)).as("c"))
+      .select(col("c.r").as("r"), col("c.b").as("b"))
+      .groupBy(col("r"), col("b")).agg(count(lit(1)).as("cnt"))
+    val q = grid.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", s"$scratch/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch((b: Dataset[Row], id: Long) => UpsertSink.writeBatch(b, id, s"$scratch/sink"))
+      .start()
+    q.awaitTermination()
+    val counters = UpsertSink.resolve(s, s"$scratch/sink", Seq("r", "b"))
+      .select(col("r"), col("b"), col("cnt"))
+    graft.ops.Sketches.cmProbe(counters,
+      graft.Tables.events(s, sfDir).filter(col("user_id").isNotNull))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_user_windows_stream" -> ((s, d) => streamedWindows(s, d, "user_id")),
     "s_type_windows_stream" -> ((s, d) => streamedWindows(s, d, "event_type")),
@@ -504,7 +538,8 @@ object EventPipeline {
     "s_semi_join_stream" -> ((s, d) => streamedSemiJoin(s, d)),
     "s_enriched_stream" -> ((s, d) => streamedEnriched(s, d)),
     "s_dedup_stream" -> ((s, d) => streamedDedup(s, d)),
-    "s_dead_letter_stream" -> ((s, d) => streamedDeadLetter(s, d)))
+    "s_dead_letter_stream" -> ((s, d) => streamedDeadLetter(s, d)),
+    "s_sketch_stream" -> ((s, d) => streamedSketch(s, d)))
 
   /** The streamed KPI table must equal the batch formulation (the core
     * Structured Streaming guarantee), so the oracle is the same window SQL.
@@ -647,6 +682,9 @@ object EventPipeline {
     // Cumulative per-reason counts: the final upsert equals the batch
     // classification rollup — same oracle as the batch twin.
     "s_dead_letter_stream" -> graft.ops.Parse.oracle("c_dead_letter"),
+    // The streamed grid is hash-deterministic, so the resolved counters —
+    // and therefore the probe — equal the batch sketch cell-for-cell.
+    "s_sketch_stream" -> graft.ops.Sketches.oracle("x_sketch_heavy_hitters"),
     "s_enriched_stream" ->
       """SELECT n_name, count(*) AS n_events,
         |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c_sum

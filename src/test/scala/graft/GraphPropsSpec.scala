@@ -1,0 +1,69 @@
+package graft
+
+import graft.ops.{Dedup, Sketches}
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Differential/property checks for the graph and count-min operators:
+  * degree-oriented triangle enumeration vs a brute-force sequential
+  * reference on random graphs (the [[BpeSpec]] differential pattern), and
+  * the count-min structural guarantee (estimates never undercount — for
+  * ANY key, not just the probed top-k). */
+class GraphPropsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val edgeGen = for {
+    a <- Gen.choose(1L, 14L)
+    b <- Gen.choose(1L, 14L)
+    if a != b
+  } yield (math.min(a, b), math.max(a, b))
+
+  test("trianglesOf ≡ brute-force enumeration on random graphs; partition-insensitive") {
+    val graphGen = Gen.choose(1, 40).flatMap(n => Gen.listOfN(n, edgeGen)).map(_.distinct)
+    val prop = Prop.forAll(graphGen, Gen.choose(1, 6)) { (pairs, parts) =>
+      val got = Dedup.trianglesOf(pairs.toDF("doc_a", "doc_b").repartition(parts))
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      // sequential reference: adjacency sets, count triangles per vertex
+      val adj = (pairs ++ pairs.map(p => (p._2, p._1)))
+        .groupBy(_._1).map { case (v, es) => v -> es.map(_._2).toSet }
+      val verts = adj.keys.toSeq.sorted
+      val triPer = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for {
+        a <- verts; b <- adj(a) if b > a; c <- adj(a) if c > b && adj(b).contains(c)
+      } { triPer(a) += 1; triPer(b) += 1; triPer(c) += 1 }
+      val want = verts.map { v =>
+        val deg = adj(v).size.toLong
+        val t = triPer(v)
+        val lcc = if (deg < 2) 0L else (20000L * t) / (deg * (deg - 1))
+        v -> ((deg, t, lcc))
+      }.toMap
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("count-min never undercounts ANY key (structural guarantee, random multisets)") {
+    val usersGen = Gen.choose(1, 120).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(1L, 30L)))
+    val prop = Prop.forAll(usersGen) { users =>
+      val ev = users.toDF("user_id")
+      val counters = ev
+        .select(explode(array(Sketches.cmCellStructs: _*)).as("c"))
+        .select(col("c.r").as("r"), col("c.b").as("b"))
+        .groupBy(col("r"), col("b")).agg(count(lit(1)).as("cnt"))
+      // probe EVERY distinct key, not just the top-k
+      val est = ev.distinct()
+        .select(col("user_id"), explode(array(Sketches.cmCellStructs: _*)).as("c"))
+        .select(col("user_id"), col("c.r").as("r"), col("c.b").as("b"))
+        .join(counters, Seq("r", "b"))
+        .groupBy(col("user_id")).agg(min(col("cnt")).as("n_cm"))
+        .as[(Long, Long)].collect().toMap
+      val exact = users.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      exact.forall { case (k, n) => est(k) >= n }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(6), prop)
+    assert(res.passed, res.status.toString)
+  }
+}

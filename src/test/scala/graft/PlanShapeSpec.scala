@@ -198,4 +198,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles == 1, s"registers merge through one exchange, got $shuffles:\n$s")
     assert(!s.contains("count(distinct"), s"no exact distinct belongs here:\n$s")
   }
+
+  test("count-min probes the BROADCAST counter grid; no sort-merge anywhere") {
+    val p = plan("x_sketch_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin"), s"the 256-cell grid must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"nothing in CM justifies a sort-merge:\n$p")
+  }
+
+  test("surprisal broadcasts the 1-row corpus total — no shuffle for N") {
+    val p = plan("x_text_surprisal")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the corpus-size scalar must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
