@@ -182,6 +182,27 @@ object TextAnalysis {
         expr("(100 * bits_sum) div n_tokens").as("mean_bits_c"))
   }
 
+  /** Log₂-bucketed token-count histogram — the sequence-length profile a
+    * training-data pipeline computes BEFORE choosing context length and
+    * packing strategy ([[graft.ops.Sampling]]'s `ctxLen`/`x_pack_sequences`
+    * consume exactly this distribution: how many docs fit a context raw,
+    * how many need chunking, where the token mass sits). Buckets are
+    * integer bit lengths (bucket b holds docs with 2^(b-1) ≤ tokens <
+    * 2^b) — the [[surprisal]] ilog2 device, so bucketing is exact in both
+    * engines. Per bucket: doc count, total tokens, and the min/max
+    * within the bucket (a self-check that bucket edges are honored).
+    * Plan: the count is map-side arithmetic on the scan; the rollup
+    * partial-aggregates to ≤~20 groups per task, so the exchange is
+    * bytes at any corpus size — the profile is effectively free next to
+    * the scan it shares with ingest. */
+  def tokenHistogram(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("bucket", expr("CAST(length(bin(n_tokens)) AS BIGINT)"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tok_sum"),
+        min(col("n_tokens")).as("min_tokens"), max(col("n_tokens")).as("max_tokens"))
+
   /** TF-IDF top terms: the 3 most characteristic tokens per document, scored
     * tf × N / df (the raw inverse-document-frequency ratio rather than its
     * log — one exact integer product and ONE IEEE division, so the score is
@@ -617,6 +638,7 @@ object TextAnalysis {
     "x_text_quality" -> quality,
     "x_text_rarity" -> rarity,
     "x_text_surprisal" -> surprisal,
+    "x_token_histogram" -> tokenHistogram,
     "x_text_tokens" -> tokenCounts,
     "x_text_vocab" -> vocab,
     "x_text_winnow" -> winnow)
@@ -894,6 +916,13 @@ object TextAnalysis {
           |SELECT doc_id, n_tokens, bits_sum,
           |       CAST((100 * bits_sum) // n_tokens AS BIGINT) AS mean_bits_c
           |FROM agg""".stripMargin,
+      "x_token_histogram" ->
+        """WITH n AS (SELECT CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          |           FROM documents)
+          |SELECT CAST(length(printf('%b', n_tokens)) AS BIGINT) AS bucket,
+          |       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS tok_sum,
+          |       min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
+          |FROM n GROUP BY 1""".stripMargin,
       "x_text_vocab" ->
         """WITH tf AS (
           |  SELECT lang, t.token, count(*) AS tf

@@ -3,6 +3,7 @@ package graft.streaming
 import java.nio.file.Files
 
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -528,6 +529,73 @@ object EventPipeline {
       graft.Tables.events(s, sfDir).filter(col("user_id").isNotNull))
   }
 
+  /** Tumbling-window width for [[streamedWindowHitters]] (1 day, µs). */
+  private val hitterWindowUs = 86400L * 1000000
+  /** Heavy hitters reported per window. */
+  private val hitterTopN = 5
+
+  /** Windowed streaming heavy hitters — [[streamedSketch]] composed with
+    * event time: a count-min grid PER TUMBLING DAY, maintained in append
+    * mode behind a watermark, each window's grid emitted (and its state
+    * evicted) when the watermark closes it; the drained grids are then
+    * batch-probed for each closed day's exact top-[[hitterTopN]] users.
+    * This is the production "daily top talkers" shape, and its state story
+    * is the whole point: per-window state is the FIXED 256-cell grid
+    * however many distinct users a day contains, where exact windowed
+    * per-user counting ([[streamedWindows]]) holds state proportional to
+    * the day's key cardinality. Grid determinism again means the emitted
+    * windows equal the batch-computed grids cell-for-cell, so the oracle
+    * rebuilds sketch + probe per closed window and pins everything,
+    * including the append-mode watermark cut (the [[streamedSessions]]
+    * `end ≤ wm` convention, ms-floored zero-delay watermark). */
+  def streamedWindowHitters(s: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val scratch = Files.createTempDirectory("graft-swh-").toFile.getAbsolutePath
+    val secs = hitterWindowUs / 1000000
+    val grid = fileStream(s, sfDir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .withWatermark("ts", "0 seconds")
+      .select(col("ts"), explode(array(graft.ops.Sketches.cmCellStructs: _*)).as("c"))
+      .groupBy(window(col("ts"), s"$secs seconds"),
+        col("c.r").as("r"), col("c.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_micros(col("window.start")).as("w_start_us"),
+        col("r"), col("b"), col("cnt"))
+    val q = grid.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$scratch/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch((b: Dataset[Row], id: Long) => UpsertSink.writeBatch(b, id, s"$scratch/sink"))
+      .start()
+    q.awaitTermination()
+    val counters = UpsertSink.resolve(s, s"$scratch/sink", Seq("w_start_us", "r", "b"))
+      .select(col("w_start_us"), col("r"), col("b"), col("cnt"))
+
+    // Batch probe over the closed windows the stream emitted.
+    val ev = graft.Tables.events(s, sfDir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .withColumn("w_start_us",
+        expr(s"(unix_micros(ts) div $hitterWindowUs) * $hitterWindowUs"))
+    val closed = counters.select(col("w_start_us")).distinct()
+    val rankW = Window.partitionBy(col("w_start_us"))
+      .orderBy(col("n_exact").desc, col("user_id").asc)
+    val top = ev.groupBy(col("w_start_us"), col("user_id"))
+      .agg(count(lit(1)).as("n_exact"))
+      .join(closed, "w_start_us")
+      .withColumn("rnk", row_number().over(rankW))
+      .filter(col("rnk") <= hitterTopN)
+    top
+      .select(col("w_start_us"), col("user_id"), col("n_exact"),
+        explode(array(graft.ops.Sketches.cmCellStructs: _*)).as("c"))
+      .select(col("w_start_us"), col("user_id"), col("n_exact"),
+        col("c.r").as("r"), col("c.b").as("b"))
+      .join(counters, Seq("w_start_us", "r", "b"))
+      .groupBy(col("w_start_us"), col("user_id"), col("n_exact"))
+      .agg(min(col("cnt")).as("n_cm"))
+      .select(col("w_start_us"), col("user_id"), col("n_exact"), col("n_cm"),
+        (col("n_cm") >= col("n_exact")).as("cm_ge_ok"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_user_windows_stream" -> ((s, d) => streamedWindows(s, d, "user_id")),
     "s_type_windows_stream" -> ((s, d) => streamedWindows(s, d, "event_type")),
@@ -539,7 +607,8 @@ object EventPipeline {
     "s_enriched_stream" -> ((s, d) => streamedEnriched(s, d)),
     "s_dedup_stream" -> ((s, d) => streamedDedup(s, d)),
     "s_dead_letter_stream" -> ((s, d) => streamedDeadLetter(s, d)),
-    "s_sketch_stream" -> ((s, d) => streamedSketch(s, d)))
+    "s_sketch_stream" -> ((s, d) => streamedSketch(s, d)),
+    "s_window_hitters_stream" -> ((s, d) => streamedWindowHitters(s, d)))
 
   /** The streamed KPI table must equal the batch formulation (the core
     * Structured Streaming guarantee), so the oracle is the same window SQL.
@@ -685,6 +754,37 @@ object EventPipeline {
     // The streamed grid is hash-deterministic, so the resolved counters —
     // and therefore the probe — equal the batch sketch cell-for-cell.
     "s_sketch_stream" -> graft.ops.Sketches.oracle("x_sketch_heavy_hitters"),
+    // Per closed tumbling day: rebuild the day's count-min grid and the
+    // top-5 probe exactly; the append cut is the sessions convention
+    // (window end ≤ ms-floored zero-delay watermark).
+    "s_window_hitters_stream" -> {
+      val W = hitterWindowUs
+      val wid = graft.ops.Sketches.cmWidth
+      def cell(userRef: String) =
+        s"CAST(('0x' || substr(md5(r.r || ':' || CAST($userRef AS VARCHAR)), 1, 15))::UBIGINT % $wid AS BIGINT)"
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events
+         |           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         |wm AS (SELECT (max(us) // 1000) * 1000 AS w FROM e),
+         |ew AS (SELECT user_id, (us // $W) * $W AS w_start_us FROM e),
+         |closed AS (SELECT DISTINCT w_start_us FROM ew, wm
+         |           WHERE w_start_us + $W <= wm.w),
+         |cw AS (SELECT ew.* FROM ew JOIN closed USING (w_start_us)),
+         |rows_ AS (SELECT unnest(range(${graft.ops.Sketches.cmRows})) AS r),
+         |cells AS (SELECT cw.w_start_us, r.r, ${cell("cw.user_id")} AS b
+         |          FROM cw CROSS JOIN rows_ r),
+         |grid AS (SELECT w_start_us, r, b, count(*) AS cnt FROM cells GROUP BY 1, 2, 3),
+         |exact AS (SELECT w_start_us, user_id, count(*) AS n_exact FROM cw GROUP BY 1, 2),
+         |top AS (SELECT w_start_us, user_id, n_exact FROM (
+         |          SELECT *, row_number() OVER (PARTITION BY w_start_us
+         |                      ORDER BY n_exact DESC, user_id ASC) AS rn
+         |          FROM exact) WHERE rn <= $hitterTopN),
+         |probes AS (SELECT t.w_start_us, t.user_id, t.n_exact, r.r, ${cell("t.user_id")} AS b
+         |           FROM top t CROSS JOIN rows_ r)
+         |SELECT p.w_start_us, p.user_id, p.n_exact, CAST(min(g.cnt) AS BIGINT) AS n_cm,
+         |       min(g.cnt) >= p.n_exact AS cm_ge_ok
+         |FROM probes p JOIN grid g USING (w_start_us, r, b)
+         |GROUP BY 1, 2, 3""".stripMargin
+    },
     "s_enriched_stream" ->
       """SELECT n_name, count(*) AS n_events,
         |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c_sum
