@@ -128,6 +128,35 @@ object Sampling {
       .drop("h")
   }
 
+  /** Global dense example index — contiguous ids 1..n over the shuffled
+    * corpus WITHOUT a global sort: the two-phase offset pattern. A naive
+    * `row_number() OVER (ORDER BY ...)` collapses the whole corpus into
+    * ONE partition (the classic 100 TB killer); here the big relation only
+    * pays [[shuffleShardDocs]]'s per-shard rank (parallel across shards),
+    * then the [[nShards]]-row shard-count relation — and only it — takes
+    * the single-partition running-sum window, and the offsets broadcast
+    * back for a map-side add. `example_id = shard offset + in-shard pos`
+    * is exactly the global rank by (shard, hash, doc_id), which is what
+    * the oracle pins; the order itself is the deterministic md5 shuffle
+    * order, so the index doubles as the epoch-reproducible sample order a
+    * training loader needs. */
+  def globalIndex(s: SparkSession, d: String): DataFrame =
+    globalIndexDocs(Tables.documents(s, d).select(col("doc_id"), col("lang")))
+
+  /** [[globalIndex]] over any frame with a `doc_id` key (exposed for the
+    * dense-permutation property spec). */
+  private[graft] def globalIndexDocs(docs: DataFrame): DataFrame = {
+    val sharded = shuffleShardDocs(docs)
+    val offW = Window.orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sharded.groupBy(col("shard")).agg(count(lit(1)).as("n"))
+      .withColumn("offset", coalesce(sum(col("n")).over(offW), lit(0L)))
+      .select(col("shard"), col("offset"))
+    sharded.join(broadcast(offsets), "shard")
+      .select(col("doc_id"), col("lang"), col("shard"), col("pos"),
+        (col("offset") + col("pos")).as("example_id"))
+  }
+
   /** Per-stratum relative quality gate: keep each (lang, source) stratum's
     * upper half by document length — the percentile-style cut real curation
     * recipes apply per domain (an absolute threshold that suits one domain
@@ -233,6 +262,7 @@ object Sampling {
     "x_split_assign" -> splitAssign,
     "x_pack_sequences" -> packSequences,
     "x_shuffle_shard" -> shuffleShard,
+    "x_global_index" -> globalIndex,
     "x_gate_percentile" -> percentileGate,
     "x_curate_shard" -> curateShard,
     "x_sample_weighted" -> weightedSample)
@@ -282,6 +312,21 @@ object Sampling {
          |SELECT doc_id, lang, shard,
          |       CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
          |            AS BIGINT) AS pos
+         |FROM s""".stripMargin,
+    // The two-phase offset sum IS the global rank by (shard, hash, id) —
+    // the oracle states that equivalence directly.
+    "x_global_index" ->
+      s"""WITH b AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h
+         |           FROM documents),
+         |s AS (SELECT doc_id, lang, h,
+         |        CAST((instr('0123456789abcdef', substr(h, 1, 1)) - 1) % $nShards
+         |             AS BIGINT) AS shard
+         |      FROM b)
+         |SELECT doc_id, lang, shard,
+         |       CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+         |            AS BIGINT) AS pos,
+         |       CAST(row_number() OVER (ORDER BY shard, h, doc_id)
+         |            AS BIGINT) AS example_id
          |FROM s""".stripMargin,
     "x_gate_percentile" ->
       """WITH b AS (SELECT doc_id, lang, source,

@@ -40,4 +40,21 @@ class SamplingPropsSpec extends SparkSpec {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("globalIndex is a dense 1..n permutation consistent with (shard, pos) order") {
+    val corpusGen = Gen.choose(1, 80).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(Gen.choose(0L, 500L), Gen.oneOf("en", "de")))).map(_.distinctBy(_._1))
+    val prop = Prop.forAll(corpusGen, Gen.choose(1, 6)) { (rows, parts) =>
+      val got = Sampling.globalIndexDocs(
+          rows.toDF("doc_id", "lang").repartition(parts))
+        .as[(Long, String, Long, Long, Long)].collect()
+      val n = rows.size
+      val dense = got.map(_._5).sorted.toSeq == (1L to n.toLong)
+      // global order by (shard, pos) is exactly the example_id order
+      val consistent = got.sortBy(r => (r._3, r._4)).map(_._5).toSeq == (1L to n.toLong)
+      dense && consistent
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
