@@ -146,7 +146,12 @@ object Sampling {
   /** [[globalIndex]] over any frame with a `doc_id` key (exposed for the
     * dense-permutation property spec). */
   private[graft] def globalIndexDocs(docs: DataFrame): DataFrame = {
-    val sharded = shuffleShardDocs(docs)
+    // Cut after the per-shard rank: the shuffled+ranked relation (the
+    // operator's real output, and what a loader would persist anyway)
+    // materializes ONCE, and both the offsets rollup and the final join
+    // read it — without the cut the offsets branch re-scans and
+    // re-shuffles the whole corpus a second time.
+    val sharded = Lineage.cut(shuffleShardDocs(docs))
     val offW = Window.orderBy(col("shard"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = sharded.groupBy(col("shard")).agg(count(lit(1)).as("n"))

@@ -66,10 +66,31 @@ object Formats {
     * preserves values end to end, not just the text interchange ones. */
   def orcRoundtrip(s: SparkSession, d: String): DataFrame = roundtrip(s, d, "orc")
 
+  /** Hive-partitioned lake round-trip WITH partition pruning: events land
+    * partitioned by integer day (`partitionBy` — the layout every event
+    * lake uses), and the read-back filters on a partition-column predicate
+    * so the scan PRUNES at planning time: non-matching day directories are
+    * never listed, opened, or read. That skip is the single biggest lever
+    * on a 100 TB event lake (a day-scoped query reads 1/365th of the
+    * files before any row-level work), and it falls out of the
+    * declarative plan — the predicate lands in the scan's
+    * `PartitionFilters`, pinned by `PlanShapeSpec`, while row values ride
+    * through the same lossless rollup oracle as the format round-trips.
+    * The modulus predicate (every third day) deliberately isn't a range:
+    * pruning evaluates ARBITRARY deterministic predicates against the
+    * partition listing, not just boundaries. */
+  def partitionedRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = Files.createTempDirectory("graft-io-part-").toFile.getAbsolutePath
+    val ev = safeEvents(s, d).withColumn("day", expr("ts_us div 86400000000"))
+    ev.write.mode("overwrite").partitionBy("day").parquet(dir)
+    rollup(s.read.schema(ev.schema).parquet(dir).filter(expr("day % 3 = 1")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c_io_json_roundtrip" -> jsonRoundtrip,
     "c_io_csv_roundtrip" -> csvRoundtrip,
-    "c_io_orc_roundtrip" -> orcRoundtrip)
+    "c_io_orc_roundtrip" -> orcRoundtrip,
+    "c_io_partitioned_roundtrip" -> partitionedRoundtrip)
 
   private val rollupSql =
     """SELECT event_type, count(*) AS n,
@@ -83,5 +104,13 @@ object Formats {
   val oracle: Map[String, String] = Map(
     "c_io_json_roundtrip" -> rollupSql,
     "c_io_csv_roundtrip" -> rollupSql,
-    "c_io_orc_roundtrip" -> rollupSql)
+    "c_io_orc_roundtrip" -> rollupSql,
+    "c_io_partitioned_roundtrip" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c_sum,
+        |       min(epoch_us(ts)) AS min_ts_us,
+        |       max(epoch_us(ts)) AS max_ts_us
+        |FROM events
+        |WHERE (epoch_us(ts) // 86400000000) % 3 = 1
+        |GROUP BY 1""".stripMargin)
 }

@@ -205,6 +205,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"nothing in CM justifies a sort-merge:\n$p")
   }
 
+  test("partitioned roundtrip PRUNES: the day predicate is a PartitionFilter, not a row Filter") {
+    val p = plan("c_io_partitioned_roundtrip")
+    val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("day"), s"day predicate must prune partitions:\n$p")
+    // the partition column never appears in a post-scan row-level filter
+    assert(!p.linesIterator.exists(l => l.trim.startsWith("+- Filter") && l.contains("day#")),
+      s"day must not be re-checked per row:\n$p")
+  }
+
   test("surprisal broadcasts the 1-row corpus total — no shuffle for N") {
     val p = plan("x_text_surprisal")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
