@@ -306,6 +306,56 @@ object EventPipeline {
         col("purchase_id"), col("gap_us"))
   }
 
+  /** Stream-stream RIGHT OUTER interval join — the mirror of
+    * [[leftOuterJoin]] and the fifth (last) stream-stream join type Spark
+    * supports: every purchase accounted for exactly once, attributed to
+    * its in-window clicks or emitted unmatched (click columns null) once
+    * the watermark passes it. The purchase-side outer-row cut is the
+    * asymmetric one [[fullOuterJoin]]'s scaladoc derives: a purchase can
+    * stop matching as soon as the watermark passes its OWN event time
+    * (future clicks arrive at `click_ts ≥ wm` and a match needs
+    * `click_ts ≤ purchase_ts`), so the cut is `purchase_ts < wm` — no
+    * attribution-window wait, unlike the click side's
+    * `click_ts + window < wm`. */
+  def rightOuterJoin(clicks: DataFrame, purchases: DataFrame, watermark: String): DataFrame = {
+    val c = clicks
+      .filter(col("event_type") === "click" && col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val p = purchases
+      .filter(col("event_type") === "purchase" && col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    c.join(p,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+        "right_outer")
+      .select(col("purchase_id"), col("p_user_id").as("user_id"),
+        unix_micros(col("purchase_ts")).as("purchase_ts_us"),
+        col("click_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+  }
+
+  /** Run the right-outer interval join as a real streaming query: matches +
+    * watermark-expired unmatched purchases. */
+  def streamedRightJoin(s: SparkSession, sfDir: String): DataFrame = {
+    val scratch = Files.createTempDirectory("graft-ssright-").toFile.getAbsolutePath
+    val src = fileStream(s, sfDir)
+    val q = rightOuterJoin(src, src, outerJoinDelay)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$scratch/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch((b: Dataset[Row], id: Long) => UpsertSink.writeBatch(b, id, s"$scratch/sink"))
+      .start()
+    q.awaitTermination()
+    UpsertSink.resolve(s, s"$scratch/sink", Seq("purchase_id", "click_id"))
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts_us"),
+        col("click_id"), col("gap_us"))
+  }
+
   /** Stream-stream FULL OUTER interval join — completes the join family
     * (inner [[intervalJoin]], left-outer [[leftOuterJoin]]): matches, plus
     * unmatched clicks (purchase columns null), plus unmatched purchases
@@ -608,7 +658,8 @@ object EventPipeline {
     "s_dedup_stream" -> ((s, d) => streamedDedup(s, d)),
     "s_dead_letter_stream" -> ((s, d) => streamedDeadLetter(s, d)),
     "s_sketch_stream" -> ((s, d) => streamedSketch(s, d)),
-    "s_window_hitters_stream" -> ((s, d) => streamedWindowHitters(s, d)))
+    "s_window_hitters_stream" -> ((s, d) => streamedWindowHitters(s, d)),
+    "s_right_join_stream" -> ((s, d) => streamedRightJoin(s, d)))
 
   /** The streamed KPI table must equal the batch formulation (the core
     * Structured Streaming guarantee), so the oracle is the same window SQL.
@@ -694,6 +745,36 @@ object EventPipeline {
          |                  WHERE p.p_user = c.user_id
          |                    AND p.pts >= c.cts AND p.pts <= c.cts + $joinWindowUs)
          |  AND c.cts + $joinWindowUs < wm.w""".stripMargin,
+    // Right-outer mirror: matches + unmatched purchases under the
+    // purchase-side cut (pts < wm — the asymmetric eviction rule the
+    // full-join scaladoc derives and FullJoinSpec pins at the boundary).
+    "s_right_join_stream" ->
+      s"""WITH c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS cts
+         |           FROM events
+         |           WHERE event_type = 'click' AND user_id IS NOT NULL AND ts IS NOT NULL),
+         |p AS (SELECT event_id AS purchase_id, user_id AS p_user, epoch_us(ts) AS pts
+         |      FROM events
+         |      WHERE event_type = 'purchase' AND user_id IS NOT NULL AND ts IS NOT NULL),
+         |wm AS (SELECT least((SELECT (max(cts) // 1000) * 1000 FROM c),
+         |                    (SELECT (max(pts) // 1000) * 1000 FROM p))
+         |              - $outerJoinDelayUs AS w),
+         |m AS (SELECT p.purchase_id, c.user_id, p.pts, c.click_id,
+         |             p.pts - c.cts AS gap_us
+         |      FROM c JOIN p
+         |        ON c.user_id = p.p_user
+         |       AND p.pts >= c.cts AND p.pts <= c.cts + $joinWindowUs)
+         |SELECT purchase_id, user_id, CAST(pts AS BIGINT) AS purchase_ts_us,
+         |       CAST(click_id AS BIGINT) AS click_id,
+         |       CAST(gap_us AS BIGINT) AS gap_us
+         |FROM m
+         |UNION ALL
+         |SELECT p.purchase_id, p.p_user, CAST(p.pts AS BIGINT),
+         |       NULL, NULL
+         |FROM p, wm
+         |WHERE NOT EXISTS (SELECT 1 FROM c
+         |                  WHERE c.user_id = p.p_user
+         |                    AND p.pts >= c.cts AND p.pts <= c.cts + $joinWindowUs)
+         |  AND p.pts < wm.w""".stripMargin,
     // Semi = clicks with at least one purchase in the window, click columns
     // only, exactly once each — the EXISTS form; no watermark cut (matches
     // emit on arrival, and the far-watermark replay finds them all).

@@ -12,6 +12,40 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 class FullJoinSpec extends SparkSpec {
   import spark.implicits._
 
+  test("right-outer join: only purchases get outer rows, on the purchase-side cut") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val clicks = MemoryStream[JEvt]
+    val purchases = MemoryStream[JEvt]
+    val out = EventPipeline.rightOuterJoin(clicks.toDF(), purchases.toDF(), "10 minutes")
+    val q = out.writeStream.format("memory").queryName("rj_t")
+      .outputMode("append").start()
+    try {
+      // c1 matches p1; c2 is an unmatched CLICK (must never appear);
+      // p2 (u3) is an unmatched PURCHASE (emits once its cut passes).
+      clicks.addData(
+        JEvt(1L, "u1", "click", ts("2026-01-01 00:00:00")),
+        JEvt(2L, "u2", "click", ts("2026-01-01 00:05:00")))
+      purchases.addData(
+        JEvt(10L, "u1", "purchase", ts("2026-01-01 00:30:00")),
+        JEvt(11L, "u3", "purchase", ts("2026-01-01 00:10:00")))
+      q.processAllAvailable()
+      assert(spark.table("rj_t").select($"purchase_id", $"click_id")
+        .as[(Option[Long], Option[Long])].collect().toSet ==
+        Set((Some(10L), Some(1L))), "only the match emits before the cut")
+
+      // watermark 00:50 > p2's 00:10 → its null-click row emits.
+      clicks.addData(JEvt(90L, "adv", "click", ts("2026-01-01 01:00:00")))
+      purchases.addData(JEvt(91L, "adv", "purchase", ts("2026-01-01 01:00:00")))
+      q.processAllAvailable()
+      val rows = spark.table("rj_t").select($"purchase_id", $"click_id")
+        .as[(Option[Long], Option[Long])].collect()
+      assert(rows.count(r => r._1.contains(11L) && r._2.isEmpty) == 1,
+        "expired unmatched purchase emits exactly one outer row")
+      assert(!rows.exists(r => r._1.isEmpty),
+        "a right-outer join must never emit a null-purchase row")
+    } finally q.stop()
+  }
+
   test("full-outer join: matches emit on join; each side's outer rows follow its own cut") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val clicks = MemoryStream[JEvt]

@@ -44,6 +44,43 @@ class GraphPropsSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("cdcMergeApply ≡ sequential fold of the changeset on random bases/changesets") {
+    import graft.ops.Temporal
+    val baseGen = Gen.choose(0, 12).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.choose(1L, 15L), Gen.alphaLowerStr.map(_.take(4))))).map(_.distinctBy(_._1))
+    val chGen = Gen.choose(0, 15).flatMap(n => Gen.listOfN(n, for {
+      id <- Gen.choose(1L, 20L)
+      op <- Gen.oneOf("U", "D", "I")
+      t <- Gen.alphaLowerStr.map(_.take(4))
+    } yield (id, op, t)))
+    val prop = Prop.forAll(baseGen, chGen) { (base, chs) =>
+      // distinct seqs per key, in list order — last change wins
+      val seqd = chs.zipWithIndex.map { case ((id, op, t), i) => (id, i.toLong, op, t) }
+      val baseDf = base.map { case (id, t) => (id, "en", "web", t) }
+        .toDF("doc_id", "lang", "source", "text")
+      val chDf = seqd.map { case (id, sq, op, t) => (id, sq, op, "xx", "cdc", t) }
+        .toDF("doc_id", "seq", "op", "c_lang", "c_source", "c_text")
+      val got = Temporal.cdcMergeApply(baseDf, chDf)
+        .select($"doc_id", $"text_h").as[(Long, String)].collect().toMap
+      // sequential reference: last change per key applied over the base
+      def h(t: String) = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val last = seqd.groupBy(_._1).map { case (k, g) => k -> g.maxBy(_._2) }
+      val keys = (base.map(_._1) ++ last.keys).distinct
+      val want = keys.flatMap { k =>
+        (last.get(k), base.find(_._1 == k)) match {
+          case (Some((_, _, "D", _)), _) => None
+          case (Some((_, _, _, t)), _)   => Some(k -> h(t))
+          case (None, Some((_, t)))      => Some(k -> h(t))
+          case (None, None)              => None
+        }
+      }.toMap
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("count-min never undercounts ANY key (structural guarantee, random multisets)") {
     val usersGen = Gen.choose(1, 120).flatMap(n =>
       Gen.listOfN(n, Gen.choose(1L, 30L)))
