@@ -174,6 +174,24 @@ object Temporal {
           .otherwise("unchanged").as("status"))
   }
 
+  /** Unpivot — the inverse of [[eventPivot]], and the lossless-ness proof
+    * of the pair: melt the zero-filled wide per-user matrix back to long
+    * `(user_id, event_type, n)` form with `stack` (Spark's generator-based
+    * unpivot — one map-side fan-out of 5 rows per input row, no shuffle
+    * beyond the pivot's own aggregation), then drop the zero cells the
+    * pivot manufactured. The survivors are EXACTLY the original long-form
+    * rollup — the oracle states that roundtrip contract directly as the
+    * plain `GROUP BY user, type` count. At 100 TB the unpivot side is
+    * free (map-side generator over the already-aggregated matrix); it
+    * exists because loaders and BI exports constantly flip between the
+    * two layouts and the flip must not invent or lose cells. */
+  def eventUnpivot(s: SparkSession, d: String): DataFrame =
+    eventPivot(s, d)
+      .selectExpr("user_id",
+        """stack(5, 'click', n_click, 'view', n_view, 'purchase', n_purchase,
+          |'signup', n_signup, 'error', n_error) AS (event_type, n)""".stripMargin)
+      .filter(col("n") > 0)
+
   /** Changeset slice moduli for [[cdcMerge]] — TUNABLEs shared with the
     * oracle. Deletes and updates deliberately OVERLAP (lcm keys get both a
     * 'U' and a later 'D'), exercising in-changeset precedence; inserts are
@@ -239,6 +257,7 @@ object Temporal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_cdc_merge" -> cdcMerge,
+    "x_event_unpivot" -> eventUnpivot,
     "x_snapshot_diff" -> snapshotDiff,
     "x_asof_join" -> asofJoin,
     "x_range_clicks" -> clicksBeforePurchase,
@@ -246,6 +265,10 @@ object Temporal {
     "x_scd2_ranges" -> scd2)
 
   val oracle: Map[String, String] = Map(
+    // pivot → unpivot → drop manufactured zeros ≡ the original long rollup.
+    "x_event_unpivot" ->
+      """SELECT user_id, event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "x_cdc_merge" ->
       s"""WITH ch AS (
          |  SELECT doc_id, 3 AS seq, 'D' AS op,
