@@ -331,6 +331,56 @@ object Similarity {
     * (sub, cluster, dim) means, a 32-row codebook broadcast, map-side
     * assignment — two linear passes regardless of corpus size. */
   /** Corpus in µ-quantized integer form: (vec_id, label, q: array<long>). */
+  /** [[knnGraph]] tunables shared with the oracle: sign-bucket bits (64
+    * buckets), neighbors kept per vector, and the component quantization
+    * step — coarser than [[quantizedCorpus]]'s ×10⁶ because the ranking
+    * key squares the dot product: ×100 keeps `dot²·10⁶` and `‖a‖²·‖b‖²`
+    * comfortably under 2⁶³ at dim 64. */
+  private[ops] val knnBits = 6
+  private[ops] val knnK = 3
+  private[ops] val knnQuant = 100
+
+  /** Corpus kNN GRAPH — each vector's top-[[knnK]] neighbors among its
+    * sign-bucket candidates: the primitive that SemDeDup-style pruning,
+    * diversity sampling, and graph-based ANN indexes consume (the query-set
+    * searches above answer "nearest to THESE probes"; this materializes
+    * nearest-neighbor edges for EVERY corpus vector). Candidates come from
+    * the same hyperplane sign buckets as [[Dedup.embeddingCosine]], so
+    * pair volume is Σ bucket² not n² — the bucketed-verify scale shape —
+    * and only (id, quantized-vec) pairs move.
+    *
+    * Ranking is ENGINE-EXACT without a single float: components quantize
+    * to integers ([[knnQuant]]), and the sort key is the signed squared
+    * cosine in ppm — `sign(dot) · (dot²·10⁶) div (‖a‖²·‖b‖²)` — a pure
+    * integer expression that is monotone in cosine (sign preserved,
+    * squaring monotone on |cos|), so the neighbor ORDER cannot drift
+    * between engines or partitionings the way IEEE cosine near-ties
+    * could. Per-vector top-k runs through the bounded-heap
+    * [[graft.functions.TopKAgg]] (map-side cut to k before the exchange);
+    * its (score DESC, id ASC) order is exactly the oracle's
+    * `row_number`. */
+  def knnGraph(s: SparkSession, d: String): DataFrame = {
+    val bucketExpr = (0 until knnBits)
+      .map(i => s"(CASE WHEN embedding[$i] >= 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+    val e = Lineage.cut(
+      Tables.embeddings(s, d).select(
+        col("vec_id"),
+        expr(s"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $knnQuant) AS BIGINT))").as("q"),
+        expr(s"CAST($bucketExpr AS BIGINT)").as("bucket"))
+      .withColumn("nq",
+        expr("aggregate(zip_with(q, q, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")))
+    val scored = e.as("a").join(e.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"),
+        expr("aggregate(zip_with(a.q, b.q, (x, y) -> x * y), 0L, (acc, v) -> acc + v)").as("dot"),
+        col("a.nq").as("na"), col("b.nq").as("nb"))
+      .select(col("query_id"), col("neighbor_id"),
+        expr("CAST(sign(dot) AS BIGINT) * ((dot * dot * 1000000) div (na * nb))")
+          .cast("double").as("score"))
+    TopK.topK(scored, "query_id", "score", "neighbor_id", knnK)
+      .select(col("query_id").as("vec_id"), col("neighbor_id"), col("rnk"))
+  }
+
   private def quantizedCorpus(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).select(col("vec_id"), col("label"),
       expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))").as("q"))
@@ -424,6 +474,7 @@ object Similarity {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_sim_knn_graph" -> knnGraph,
     "x_sim_topk_mp" -> multiProbeTopK,
     "x_sim_recall_mp" -> recallMultiProbe,
     "x_sim_topk_ivfpq" -> ivfpqTopK,
@@ -571,6 +622,33 @@ object Similarity {
   }
 
   val oracle: Map[String, String] = Map(
+    // Integer sort key (signed squared cosine in ppm) — DuckDB reproduces
+    // the ranking exactly; list_dot_product on the ≤2e5 quantized values
+    // is integer-exact in doubles.
+    "x_sim_knn_graph" -> {
+      val bits = (0 until knnBits)
+        .map(i => s"(CASE WHEN embedding[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH e AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $knnQuant) AS BIGINT)) AS q,
+         |    CAST($bits AS BIGINT) AS bucket
+         |  FROM embeddings),
+         |n AS (SELECT vec_id, q, bucket,
+         |        CAST(list_dot_product(q, q) AS BIGINT) AS nq FROM e),
+         |p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |        CAST(list_dot_product(a.q, b.q) AS BIGINT) AS dot,
+         |        a.nq AS na, b.nq AS nb
+         |      FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+         |sc AS (SELECT query_id, neighbor_id,
+         |         CAST(sign(dot) AS BIGINT) * ((dot * dot * 1000000) // (na * nb)) AS skey
+         |       FROM p),
+         |r AS (SELECT query_id, neighbor_id,
+         |        CAST(row_number() OVER (PARTITION BY query_id
+         |               ORDER BY skey DESC, neighbor_id ASC) AS BIGINT) AS rnk
+         |      FROM sc)
+         |SELECT query_id AS vec_id, neighbor_id, rnk FROM r WHERE rnk <= $knnK""".stripMargin
+    },
     "x_sim_topk_mp" ->
       s"""$multiProbeSqlCtes
          |SELECT query_id, neighbor_id, rnk FROM ranked WHERE rnk <= $topK""".stripMargin,
