@@ -44,6 +44,27 @@ class GraphPropsSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("pagerankOf ≡ sequential integer fixed-point reference on random graphs") {
+    val graphGen = Gen.choose(1, 30).flatMap(n => Gen.listOfN(n, edgeGen)).map(_.distinct)
+    val prop = Prop.forAll(graphGen, Gen.choose(1, 6)) { (pairs, parts) =>
+      val sym = (pairs ++ pairs.map(p => (p._2, p._1))).distinct
+      val got = Dedup.pagerankOf(sym.toDF("src", "dst").repartition(parts))
+        .as[(Long, Long)].collect().toMap
+      // sequential reference: same integer arithmetic, 3 damped rounds
+      val adj = sym.groupBy(_._1).map { case (v, es) => v -> es.map(_._2) }
+      val scale = 1000000000L
+      var rank = adj.keys.map(_ -> scale).toMap
+      for (_ <- 1 to 3) {
+        val acc = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+        for ((u, outs) <- adj; v <- outs) acc(v) += rank(u) / outs.size
+        rank = adj.keys.map(v => v -> (15L * scale / 100 + (85L * acc(v)) / 100)).toMap
+      }
+      got == rank
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("cdcMergeApply ≡ sequential fold of the changeset on random bases/changesets") {
     import graft.ops.Temporal
     val baseGen = Gen.choose(0, 12).flatMap(n => Gen.listOfN(n,
