@@ -203,6 +203,29 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tok_sum"),
         min(col("n_tokens")).as("min_tokens"), max(col("n_tokens")).as("max_tokens"))
 
+  /** Per-document FEATURE TABLE — the labeled matrix a quality-classifier
+    * training run (or a hand-tuned curation policy) actually consumes,
+    * composed from three independent per-doc signal families: the
+    * heuristic [[quality]] gates (length / stopword coverage), the
+    * corpus-LM [[surprisal]] score, and an exact-duplicate flag (has a
+    * lower-id doc with identical content hash — the [[graft.ops.Dedup]]
+    * survivor convention). Composition is the point: each family is one
+    * scan plus a bounded aggregation, and the assembly is two joins on
+    * the stable key — on a lake bucketed by doc_id, all co-located with
+    * no shuffle. At 100 TB this is the table you export once per corpus
+    * snapshot and train every downstream policy against. */
+  def docFeatures(s: SparkSession, d: String): DataFrame = {
+    val q = quality(s, d)
+      .select(col("doc_id"), col("n_words"), col("stop_bp"), col("is_quality"))
+    val sp = surprisal(s, d)
+    val dupW = Window.partitionBy(col("h"))
+    val dup = Tables.documents(s, d)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .withColumn("is_dup", col("doc_id") > min(col("doc_id")).over(dupW))
+      .select(col("doc_id"), col("is_dup"))
+    q.join(sp, "doc_id").join(dup, "doc_id")
+  }
+
   /** TF-IDF top terms: the 3 most characteristic tokens per document, scored
     * tf × N / df (the raw inverse-document-frequency ratio rather than its
     * log — one exact integer product and ONE IEEE division, so the score is
@@ -639,6 +662,7 @@ object TextAnalysis {
     "x_text_rarity" -> rarity,
     "x_text_surprisal" -> surprisal,
     "x_token_histogram" -> tokenHistogram,
+    "x_doc_features" -> docFeatures,
     "x_text_tokens" -> tokenCounts,
     "x_text_vocab" -> vocab,
     "x_text_winnow" -> winnow)
@@ -916,6 +940,32 @@ object TextAnalysis {
           |SELECT doc_id, n_tokens, bits_sum,
           |       CAST((100 * bits_sum) // n_tokens AS BIGINT) AS mean_bits_c
           |FROM agg""".stripMargin,
+      "x_doc_features" ->
+        s"""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents),
+           |qb AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words,
+           |         CAST(${hitsSql("words", stoplists.toMap.apply("en"))} AS BIGINT) AS n_stop
+           |       FROM w),
+           |qual AS (SELECT doc_id, n_words,
+           |           CAST(round(CAST(n_stop AS DOUBLE) * 10000 / n_words) AS BIGINT) AS stop_bp,
+           |           (n_words >= 20 AND n_words <= 2000 AND n_stop >= 1) AS is_quality
+           |         FROM qb),
+           |t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+           |tk AS (SELECT doc_id, token FROM t WHERE length(token) > 0),
+           |tf AS (SELECT token, count(*) AS tf FROM tk GROUP BY 1),
+           |n AS (SELECT CAST(sum(tf) AS BIGINT) AS n_corpus FROM tf),
+           |sagg AS (SELECT doc_id, count(*) AS n_tokens,
+           |           CAST(sum(length(printf('%b', n.n_corpus))
+           |                    - length(printf('%b', tf.tf))) AS BIGINT) AS bits_sum
+           |         FROM tk JOIN tf USING (token) CROSS JOIN n GROUP BY 1),
+           |surp AS (SELECT doc_id, n_tokens, bits_sum,
+           |           CAST((100 * bits_sum) // n_tokens AS BIGINT) AS mean_bits_c
+           |         FROM sagg),
+           |dup AS (SELECT doc_id,
+           |          doc_id > min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+           |        FROM documents)
+           |SELECT q.doc_id, q.n_words, q.stop_bp, q.is_quality,
+           |       s.n_tokens, s.bits_sum, s.mean_bits_c, dup.is_dup
+           |FROM qual q JOIN surp s USING (doc_id) JOIN dup USING (doc_id)""".stripMargin,
       "x_token_histogram" ->
         """WITH n AS (SELECT CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens
           |           FROM documents)
