@@ -381,6 +381,52 @@ object Similarity {
       .select(col("query_id").as("vec_id"), col("neighbor_id"), col("rnk"))
   }
 
+  /** Stand-in ingest-batch membership for [[knnIncremental]] — a TUNABLE
+    * shared with the oracle ([[graft.ops.Dedup.incremental]]'s convention:
+    * a real deployment passes an actual ingest partition). */
+  private[ops] val knnBatchMod = 10
+
+  /** Incremental kNN — [[knnGraph]]'s steady-state form: only the NEW
+    * ingest batch gets neighbors, searched against the standing corpus
+    * (batch side excluded from the neighbor pool; corpus × corpus never
+    * happens). The join is asymmetric exactly like
+    * [[graft.ops.Dedup.incremental]]: a day's embeddings are orders of
+    * magnitude smaller than the corpus, so the batch side broadcasts and
+    * the corpus streams past it bucket-matched — per-ingest cost is one
+    * corpus scan however large the corpus grows, which is the shape that
+    * makes a daily embedding pipeline viable at 100 TB. Same caveat as
+    * the dedup twin: the doc_id-mod stand-in grows with the corpus, a
+    * real caller keeps the broadcast side to the actual (bounded) ingest.
+    * Ranking reuses [[knnGraph]]'s pure-integer signed-squared-cosine
+    * key. */
+  def knnIncremental(s: SparkSession, d: String): DataFrame = {
+    val bucketExpr = (0 until knnBits)
+      .map(i => s"(CASE WHEN embedding[$i] >= 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+    val e = Lineage.cut(
+      Tables.embeddings(s, d).select(
+        col("vec_id"),
+        expr(s"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $knnQuant) AS BIGINT))").as("q"),
+        expr(s"CAST($bucketExpr AS BIGINT)").as("bucket"))
+      .withColumn("nq",
+        expr("aggregate(zip_with(q, q, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")))
+    val isNew = col("vec_id") % knnBatchMod === 7
+    val batch = e.filter(isNew)
+      .select(col("vec_id").as("query_id"), col("q").as("bq"),
+        col("bucket"), col("nq").as("na"))
+    val corpus = e.filter(!isNew)
+      .select(col("vec_id").as("neighbor_id"), col("q").as("cq"),
+        col("bucket"), col("nq").as("nb"))
+    val scored = corpus.join(broadcast(batch), Seq("bucket"))
+      .select(col("query_id"), col("neighbor_id"),
+        expr("aggregate(zip_with(bq, cq, (x, y) -> x * y), 0L, (acc, v) -> acc + v)").as("dot"),
+        col("na"), col("nb"))
+      .select(col("query_id"), col("neighbor_id"),
+        expr("CAST(sign(dot) AS BIGINT) * ((dot * dot * 1000000) div (na * nb))")
+          .cast("double").as("score"))
+    TopK.topK(scored, "query_id", "score", "neighbor_id", knnK)
+      .select(col("query_id").as("vec_id"), col("neighbor_id"), col("rnk"))
+  }
+
   private def quantizedCorpus(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).select(col("vec_id"), col("label"),
       expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))").as("q"))
@@ -475,6 +521,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_sim_knn_graph" -> knnGraph,
+    "x_sim_knn_incremental" -> knnIncremental,
     "x_sim_topk_mp" -> multiProbeTopK,
     "x_sim_recall_mp" -> recallMultiProbe,
     "x_sim_topk_ivfpq" -> ivfpqTopK,
@@ -640,6 +687,31 @@ object Similarity {
          |        CAST(list_dot_product(a.q, b.q) AS BIGINT) AS dot,
          |        a.nq AS na, b.nq AS nb
          |      FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+         |sc AS (SELECT query_id, neighbor_id,
+         |         CAST(sign(dot) AS BIGINT) * ((dot * dot * 1000000) // (na * nb)) AS skey
+         |       FROM p),
+         |r AS (SELECT query_id, neighbor_id,
+         |        CAST(row_number() OVER (PARTITION BY query_id
+         |               ORDER BY skey DESC, neighbor_id ASC) AS BIGINT) AS rnk
+         |      FROM sc)
+         |SELECT query_id AS vec_id, neighbor_id, rnk FROM r WHERE rnk <= $knnK""".stripMargin
+    },
+    "x_sim_knn_incremental" -> {
+      val bits = (0 until knnBits)
+        .map(i => s"(CASE WHEN embedding[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH e AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $knnQuant) AS BIGINT)) AS q,
+         |    CAST($bits AS BIGINT) AS bucket
+         |  FROM embeddings),
+         |n AS (SELECT vec_id, q, bucket,
+         |        CAST(list_dot_product(q, q) AS BIGINT) AS nq FROM e),
+         |p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |        CAST(list_dot_product(a.q, b.q) AS BIGINT) AS dot,
+         |        a.nq AS na, b.nq AS nb
+         |      FROM n a JOIN n b ON a.bucket = b.bucket
+         |      WHERE a.vec_id % $knnBatchMod = 7 AND b.vec_id % $knnBatchMod <> 7),
          |sc AS (SELECT query_id, neighbor_id,
          |         CAST(sign(dot) AS BIGINT) * ((dot * dot * 1000000) // (na * nb)) AS skey
          |       FROM p),

@@ -214,6 +214,12 @@ class PlanShapeSpec extends SparkSpec {
       s"day must not be re-checked per row:\n$p")
   }
 
+  test("incremental kNN broadcasts the ingest batch; the corpus never self-joins") {
+    val p = plan("x_sim_knn_incremental")
+    assert(p.contains("BroadcastHashJoin"), s"the batch side must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"the corpus must stream past the broadcast:\n$p")
+  }
+
   test("surprisal broadcasts the 1-row corpus total — no shuffle for N") {
     val p = plan("x_text_surprisal")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
