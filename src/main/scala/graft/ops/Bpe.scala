@@ -126,13 +126,14 @@ object Bpe {
     scala.collection.concurrent.TrieMap.empty[(Int, String), (String, String)]
 
   private def trainedPaths(s: SparkSession, d: String): (String, String) =
-    trainMemo.getOrElseUpdate((System.identityHashCode(s), d), {
-      val dir = java.nio.file.Files.createTempDirectory("graft-bpe-").toString
+    // synchronized + exit-cleaned scratch: see [[SpillMemo]].
+    trainMemo.synchronized(trainMemo.getOrElseUpdate((System.identityHashCode(s), d), {
+      val dir = SpillMemo.scratchDir("graft-bpe-")
       val (summaries, toks) = train(Tables.documents(s, d))
       summaries.write.mode("overwrite").parquet(s"$dir/summaries")
       toks.write.mode("overwrite").parquet(s"$dir/tokens")
       (s"$dir/summaries", s"$dir/tokens")
-    })
+    }))
 
   def bpeMerges(s: SparkSession, d: String): DataFrame =
     s.read.parquet(trainedPaths(s, d)._1)

@@ -189,12 +189,14 @@ object Dedup {
     * over the materialized signatures. */
   def minhashLsh(s: SparkSession, d: String): DataFrame = {
     val key = (System.identityHashCode(s), d)
-    val path = pairsMemo.getOrElseUpdate(key, {
-      val out = java.nio.file.Files.createTempDirectory("graft-lshpairs-")
+    // synchronized: TrieMap's update is atomic but the spill thunk is not —
+    // see [[SpillMemo]] (which also registers the dir for JVM-exit cleanup).
+    val path = pairsMemo.synchronized(pairsMemo.getOrElseUpdate(key, {
+      val out = SpillMemo.scratchDir("graft-lshpairs-")
       lshPairs(Lineage.cut(minhashSignatures(s, d)))
-        .write.mode("overwrite").parquet(out.toString)
-      out.toString
-    })
+        .write.mode("overwrite").parquet(out)
+      out
+    }))
     s.read.parquet(path)
   }
 
@@ -271,18 +273,20 @@ object Dedup {
     * join — the only exchange is the partial-aggregated (doc, eval) overlap
     * count. The corpus text is never shuffled and never self-joined.
     *
-    * Stand-in caveat: the forced `broadcast()` is justified by the
-    * fixed-size property of a REAL benchmark suite. The doc_id-mod stand-in
-    * used here for oracle-checkability is ~5% of the corpus and grows with
-    * it — with a corpus-proportional eval relation, drop the hint and let
-    * the planner choose (the hint bypasses
-    * `spark.sql.autoBroadcastJoinThreshold` and would OOM the driver). */
+    * Stand-in caveat: the broadcast is justified by the fixed-size
+    * property of a REAL benchmark suite, but the doc_id-mod stand-in used
+    * here for oracle-checkability is ~5% of the corpus and grows with it —
+    * so the hint is the conf-gated [[Hints.broadcastSmall]] kind (a forced
+    * `broadcast()` bypasses `spark.sql.autoBroadcastJoinThreshold` and
+    * would OOM the driver): a caller with a corpus-proportional eval
+    * relation sets `spark.graft.broadcastSmallSides=false` and the planner
+    * picks the shuffle join. */
   def decontaminate(s: SparkSession, d: String): DataFrame = {
     val sh = shingleSets(s, d).select(col("doc_id"), col("sh"))
     val eval = sh.filter(col("doc_id") % evalMod === 0)
       .select(col("sh"), col("doc_id").as("eval_id"))
     sh.filter(col("doc_id") % evalMod =!= 0)
-      .join(broadcast(eval), "sh")
+      .join(Hints.broadcastSmall(eval), "sh")
       .groupBy(col("doc_id"), col("eval_id"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minSharedShingles)
@@ -311,9 +315,14 @@ object Dedup {
       .createOrReplaceTempView("graft_decontam_corpus")
     // `might_contain` requires the filter as a constant or scalar subquery
     // (Spark's own runtime-filter shape: the subquery runs once, its bytes
-    // inject into the predicate as a literal) — hence SQL, not a join.
+    // inject into the predicate as a literal) — hence SQL, not a join. The
+    // exact-join hint is the SQL form of [[Hints.broadcastSmall]]'s gate:
+    // same conf, same OOM escape hatch as [[decontaminate]].
+    val hint =
+      if (s.conf.getOption(Hints.broadcastSmallSidesConf).forall(_.toBoolean))
+        "/*+ BROADCAST(e) */ " else ""
     s.sql(
-      s"""SELECT /*+ BROADCAST(e) */ c.doc_id, e.eval_id, count(*) AS shared
+      s"""SELECT ${hint}c.doc_id, e.eval_id, count(*) AS shared
          |FROM (SELECT doc_id, sh FROM graft_decontam_corpus
          |      WHERE bloom_might_contain(
          |        (SELECT bloom_agg(xxhash64(sh), 10000L, 100000L)

@@ -52,6 +52,45 @@ object Lineage {
     if (reliable(df)) df.checkpoint(eager = true) else df.localCheckpoint(eager = false)
 }
 
+/** Scratch allocation for the session memos that spill derived relations to
+  * parquet ([[Dedup]]'s LSH pair graph, [[Similarity]]'s converged k-means
+  * assignment, [[Bpe]]'s trained merges). Two contracts the bare
+  * `Files.createTempDirectory` calls lacked:
+  *
+  *  - every allocated dir is registered for recursive deletion at JVM exit,
+  *    so a long-lived driver that churns sessions does not leak spilled
+  *    relations into the tmpdir;
+  *  - callers synchronize their memo's getOrElseUpdate on the memo itself
+  *    (TrieMap's update is atomic but the compute thunk is not — two racing
+  *    threads could each spill, leaking a dir and double-running the
+  *    derivation).
+  *
+  * READ-BACK SEMANTICS, for anyone comparing bench numbers: a memoized
+  * query's warm samples measure a parquet read of the spilled relation, not
+  * the derivation — the derivation cost appears only in the first (cold)
+  * sample. `bench_full.json` keeps all raw samples precisely so the two are
+  * distinguishable; BASELINE.md states this next to the affected queries. */
+private[ops] object SpillMemo {
+  private val created = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
+
+  Runtime.getRuntime.addShutdownHook(new Thread(() => {
+    created.forEach { root =>
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => () } // best effort — exit path
+    }
+  }))
+
+  /** A fresh temp dir registered for deletion at JVM exit. */
+  def scratchDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    created.add(p)
+    p.toString
+  }
+}
+
 /** Join-side hints whose validity is DATA-dependent, behind a conf (the
   * [[Lineage.reliableConf]] pattern): some relations are small by
   * construction at the tested scales but only heuristically small at 100 TB

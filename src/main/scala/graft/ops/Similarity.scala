@@ -104,7 +104,11 @@ object Similarity {
     * Plan shape: bucketing is map-side arithmetic on the scan; the probe
     * set (|queries|·(mpBits+1) rows) is broadcast; the scan joins on
     * bucket = probe — no corpus shuffle — and per-query top-k runs through
-    * the bounded-heap [[graft.functions.TopKAgg]] partial reduction. */
+    * the bounded-heap [[graft.functions.TopKAgg]] partial reduction. The
+    * probe-set size is caller-controlled (queries × probes), not corpus-
+    * bounded, so the hint is the conf-gated [[Hints.broadcastSmall]] kind:
+    * a deployment probing with a corpus-scale query set flips
+    * `spark.graft.broadcastSmallSides=false` for the shuffle join. */
   def multiProbeTopK(s: SparkSession, d: String): DataFrame = {
     val bucketExpr = (0 until mpBits)
       .map(i => s"(CASE WHEN v[$i] >= 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
@@ -113,7 +117,7 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("bucket").as("qb"))
       .select(col("query_id"), col("qv"), explode(expr(
         s"concat(array(qb), transform(sequence(0, ${mpBits - 1}), i -> qb ^ CAST(shiftleft(1, i) AS BIGINT)))")).as("probe"))
-    val scored = c.join(broadcast(probes),
+    val scored = c.join(Hints.broadcastSmall(probes),
         col("bucket") === col("probe") && col("vec_id") =!= col("query_id"))
       .withColumn("score", expr("cosine_sim(qv, v)"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("score"))
@@ -258,11 +262,12 @@ object Similarity {
     * (vec_id, cluster, dist2) table back instead of re-running the loop. */
   def kmeansConverged(s: SparkSession, d: String, k: Int = defaultKClusters): DataFrame = {
     val key = (System.identityHashCode(s), d, k)
-    val path = kmeansMemo.getOrElseUpdate(key, {
-      val out = java.nio.file.Files.createTempDirectory("graft-kmeans-")
-      computeKmeansConverged(s, d, k).write.mode("overwrite").parquet(out.toString)
-      out.toString
-    })
+    // synchronized + exit-cleaned scratch: see [[SpillMemo]].
+    val path = kmeansMemo.synchronized(kmeansMemo.getOrElseUpdate(key, {
+      val out = SpillMemo.scratchDir("graft-kmeans-")
+      computeKmeansConverged(s, d, k).write.mode("overwrite").parquet(out)
+      out
+    }))
     s.read.parquet(path)
   }
 
@@ -368,7 +373,12 @@ object Similarity {
         expr(s"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $knnQuant) AS BIGINT))").as("q"),
         expr(s"CAST($bucketExpr AS BIGINT)").as("bucket"))
       .withColumn("nq",
-        expr("aggregate(zip_with(q, q, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")))
+        expr("aggregate(zip_with(q, q, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+      // nq = 0 (all components quantize to zero) would make the rank key's
+      // `div` NULL in Spark but a hard error in DuckDB — exclude degenerate
+      // vectors on BOTH sides (oracle mirrors this in its `n` CTE), the
+      // non-empty-token guard pattern used across TextAnalysis.
+      .filter(col("nq") > 0))
     val scored = e.as("a").join(e.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"),
@@ -395,8 +405,11 @@ object Similarity {
     * the corpus streams past it bucket-matched — per-ingest cost is one
     * corpus scan however large the corpus grows, which is the shape that
     * makes a daily embedding pipeline viable at 100 TB. Same caveat as
-    * the dedup twin: the doc_id-mod stand-in grows with the corpus, a
-    * real caller keeps the broadcast side to the actual (bounded) ingest.
+    * the dedup twin — and the same escape hatch: the broadcast is the
+    * conf-gated [[Hints.broadcastSmall]] kind (the doc_id-mod stand-in
+    * grows with the corpus), so a deployment whose ingest outgrows the
+    * driver sets `spark.graft.broadcastSmallSides=false` and takes the
+    * co-partitioned shuffle join instead of OOMing.
     * Ranking reuses [[knnGraph]]'s pure-integer signed-squared-cosine
     * key. */
   def knnIncremental(s: SparkSession, d: String): DataFrame = {
@@ -408,7 +421,9 @@ object Similarity {
         expr(s"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $knnQuant) AS BIGINT))").as("q"),
         expr(s"CAST($bucketExpr AS BIGINT)").as("bucket"))
       .withColumn("nq",
-        expr("aggregate(zip_with(q, q, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")))
+        expr("aggregate(zip_with(q, q, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+      // same degenerate-vector guard as [[knnGraph]] (div-by-zero parity).
+      .filter(col("nq") > 0))
     val isNew = col("vec_id") % knnBatchMod === 7
     val batch = e.filter(isNew)
       .select(col("vec_id").as("query_id"), col("q").as("bq"),
@@ -416,7 +431,7 @@ object Similarity {
     val corpus = e.filter(!isNew)
       .select(col("vec_id").as("neighbor_id"), col("q").as("cq"),
         col("bucket"), col("nq").as("nb"))
-    val scored = corpus.join(broadcast(batch), Seq("bucket"))
+    val scored = corpus.join(Hints.broadcastSmall(batch), Seq("bucket"))
       .select(col("query_id"), col("neighbor_id"),
         expr("aggregate(zip_with(bq, cq, (x, y) -> x * y), 0L, (acc, v) -> acc + v)").as("dot"),
         col("na"), col("nb"))
@@ -681,8 +696,9 @@ object Similarity {
          |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $knnQuant) AS BIGINT)) AS q,
          |    CAST($bits AS BIGINT) AS bucket
          |  FROM embeddings),
-         |n AS (SELECT vec_id, q, bucket,
-         |        CAST(list_dot_product(q, q) AS BIGINT) AS nq FROM e),
+         |n AS (SELECT * FROM (SELECT vec_id, q, bucket,
+         |        CAST(list_dot_product(q, q) AS BIGINT) AS nq FROM e)
+         |      WHERE nq > 0),
          |p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
          |        CAST(list_dot_product(a.q, b.q) AS BIGINT) AS dot,
          |        a.nq AS na, b.nq AS nb
@@ -705,8 +721,9 @@ object Similarity {
          |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $knnQuant) AS BIGINT)) AS q,
          |    CAST($bits AS BIGINT) AS bucket
          |  FROM embeddings),
-         |n AS (SELECT vec_id, q, bucket,
-         |        CAST(list_dot_product(q, q) AS BIGINT) AS nq FROM e),
+         |n AS (SELECT * FROM (SELECT vec_id, q, bucket,
+         |        CAST(list_dot_product(q, q) AS BIGINT) AS nq FROM e)
+         |      WHERE nq > 0),
          |p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
          |        CAST(list_dot_product(a.q, b.q) AS BIGINT) AS dot,
          |        a.nq AS na, b.nq AS nb

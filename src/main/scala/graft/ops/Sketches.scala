@@ -152,7 +152,17 @@ object Sketches {
 
   /** The oracle computes the exact side and pins each bound flag to true —
     * DuckDB cannot reproduce the sketch, but it can (exactly) reproduce the
-    * truth the sketch is contractually tied to. */
+    * truth the sketch is contractually tied to.
+    *
+    * FIXTURE-DEPENDENCE of the pinned flags: HLL++'s rsd is a standard
+    * deviation, not a hard bound, so `hll_ok`'s 3×rsd margin is a ~3σ
+    * check — a new fixture or scale could legitimately (and then
+    * persistently, the sketch being deterministic per dataset) exceed it
+    * with a perfectly healthy sketch. On the shipped sf0.001/0.01/0.1
+    * fixtures the observed error is ≪ rsd; if a future fixture trips the
+    * flag, diagnose by comparing `n_hll` (re-add it to the select) against
+    * `n_exact` before suspecting the sketch — and the same reading applies
+    * to `td_ok`, whose rank-error bound is exact but fixture-measured. */
   val oracle: Map[String, String] = Map(
     "x_sketch_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_exact, true AS hll_ok

@@ -186,10 +186,14 @@ object Temporal {
     * exists because loaders and BI exports constantly flip between the
     * two layouts and the flip must not invent or lose cells. */
   def eventUnpivot(s: SparkSession, d: String): DataFrame =
+    // Derived from the SAME [[eventTypes]] constant as the pivot and the
+    // oracle: the roundtrip contract is only fixture-proof if all three
+    // agree on the explicit type list (a sixth/NULL event_type value is
+    // outside the pivot's columns, so the oracle must exclude it too).
     eventPivot(s, d)
       .selectExpr("user_id",
-        """stack(5, 'click', n_click, 'view', n_view, 'purchase', n_purchase,
-          |'signup', n_signup, 'error', n_error) AS (event_type, n)""".stripMargin)
+        s"stack(${eventTypes.size}, ${
+          eventTypes.map(t => s"'$t', n_$t").mkString(", ")}) AS (event_type, n)")
       .filter(col("n") > 0)
 
   /** Changeset slice moduli for [[cdcMerge]] — TUNABLEs shared with the
@@ -265,10 +269,15 @@ object Temporal {
     "x_scd2_ranges" -> scd2)
 
   val oracle: Map[String, String] = Map(
-    // pivot → unpivot → drop manufactured zeros ≡ the original long rollup.
+    // pivot → unpivot → drop manufactured zeros ≡ the original long rollup,
+    // RESTRICTED to the pivot's explicit type list (same [[eventTypes]]
+    // constant): a row with a NULL or unlisted event_type never enters the
+    // pivot's columns, so the oracle must not count it either.
     "x_event_unpivot" ->
-      """SELECT user_id, event_type, count(*) AS n
-        |FROM events GROUP BY 1, 2""".stripMargin,
+      s"""SELECT user_id, event_type, count(*) AS n
+         |FROM events
+         |WHERE event_type IN (${eventTypes.map(t => s"'$t'").mkString(", ")})
+         |GROUP BY 1, 2""".stripMargin,
     "x_cdc_merge" ->
       s"""WITH ch AS (
          |  SELECT doc_id, 3 AS seq, 'D' AS op,
@@ -329,14 +338,14 @@ object Temporal {
         |  FROM ev)
         |SELECT event_id, user_id, ts_us, CAST(n_recent_clicks AS BIGINT) AS n_recent_clicks
         |FROM framed WHERE event_type = 'purchase'""".stripMargin,
+    // Columns derived from the same [[eventTypes]] constant as the Spark
+    // pivot's explicit value list.
     "x_event_pivot" ->
-      """SELECT user_id,
-        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
-        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
-        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
-        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
-        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
-        |FROM events GROUP BY 1""".stripMargin,
+      s"""SELECT user_id,
+         |${eventTypes.map(t =>
+               s"  CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS n_$t")
+             .mkString(",\n")}
+         |FROM events GROUP BY 1""".stripMargin,
     "x_scd2_ranges" ->
       """WITH ev AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type

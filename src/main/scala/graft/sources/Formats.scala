@@ -81,7 +81,12 @@ object Formats {
     * partition listing, not just boundaries. */
   def partitionedRoundtrip(s: SparkSession, d: String): DataFrame = {
     val dir = Files.createTempDirectory("graft-io-part-").toFile.getAbsolutePath
-    val ev = safeEvents(s, d).withColumn("day", expr("ts_us div 86400000000"))
+    // FLOOR division for the day key (pure integer — subtract one when a
+    // negative ts has a nonzero remainder): Spark's `div` truncates toward
+    // zero while the oracle's DuckDB `//` floors, so the two would disagree
+    // on pre-1970 timestamps; floor on both sides is fixture-proof.
+    val ev = safeEvents(s, d).withColumn("day",
+      expr("ts_us div 86400000000 - (CASE WHEN ts_us % 86400000000 < 0 THEN 1 ELSE 0 END)"))
     ev.write.mode("overwrite").partitionBy("day").parquet(dir)
     rollup(s.read.schema(ev.schema).parquet(dir).filter(expr("day % 3 = 1")))
   }

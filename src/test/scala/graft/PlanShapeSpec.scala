@@ -220,6 +220,38 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"the corpus must stream past the broadcast:\n$p")
   }
 
+  test("broadcastSmallSides=false: incremental kNN and decontaminate take shuffle joins, same rows") {
+    // Round-7 verdict #3: every data-dependent forced broadcast (ingest
+    // batch, eval set, probe set) must share Dedup.incremental's conf
+    // escape hatch — flip the conf and the plan must shuffle-join instead
+    // of OOMing a driver whose "small" side grew, with identical output.
+    def rows(name: String, sort: Seq[String]) =
+      SparkEntry.queries(name)(spark, sf).orderBy(sort.head, sort.tail: _*).collect().toSeq
+    val knnHint = rows("x_sim_knn_incremental", Seq("vec_id", "rnk"))
+    val decHint = rows("x_decontaminate", Seq("doc_id", "eval_id"))
+    spark.conf.set(graft.ops.Hints.broadcastSmallSidesConf, "false")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Seq("x_sim_knn_incremental", "x_decontaminate").foreach { name =>
+        val df = SparkEntry.queries(name)(spark, sf)
+        df.collect()
+        val p = df.queryExecution.executedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.executedPlan.toString
+          case other => other.toString
+        }
+        assert(!p.contains("BroadcastHashJoin"),
+          s"$name: conf off + no auto-broadcast must drop every broadcast join:\n$p")
+      }
+      assert(rows("x_sim_knn_incremental", Seq("vec_id", "rnk")) === knnHint)
+      assert(rows("x_decontaminate", Seq("doc_id", "eval_id")) === decHint)
+    } finally {
+      spark.conf.unset(graft.ops.Hints.broadcastSmallSidesConf)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
+
   test("surprisal broadcasts the 1-row corpus total — no shuffle for N") {
     val p = plan("x_text_surprisal")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
