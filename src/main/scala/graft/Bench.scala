@@ -35,7 +35,11 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // 32 = the driver's grading configuration (local[32]). Round 7's claims
+    // were measured at a "4" default here and contradicted the driver's own
+    // numbers by ~1.75× — the default must BE the graded config, and the
+    // artifact records it (cpus/master fields) so a mismatch is visible.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -93,13 +97,13 @@ object Bench {
     // 10ms precision, trailing zeros stripped, keeps the single JSON line
     println(renderLine(results, sfDir, samples.toMap))
     // Full-precision sibling artifact ON DISK: the driver line is budgeted
-    // to a 2000-char tail (it rounds ≥1 s values and omits the cheapest
-    // sub-second queries at steady state), so round-over-round per-query
+    // to a 2000-char tail (it carries ≥1 s queries + family subtotals,
+    // never the full sub-second roster), so round-over-round per-query
     // comparison needs a record that never degrades. Git-committed per
     // round; BASELINE.md points here.
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath),
-      renderFull(results, sfDir, samples.toMap))
+      renderFull(results, sfDir, samples.toMap, cpus.toInt))
     catch { case e: Throwable => System.err.println(s"bench_full write failed: $e") }
     spark.stop()
   }
@@ -110,7 +114,7 @@ object Bench {
     * cannot be (its 2000-char tail forces rounding + omission). Pure so
     * `BenchLineSpec` can check shape without running the benchmark. */
   def renderFull(results: Seq[(String, Double, Option[String])], sfDir: String,
-      samples: Map[String, Seq[Double]]): String = {
+      samples: Map[String, Seq[Double]], cpus: Int = 32): String = {
     def d(v: Double): String = java.math.BigDecimal.valueOf(v)
       .setScale(4, java.math.RoundingMode.HALF_UP).stripTrailingZeros.toPlainString
     val load =
@@ -127,6 +131,8 @@ object Bench {
     val sf = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     s"""{
        |  "sf": "$sf",
+       |  "cpus": $cpus,
+       |  "master": "local[$cpus]",
        |  "load": $load,
        |  "total_sec": ${d(total)},
        |  "note": "min-of-samples per query; see Bench.scala methodology scaladoc",
@@ -230,11 +236,23 @@ object Bench {
     // "sf0.1", not the full path: the dir prefix is driver-known, the chars
     // belong to per-query values
     val sfJson = s""","sf":"${sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)}""""
+    // Family subtotals (prefix before the first '_': c/d/h/s/w/x) — the
+    // aggregate record for the sub-second entries the per-query map no
+    // longer carries (r7 verdict #7: at 127 queries the driver line omitted
+    // 38 of them anyway; a named subtotal per family beats an arbitrary
+    // cheapest-first cut). ~60 chars, kept through every tier; errored
+    // queries (-1) are excluded from their family's sum.
+    val famJson = {
+      val fams = results.groupBy(_._1.takeWhile(_ != '_')).toSeq.sortBy(_._1)
+        .map { case (f, rs) =>
+          s""""$f":${fmtTenths(rs.collect { case (_, v, _) if v >= 0 => v }.sum)}""" }
+      s""","fams":{${fams.mkString(",")}}"""
+    }
     def line(kept: Seq[(String, Double, Option[String])], f: Double => String,
         withStats: Boolean): String = {
       val qs = kept.map { case (k, v, _) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")
       val dropped = results.size - kept.size
-      val dropJson = if (dropped > 0) s""","queries_omitted":$dropped""" else ""
+      val dropJson = (if (dropped > 0) s""","queries_omitted":$dropped""" else "") + famJson
       // `load` is NEVER degraded away: it is the ~20 chars that let a reader
       // tell a contended round from a regression. Round 6 dropped it in the
       // exact round four queries printed 2-6× their warm cost, and the
@@ -243,21 +261,22 @@ object Bench {
       val diag = if (withStats) statsJson else ""
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$dropJson$errJson$diag$loadJson$sfJson}"""
     }
-    // Guaranteed fit, least information lost first: full precision →
-    // uniform tenths → mixed (tenths ≥1 s, whole below) → mixed without
-    // the ~15-char spread/resampled summary (per-query precision outranks
-    // run-noise summary; `load` survives every tier) → whole seconds →
-    // drop the FASTEST queries (the least informative casualty) with an
-    // explicit queries_omitted marker.
+    // The per-query map carries queries ≥1 s (where a regression is
+    // visible) plus errored ones (-1); sub-second entries are represented
+    // by their family subtotal instead, with queries_omitted counting them
+    // (r7 verdict #7 — at 127 queries they never all fit anyway, and a
+    // sub-second query that regresses past 1 s re-enters the map in the
+    // round its regression becomes interesting). Tiers then degrade
+    // precision only if needed: full precision → uniform tenths → mixed →
+    // mixed without the ~15-char spread/resampled summary (per-query
+    // precision outranks run-noise summary; `load` and `fams` survive
+    // every tier) → whole seconds → drop the FASTEST remaining queries
+    // with the omission count extended.
     // A truncated line the driver can't parse ("parsed": null, round 4)
-    // loses EVERYTHING; an explicit omission under a pathological round
-    // loses only sub-second entries. At 100 queries the keys alone outgrow
-    // the tail even at whole-second precision, so the omission tier IS the
-    // steady state: the contract (pinned by BenchLineSpec) is that every
-    // query ≥1 s is always present — omission eats upward from the
-    // cheapest, and a sub-second query that regresses past 1 s re-enters
-    // the map in the round its regression becomes interesting.
-    val sorted = results.sortBy(_._1)
+    // loses EVERYTHING; explicit omission loses only what the fams
+    // subtotals still summarize. Contract pinned by BenchLineSpec: every
+    // query ≥1 s is always present.
+    val sorted = results.filter { case (_, v, _) => v >= 1.0 || v < 0 }.sortBy(_._1)
     val tiers: Seq[(Double => String, Boolean)] = Seq(
       (fmt _, true), (fmtTenths _, true), (fmtMixed _, true),
       (fmtMixed _, false), (fmtSlowTenths _, false), (fmtCoarse _, false))

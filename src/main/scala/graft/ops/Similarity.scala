@@ -336,11 +336,19 @@ object Similarity {
     * (sub, cluster, dim) means, a 32-row codebook broadcast, map-side
     * assignment — two linear passes regardless of corpus size. */
   /** Corpus in µ-quantized integer form: (vec_id, label, q: array<long>). */
-  /** [[knnGraph]] tunables shared with the oracle: sign-bucket bits (64
-    * buckets), neighbors kept per vector, and the component quantization
-    * step — coarser than [[quantizedCorpus]]'s ×10⁶ because the ranking
-    * key squares the dot product: ×100 keeps `dot²·10⁶` and `‖a‖²·‖b‖²`
-    * comfortably under 2⁶³ at dim 64. */
+  /** [[knnGraph]] tunables shared with the oracle: sign-bucket bits
+    * (2^bits buckets), neighbors kept per vector, and the component
+    * quantization step — coarser than [[quantizedCorpus]]'s ×10⁶ because
+    * the ranking key squares the dot product: ×100 keeps `dot²·10⁶` and
+    * `‖a‖²·‖b‖²` comfortably under 2⁶³ at dim 64.
+    *
+    * `knnBits` is a TUNABLE like [[defaultKClusters]], not a format
+    * constant: the candidate bound is Σ bucketᵢ² ≈ n²/2^bits, so the bit
+    * width must GROW with the corpus — bits ≈ log₂√n holds per-bucket
+    * volume (and so per-ingest probe cost) flat, the same √n rule as the
+    * SemDeDup k (SCALE.md §knn). Both graph forms and both oracle SQL
+    * builders take it as a parameter defaulting to this value, so retuning
+    * is one argument on both sides; KnnBitsSpec runs two widths. */
   private[ops] val knnBits = 6
   private[ops] val knnK = 3
   private[ops] val knnQuant = 100
@@ -364,8 +372,8 @@ object Similarity {
     * [[graft.functions.TopKAgg]] (map-side cut to k before the exchange);
     * its (score DESC, id ASC) order is exactly the oracle's
     * `row_number`. */
-  def knnGraph(s: SparkSession, d: String): DataFrame = {
-    val bucketExpr = (0 until knnBits)
+  def knnGraph(s: SparkSession, d: String, bits: Int = knnBits): DataFrame = {
+    val bucketExpr = (0 until bits)
       .map(i => s"(CASE WHEN embedding[$i] >= 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
     val e = Lineage.cut(
       Tables.embeddings(s, d).select(
@@ -412,8 +420,8 @@ object Similarity {
     * co-partitioned shuffle join instead of OOMing.
     * Ranking reuses [[knnGraph]]'s pure-integer signed-squared-cosine
     * key. */
-  def knnIncremental(s: SparkSession, d: String): DataFrame = {
-    val bucketExpr = (0 until knnBits)
+  def knnIncremental(s: SparkSession, d: String, bits: Int = knnBits): DataFrame = {
+    val bucketExpr = (0 until bits)
       .map(i => s"(CASE WHEN embedding[$i] >= 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
     val e = Lineage.cut(
       Tables.embeddings(s, d).select(
@@ -535,8 +543,8 @@ object Similarity {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x_sim_knn_graph" -> knnGraph,
-    "x_sim_knn_incremental" -> knnIncremental,
+    "x_sim_knn_graph" -> ((s, d) => knnGraph(s, d)),
+    "x_sim_knn_incremental" -> ((s, d) => knnIncremental(s, d)),
     "x_sim_topk_mp" -> multiProbeTopK,
     "x_sim_recall_mp" -> recallMultiProbe,
     "x_sim_topk_ivfpq" -> ivfpqTopK,
@@ -683,61 +691,47 @@ object Similarity {
     (head +: steps).mkString(",\n")
   }
 
+  /** Oracle twin of [[knnGraph]] (`incremental = false`) / [[knnIncremental]]
+    * (`true`) at sign-bucket width `bits` — the SAME parameter the Spark
+    * side takes, so the tunable cannot drift between engine and oracle.
+    * Integer sort key (signed squared cosine in ppm) — DuckDB reproduces
+    * the ranking exactly; list_dot_product on the ≤2e5 quantized values is
+    * integer-exact in doubles. */
+  private[graft] def knnSql(bits: Int = knnBits, incremental: Boolean = false): String = {
+    val bucket = (0 until bits)
+      .map(i => s"(CASE WHEN embedding[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)")
+      .mkString(" + ")
+    val pairCond =
+      if (incremental)
+        s"""ON a.bucket = b.bucket
+           |      WHERE a.vec_id % $knnBatchMod = 7 AND b.vec_id % $knnBatchMod <> 7"""
+          .stripMargin
+      else "ON a.bucket = b.bucket AND a.vec_id <> b.vec_id"
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $knnQuant) AS BIGINT)) AS q,
+       |    CAST($bucket AS BIGINT) AS bucket
+       |  FROM embeddings),
+       |n AS (SELECT * FROM (SELECT vec_id, q, bucket,
+       |        CAST(list_dot_product(q, q) AS BIGINT) AS nq FROM e)
+       |      WHERE nq > 0),
+       |p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |        CAST(list_dot_product(a.q, b.q) AS BIGINT) AS dot,
+       |        a.nq AS na, b.nq AS nb
+       |      FROM n a JOIN n b $pairCond),
+       |sc AS (SELECT query_id, neighbor_id,
+       |         CAST(sign(dot) AS BIGINT) * ((dot * dot * 1000000) // (na * nb)) AS skey
+       |       FROM p),
+       |r AS (SELECT query_id, neighbor_id,
+       |        CAST(row_number() OVER (PARTITION BY query_id
+       |               ORDER BY skey DESC, neighbor_id ASC) AS BIGINT) AS rnk
+       |      FROM sc)
+       |SELECT query_id AS vec_id, neighbor_id, rnk FROM r WHERE rnk <= $knnK""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
-    // Integer sort key (signed squared cosine in ppm) — DuckDB reproduces
-    // the ranking exactly; list_dot_product on the ≤2e5 quantized values
-    // is integer-exact in doubles.
-    "x_sim_knn_graph" -> {
-      val bits = (0 until knnBits)
-        .map(i => s"(CASE WHEN embedding[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)")
-        .mkString(" + ")
-      s"""WITH e AS (
-         |  SELECT vec_id,
-         |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $knnQuant) AS BIGINT)) AS q,
-         |    CAST($bits AS BIGINT) AS bucket
-         |  FROM embeddings),
-         |n AS (SELECT * FROM (SELECT vec_id, q, bucket,
-         |        CAST(list_dot_product(q, q) AS BIGINT) AS nq FROM e)
-         |      WHERE nq > 0),
-         |p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-         |        CAST(list_dot_product(a.q, b.q) AS BIGINT) AS dot,
-         |        a.nq AS na, b.nq AS nb
-         |      FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
-         |sc AS (SELECT query_id, neighbor_id,
-         |         CAST(sign(dot) AS BIGINT) * ((dot * dot * 1000000) // (na * nb)) AS skey
-         |       FROM p),
-         |r AS (SELECT query_id, neighbor_id,
-         |        CAST(row_number() OVER (PARTITION BY query_id
-         |               ORDER BY skey DESC, neighbor_id ASC) AS BIGINT) AS rnk
-         |      FROM sc)
-         |SELECT query_id AS vec_id, neighbor_id, rnk FROM r WHERE rnk <= $knnK""".stripMargin
-    },
-    "x_sim_knn_incremental" -> {
-      val bits = (0 until knnBits)
-        .map(i => s"(CASE WHEN embedding[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)")
-        .mkString(" + ")
-      s"""WITH e AS (
-         |  SELECT vec_id,
-         |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $knnQuant) AS BIGINT)) AS q,
-         |    CAST($bits AS BIGINT) AS bucket
-         |  FROM embeddings),
-         |n AS (SELECT * FROM (SELECT vec_id, q, bucket,
-         |        CAST(list_dot_product(q, q) AS BIGINT) AS nq FROM e)
-         |      WHERE nq > 0),
-         |p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-         |        CAST(list_dot_product(a.q, b.q) AS BIGINT) AS dot,
-         |        a.nq AS na, b.nq AS nb
-         |      FROM n a JOIN n b ON a.bucket = b.bucket
-         |      WHERE a.vec_id % $knnBatchMod = 7 AND b.vec_id % $knnBatchMod <> 7),
-         |sc AS (SELECT query_id, neighbor_id,
-         |         CAST(sign(dot) AS BIGINT) * ((dot * dot * 1000000) // (na * nb)) AS skey
-         |       FROM p),
-         |r AS (SELECT query_id, neighbor_id,
-         |        CAST(row_number() OVER (PARTITION BY query_id
-         |               ORDER BY skey DESC, neighbor_id ASC) AS BIGINT) AS rnk
-         |      FROM sc)
-         |SELECT query_id AS vec_id, neighbor_id, rnk FROM r WHERE rnk <= $knnK""".stripMargin
-    },
+    "x_sim_knn_graph" -> knnSql(),
+    "x_sim_knn_incremental" -> knnSql(incremental = true),
     "x_sim_topk_mp" ->
       s"""$multiProbeSqlCtes
          |SELECT query_id, neighbor_id, rnk FROM ranked WHERE rnk <= $topK""".stripMargin,

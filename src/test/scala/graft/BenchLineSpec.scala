@@ -39,6 +39,10 @@ class BenchLineSpec extends AnyFunSuite {
     if (dropped > 0)
       assert(line.contains(s""""queries_omitted":$dropped"""),
         s"omission must be visible and counted: $line")
+    // family subtotals summarize the omitted sub-second entries (r7 #7)
+    assert(line.contains(""","fams":{"""), s"family subtotals missing: $line")
+    Seq("c", "d", "h", "s", "w", "x").foreach(f =>
+      assert(line.contains(s""""$f":"""), s"family $f missing from fams: $line"))
     // every surviving value stays whole-second-accurate at worst
     val slowProbe = names.zipWithIndex.collectFirst { case (n, i) if i % 10 == 0 => n }.get
     assert(Seq(":12.34", ":12.3", ":12,", ":12}").exists(v => line.contains(s""""$slowProbe"$v""")),
@@ -88,10 +92,14 @@ class BenchLineSpec extends AnyFunSuite {
   test("bench_full artifact: full precision, all samples, errors, valid shape") {
     val results = Seq(("q_a", 1.23456, None), ("q_err", -1.0, Some("boom \"q\"\n")))
     val samples = Map("q_a" -> Seq(1.23456, 2.5, 1.3))
-    val full = Bench.renderFull(results, sfDir, samples)
+    val full = Bench.renderFull(results, sfDir, samples, cpus = 32)
     assert(full.contains(""""q_a": {"sec": 1.2346, "samples": [1.2346,2.5,1.3]}"""), full)
     assert(full.contains(""""q_err": {"sec": -1, "samples": [-1],"error":"boom  q"""), full)
     assert(full.contains(""""sf": "sf0.1""""), full)
+    // the graded configuration is recorded — a local[4]-vs-local[32]
+    // mismatch (the r7 measurement-integrity finding) can't be invisible
+    assert(full.contains(""""cpus": 32"""), full)
+    assert(full.contains(""""master": "local[32]""""), full)
     assert(full.contains(""""total_sec": 1.2346"""), full) // errors excluded from total
     assert(full.count(_ == '{') == full.count(_ == '}'))
     assert(!full.contains("\"q\""), "quotes in error messages must be sanitized")
