@@ -26,9 +26,14 @@ import org.apache.spark.sql.SparkSession
   *    and the worst max/min sample ratio — distinguishing an unlucky pair
   *    from a steady regression without re-running;
   *  - a full-precision per-query artifact (`bench_full.json`, all raw
-  *    samples, no rounding or omission) is written next to the repo for
-  *    round-over-round comparison — the stdout line is tail-budgeted and
-  *    lossy by design;
+  *    samples, no rounding or omission, the run's cpus/master recorded) is
+  *    written next to the repo for round-over-round comparison — the
+  *    stdout line is tail-budgeted and lossy by design;
+  *  - MEMO-BACKED queries (the LSH pair graph, the converged k-means
+  *    assignment, the BPE trainer — see [[graft.ops.SpillMemo]]) measure a
+  *    parquet READ-BACK in their warm samples; the derivation cost is the
+  *    FIRST sample in `bench_full.json`, so compare training-loop
+  *    regressions on first samples, never on the min;
   *  - failures are reported per query in an `errors` map (and as value -1)
   *    instead of masquerading as fast runs.
   */

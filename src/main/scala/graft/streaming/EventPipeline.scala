@@ -167,16 +167,32 @@ object EventPipeline {
     * this never constrains a production checkpoint. */
   private[graft] val defaultStreamPartitions = 8
 
+  /** Conf key: state-store backend for the bounded-replay streaming queries
+    * — `"hdfs"` (default: the in-memory `HDFSBackedStateStoreProvider`,
+    * right for the graded replays whose whole state fits in a few MB) or
+    * `"rocksdb"` (Spark 4's `RocksDBStateStoreProvider`: off-heap,
+    * changelog-checkpointed — the choice SCALE.md recommends once per-key
+    * state outgrows executor heap; a live deployment flips this conf, and
+    * every streamed query here honors it because provider class is read at
+    * query start from the [[streamingSession]] child conf). */
+  private[graft] val streamStateProviderConf = "spark.graft.streamStateProvider"
+
+  private[graft] val rocksProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
   /** Child session for a streamed query: shared SparkContext, isolated SQL
     * conf with the reduced [[defaultStreamPartitions]] shuffle-partition
-    * count. The BATCH suite's plans (and its 32 shuffle partitions) are
-    * untouched — only the streaming micro-batches and the scratch-sink
-    * resolve run at the stream width. */
-  private def streamingSession(s: SparkSession): SparkSession = {
+    * count and the [[streamStateProviderConf]]-selected state backend. The
+    * BATCH suite's plans (and its 32 shuffle partitions) are untouched —
+    * only the streaming micro-batches and the scratch-sink resolve run at
+    * the stream width. */
+  private[graft] def streamingSession(s: SparkSession): SparkSession = {
     val n = s.conf.getOption(streamPartitionsConf)
       .getOrElse(defaultStreamPartitions.toString)
     val ss = s.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", n)
+    if (s.conf.getOption(streamStateProviderConf).contains("rocksdb"))
+      ss.conf.set("spark.sql.streaming.stateStore.providerClass", rocksProvider)
     ss
   }
 

@@ -52,40 +52,33 @@ class RunningTotalsProcessor extends StatefulProcessor[Long, TotalEvent, UserTot
   * completion over the events table and resolve the upsert sink. */
 object RunningTotals {
 
-  private val rocksProvider =
-    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+  private def rocksProvider = EventPipeline.rocksProvider
 
   /** `transformWithState` requires the RocksDB state store; the conf is
-    * read at query START, so set it for this query and restore after —
-    * concurrent queries already running are unaffected. */
+    * read at query START, so it is set on the throwaway reduced-partition
+    * [[EventPipeline.streamingSession]] child (which also carries the
+    * stream-width shuffle-partition count) — the caller's session conf is
+    * never touched, and concurrent queries are unaffected. */
   def streamedRunningTotals(s: SparkSession, sfDir: String): DataFrame = {
-    import s.implicits._
+    val ss = EventPipeline.streamingSession(s)
+    import ss.implicits._
     val scratch = Files.createTempDirectory("graft-tws-").toFile.getAbsolutePath
-    val confKey = "spark.sql.streaming.stateStore.providerClass"
-    val prev = s.conf.getOption(confKey)
-    s.conf.set(confKey, rocksProvider)
-    try {
-      val typed = EventPipeline.fileStream(s, sfDir)
-        .filter(col("user_id").isNotNull && col("value").isNotNull)
-        .select(col("user_id"),
-          expr("CAST(round(value * 100) AS BIGINT)").as("value_c"))
-        .as[TotalEvent]
-      val out = typed.groupByKey(_.user_id)
-        .transformWithState(new RunningTotalsProcessor, TimeMode.None(), OutputMode.Update())
-      val q = out.toDF().writeStream
-        .outputMode("update")
-        .option("checkpointLocation", s"$scratch/ckpt")
-        .trigger(Trigger.AvailableNow())
-        .foreachBatch((b: Dataset[Row], id: Long) => UpsertSink.writeBatch(b, id, s"$scratch/sink"))
-        .start()
-      q.awaitTermination()
-    } finally {
-      prev match {
-        case Some(p) => s.conf.set(confKey, p)
-        case None => s.conf.unset(confKey)
-      }
-    }
-    UpsertSink.resolve(s, s"$scratch/sink", Seq("user_id"))
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass", rocksProvider)
+    val typed = EventPipeline.fileStream(ss, sfDir)
+      .filter(col("user_id").isNotNull && col("value").isNotNull)
+      .select(col("user_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("value_c"))
+      .as[TotalEvent]
+    val out = typed.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor, TimeMode.None(), OutputMode.Update())
+    val q = out.toDF().writeStream
+      .outputMode("update")
+      .option("checkpointLocation", s"$scratch/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch((b: Dataset[Row], id: Long) => UpsertSink.writeBatch(b, id, s"$scratch/sink"))
+      .start()
+    q.awaitTermination()
+    UpsertSink.resolve(ss, s"$scratch/sink", Seq("user_id"))
       .select(col("user_id"), col("n_events"), col("value_c_sum"))
   }
 
