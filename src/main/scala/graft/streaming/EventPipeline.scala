@@ -455,6 +455,103 @@ object EventPipeline {
           unix_micros(col("ts")).as("ts_us"))
     }.select(col("event_id"), col("user_id"), col("event_type"), col("ts_us"))
 
+  /** CHAINED STATEFUL OPERATORS — streaming dedup feeding a downstream
+    * streaming windowed aggregation in ONE query (two state stores, one
+    * watermark propagated through both): the shape a real ingest pipeline
+    * runs ("drop redelivered events, then count what's left per window")
+    * without landing an intermediate table. The input stream is doubled
+    * ([[streamedDedup]]'s construction) so the dedup stage is load-bearing:
+    * skipping it would exactly double every window count. Spark requires
+    * append mode for a chain ending in an aggregation, so the output
+    * carries the append-mode watermark cut — only windows the final
+    * watermark closed emit (the [[streamedSessions]] `end ≤ wm` convention,
+    * ms-floored zero-delay watermark), and the oracle encodes the same cut.
+    *
+    * Scale: stage-1 state is the dedup horizon (watermark-evicted ids),
+    * stage-2 state is |open windows| × |event types|; both bounded, both
+    * partitioned on their own keys — the chain adds one exchange between
+    * the stages (id-hash → (window, type)-hash), exactly what the two
+    * queries run separately would pay, minus the intermediate sink. */
+  def streamedDedupWindows(s: SparkSession, sfDir: String): DataFrame =
+    runToSink(s, "graft-sdw-", "append",
+      Seq("window_start_us", "window_end_us", "event_type")) { ss =>
+      def src = fileStream(ss, sfDir)
+        .filter(col("event_id").isNotNull && col("ts").isNotNull &&
+          col("event_type").isNotNull)
+        .select(col("event_id"), col("event_type"), col("ts"))
+      src.union(src)
+        .withWatermark("ts", "0 seconds")
+        .dropDuplicatesWithinWatermark("event_id")
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(unix_micros(col("window.start")).as("window_start_us"),
+          unix_micros(col("window.end")).as("window_end_us"),
+          col("event_type"), col("n_events"))
+    }.select(col("window_start_us"), col("window_end_us"),
+      col("event_type"), col("n_events"))
+
+  /** CHAINED WINDOW AGGREGATIONS — the second multi-stateful-operator
+    * shape Spark supports: a 10-minute tumbling count per event type
+    * re-aggregated into a 1-hour tumbling rollup (peak and total 10-min
+    * rate per hour) in ONE query, `window(col("window"), "1 hour")`
+    * windowing directly over the inner window struct (Spark buckets by the
+    * inner window's end − 1 µs, so aligned tumbling windows nest exactly).
+    * This is the production downsample shape — minute-grain monitoring
+    * re-rolled to hour grain for retention — without landing the
+    * minute-grain table. Append mode as the chain requires; both stages'
+    * emission is governed by one propagated watermark, and the oracle cuts
+    * to hours the final watermark closed (end ≤ wm — every inner window of
+    * a closed hour is itself closed, so the cut composes).
+    *
+    * Scale: stage-1 state is |open 10-min windows| × |types|, stage-2
+    * |open hours| × |types| — strictly smaller; the inter-stage exchange
+    * moves pre-aggregated rows (one per window × type), not events. */
+  def streamedWindowRollup(s: SparkSession, sfDir: String): DataFrame =
+    runToSink(s, "graft-swr-", "append", Seq("hour_start_us", "event_type")) { ss =>
+      fileStream(ss, sfDir)
+        .filter(col("ts").isNotNull && col("event_type").isNotNull)
+        .withWatermark("ts", "0 seconds")
+        .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(window(col("window"), "1 hour"), col("event_type"))
+        .agg(max(col("n")).as("peak_10m"), sum(col("n")).as("n_events"))
+        .select(unix_micros(col("window.start")).as("hour_start_us"),
+          col("event_type"), col("peak_10m"), col("n_events"))
+    }.select(col("hour_start_us"), col("event_type"),
+      col("peak_10m"), col("n_events"))
+
+  /** Holdout modulus for [[streamedDecontam]] — the decontamination
+    * family's eval-set convention (`ops/Dedup.evalMod`): every 20th key. */
+  private val holdoutMod = 20
+
+  /** STREAMING DECONTAMINATION — stream-static LEFT ANTI join: events
+    * whose user is in a static holdout set (stand-in: customers with
+    * c_custkey ≡ 0 mod [[holdoutMod]], the decontamination family's
+    * eval-set convention) are dropped AT INGEST, and the surviving stream
+    * rolls up per event type. This is the streaming twin of
+    * `x_decontaminate`'s batch shape and the third stream-static join
+    * semantic the engine exercises (inner: [[streamedEnriched]]; the anti
+    * form is what an LLM ingest pipeline runs to keep benchmark/eval
+    * contamination out of training data as it arrives, not in a later
+    * sweep). The holdout side is [[graft.ops.Hints.broadcastSmall]] —
+    * map-side anti probe per micro-batch, no stream shuffle for the join;
+    * a holdout that outgrows the driver falls back by conf to a shuffled
+    * anti join exactly like its batch twin. Unwindowed update-mode rollup:
+    * one state row per type, nothing to evict. */
+  def streamedDecontam(s: SparkSession, sfDir: String): DataFrame =
+    runToSink(s, "graft-sdecon-", "update", Seq("event_type")) { ss =>
+      val holdout = graft.Tables.customer(ss, sfDir)
+        .filter(col("c_custkey") % holdoutMod === 0)
+        .select(col("c_custkey"))
+      fileStream(ss, sfDir)
+        .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+        .join(graft.ops.Hints.broadcastSmall(holdout),
+          col("user_id") === col("c_custkey"), "left_anti")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(expr("CAST(round(value * 100) AS BIGINT)")).as("value_c_sum"))
+    }.select(col("event_type"), col("n_events"), col("value_c_sum"))
+
   /** Stream-static join: the event stream enriched against the batch
     * customer ⋈ nation dimension (broadcast — the stream side never
     * shuffles for the join, the pattern every streaming enrichment uses at
@@ -589,7 +686,10 @@ object EventPipeline {
     "s_dead_letter_stream" -> ((s, d) => streamedDeadLetter(s, d)),
     "s_sketch_stream" -> ((s, d) => streamedSketch(s, d)),
     "s_window_hitters_stream" -> ((s, d) => streamedWindowHitters(s, d)),
-    "s_right_join_stream" -> ((s, d) => streamedRightJoin(s, d)))
+    "s_right_join_stream" -> ((s, d) => streamedRightJoin(s, d)),
+    "s_dedup_windows_stream" -> ((s, d) => streamedDedupWindows(s, d)),
+    "s_window_rollup_stream" -> ((s, d) => streamedWindowRollup(s, d)),
+    "s_decontam_stream" -> ((s, d) => streamedDecontam(s, d)))
 
   /** The streamed KPI table must equal the batch formulation (the core
     * Structured Streaming guarantee), so the oracle is the same window SQL.
@@ -759,6 +859,45 @@ object EventPipeline {
     "s_dedup_stream" ->
       """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
         |FROM events WHERE event_id IS NOT NULL AND ts IS NOT NULL""".stripMargin,
+    // Chained dedup → window agg: dedup recovers the original event set
+    // (fixture ids unique, duplicate copies identical — the s_dedup_stream
+    // contract), then the sliding-window expansion (the windowsSql
+    // construction: each event covers starts floor(us/300s)·300s − k·300s,
+    // k ∈ {0,1}) counted per (window, type), cut to windows the ms-floored
+    // zero-delay watermark closed (end ≤ wm, the sessions convention).
+    // ts ≥ 0 fixture invariant makes `//` floor == Spark's epoch-aligned
+    // window start on both sides.
+    "s_dedup_windows_stream" ->
+      """WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS us FROM events
+        |           WHERE event_id IS NOT NULL AND ts IS NOT NULL
+        |             AND event_type IS NOT NULL),
+        |wm AS (SELECT (max(us) // 1000) * 1000 AS w FROM e),
+        |g AS (SELECT ((us // 300000000) - o.k) * 300000000 AS ws, event_type
+        |      FROM e, (VALUES (0), (1)) AS o(k))
+        |SELECT CAST(ws AS BIGINT) AS window_start_us,
+        |       CAST(ws + 600000000 AS BIGINT) AS window_end_us,
+        |       event_type, count(*) AS n_events
+        |FROM g, wm
+        |WHERE ws + 600000000 <= wm.w
+        |GROUP BY 1, 2, 3""".stripMargin,
+    // Chained window→window rollup: 10-min tumbling counts per type,
+    // re-rolled to 1-hour tumbling peak/total, cut to hours the ms-floored
+    // zero-delay watermark closed (end ≤ wm). Aligned tumbling windows
+    // nest exactly, so hour = floor(inner_start / 1h); ts ≥ 0 fixture
+    // invariant makes `//` floor == Spark's epoch-aligned window starts.
+    "s_window_rollup_stream" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS us FROM events
+        |           WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+        |wm AS (SELECT (max(us) // 1000) * 1000 AS w FROM e),
+        |i AS (SELECT (us // 600000000) * 600000000 AS ws, event_type,
+        |             count(*) AS n
+        |      FROM e GROUP BY 1, 2),
+        |h AS (SELECT (ws // 3600000000) * 3600000000 AS hs, event_type,
+        |             max(n) AS peak_10m, CAST(sum(n) AS BIGINT) AS n_events
+        |      FROM i GROUP BY 1, 2)
+        |SELECT CAST(hs AS BIGINT) AS hour_start_us, event_type,
+        |       peak_10m, n_events
+        |FROM h, wm WHERE hs + 3600000000 <= wm.w""".stripMargin,
     // Cumulative per-reason counts: the final upsert equals the batch
     // classification rollup — same oracle as the batch twin.
     "s_dead_letter_stream" -> graft.ops.Parse.oracle("c_dead_letter"),
@@ -796,6 +935,17 @@ object EventPipeline {
          |FROM probes p JOIN grid g USING (w_start_us, r, b)
          |GROUP BY 1, 2, 3""".stripMargin
     },
+    // Anti-join decontamination: the surviving rollup equals the batch
+    // NOT-EXISTS formulation over the same holdout set.
+    "s_decontam_stream" ->
+      s"""SELECT event_type, count(*) AS n_events,
+         |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c_sum
+         |FROM events e
+         |WHERE e.user_id IS NOT NULL AND e.event_type IS NOT NULL
+         |  AND NOT EXISTS (SELECT 1 FROM customer c
+         |                  WHERE c.c_custkey = e.user_id
+         |                    AND c.c_custkey % $holdoutMod = 0)
+         |GROUP BY 1""".stripMargin,
     "s_enriched_stream" ->
       """SELECT n_name, count(*) AS n_events,
         |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c_sum
