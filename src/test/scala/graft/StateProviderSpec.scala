@@ -40,6 +40,16 @@ class StateProviderSpec extends SparkSpec {
     assert(rocks == hdfs)
   }
 
+  test("chained dedup→window query is provider-invariant (two RocksDB stores)") {
+    val hdfs = EventPipeline.streamedDedupWindows(spark, sf).collect().toSet
+    spark.conf.set(conf, "rocksdb")
+    val rocks =
+      try EventPipeline.streamedDedupWindows(spark, sf).collect().toSet
+      finally spark.conf.unset(conf)
+    assert(hdfs.nonEmpty)
+    assert(rocks == hdfs)
+  }
+
   test("streamed window aggregation matches its batch twin under RocksDB") {
     spark.conf.set(conf, "rocksdb")
     val streamed =
