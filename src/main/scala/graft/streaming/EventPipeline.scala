@@ -190,6 +190,13 @@ object EventPipeline {
     val n = s.conf.getOption(streamPartitionsConf)
       .getOrElse(defaultStreamPartitions.toString)
     val ss = s.newSession()
+    // newSession() starts from the DEFAULT SQL conf, not the caller's
+    // runtime values — every graft conf the caller set (broadcast escape
+    // hatches, stream tunables) must be copied over or it would silently
+    // not apply to the streamed queries' plans.
+    s.conf.getAll.foreach { case (k, v) =>
+      if (k.startsWith("spark.graft.")) ss.conf.set(k, v)
+    }
     ss.conf.set("spark.sql.shuffle.partitions", n)
     if (s.conf.getOption(streamStateProviderConf).contains("rocksdb"))
       ss.conf.set("spark.sql.streaming.stateStore.providerClass", rocksProvider)

@@ -252,6 +252,49 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("holdout anti join: broadcast by default, shuffle under the conf — and the conf reaches the streaming child") {
+    // The streamed decontamination's static side goes through the same
+    // Hints.broadcastSmall as its batch twin; pin the anti-join shape both
+    // ways on the batch construction, then prove the conf actually
+    // propagates into EventPipeline.streamingSession (newSession starts
+    // from DEFAULT conf — a dropped copy would silently re-broadcast).
+    import org.apache.spark.sql.functions.col
+    def anti(s: org.apache.spark.sql.SparkSession) =
+      Tables.events(s, sf).filter(col("user_id").isNotNull)
+        .join(graft.ops.Hints.broadcastSmall(
+          Tables.customer(s, sf).filter(col("c_custkey") % 20 === 0)
+            .select(col("c_custkey"))),
+          col("user_id") === col("c_custkey"), "left_anti")
+    val pOn = { val df = anti(spark); df.collect(); df.queryExecution.executedPlan.toString }
+    assert(pOn.contains("BroadcastHashJoin"), s"holdout must broadcast by default:\n$pOn")
+
+    spark.conf.set(graft.ops.Hints.broadcastSmallSidesConf, "false")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val child = graft.streaming.EventPipeline.streamingSession(spark)
+      assert(child.conf.getOption(graft.ops.Hints.broadcastSmallSidesConf)
+        .contains("false"), "graft confs must propagate into the streaming child")
+      // the threshold is a per-session Spark knob; at test scale the tiny
+      // holdout would auto-broadcast regardless of the hint, so disable it
+      // on the child (a production holdout past the threshold needs no such
+      // step — auto-broadcast skips it on size).
+      child.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = anti(child)
+      df.collect()
+      val p = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan.toString
+        case other => other.toString
+      }
+      assert(!p.contains("BroadcastHashJoin"),
+        s"conf off + no auto-broadcast must shuffle the anti join:\n$p")
+    } finally {
+      spark.conf.unset(graft.ops.Hints.broadcastSmallSidesConf)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
+
   test("surprisal broadcasts the 1-row corpus total — no shuffle for N") {
     val p = plan("x_text_surprisal")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
