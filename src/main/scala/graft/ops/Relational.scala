@@ -192,11 +192,20 @@ object Relational {
     * orderkey-sorted layout). At 100 TB this is the difference between
     * reading the table and reading the matching ~1%.
     *
-    * The ntile-over-global-sort formulation is the oracle-exact twin of the
-    * write path; a cluster write runs the identical plan as
-    * `repartitionByRange(zkey)` + `sortWithinPartitions(zkey)` →
-    * per-partition files, where the range exchange IS the distributed sort
-    * (sampled bounds, no single-node bottleneck). */
+    * The file split reproduces `ntile(zFiles)` over the global z-order
+    * EXACTLY (the oracle states it that way), but WITHOUT a global sort:
+    * the [[graft.ops.Sampling.globalIndex]] two-level trick on a RANGE
+    * partitioning. `repartitionByRange(zkey, …)` is the distributed sort a
+    * cluster write runs anyway (sampled bounds, no single-node bottleneck);
+    * ranks are computed per range partition, only the ≤|shuffle partitions|-
+    * row offset table takes an unpartitioned window, and offsets broadcast
+    * back to yield the exact global rank — from which ntile's bucket sizes
+    * (first `tot mod n` buckets get one extra row) are integer arithmetic.
+    * Rank is invariant to WHERE the sampled range bounds fall (the full
+    * sort key is unique, ranges are ordered), so the emitted layout is
+    * deterministic even though the partitioner's sampling is not. The
+    * single-partition `WindowExec` this replaces sorted the whole table on
+    * one core — the one formulation that could not survive a 100× scale-up. */
   def zorderLayout(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val li = Tables.lineitem(s, d).select(
@@ -204,8 +213,32 @@ object Relational {
       col("l_partkey").cast("long").as("pk"),
       col("l_suppkey").cast("long").as("sk"))
       .withColumn("zkey", expr("zorder2(pk, sk)"))
-    val w = Window.orderBy(col("zkey"), col("l_orderkey"), col("l_linenumber"))
-    li.withColumn("file_id", ntile(zFiles).over(w).cast("long"))
+    val parted = li
+      .repartitionByRange(col("zkey"), col("l_orderkey"), col("l_linenumber"))
+      .withColumn("pid", spark_partition_id().cast("long"))
+    val localW = Window.partitionBy(col("pid"))
+      .orderBy(col("zkey"), col("l_orderkey"), col("l_linenumber"))
+    val local = parted.withColumn("lr", row_number().over(localW).cast("long"))
+    val offW = Window.orderBy(col("pid"))
+    val offsets = local.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(
+        sum(col("cnt")).over(offW.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("tot", sum(col("cnt"))
+        .over(offW.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("pid"), col("off"), col("tot"))
+    local.join(broadcast(offsets), "pid")
+      .withColumn("r", col("off") + col("lr"))
+      // ntile(n) over tot rows: q = tot div n rows per bucket, the first
+      // `rem` buckets take one extra. greatest(q, 1) only guards the
+      // unreachable-else division when tot < n (then every r hits the
+      // when-branch).
+      .withColumn("file_id", expr(
+        s"""CASE WHEN r <= ((tot div ${zFiles}L) + 1) * (tot % ${zFiles}L)
+           |     THEN (r - 1) div ((tot div ${zFiles}L) + 1) + 1
+           |     ELSE (tot % ${zFiles}L)
+           |          + (r - 1 - ((tot div ${zFiles}L) + 1) * (tot % ${zFiles}L))
+           |            div greatest(tot div ${zFiles}L, 1L) + 1
+           |END""".stripMargin))
       .groupBy(col("file_id"))
       .agg(count(lit(1)).as("n_rows"),
         min(col("pk")).as("pk_lo"), max(col("pk")).as("pk_hi"),

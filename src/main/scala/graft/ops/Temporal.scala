@@ -120,6 +120,48 @@ object Temporal {
       .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(wRun))
   }
 
+  /** X5: point-in-time (feature-store) join — every purchase event enriched
+    * with the state run valid AT its instant, against the SCD2 dimension
+    * derived from the same user's NON-purchase events ([[scd2Events]] over
+    * the complement — the stand-in for an independently maintained
+    * state-history table). This is the lookup SCD2 exists to serve, and the
+    * training-data shape feature stores call point-in-time correctness: a
+    * model's features must come from the run that was CURRENT at label
+    * time, never a later one (label leakage).
+    *
+    * Unlike [[asofJoin]]'s union+window form (one stream, no dimension),
+    * this is a real dimension join: equi-join on `user_id` plus interval
+    * containment `valid_from ≤ ts < valid_to` (NULL-open current run).
+    * Per-user validity ranges are DISJOINT by construction, so each fact
+    * matches at most one run — the join cannot expand. Plan: one
+    * co-partitioned exchange per side on user_id (on a lake bucketed by
+    * user, none), the containment predicate evaluated inside the join; a
+    * fact stream 100× the dimension broadcasts the dimension instead —
+    * both ends shuffle only (user, run boundary) longs, never payloads.
+    * Purchases before the user's first observed state run keep a NULL
+    * state (LEFT join) — the honest answer, not a fabricated row. */
+  def pitState(s: SparkSession, d: String): DataFrame =
+    pitStateEvents(Tables.events(s, d))
+
+  /** [[pitState]] over any frame with (event_id, user_id, ts, event_type). */
+  def pitStateEvents(events: DataFrame): DataFrame = {
+    val dim = scd2Events(events.filter(col("event_type") =!= "purchase"))
+      .select(col("user_id").as("d_user"), col("run_id"),
+        col("event_type").as("state_type"), col("valid_from_us"), col("valid_to_us"))
+    val facts = events
+      .filter(col("event_type") === "purchase" &&
+        col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+    facts.join(dim,
+        col("user_id") === col("d_user") &&
+          col("valid_from_us") <= col("ts_us") &&
+          (col("valid_to_us").isNull || col("ts_us") < col("valid_to_us")),
+        "left")
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("state_type"), col("run_id").as("state_run"),
+        col("valid_from_us").as("state_since_us"))
+  }
+
   private val eventTypes = Seq("click", "view", "purchase", "signup", "error")
 
   /** X3: pivot — per-user event-type count matrix via the relational pivot
@@ -266,7 +308,8 @@ object Temporal {
     "x_asof_join" -> asofJoin,
     "x_range_clicks" -> clicksBeforePurchase,
     "x_event_pivot" -> eventPivot,
-    "x_scd2_ranges" -> scd2)
+    "x_scd2_ranges" -> scd2,
+    "x_pit_state" -> pitState)
 
   val oracle: Map[String, String] = Map(
     // pivot → unpivot → drop manufactured zeros ≡ the original long rollup,
@@ -346,6 +389,44 @@ object Temporal {
                s"  CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS n_$t")
              .mkString(",\n")}
          |FROM events GROUP BY 1""".stripMargin,
+    // The [[scd2Events]] CTE chain restricted to non-purchase events (the
+    // dimension), left-joined under interval containment — disjoint per-user
+    // ranges make the match unique, so no dedup appears on either side.
+    "x_pit_state" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+        |    AND event_type <> 'purchase'),
+        |c AS (
+        |  SELECT user_id, ts_us, event_id, event_type,
+        |         CASE WHEN lag(event_type) OVER w IS NULL
+        |                OR lag(event_type) OVER w <> event_type
+        |              THEN 1 ELSE 0 END AS chg
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |r AS (
+        |  SELECT user_id, ts_us, event_type,
+        |         CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
+        |  FROM c),
+        |a AS (
+        |  SELECT user_id, run_id, min(event_type) AS event_type,
+        |         CAST(min(ts_us) AS BIGINT) AS valid_from_us
+        |  FROM r GROUP BY 1, 2),
+        |dim AS (
+        |  SELECT user_id, run_id, event_type, valid_from_us,
+        |         lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY run_id)
+        |           AS valid_to_us
+        |  FROM a),
+        |f AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+        |  WHERE event_type = 'purchase' AND user_id IS NOT NULL AND ts IS NOT NULL)
+        |SELECT f.event_id, f.user_id, f.ts_us,
+        |       d.event_type AS state_type, d.run_id AS state_run,
+        |       d.valid_from_us AS state_since_us
+        |FROM f LEFT JOIN dim d ON f.user_id = d.user_id
+        |  AND d.valid_from_us <= f.ts_us
+        |  AND (d.valid_to_us IS NULL OR f.ts_us < d.valid_to_us)""".stripMargin,
     "x_scd2_ranges" ->
       """WITH ev AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type

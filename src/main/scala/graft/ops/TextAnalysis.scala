@@ -259,18 +259,23 @@ object TextAnalysis {
     * vocabulary — the coverage check run before committing to a tokenizer
     * vocab (docs with high OOV rates are the ones a closed vocab will
     * mangle). Plan: one aggregation builds the term-frequency table, the
-    * top-N cut ranks the AGGREGATED relation (|vocab| rows — the global
-    * window sorts a dashboard-sized input, not the corpus), and the vocab is
-    * broadcast back onto the token stream, so the per-doc scoring pass is
-    * map-side. Deterministic cut: (tf desc, token asc). */
+    * top-N cut is a TakeOrderedAndProject over the AGGREGATED relation
+    * (bounded per-partition heaps — no global sort at any scale), and the
+    * vocab is broadcast back onto the token stream, so the per-doc scoring
+    * pass is map-side. Deterministic cut: (tf desc, token asc). */
   def oov(s: SparkSession, d: String): DataFrame = {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .filter(length(col("token")) > 0)
     val tf = toks.groupBy(col("token")).agg(count(lit(1)).as("tf"))
-    val w = Window.orderBy(col("tf").desc, col("token").asc)
-    val vocab = tf.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= oovVocabSize)
+    // orderBy+limit, not a row_number window: Spark plans this as
+    // TakeOrderedAndProject (per-partition bounded heaps + a k-row driver
+    // merge), so the vocab cut never materializes the tf relation on one
+    // partition — at 100 TB the token vocabulary is millions of rows, and
+    // the single-partition WindowExec this replaces was the one data-sized
+    // global sort in the operator. Same deterministic cut (tf desc, token
+    // asc); identical survivors by construction.
+    val vocab = tf.orderBy(col("tf").desc, col("token").asc).limit(oovVocabSize)
       .select(col("token"), lit(1).as("in_vocab"))
     toks.join(broadcast(vocab), Seq("token"), "left")
       .groupBy(col("doc_id"))
@@ -408,9 +413,10 @@ object TextAnalysis {
     *
     * Plan: pair expansion is map-side array work, the count is one shuffle
     * with map-side partial aggregation (only distinct pairs move — the
-    * reduction happens before the exchange), and the global top-N ranks the
-    * ALREADY-AGGREGATED |distinct pairs| relation — same single-window
-    * shape as [[oov]]'s vocab cut. Deterministic cut: (n desc, pair asc). */
+    * reduction happens before the exchange), and the global top-N is a
+    * TakeOrderedAndProject over the already-aggregated relation — same
+    * bounded-heap shape as [[oov]]'s vocab cut; only the N survivors see a
+    * window. Deterministic cut: (n desc, pair asc). */
   def bpePairs(s: SparkSession, d: String): DataFrame =
     bpePairsDocs(Tables.documents(s, d))
 
@@ -423,9 +429,15 @@ object TextAnalysis {
         "transform(sequence(1, size(words) - 1), i -> concat_ws(' ', slice(words, i, 2)))"))
         .as("pair"))
     val counts = pairs.groupBy(col("pair")).agg(count(lit(1)).as("n"))
+    // Global top-N via orderBy+limit (TakeOrderedAndProject — bounded heaps,
+    // no single-partition sort of the |distinct pairs| relation, which grows
+    // with the corpus), then rank the N survivors: the only window sorts
+    // [[bpeTopN]] rows, the [[graft.ops.Sampling.globalIndex]] offset-table
+    // size class. Cut and rank share the (n desc, pair asc) order, so the
+    // output is identical to ranking the full relation.
+    val top = counts.orderBy(col("n").desc, col("pair").asc).limit(bpeTopN)
     val w = Window.orderBy(col("n").desc, col("pair").asc)
-    counts.withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= bpeTopN)
+    top.withColumn("rnk", row_number().over(w).cast("long"))
   }
 
   /** Minimum document frequency at which a winnow fingerprint counts as

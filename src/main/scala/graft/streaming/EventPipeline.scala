@@ -104,8 +104,15 @@ object EventPipeline {
         throw new java.io.IOException(
           s"could not install streaming source file at $link (target: $target)")
     }
-    s.readStream.schema(schema).parquet(dir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = s.readStream.schema(schema).parquet(dir.toString)
+    // Same per-layout `ts` restoration as the batch reader (Tables.events):
+    // legacy nanos-as-long files truncate to micros; timestamp[us] files
+    // arrive as TIMESTAMP_NTZ and are relabeled to the UTC session type.
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => graft.Tables.normalizeNtz(stream)
+    }
   }
 
   /** One streaming query: windowed counts → upsert deltas (S3) with a

@@ -45,6 +45,27 @@ class TemporalSamplingSpec extends SparkSpec {
     assert(out == Map(4L -> 2L, 5L -> 0L))
   }
 
+  test("pitState attaches exactly the run containing the purchase instant") {
+    val events = ev(
+      (1L, "u1", "2024-01-01 09:00:00", "view"),     // run 1: view [09:00, 10:10)
+      (2L, "u1", "2024-01-01 09:30:00", "view"),
+      (3L, "u1", "2024-01-01 10:05:00", "purchase"), // inside run 1
+      (4L, "u1", "2024-01-01 10:10:00", "click"),    // run 2: click [10:10, ∞)
+      (5L, "u1", "2024-01-01 10:10:00", "purchase"), // ON the boundary → run 2 (half-open)
+      (6L, "u1", "2024-01-01 11:00:00", "purchase"), // open current run → run 2
+      (7L, "u2", "2024-01-01 08:00:00", "purchase"), // before any state → NULL
+      (8L, "u2", "2024-01-01 09:00:00", "signup"))
+    val rows = Temporal.pitStateEvents(events)
+      .select($"event_id", $"state_type", $"state_run")
+      .as[(Long, Option[String], Option[Long])].collect()
+    assert(rows.length == 4, "one row per purchase — disjoint ranges cannot fan out")
+    val out = rows.map { case (k, t, r) => (k, (t, r)) }.toMap
+    assert(out(3L) == ((Some("view"), Some(1L))))
+    assert(out(5L) == ((Some("click"), Some(2L)))) // valid_from inclusive, valid_to exclusive
+    assert(out(6L) == ((Some("click"), Some(2L)))) // NULL-open current run matches
+    assert(out(7L) == ((None, None)))              // purchase before first state: honest NULL
+  }
+
   test("eventPivot zero-fills absent types and counts per user") {
     val events = ev(
       (1L, "u1", "2024-01-01 10:00:00", "click"),
