@@ -31,7 +31,8 @@ object SparkEntry {
     (ops.MultimodalPipeline.queries, ops.MultimodalPipeline.oracle),
     (sources.Formats.queries, sources.Formats.oracle),
     (streaming.EventPipeline.queries, streaming.EventPipeline.oracle),
-    (streaming.RunningTotals.queries, streaming.RunningTotals.oracle))
+    (streaming.RunningTotals.queries, streaming.RunningTotals.oracle),
+    (streaming.Scd2Stream.queries, streaming.Scd2Stream.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's core computation: sliding-window per-user interaction
