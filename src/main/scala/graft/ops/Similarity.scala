@@ -542,7 +542,78 @@ object Similarity {
     rankTopK(scored)
   }
 
+  /** Milli-unit quantization scale for [[pcaPower]]'s Gram matrix — coarser
+    * than the µ-scale the rest of the pack uses because the POWER ITERATION
+    * multiplies three magnitudes (Gram entry × vector component × dimension
+    * fan-in) and all three must stay inside exact Long range:
+    * |q| ≤ ~4·10³, so Gram ≤ n·1.6·10⁷ and each matvec term ≤ Gram·2·10⁵ —
+    * headroom to n ≈ 10⁹ vectors before the bound matters (SCALE.md). */
+  private val pcaQScale = 1000L
+
+  /** Fixed-point scale of the iterated vector (max-abs-normalized). */
+  private val pcaVScale = 100000L
+
+  /** Power-iteration rounds — a fixed hyperparameter like
+    * `Dedup.pagerankRounds`; the oracle unrolls exactly this many. */
+  private[ops] val pcaRounds = 3
+
+  /** Engine-portable floor division for a SIGNED numerator and positive
+    * divisor: Spark's `div` truncates toward zero, DuckDB's `//` floors —
+    * they disagree on negatives. Subtracting the positive modulus first
+    * makes the numerator exactly divisible, where truncation and floor
+    * coincide. Both oracle builders interpolate the same identity. */
+  private def floorDivSql(a: String, b: String): String =
+    s"($a - (($a % $b + $b) % $b)) div $b"
+
+  /** X-PCA: the corpus's dominant principal direction by fixed-point POWER
+    * ITERATION — the training step behind embedding whitening/PCA that
+    * pipelines run before quantization or semantic dedup (rotating to the
+    * top components is what makes int8/PQ codes spend their bits where the
+    * variance is). Spark has no distributed eigensolver in the SQL engine;
+    * the scale-correct formulation is:
+    *
+    *  - ONE corpus pass builds the d×d integer Gram matrix: each row
+    *    expands to its 64² (i, j, qᵢ·qⱼ) products IN-ROW (map-side explode,
+    *    no corpus shuffle, partial aggregation collapses to the 4,096-key
+    *    exchange). A typed Aggregator carrying a 64²-long accumulator would
+    *    cut the row expansion too — the declarative form keeps codegen and
+    *    the same exchange, and the expansion never leaves its partition.
+    *  - [[pcaRounds]] matvec rounds over the MATERIALIZED 4,096-row Gram
+    *    relation: broadcast the 64-row vector, one partial-agged sum per
+    *    round — per-round cost is independent of corpus size, the
+    *    [[graft.ops.Dedup.pagerank]] scale class one matrix smaller.
+    *  - All arithmetic is exact integer: milli-quantized inputs
+    *    ([[pcaQScale]]), and each round max-abs-rescales to [[pcaVScale]]
+    *    via [[floorDivSql]] — no square roots, no FP accumulation, so the
+    *    iterate is bit-identical across engines and partitionings (the
+    *    quantized-k-means trick applied to an eigensolver).
+    *
+    * Emits the 64-row round-[[pcaRounds]] iterate (dim, v_fp). Uncentered
+    * (second-moment, not covariance) — the PCA-vs-mean-removal choice is a
+    * caller concern; the iteration is identical either way. */
+  def pcaPower(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.embeddings(s, d).select(
+      explode(expr(
+        s"""flatten(transform(embedding, (x, i) -> transform(embedding, (y, j) ->
+           |  struct(CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+           |    CAST(round(CAST(x AS DOUBLE) * $pcaQScale) AS BIGINT) *
+           |    CAST(round(CAST(y AS DOUBLE) * $pcaQScale) AS BIGINT) AS p))))""".stripMargin))
+        .as("e"))
+      .select(col("e.i").as("i"), col("e.j").as("j"), col("e.p").as("p"))
+    val gram = Lineage.cut(pairs.groupBy(col("i"), col("j")).agg(sum(col("p")).as("s")))
+    var v = gram.select(col("i")).distinct().withColumn("v", lit(pcaVScale))
+    for (_ <- 1 to pcaRounds) {
+      val u = gram.join(broadcast(v.select(col("i").as("j"), col("v").as("vj"))), "j")
+        .groupBy(col("i")).agg(sum(col("s") * col("vj")).as("u"))
+      val ds = u.agg(expr(s"greatest(1L, max(abs(u)) div $pcaVScale)").as("ds"))
+      v = Lineage.cut(u.crossJoin(broadcast(ds))
+        .select(col("i"), expr(floorDivSql("u", "ds")).as("v")))
+    }
+    v.select(col("i").as("dim"), col("v").as("v_fp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_embed_pca" -> ((s, d) => pcaPower(s, d)),
     "x_sim_knn_graph" -> ((s, d) => knnGraph(s, d)),
     "x_sim_knn_incremental" -> ((s, d) => knnIncremental(s, d)),
     "x_sim_topk_mp" -> multiProbeTopK,
@@ -729,7 +800,36 @@ object Similarity {
        |SELECT query_id AS vec_id, neighbor_id, rnk FROM r WHERE rnk <= $knnK""".stripMargin
   }
 
+  /** [[pcaPower]]'s unrolled twin: the same Gram sums (via a self-join
+    * rather than in-row expansion — identical exact-integer results), then
+    * [[pcaRounds]] matvec+rescale CTEs generated from the same constants,
+    * with the DuckDB spelling of [[floorDivSql]] (`//` floors where Spark's
+    * `div` truncates; the subtracted-modulus numerator is exactly divisible,
+    * where the two agree). */
+  private def pcaSql: String = {
+    def fdiv(a: String, b: String) = s"($a - (($a % $b + $b) % $b)) // $b"
+    val rounds = (1 to pcaRounds).map { r =>
+      val pv = s"v${r - 1}"
+      s"""u$r AS (SELECT g.i AS i, CAST(sum(g.s * $pv.v) AS BIGINT) AS u
+         |  FROM g JOIN $pv ON g.j = $pv.i GROUP BY 1),
+         |m$r AS (SELECT greatest(CAST(1 AS BIGINT), max(abs(u)) // $pcaVScale) AS ds
+         |        FROM u$r),
+         |v$r AS (SELECT i, CAST(${fdiv("u", "ds")} AS BIGINT) AS v FROM u$r, m$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (
+       |  SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+       |         CAST(round(CAST(embedding[i] AS DOUBLE) * $pcaQScale) AS BIGINT) AS qv
+       |  FROM (SELECT vec_id, embedding, unnest(range(1, len(embedding) + 1)) AS i
+       |        FROM embeddings)),
+       |g AS (SELECT a.dim AS i, b.dim AS j, CAST(sum(a.qv * b.qv) AS BIGINT) AS s
+       |      FROM q a JOIN q b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+       |v0 AS (SELECT DISTINCT dim AS i, CAST($pcaVScale AS BIGINT) AS v FROM q),
+       |$rounds
+       |SELECT i AS dim, v AS v_fp FROM v$pcaRounds""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "x_embed_pca" -> pcaSql,
     "x_sim_knn_graph" -> knnSql(),
     "x_sim_knn_incremental" -> knnSql(incremental = true),
     "x_sim_topk_mp" ->
