@@ -218,7 +218,13 @@ object Relational {
       .withColumn("pid", spark_partition_id().cast("long"))
     val localW = Window.partitionBy(col("pid"))
       .orderBy(col("zkey"), col("l_orderkey"), col("l_linenumber"))
-    val local = parted.withColumn("lr", row_number().over(localW).cast("long"))
+    // MATERIALIZED before fan-out ([[graft.ops.Lineage]] contract): the
+    // ranked relation feeds both the offset aggregation and the join back,
+    // and an unmaterialized plan would EXECUTE the range exchange twice —
+    // with independently SAMPLED partition bounds, so the offsets would
+    // describe a different partitioning than the ranks they offset (observed
+    // at sf0.1: 22 of 32 files). One execution, one set of bounds.
+    val local = Lineage.cut(parted.withColumn("lr", row_number().over(localW).cast("long")))
     val offW = Window.orderBy(col("pid"))
     val offsets = local.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
       .withColumn("off", coalesce(
