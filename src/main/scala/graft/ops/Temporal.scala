@@ -311,7 +311,7 @@ object Temporal {
     "x_scd2_ranges" -> scd2,
     "x_pit_state" -> pitState)
 
-  val oracle: Map[String, String] = Map(
+  lazy val oracle: Map[String, String] = oracleTail ++ Map(
     // pivot → unpivot → drop manufactured zeros ≡ the original long rollup,
     // RESTRICTED to the pivot's explicit type list (same [[eventTypes]]
     // constant): a row with a NULL or unlisted event_type never enters the
@@ -392,8 +392,16 @@ object Temporal {
     // The [[scd2Events]] CTE chain restricted to non-purchase events (the
     // dimension), left-joined under interval containment — disjoint per-user
     // ranges make the match unique, so no dedup appears on either side.
-    "x_pit_state" ->
-      """WITH ev AS (
+    "x_pit_state" -> pitSql(factEventIdNotNull = false))
+
+  /** Shared oracle builder for the batch PIT join (`x_pit_state`) and its
+    * stream-static twin (`s_pit_stream` in
+    * [[graft.streaming.Scd2Stream]]): same dimension CTEs, same containment
+    * join; the streamed form additionally requires a non-null `event_id`
+    * (its upsert key), so the fact filter is the one parameter. */
+  private[graft] def pitSql(factEventIdNotNull: Boolean): String = {
+    val idFilter = if (factEventIdNotNull) " AND event_id IS NOT NULL" else ""
+    s"""WITH ev AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
         |  FROM events
         |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
@@ -420,13 +428,16 @@ object Temporal {
         |  FROM a),
         |f AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
-        |  WHERE event_type = 'purchase' AND user_id IS NOT NULL AND ts IS NOT NULL)
+        |  WHERE event_type = 'purchase' AND user_id IS NOT NULL AND ts IS NOT NULL$idFilter)
         |SELECT f.event_id, f.user_id, f.ts_us,
         |       d.event_type AS state_type, d.run_id AS state_run,
         |       d.valid_from_us AS state_since_us
         |FROM f LEFT JOIN dim d ON f.user_id = d.user_id
         |  AND d.valid_from_us <= f.ts_us
-        |  AND (d.valid_to_us IS NULL OR f.ts_us < d.valid_to_us)""".stripMargin,
+        |  AND (d.valid_to_us IS NULL OR f.ts_us < d.valid_to_us)""".stripMargin
+  }
+
+  private val oracleTail: Map[String, String] = Map(
     "x_scd2_ranges" ->
       """WITH ev AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type

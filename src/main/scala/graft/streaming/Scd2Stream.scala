@@ -132,8 +132,55 @@ object Scd2Stream {
         col("valid_from_us"), col("n_events"), col("valid_to_us"))
   }
 
+  /** The SIXTEENTH streaming execution and a join semantic the suite did
+    * not yet exercise: a stream-static NON-EQUI (interval-containment)
+    * LEFT join — each purchase fact is enriched AT INGEST with the SCD2
+    * state run valid at its instant, against the batch-derived dimension
+    * ([[graft.ops.Temporal.pitState]]'s contract run as a stream). The
+    * join is STATELESS (static right side ⇒ per-batch hash join, nothing
+    * to evict, no watermark cut — every fact emits exactly once on
+    * arrival), the dimension is lineage-cut once at build so micro-batches
+    * re-read materialized blocks instead of re-deriving the window chain,
+    * and the broadcast is the conf-gated [[graft.ops.Hints.broadcastSmall]]
+    * kind (a corpus-derived dimension grows; a real deployment whose
+    * history outgrows the driver flips to the shuffled per-batch join by
+    * conf). Facts carry the non-null `event_id` upsert key, so checkpoint
+    * replay is idempotent — the one filter its oracle adds over
+    * `x_pit_state`'s. */
+  def streamedPit(s: SparkSession, sfDir: String): DataFrame = {
+    val ss = EventPipeline.streamingSession(s)
+    val scratch = Files.createTempDirectory("graft-spit-").toFile.getAbsolutePath
+    val dim = graft.ops.Lineage.cut(
+      graft.ops.Temporal.scd2Events(
+          graft.Tables.events(ss, sfDir).filter(col("event_type") =!= "purchase"))
+        .select(col("user_id").as("d_user"), col("run_id"),
+          col("event_type").as("state_type"), col("valid_from_us"), col("valid_to_us")))
+    val facts = EventPipeline.fileStream(ss, sfDir)
+      .filter(col("event_type") === "purchase" && col("user_id").isNotNull &&
+        col("ts").isNotNull && col("event_id").isNotNull)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+    val joined = facts.join(graft.ops.Hints.broadcastSmall(dim),
+        col("user_id") === col("d_user") &&
+          col("valid_from_us") <= col("ts_us") &&
+          (col("valid_to_us").isNull || col("ts_us") < col("valid_to_us")),
+        "left")
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("state_type"),
+        col("run_id").as("state_run"), col("valid_from_us").as("state_since_us"))
+    val q = joined.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$scratch/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch((b: Dataset[Row], id: Long) => UpsertSink.writeBatch(b, id, s"$scratch/sink"))
+      .start()
+    q.awaitTermination()
+    UpsertSink.resolve(ss, s"$scratch/sink", Seq("event_id"))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("state_type"), col("state_run"), col("state_since_us"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "s_scd2_stream" -> ((s, d) => streamedScd2(s, d)))
+    "s_scd2_stream" -> ((s, d) => streamedScd2(s, d)),
+    "s_pit_stream" -> ((s, d) => streamedPit(s, d)))
 
   /** The batch SCD2 CTE chain over the folded prefix (`us < wm`, the
     * zero-delay ms-floored watermark), restricted to CLOSED runs — exactly
@@ -141,6 +188,9 @@ object Scd2Stream {
     * because the typed row needs the sort tiebreaker (the batch twin keeps
     * such rows; this query's oracle must drop them on both sides). */
   val oracle: Map[String, String] = Map(
+    // Stateless stream-static join: NO watermark cut — the full batch PIT
+    // contract, restricted to facts carrying the upsert key.
+    "s_pit_stream" -> graft.ops.Temporal.pitSql(factEventIdNotNull = true),
     "s_scd2_stream" ->
       """WITH raw AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type

@@ -34,6 +34,16 @@ class Scd2StreamSpec extends SparkSpec {
       "streaming SCD2 must equal batch closed runs over the folded prefix")
   }
 
+  test("streamed PIT enrichment equals the batch PIT join (sf0.001)") {
+    val streamed = Scd2Stream.streamedPit(spark, sf).collect().map(_.toSeq).toSet
+    val batch = Temporal.pitState(spark, sf)
+      .filter(col("event_id").isNotNull) // the streamed form's upsert key
+      .collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch,
+      "stateless stream-static PIT join must emit the full batch contract")
+  }
+
   test("runs fold in event order and emit only when the watermark closes them") {
     val confKey = "spark.sql.streaming.stateStore.providerClass"
     val before = spark.conf.getOption(confKey)
