@@ -572,44 +572,52 @@ object Similarity {
     * variance is). Spark has no distributed eigensolver in the SQL engine;
     * the scale-correct formulation is:
     *
-    *  - ONE corpus pass builds the d×d integer Gram matrix: each row
-    *    expands to its 64² (i, j, qᵢ·qⱼ) products IN-ROW (map-side explode,
-    *    no corpus shuffle, partial aggregation collapses to the 4,096-key
-    *    exchange). A typed Aggregator carrying a 64²-long accumulator would
-    *    cut the row expansion too — the declarative form keeps codegen and
-    *    the same exchange, and the expansion never leaves its partition.
-    *  - [[pcaRounds]] matvec rounds over the MATERIALIZED 4,096-row Gram
-    *    relation: broadcast the 64-row vector, one partial-agged sum per
-    *    round — per-round cost is independent of corpus size, the
-    *    [[graft.ops.Dedup.pagerank]] scale class one matrix smaller.
+    *  - ONE corpus pass builds the d×d integer Gram matrix via the typed
+    *    [[graft.functions.GramAgg]] aggregator: each partition folds its
+    *    vectors into a d²-long accumulator (a tight JVM multiply-add loop),
+    *    partials merge elementwise, and the exchange moves |partitions|
+    *    fixed-size arrays — no row expansion, no corpus shuffle. (The
+    *    declarative in-row pair-explode twin computes identical sums but
+    *    runs its nested lambdas interpreted — measured 9.2 s vs sub-second
+    *    at sf0.1 — a case where the custom-Aggregator rung of the
+    *    extension ladder is simply right.)
+    *  - [[pcaRounds]] matvec rounds over the collected d² matrix ON THE
+    *    DRIVER — the `RowMatrix.computePrincipalComponents` precedent: the
+    *    Gram matrix is O(d²) REGARDLESS of corpus size, so this is the one
+    *    place a driver-side step is scale-honest (the distributed-join
+    *    formulation of the same rounds spent ~2.5 s/query on scheduler
+    *    round-trips moving 64-row relations). Nothing corpus-sized ever
+    *    reaches the driver.
     *  - All arithmetic is exact integer: milli-quantized inputs
     *    ([[pcaQScale]]), and each round max-abs-rescales to [[pcaVScale]]
-    *    via [[floorDivSql]] — no square roots, no FP accumulation, so the
-    *    iterate is bit-identical across engines and partitionings (the
-    *    quantized-k-means trick applied to an eigensolver).
+    *    via `Math.floorDiv` — the oracle's [[floorDivSql]] twin — so the
+    *    iterate is bit-identical across engines (the quantized-k-means
+    *    trick applied to an eigensolver).
     *
     * Emits the 64-row round-[[pcaRounds]] iterate (dim, v_fp). Uncentered
     * (second-moment, not covariance) — the PCA-vs-mean-removal choice is a
     * caller concern; the iteration is identical either way. */
   def pcaPower(s: SparkSession, d: String): DataFrame = {
-    val pairs = Tables.embeddings(s, d).select(
-      explode(expr(
-        s"""flatten(transform(embedding, (x, i) -> transform(embedding, (y, j) ->
-           |  struct(CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
-           |    CAST(round(CAST(x AS DOUBLE) * $pcaQScale) AS BIGINT) *
-           |    CAST(round(CAST(y AS DOUBLE) * $pcaQScale) AS BIGINT) AS p))))""".stripMargin))
-        .as("e"))
-      .select(col("e.i").as("i"), col("e.j").as("j"), col("e.p").as("p"))
-    val gram = Lineage.cut(pairs.groupBy(col("i"), col("j")).agg(sum(col("p")).as("s")))
-    var v = gram.select(col("i")).distinct().withColumn("v", lit(pcaVScale))
+    val gramAgg = org.apache.spark.sql.functions.udaf(
+      new graft.functions.GramAgg(pcaQScale),
+      org.apache.spark.sql.Encoders.product[graft.functions.GramIn])
+    val gram = Tables.embeddings(s, d).agg(gramAgg(col("embedding")).as("g"))
+      .head.getSeq[Long](0).toArray // d² longs — corpus-INDEPENDENT size
+    val dd = math.round(math.sqrt(gram.length.toDouble)).toInt
+    var v = Array.fill(dd)(pcaVScale)
     for (_ <- 1 to pcaRounds) {
-      val u = gram.join(broadcast(v.select(col("i").as("j"), col("v").as("vj"))), "j")
-        .groupBy(col("i")).agg(sum(col("s") * col("vj")).as("u"))
-      val ds = u.agg(expr(s"greatest(1L, max(abs(u)) div $pcaVScale)").as("ds"))
-      v = Lineage.cut(u.crossJoin(broadcast(ds))
-        .select(col("i"), expr(floorDivSql("u", "ds")).as("v")))
+      val u = Array.tabulate(dd) { i =>
+        var acc = 0L
+        var j = 0
+        while (j < dd) { acc += gram(i * dd + j) * v(j); j += 1 }
+        acc
+      }
+      val ds = math.max(1L, u.map(math.abs).max / pcaVScale)
+      v = u.map(Math.floorDiv(_, ds))
     }
-    v.select(col("i").as("dim"), col("v").as("v_fp"))
+    val sp = s
+    import sp.implicits._
+    v.zipWithIndex.toSeq.map { case (x, i) => (i.toLong, x) }.toDF("dim", "v_fp")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

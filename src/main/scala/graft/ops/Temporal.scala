@@ -19,10 +19,10 @@ import org.apache.spark.sql.functions._
   * nested-loop at scale.
   *
   * All event-time comparisons happen at MICROSECOND integer precision
-  * (`unix_micros` / DuckDB `epoch_us`): the raw parquet column is
-  * TIMESTAMP(NANOS) which Spark truncates on read (see [[graft.Tables]]),
-  * so comparing raw ns values on the oracle side could order two events
-  * differently than the engine at sub-µs ties.
+  * (`unix_micros` / DuckDB `epoch_us`): [[graft.Tables]] normalizes every
+  * physical timestamp layout the driver has generated to µs TimestampType,
+  * so both engines compare identical integer instants and no sub-µs tie
+  * can order two events differently.
   */
 object Temporal {
 

@@ -629,6 +629,68 @@ object TextAnalysis {
       .withColumn("is_admit", col("score_m") >= 0)
   }
 
+  /** Perceptron training rounds for [[modelTrain]] — a fixed hyperparameter
+    * like `Similarity.pcaRounds`; the oracle unrolls exactly this many. */
+  private[ops] val trainRounds = 3
+
+  /** TRAINING the quality classifier [[modelGate]] only applies: batch
+    * perceptron (hinge-subgradient) rounds over the same integer gate
+    * features, supervised by a deterministic stand-in label (is the doc
+    * English — the langid-style signal real pipelines bootstrap quality
+    * filters from). Each round scores every doc against the broadcast
+    * weight vector, sums y·x over the misclassified set (the exact batch
+    * subgradient of hinge loss at margin ≤ 0), and adds it to the weights —
+    * additive integer updates, no learning-rate division, no sigmoid, so
+    * the trajectory is bit-identical across engines and partitionings (the
+    * [[graft.ops.Similarity.pcaPower]] loop shape applied to supervised
+    * learning).
+    *
+    * Plan: the feature relation is derived once and lineage-cut (four
+    * integers + label per doc — the corpus text is read exactly once);
+    * each round is ONE pass over it (map-side partial aggregation into a
+    * 1-row gradient, no shuffle of doc rows), with the 1-row weight state
+    * broadcast — per-round cost is a corpus scan and nothing else, weights
+    * never touch the driver. Emits (round, n_mis, weights) per round: the
+    * training curve IS the output, so convergence is oracle-checkable. */
+  def modelTrain(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val en = stoplists.toMap.apply("en")
+    val feats = Lineage.cut(
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("text"),
+          split(col("text"), " ").as("words"))
+        .select(
+          when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
+          size(col("words")).cast("long").as("n_words"),
+          expr(hitsExpr("words", en)).cast("long").as("n_stop"),
+          expr("CAST(regexp_count(text, '[^a-z0-9 ]') AS BIGINT)").as("n_punct"))
+        .select(col("y"),
+          expr("n_stop * 1000 div n_words").as("stop_pm"),
+          expr("n_punct * 1000 div n_words").as("punct_pm"),
+          expr(s"least(n_words, $gwLenCap)").as("len_c")))
+    var w = feats.sparkSession.range(1).select(
+      lit(0L).as("ws"), lit(0L).as("wp"), lit(0L).as("wl"), lit(0L).as("wb"))
+    val rounds = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (r <- 1 to trainRounds) {
+      val g = feats.crossJoin(broadcast(w))
+        .filter(expr("y * (ws * stop_pm + wp * punct_pm + wl * len_c + wb)") <= 0)
+        .agg(count(lit(1)).as("n_mis"),
+          coalesce(sum(expr("y * stop_pm")), lit(0L)).as("gs"),
+          coalesce(sum(expr("y * punct_pm")), lit(0L)).as("gp"),
+          coalesce(sum(expr("y * len_c")), lit(0L)).as("gl"),
+          coalesce(sum(col("y")), lit(0L)).as("gb"))
+      val wn = Lineage.cut(g.crossJoin(broadcast(w)).select(
+        col("n_mis"),
+        (col("ws") + col("gs")).as("ws"), (col("wp") + col("gp")).as("wp"),
+        (col("wl") + col("gl")).as("wl"), (col("wb") + col("gb")).as("wb")))
+      rounds += wn.select(lit(r.toLong).as("round"), col("n_mis"),
+        col("ws").as("w_stop"), col("wp").as("w_punct"),
+        col("wl").as("w_len"), col("wb").as("w_bias"))
+      w = wn.select(col("ws"), col("wp"), col("wl"), col("wb"))
+    }
+    rounds.reduce(_ unionAll _)
+  }
+
   /** Dataset card: the one-row corpus summary a curated training set ships
     * with — document/token volume, language and source diversity, exact-dup
     * rate, mean document length. Exact distinct counts keep the card
@@ -656,6 +718,7 @@ object TextAnalysis {
         expr("CAST(round(CAST(n_tokens AS DOUBLE) * 100 / n_docs) AS BIGINT)"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_model_train" -> modelTrain,
     "x_model_gate" -> modelGate,
     "x_dataset_card" -> datasetCard,
     "x_text_chunks" -> chunks,
@@ -692,9 +755,51 @@ object TextAnalysis {
       |      FROM s),
       |fps AS (SELECT DISTINCT doc_id, fp FROM f)""".stripMargin
 
+  /** [[modelTrain]]'s unrolled twin: the [[modelGate]] feature CTEs plus
+    * one (gradient, weights) CTE pair per round generated from
+    * [[trainRounds]]. Pure comparisons and additions — no division at all,
+    * so there is no floor/truncation seam between the engines. */
+  private def modelTrainSql: String = {
+    val margin = "y * (ws * stop_pm + wp * punct_pm + wl * len_c + wb)"
+    val rounds = (1 to trainRounds).map { r =>
+      s"""g$r AS (
+         |  SELECT count(*) AS n_mis,
+         |         CAST(coalesce(sum(y * stop_pm), 0) AS BIGINT) AS gs,
+         |         CAST(coalesce(sum(y * punct_pm), 0) AS BIGINT) AS gp,
+         |         CAST(coalesce(sum(y * len_c), 0) AS BIGINT) AS gl,
+         |         CAST(coalesce(sum(y), 0) AS BIGINT) AS gb
+         |  FROM p, r${r - 1} WHERE $margin <= 0),
+         |r$r AS (
+         |  SELECT g$r.n_mis AS n_mis, ws + gs AS ws, wp + gp AS wp,
+         |         wl + gl AS wl, wb + gb AS wb
+         |  FROM g$r, r${r - 1})""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to trainRounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS round, n_mis, ws AS w_stop, wp AS w_punct,
+         |       wl AS w_len, wb AS w_bias FROM r$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH w AS (SELECT doc_id, lang, text, string_split(text, ' ') AS words
+       |           FROM documents),
+       |f AS (SELECT doc_id, lang,
+       |        CAST(len(words) AS BIGINT) AS n_words,
+       |        CAST(${hitsSql("words", stoplists.toMap.apply("en"))} AS BIGINT) AS n_stop,
+       |        CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS BIGINT) AS n_punct
+       |      FROM w),
+       |p AS (SELECT CAST(CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS BIGINT) AS y,
+       |        CAST(n_stop * 1000 // n_words AS BIGINT) AS stop_pm,
+       |        CAST(n_punct * 1000 // n_words AS BIGINT) AS punct_pm,
+       |        CAST(least(n_words, $gwLenCap) AS BIGINT) AS len_c
+       |      FROM f),
+       |r0 AS (SELECT CAST(0 AS BIGINT) AS ws, CAST(0 AS BIGINT) AS wp,
+       |              CAST(0 AS BIGINT) AS wl, CAST(0 AS BIGINT) AS wb),
+       |$rounds
+       |$out""".stripMargin
+  }
+
   val oracle: Map[String, String] = {
     val hits = (l: String) => hitsSql("words", stoplists.toMap.apply(l))
     Map(
+      "x_model_train" -> modelTrainSql,
       "x_model_gate" ->
         s"""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS words
            |           FROM documents),

@@ -52,9 +52,9 @@ object EventPipeline {
   /** S1's oracle-testable stand-in: a file streaming source over the events
     * table (the Kafka path is [[KafkaBridge]]; the file source exercises the
     * same micro-batch machinery — offsets, watermark, state store —
-    * hermetically). Schema comes from a batch peek; `ts` arrives as
-    * TIMESTAMP(NANOS) read as long (see [[graft.Tables.events]]) and is
-    * truncated to micros exactly as the batch reader does. */
+    * hermetically). Schema comes from a batch peek; `ts` is restored to the
+    * UTC session TimestampType per the physical layout exactly as the batch
+    * reader does (see [[graft.Tables.events]]). */
   def fileStream(s: SparkSession, sfDir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(s"$sfDir/events.parquet").schema
