@@ -598,6 +598,16 @@ object Similarity {
     * (second-moment, not covariance) — the PCA-vs-mean-removal choice is a
     * caller concern; the iteration is identical either way. */
   def pcaPower(s: SparkSession, d: String): DataFrame = {
+    val v = pcaDirection(s, d)
+    val sp = s
+    import sp.implicits._
+    v.zipWithIndex.toSeq.map { case (x, i) => (i.toLong, x) }.toDF("dim", "v_fp")
+  }
+
+  /** The [[pcaPower]] iterate as a plain array (shared with
+    * [[pcaProject]]). One distributed Gram pass; driver-side rounds on the
+    * corpus-independent d² matrix (scaladoc above). */
+  private def pcaDirection(s: SparkSession, d: String): Array[Long] = {
     val gramAgg = org.apache.spark.sql.functions.udaf(
       new graft.functions.GramAgg(pcaQScale),
       org.apache.spark.sql.Encoders.product[graft.functions.GramIn])
@@ -615,13 +625,34 @@ object Similarity {
       val ds = math.max(1L, u.map(math.abs).max / pcaVScale)
       v = u.map(Math.floorDiv(_, ds))
     }
-    val sp = s
-    import sp.implicits._
-    v.zipWithIndex.toSeq.map { case (x, i) => (i.toLong, x) }.toDF("dim", "v_fp")
+    v
+  }
+
+  /** The learned direction APPLIED: every vector's fixed-point projection
+    * onto the corpus's top principal direction — the feature a curation
+    * pipeline sorts/buckets on (outlier pruning, diversity binning) once
+    * PCA has been trained. The 64-long direction rides into the plan as an
+    * ARRAY LITERAL, so the projection is a pure map-side in-row
+    * `zip_with` + `aggregate` dot product fused with the scan — one corpus
+    * read, no join, no shuffle; exact integer end to end (milli-quantized
+    * components × the fixed-point direction — bounded by 64·4·10³·2·10⁵ ≪
+    * Long range). */
+  def pcaProject(s: SparkSession, d: String): DataFrame = {
+    val dir = pcaDirection(s, d)
+    val vLit = array(dir.map(lit(_)): _*)
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        aggregate(
+          zip_with(
+            expr(s"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $pcaQScale) AS BIGINT))"),
+            vLit,
+            (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as("proj_fp"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_embed_pca" -> ((s, d) => pcaPower(s, d)),
+    "x_embed_pca_project" -> ((s, d) => pcaProject(s, d)),
     "x_sim_knn_graph" -> ((s, d) => knnGraph(s, d)),
     "x_sim_knn_incremental" -> ((s, d) => knnIncremental(s, d)),
     "x_sim_topk_mp" -> multiProbeTopK,
@@ -814,7 +845,7 @@ object Similarity {
     * with the DuckDB spelling of [[floorDivSql]] (`//` floors where Spark's
     * `div` truncates; the subtracted-modulus numerator is exactly divisible,
     * where the two agree). */
-  private def pcaSql: String = {
+  private def pcaCtes: String = {
     def fdiv(a: String, b: String) = s"($a - (($a % $b + $b) % $b)) // $b"
     val rounds = (1 to pcaRounds).map { r =>
       val pv = s"v${r - 1}"
@@ -832,12 +863,24 @@ object Similarity {
        |g AS (SELECT a.dim AS i, b.dim AS j, CAST(sum(a.qv * b.qv) AS BIGINT) AS s
        |      FROM q a JOIN q b ON a.vec_id = b.vec_id GROUP BY 1, 2),
        |v0 AS (SELECT DISTINCT dim AS i, CAST($pcaVScale AS BIGINT) AS v FROM q),
-       |$rounds
-       |SELECT i AS dim, v AS v_fp FROM v$pcaRounds""".stripMargin
+       |$rounds""".stripMargin
   }
+
+  private def pcaSql: String =
+    s"$pcaCtes\nSELECT i AS dim, v AS v_fp FROM v$pcaRounds"
+
+  /** [[pcaProject]]'s twin: the shared CTE chain's converged direction
+    * joined back onto the quantized per-dim relation — the join formulation
+    * of the engine's in-row literal dot product, summing identical integer
+    * products. */
+  private def pcaProjectSql: String =
+    s"""$pcaCtes
+       |SELECT q.vec_id, CAST(sum(q.qv * vd.v) AS BIGINT) AS proj_fp
+       |FROM q JOIN v$pcaRounds vd ON q.dim = vd.i GROUP BY 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "x_embed_pca" -> pcaSql,
+    "x_embed_pca_project" -> pcaProjectSql,
     "x_sim_knn_graph" -> knnSql(),
     "x_sim_knn_incremental" -> knnSql(incremental = true),
     "x_sim_topk_mp" ->
