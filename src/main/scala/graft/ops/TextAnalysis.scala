@@ -654,10 +654,16 @@ object TextAnalysis {
     * training curve IS the output, so convergence is oracle-checkable. */
   def modelTrain(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
+    modelTrainDocs(Tables.documents(s, d))
+  }
+
+  /** [[modelTrain]] over any frame with (lang, text) — exposed for the
+    * hand-computed spec (caller must have registered the kernels). */
+  private[graft] def modelTrainDocs(docs: DataFrame): DataFrame = {
     val en = stoplists.toMap.apply("en")
     val feats = Lineage.cut(
-      Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"), col("text"),
+      docs
+        .select(col("lang"), col("text"),
           split(col("text"), " ").as("words"))
         .select(
           when(col("lang") === "en", 1L).otherwise(-1L).as("y"),

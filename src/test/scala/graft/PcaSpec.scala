@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.Similarity
+import graft.ops.{Similarity, TextAnalysis}
 
 /** Fixed-point power iteration (`x_embed_pca`): the distributed
   * Gram-then-matvec pipeline must equal a sequential driver-side reference
@@ -40,5 +40,33 @@ class PcaSpec extends SparkSpec {
     assert(got == expected, "distributed iterate diverged from the sequential fold")
     assert(got.values.map(math.abs).max <= 200000L,
       "rescale must keep the iterate near the fixed-point scale")
+  }
+
+  test("modelTrain rounds equal a sequential batch-perceptron fold") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // Stopword-free words, controlled punctuation: features are exactly
+    // (stop_pm=0, punct_pm, len_c) with y = +1 iff lang == en.
+    val docs = Seq(
+      ("en", "aaa bbb"),      // y=+1, punct_pm=0,   len_c=2
+      ("de", "xxx yyy zzz"),  // y=-1, punct_pm=0,   len_c=3
+      ("en", "a.b ccc"))      // y=+1, punct_pm=500, len_c=2
+      .toDF("lang", "text")
+    val got = TextAnalysis.modelTrainDocs(docs)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+
+    val feats = Seq((1L, 0L, 0L, 2L), (-1L, 0L, 0L, 3L), (1L, 0L, 500L, 2L))
+    var w = (0L, 0L, 0L, 0L) // (ws, wp, wl, wb)
+    val expected = (1 to 3).map { r =>
+      val mis = feats.filter { case (y, s, p, l) =>
+        y * (w._1 * s + w._2 * p + w._3 * l + w._4) <= 0 }
+      w = (w._1 + mis.map(f => f._1 * f._2).sum, w._2 + mis.map(f => f._1 * f._3).sum,
+        w._3 + mis.map(f => f._1 * f._4).sum, w._4 + mis.map(_._1).sum)
+      r.toLong -> ((mis.size.toLong, w._1, w._2, w._3, w._4))
+    }.toMap
+    assert(got == expected, "training trajectory diverged from the sequential fold")
+    assert(got(1L)._1 == 3L, "round 1 misclassifies everything under zero weights")
   }
 }
