@@ -93,9 +93,24 @@ object Bench {
       // measured ngram_jaccard at 37 s where a clean JVM (same data, same
       // cpus) measures 3.5 s. Bounded single-purpose JVMs don't have this
       // problem; a 64-query benchmark loop must clean up after itself.
+      //
+      // HOW it cleans up matters (round-9 verdict #1): explicitly
+      // unpersisting a locally-checkpointed RDD truncates a lineage that can
+      // never be recomputed — if ANYTHING still references that DataFrame
+      // the next read fails, and Spark warns on every such unpersist. So the
+      // explicit sweep covers only non-checkpointed cached state, and
+      // localCheckpoint blocks are reclaimed through the ContextCleaner's
+      // reference-tracking path instead (System.gc() enqueues the weak refs
+      // of exactly the RDDs that are GARBAGE — unreachable from any live
+      // plan — and the cleaner removes their blocks without touching RDD
+      // lineage state and without the warning). A cut relation something
+      // still references stays reachable, stays persisted, and stays
+      // readable — precision the blanket unpersist lacked. (No graft
+      // operator persists an RDD directly, so after clearCache the only
+      // persistent-RDD entries ARE localCheckpoint blocks — there is
+      // nothing left for an explicit unpersist loop to safely free.)
       spark.sharedState.cacheManager.clearCache()
-      spark.sparkContext.getPersistentRDDs.valuesIterator
-        .foreach(_.unpersist(blocking = false))
+      System.gc()
       (name, if (err.isEmpty) sec else -1.0, err)
     }
 

@@ -543,19 +543,38 @@ object Similarity {
   }
 
   /** Milli-unit quantization scale for [[pcaPower]]'s Gram matrix — coarser
-    * than the µ-scale the rest of the pack uses because the POWER ITERATION
-    * multiplies three magnitudes (Gram entry × vector component × dimension
-    * fan-in) and all three must stay inside exact Long range:
-    * |q| ≤ ~4·10³, so Gram ≤ n·1.6·10⁷ and each matvec term ≤ Gram·2·10⁵ —
-    * headroom to n ≈ 10⁹ vectors before the bound matters (SCALE.md). */
+    * than the µ-scale the rest of the pack uses so the GRAM ACCUMULATION
+    * stays exact: |q| ≤ ~4·10³ ⇒ Gram ≤ n·1.6·10⁷, Long-safe to n ≈ 5·10¹¹
+    * vectors. The matvec rounds never see these magnitudes — the collected
+    * matrix is max-abs-rescaled to [[pcaGScale]] first (below), which is
+    * what makes the iteration's overflow budget CORPUS-INDEPENDENT. */
   private val pcaQScale = 1000L
 
   /** Fixed-point scale of the iterated vector (max-abs-normalized). */
   private val pcaVScale = 100000L
 
+  /** Max-abs budget the collected Gram matrix is floor-rescaled to before
+    * iterating. A scalar rescale preserves eigenvectors exactly (only the
+    * spectrum's scale changes, and the estimate only needs the DIRECTION);
+    * with it the matvec-term bound is n-INDEPENDENT:
+    * |G'| < 2·[[pcaGScale]] (floor division by `max|G| div gScale` can land
+    * just under 2×), |v| ≤ 2·[[pcaVScale]] after its own rescale plus ≤
+    * ~2× growth across the [[pcaK]]-1 Gram-Schmidt subtractions, so each
+    * term is < 2·10⁹ · 10⁶ = 2·10¹⁵ and the 64-way row accumulation stays
+    * under 1.3·10¹⁷ ≪ 2⁶³. The earlier unrescaled chain overflowed near
+    * n ≈ 5·10⁴ worst-case — and wrapped SILENTLY while the DuckDB oracle
+    * raised on its HUGEINT→BIGINT cast; [[pcaBasis]] now also computes with
+    * `Math.multiplyExact`/`addExact` so any future retune of these scales
+    * fails loudly at the same point the oracle does. */
+  private val pcaGScale = 1000000000L
+
   /** Power-iteration rounds — a fixed hyperparameter like
     * `Dedup.pagerankRounds`; the oracle unrolls exactly this many. */
   private[ops] val pcaRounds = 3
+
+  /** Directions learned by [[pcaPowerK]] — real curation bins on the top
+    * handful of components (outlier pruning, diversity binning). */
+  private[graft] val pcaK = 4
 
   /** Engine-portable floor division for a SIGNED numerator and positive
     * divisor: Spark's `div` truncates toward zero, DuckDB's `//` floors —
@@ -604,28 +623,86 @@ object Similarity {
     v.zipWithIndex.toSeq.map { case (x, i) => (i.toLong, x) }.toDF("dim", "v_fp")
   }
 
+  /** TOP-[[pcaK]] directions: the [[pcaPower]] iteration repeated per
+    * component with MODIFIED GRAM-SCHMIDT re-orthogonalization against the
+    * already-learned directions after every round's rescale — deflation on
+    * the ITERATE rather than the matrix, so the d² Gram entries are never
+    * touched (deflating the matrix squares the magnitude budget; deflating
+    * the rescaled iterate keeps every product inside the [[pcaGScale]]
+    * bound). Component 1 is bit-identical to [[pcaPower]]'s direction.
+    * Emits ([[pcaK]]·d) rows (comp, dim, v_fp) — the fixed-round iterate,
+    * exactly reproducible by construction (the spec checks it against a
+    * sequential fold; the oracle unrolls the identical arithmetic). */
+  def pcaPowerK(s: SparkSession, d: String): DataFrame = {
+    val basis = pcaBasis(s, d, pcaK)
+    val sp = s
+    import sp.implicits._
+    basis.zipWithIndex.flatMap { case (v, c) =>
+      v.zipWithIndex.map { case (x, i) => (c + 1L, i.toLong, x) }
+    }.toSeq.toDF("comp", "dim", "v_fp")
+  }
+
   /** The [[pcaPower]] iterate as a plain array (shared with
     * [[pcaProject]]). One distributed Gram pass; driver-side rounds on the
     * corpus-independent d² matrix (scaladoc above). */
-  private def pcaDirection(s: SparkSession, d: String): Array[Long] = {
+  private def pcaDirection(s: SparkSession, d: String): Array[Long] =
+    pcaBasis(s, d, 1).head
+
+  /** The collected, max-abs-rescaled d² Gram matrix ([[pcaGScale]]). The
+    * `.head` collects ONE row of d² longs — corpus-independent size. */
+  private def scaledGram(s: SparkSession, d: String): Array[Long] = {
     val gramAgg = org.apache.spark.sql.functions.udaf(
       new graft.functions.GramAgg(pcaQScale),
       org.apache.spark.sql.Encoders.product[graft.functions.GramIn])
     val gram = Tables.embeddings(s, d).agg(gramAgg(col("embedding")).as("g"))
       .head.getSeq[Long](0).toArray // d² longs — corpus-INDEPENDENT size
+    val gds = math.max(1L, gram.map(math.abs).max / pcaGScale)
+    gram.map(Math.floorDiv(_, gds))
+  }
+
+  /** The first k fixed-round power-iterate directions (driver-side rounds
+    * on the corpus-independent rescaled Gram; see [[pcaPowerK]]). All
+    * arithmetic is `Math.multiplyExact`/`addExact`: on overflow the engine
+    * throws exactly where the oracle's HUGEINT→BIGINT cast raises, instead
+    * of wrapping silently. */
+  private def pcaBasis(s: SparkSession, d: String, k: Int): IndexedSeq[Array[Long]] = {
+    val gram = scaledGram(s, d)
     val dd = math.round(math.sqrt(gram.length.toDouble)).toInt
-    var v = Array.fill(dd)(pcaVScale)
-    for (_ <- 1 to pcaRounds) {
-      val u = Array.tabulate(dd) { i =>
-        var acc = 0L
-        var j = 0
-        while (j < dd) { acc += gram(i * dd + j) * v(j); j += 1 }
-        acc
-      }
-      val ds = math.max(1L, u.map(math.abs).max / pcaVScale)
-      v = u.map(Math.floorDiv(_, ds))
+    def dot(a: Array[Long], b: Array[Long]): Long = {
+      var acc = 0L
+      var i = 0
+      while (i < dd) { acc = Math.addExact(acc, Math.multiplyExact(a(i), b(i))); i += 1 }
+      acc
     }
-    v
+    val comps = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+    for (_ <- 1 to k) {
+      var v = Array.fill(dd)(pcaVScale)
+      for (_ <- 1 to pcaRounds) {
+        val u = Array.tabulate(dd) { i =>
+          var acc = 0L
+          var j = 0
+          while (j < dd) {
+            acc = Math.addExact(acc, Math.multiplyExact(gram(i * dd + j), v(j)))
+            j += 1
+          }
+          acc
+        }
+        val ds = math.max(1L, u.map(math.abs).max / pcaVScale)
+        v = u.map(Math.floorDiv(_, ds))
+        // Re-orthogonalize EVERY round, in learned order: integer rounding
+        // re-introduces the dominant direction each matvec; a single final
+        // subtraction would converge every component back to it.
+        comps.foreach { w =>
+          val den = dot(w, w)
+          require(den != 0L, "degenerate PCA component (rank-deficient Gram)")
+          val num = dot(v, w)
+          v = Array.tabulate(dd)(i =>
+            v(i) - Math.floorDiv(Math.multiplyExact(num, w(i)), den))
+        }
+      }
+      comps += v
+    }
+    comps.toIndexedSeq
   }
 
   /** The learned direction APPLIED: every vector's fixed-point projection
@@ -650,9 +727,29 @@ object Similarity {
           lit(0L), (acc, x) => acc + x).as("proj_fp"))
   }
 
+  /** [[pcaProject]] widened to the [[pcaK]]-direction basis: every vector's
+    * fixed-point coordinates in the learned subspace, one column per
+    * component — the k-feature row curation bins on. The whole k×d basis
+    * rides into the plan as k ARRAY LITERALS (≤ k·d longs — nothing next to
+    * a broadcast), so the k dot products are map-side in-row arithmetic
+    * fused with the ONE corpus scan: no join, no shuffle, k× the flops of
+    * the single projection and the same I/O. */
+  def pcaProjectK(s: SparkSession, d: String): DataFrame = {
+    val basis = pcaBasis(s, d, pcaK)
+    val q = expr(s"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $pcaQScale) AS BIGINT))")
+    val projs = basis.zipWithIndex.map { case (dir, c) =>
+      aggregate(
+        zip_with(q, array(dir.map(lit(_)): _*), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x).as(s"proj${c + 1}_fp")
+    }
+    Tables.embeddings(s, d).select(col("vec_id") +: projs: _*)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_embed_pca" -> ((s, d) => pcaPower(s, d)),
     "x_embed_pca_project" -> ((s, d) => pcaProject(s, d)),
+    "x_embed_pca_k" -> ((s, d) => pcaPowerK(s, d)),
+    "x_embed_pca_kproject" -> ((s, d) => pcaProjectK(s, d)),
     "x_sim_knn_graph" -> ((s, d) => knnGraph(s, d)),
     "x_sim_knn_incremental" -> ((s, d) => knnIncremental(s, d)),
     "x_sim_topk_mp" -> multiProbeTopK,
@@ -839,48 +936,90 @@ object Similarity {
        |SELECT query_id AS vec_id, neighbor_id, rnk FROM r WHERE rnk <= $knnK""".stripMargin
   }
 
-  /** [[pcaPower]]'s unrolled twin: the same Gram sums (via a self-join
-    * rather than in-row expansion — identical exact-integer results), then
-    * [[pcaRounds]] matvec+rescale CTEs generated from the same constants,
-    * with the DuckDB spelling of [[floorDivSql]] (`//` floors where Spark's
-    * `div` truncates; the subtracted-modulus numerator is exactly divisible,
-    * where the two agree). */
-  private def pcaCtes: String = {
+  /** [[pcaBasis]]'s unrolled twin: the same Gram sums (via a self-join
+    * rather than in-row expansion — identical exact-integer results), the
+    * same max-abs Gram rescale to [[pcaGScale]], then per component
+    * [[pcaRounds]] matvec + rescale + (for components past the first)
+    * modified-Gram-Schmidt CTEs generated from the same constants, with the
+    * DuckDB spelling of [[floorDivSql]] (`//` floors where Spark's `div`
+    * truncates; the subtracted-modulus numerator is exactly divisible,
+    * where the two agree). Component c's final iterate lands in CTE `w{c}`.
+    * Any overflow raises on DuckDB's HUGEINT→BIGINT casts — the same loud
+    * failure as the engine's `multiplyExact`. */
+  private def pcaCtes(k: Int): String = {
     def fdiv(a: String, b: String) = s"($a - (($a % $b + $b) % $b)) // $b"
-    val rounds = (1 to pcaRounds).map { r =>
-      val pv = s"v${r - 1}"
-      s"""u$r AS (SELECT g.i AS i, CAST(sum(g.s * $pv.v) AS BIGINT) AS u
-         |  FROM g JOIN $pv ON g.j = $pv.i GROUP BY 1),
-         |m$r AS (SELECT greatest(CAST(1 AS BIGINT), max(abs(u)) // $pcaVScale) AS ds
-         |        FROM u$r),
-         |v$r AS (SELECT i, CAST(${fdiv("u", "ds")} AS BIGINT) AS v FROM u$r, m$r)""".stripMargin
+    val comps = (1 to k).map { c =>
+      val rounds = (1 to pcaRounds).map { r =>
+        val prev = if (r == 1) "vinit" else s"c${c}f${r - 1}"
+        val matvec =
+          s"""c${c}u$r AS MATERIALIZED (SELECT g2.i AS i, CAST(sum(g2.s * p.v) AS BIGINT) AS u
+             |  FROM g2 JOIN $prev p ON g2.j = p.i GROUP BY 1),
+             |c${c}m$r AS MATERIALIZED (SELECT greatest(CAST(1 AS BIGINT), max(abs(u)) // $pcaVScale) AS ds
+             |        FROM c${c}u$r),
+             |c${c}s$r AS MATERIALIZED (SELECT i, CAST(${fdiv("u", "ds")} AS BIGINT) AS v
+             |        FROM c${c}u$r, c${c}m$r)""".stripMargin
+        val orth = (1 until c).map { p =>
+          val cur = if (p == 1) s"c${c}s$r" else s"c${c}o${r}p${p - 1}"
+          s"""c${c}d${r}p$p AS MATERIALIZED (SELECT
+             |    (SELECT CAST(sum(a.v * b.v) AS BIGINT) FROM $cur a JOIN w$p b ON a.i = b.i) AS num,
+             |    (SELECT CAST(sum(v * v) AS BIGINT) FROM w$p) AS den),
+             |c${c}o${r}p$p AS MATERIALIZED (SELECT s.i,
+             |    CAST(s.v - ${fdiv("(d.num * w.v)", "d.den")} AS BIGINT) AS v
+             |  FROM $cur s JOIN w$p w ON s.i = w.i, c${c}d${r}p$p d)""".stripMargin
+        }
+        val last = if (c == 1) s"c${c}s$r" else s"c${c}o${r}p${c - 1}"
+        (matvec +: orth).mkString(",\n") +
+          s",\nc${c}f$r AS MATERIALIZED (SELECT i, v FROM $last)"
+      }.mkString(",\n")
+      s"$rounds,\nw$c AS MATERIALIZED (SELECT i, v FROM c${c}f$pcaRounds)"
     }.mkString(",\n")
-    s"""WITH q AS (
+    s"""WITH q AS MATERIALIZED (
        |  SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
        |         CAST(round(CAST(embedding[i] AS DOUBLE) * $pcaQScale) AS BIGINT) AS qv
        |  FROM (SELECT vec_id, embedding, unnest(range(1, len(embedding) + 1)) AS i
        |        FROM embeddings)),
-       |g AS (SELECT a.dim AS i, b.dim AS j, CAST(sum(a.qv * b.qv) AS BIGINT) AS s
+       |g AS MATERIALIZED (SELECT a.dim AS i, b.dim AS j, CAST(sum(a.qv * b.qv) AS BIGINT) AS s
        |      FROM q a JOIN q b ON a.vec_id = b.vec_id GROUP BY 1, 2),
-       |v0 AS (SELECT DISTINCT dim AS i, CAST($pcaVScale AS BIGINT) AS v FROM q),
-       |$rounds""".stripMargin
+       |gm AS MATERIALIZED (SELECT greatest(CAST(1 AS BIGINT), max(abs(s)) // $pcaGScale) AS gds FROM g),
+       |g2 AS MATERIALIZED (SELECT i, j, CAST(${fdiv("s", "gds")} AS BIGINT) AS s FROM g, gm),
+       |vinit AS MATERIALIZED (SELECT DISTINCT dim AS i, CAST($pcaVScale AS BIGINT) AS v FROM q),
+       |$comps""".stripMargin
   }
 
   private def pcaSql: String =
-    s"$pcaCtes\nSELECT i AS dim, v AS v_fp FROM v$pcaRounds"
+    s"${pcaCtes(1)}\nSELECT i AS dim, v AS v_fp FROM w1"
+
+  private def pcaKSql: String = {
+    val unions = (1 to pcaK).map(c =>
+      s"SELECT CAST($c AS BIGINT) AS comp, i AS dim, v AS v_fp FROM w$c")
+    s"${pcaCtes(pcaK)}\n${unions.mkString("\nUNION ALL\n")}"
+  }
 
   /** [[pcaProject]]'s twin: the shared CTE chain's converged direction
     * joined back onto the quantized per-dim relation — the join formulation
     * of the engine's in-row literal dot product, summing identical integer
     * products. */
   private def pcaProjectSql: String =
-    s"""$pcaCtes
+    s"""${pcaCtes(1)}
        |SELECT q.vec_id, CAST(sum(q.qv * vd.v) AS BIGINT) AS proj_fp
-       |FROM q JOIN v$pcaRounds vd ON q.dim = vd.i GROUP BY 1""".stripMargin
+       |FROM q JOIN w1 vd ON q.dim = vd.i GROUP BY 1""".stripMargin
+
+  /** [[pcaProjectK]]'s twin: one join per learned direction, each summing
+    * the identical integer products into its own projection column. */
+  private def pcaProjectKSql: String = {
+    val cols = (1 to pcaK).map(c =>
+      s"CAST(sum(q.qv * w$c.v) AS BIGINT) AS proj${c}_fp").mkString(",\n       ")
+    val joins = (1 to pcaK).map(c => s"JOIN w$c ON q.dim = w$c.i").mkString(" ")
+    s"""${pcaCtes(pcaK)}
+       |SELECT q.vec_id, $cols
+       |FROM q $joins GROUP BY q.vec_id""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     "x_embed_pca" -> pcaSql,
     "x_embed_pca_project" -> pcaProjectSql,
+    "x_embed_pca_k" -> pcaKSql,
+    "x_embed_pca_kproject" -> pcaProjectKSql,
     "x_sim_knn_graph" -> knnSql(),
     "x_sim_knn_incremental" -> knnSql(incremental = true),
     "x_sim_topk_mp" ->

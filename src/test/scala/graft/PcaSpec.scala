@@ -10,10 +10,12 @@ import graft.ops.{Similarity, TextAnalysis}
   * forgets its oracle would fail this spec too. */
 class PcaSpec extends SparkSpec {
 
-  test("pcaPower equals the sequential fixed-point reference (sf0.001)") {
-    val got = Similarity.pcaPower(spark, sf)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-
+  /** Sequential reference: quantize HALF_UP, exact Gram, max-abs rescale of
+    * the GRAM to 1e9 (eigenvector-preserving — the corpus-independence
+    * device), then per component 3 matvec+rescale rounds with per-round
+    * modified Gram-Schmidt against earlier components. Constants restated
+    * deliberately (see class scaladoc). */
+  private def sequentialBasis(k: Int): IndexedSeq[Array[Long]] = {
     val vecs = Tables.embeddings(spark, sf).select("embedding").collect()
       .map(_.getSeq[Float](0).toArray)
     assert(vecs.nonEmpty)
@@ -30,16 +32,55 @@ class PcaSpec extends SparkSpec {
         i += 1
       }
     }
-    var vv = Array.fill(dims)(100000L)
-    for (_ <- 1 to 3) {
-      val u = Array.tabulate(dims)(i => (0 until dims).map(j => gram(i)(j) * vv(j)).sum)
-      val ds = math.max(1L, u.map(math.abs).max / 100000L)
-      vv = u.map(Math.floorDiv(_, ds))
+    val gds = math.max(1L, gram.flatten.map(math.abs).max / 1000000000L)
+    for (i <- 0 until dims; j <- 0 until dims) gram(i)(j) = Math.floorDiv(gram(i)(j), gds)
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => a(i) * b(i)).sum
+    val comps = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+    for (_ <- 1 to k) {
+      var vv = Array.fill(dims)(100000L)
+      for (_ <- 1 to 3) {
+        val u = Array.tabulate(dims)(i => (0 until dims).map(j => gram(i)(j) * vv(j)).sum)
+        val ds = math.max(1L, u.map(math.abs).max / 100000L)
+        vv = u.map(Math.floorDiv(_, ds))
+        comps.foreach { w =>
+          val den = dot(w, w)
+          val num = dot(vv, w)
+          vv = Array.tabulate(dims)(i => vv(i) - Math.floorDiv(num * w(i), den))
+        }
+      }
+      comps += vv
     }
+    comps.toIndexedSeq
+  }
+
+  test("pcaPower equals the sequential fixed-point reference (sf0.001)") {
+    val got = Similarity.pcaPower(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vv = sequentialBasis(1).head
     val expected = vv.indices.map(i => i.toLong -> vv(i)).toMap
     assert(got == expected, "distributed iterate diverged from the sequential fold")
     assert(got.values.map(math.abs).max <= 200000L,
       "rescale must keep the iterate near the fixed-point scale")
+  }
+
+  test("pcaPowerK equals the sequential Gram-Schmidt fold, and component 1 matches pcaPower") {
+    val got = Similarity.pcaPowerK(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val basis = sequentialBasis(Similarity.pcaK)
+    val expected = (for {
+      (v, c) <- basis.zipWithIndex
+      (x, i) <- v.zipWithIndex
+    } yield (c + 1L, i.toLong) -> x).toMap
+    assert(got == expected, "k-direction iterate diverged from the sequential fold")
+    // the learned directions must be pairwise near-orthogonal relative to
+    // their norms (integer rounding leaves a small residual)
+    for (a <- basis.indices; b <- 0 until a) {
+      val na = math.sqrt(basis(a).map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(basis(b).map(x => x.toDouble * x).sum)
+      val cos = basis(a).indices.map(i => basis(a)(i).toDouble * basis(b)(i)).sum / (na * nb)
+      assert(math.abs(cos) < 0.01, s"components ${a + 1} and ${b + 1} not orthogonal: cos=$cos")
+    }
   }
 
   test("modelTrain rounds equal a sequential batch-perceptron fold") {
