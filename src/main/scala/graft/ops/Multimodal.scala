@@ -105,9 +105,86 @@ object MultimodalPipeline {
       .select(col("doc_id"), col("frame_idx"), col("frame_bytes"), col("frame_md5"))
   }
 
+  /** Deterministic RGB pixel formula for the PNG fixtures — pure integer
+    * arithmetic in (doc_id, x, y), so the DuckDB oracle can compute the
+    * EXPECTED channel statistics without any codec: if [[imageStats]]'s
+    * real decode disagrees, the decode (not the oracle) is wrong. PNG is
+    * lossless, so agreement is exact by construction. */
+  private[ops] def pix(docId: Long, x: Long, y: Long): (Int, Int, Int) = (
+    (((docId + 7 * x + 13 * y) % 256).toInt),
+    (((2 * docId + 5 * x + 11 * y) % 256).toInt),
+    (((3 * docId + x * y) % 256).toInt))
+
+  /** Image record: doc id + real encoded PNG bytes. */
+  private def pngWidth(docId: Long): Int = (8 + docId % 9).toInt
+  private def pngHeight(docId: Long): Int = (8 + (docId * 3) % 9).toInt
+
+  /** Real PNG payloads, one per document: a small RGB image whose pixels
+    * follow [[pix]], encoded through the JDK's ImageIO PNG writer. This is
+    * the FIXTURE half (the testdata lake carries no media column, so the
+    * bytes are synthesized deterministically); everything downstream of the
+    * `binary` column is the production path. */
+  def imageRecords(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val w = pngWidth(id); val h = pngHeight(id)
+        val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val (r, g, b) = pix(id, x, y)
+            img.setRGB(x, y, (r << 16) | (g << 8) | b)
+            x += 1
+          }
+          y += 1
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", out)
+        (id, out.toByteArray)
+      })
+      .toDF("doc_id", "png")
+  }
+
+  /** REAL image decode (round-9 verdict #7): `javax.imageio` parses the PNG
+    * container and inflates actual pixels — no codec stub on this path (the
+    * [[decodeStub]]/[[frameSampleStub]] pair remains only where the JDK
+    * ships no codec, e.g. video). Emits per-image width/height and exact
+    * per-channel integer sums — the brightness/colorfulness statistics an
+    * image-curation pipeline gates on before the expensive model stages.
+    * Decode runs in `mapPartitions` so a heavier codec would amortize its
+    * init per partition; output is O(1) per image regardless of pixel
+    * count. */
+  def imageStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    imageRecords(s, d)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, png) =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+        val w = img.getWidth; val h = img.getHeight
+        var rs = 0L; var gs = 0L; var bs = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            rs += (p >> 16) & 0xff; gs += (p >> 8) & 0xff; bs += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        (id, w.toLong, h.toLong, w.toLong * h, rs, gs, bs)
+      })
+      .toDF("doc_id", "width", "height", "n_px", "r_sum", "g_sum", "b_sum")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_mm_features" -> features,
-    "x_mm_frames" -> frames)
+    "x_mm_frames" -> frames,
+    "x_mm_image_stats" -> imageStats)
 
   /** Oracle mirrors the stub arithmetic on the source text. PRECONDITION
     * (checked by `MultimodalSpec`): the synthetic `documents.text` is pure
@@ -139,5 +216,20 @@ object MultimodalPipeline {
         |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
         |       CAST(length(substr(text, CAST(frame_idx * 32 + 1 AS BIGINT), 32)) AS BIGINT) AS frame_bytes,
         |       md5(substr(text, CAST(frame_idx * 32 + 1 AS BIGINT), 32)) AS frame_md5
-        |FROM i""".stripMargin)
+        |FROM i""".stripMargin,
+    // The oracle recomputes the channel sums from the PIXEL FORMULA — it
+    // never sees the PNG bytes, so a decode that misreads the container or
+    // the pixel layout cannot hash-match (PNG is lossless; the engine path
+    // is encode → real ImageIO decode → sums).
+    "x_mm_image_stats" ->
+      """WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (doc_id * 3) % 9 AS h
+        |           FROM documents),
+        |xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM d),
+        |ys AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |       count(*) AS n_px,
+        |       CAST(sum((doc_id + 7 * x + 13 * y) % 256) AS BIGINT) AS r_sum,
+        |       CAST(sum((2 * doc_id + 5 * x + 11 * y) % 256) AS BIGINT) AS g_sum,
+        |       CAST(sum((3 * doc_id + x * y) % 256) AS BIGINT) AS b_sum
+        |FROM ys GROUP BY 1, 2, 3""".stripMargin)
 }

@@ -319,6 +319,61 @@ object Similarity {
   def recallKmeans(s: SparkSession, d: String): DataFrame =
     recallOf(bruteForceTopK(s, d), kmeansIvfTopK(s, d), "n_kivf")
 
+  /** Nearest-centroid clusters each [[kmeansRerankTopK]] query scans — the
+    * nProbe knob of a production IVF index (1 = plain [[kmeansIvfTopK]]).
+    * Shared with the oracle SQL; candidate volume and cost scale linearly
+    * with it, recall monotonically recovers toward brute force. */
+  private[graft] val kmeansProbes = 4
+
+  /** The learned-IVF search with the standard recall fix: WIDER CANDIDATE
+    * FAN-OUT + EXACT RE-RANK. Single-cluster learned IVF prices at ~30%
+    * recall@10 at equal fan-out ([[recallKmeans]]); the production remedy is
+    * to probe the [[kmeansProbes]] nearest clusters (by exact integer
+    * distance from the µ-quantized query to the CONVERGED centroids) and
+    * exact-cosine re-rank the union of their inverted lists — the
+    * [[Dedup.lshVerified]] verify shape applied to ANN: cost bounded by
+    * candidate volume (nProbe/k of the corpus per query), never all-pairs.
+    *
+    * Plan: centroids are one (cluster, dim) aggregation off the memoized
+    * assignment (k·d rows); the probe choice is a window over |queries|·k
+    * rows (dashboard-sized); the candidate join broadcasts the probe set
+    * (conf-gated [[Hints.broadcastSmall]]) onto the corpus scan, and the
+    * per-query top-k runs through the bounded-heap [[rankTopK]] partial
+    * reduction — the corpus itself never shuffles. */
+  def kmeansRerankTopK(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assign = kmeansConverged(s, d).select(col("vec_id"), col("cluster"))
+    val e = quantizedCorpus(s, d).select(col("vec_id"), col("q"))
+    val cents = e.join(assign, "vec_id")
+      .select(col("cluster"), posexplode(col("q")).as(Seq("dim", "x")))
+      .groupBy(col("cluster"), col("dim"))
+      .agg(expr("CAST(floor(CAST(sum(x) AS DOUBLE) / count(1)) AS BIGINT)").as("c"))
+    val cvecs = cents.groupBy(col("cluster"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, c))), s -> s.c)").as("cv"))
+    val queries = corpus(s, d).filter(col("vec_id") % queryStride === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        expr("transform(v, x -> CAST(round(x * 1000000) AS BIGINT))").as("qq"))
+    val near = queries.crossJoin(broadcast(cvecs))
+      .withColumn("cdist2",
+        expr("aggregate(zip_with(qq, cv, (a, b) -> (a - b) * (a - b)), 0L, (acc, v) -> acc + v)"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cdist2").asc, col("cluster").asc)))
+      .filter(col("rn") <= kmeansProbes)
+      .select(col("query_id"), col("qv"), col("cluster").as("pcluster"))
+    val c = corpus(s, d).join(assign, "vec_id")
+    val scored = c.join(Hints.broadcastSmall(near),
+        col("cluster") === col("pcluster") && col("vec_id") =!= col("query_id"))
+      .withColumn("score", expr("cosine_sim(qv, v)"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("score"))
+    rankTopK(scored)
+  }
+
+  /** Recall@k of the re-ranked multi-probe search ([[kmeansRerankTopK]])
+    * against brute force — read next to [[recallKmeans]], the delta is what
+    * the [[kmeansProbes]]× candidate fan-out buys back. */
+  def recallRerank(s: SparkSession, d: String): DataFrame =
+    recallOf(bruteForceTopK(s, d), kmeansRerankTopK(s, d), "n_rr")
+
   private val pqSubvectors = 4
   private val pqSubDim = 16 // 64 dims / 4 subvectors
   // Codebook entries per PQ subspace — a storage-FORMAT constant (code width
@@ -759,6 +814,8 @@ object Similarity {
     "x_embed_kmeans_iter" -> ((s, d) => kmeansIter(s, d)),
     "x_embed_kmeans_conv" -> ((s, d) => kmeansConverged(s, d)),
     "x_sim_recall_kmeans" -> recallKmeans,
+    "x_sim_topk_rerank" -> ((s, d) => kmeansRerankTopK(s, d)),
+    "x_sim_recall_rerank" -> ((s, d) => recallRerank(s, d)),
     "x_sim_topk_brute" -> bruteForceTopK,
     "x_sim_topk_ivf" -> ivfTopK,
     "x_sim_recall" -> recallIvf,
@@ -1206,5 +1263,62 @@ object Similarity {
          |       COALESCE(cm.n_common, 0) AS n_common,
          |       CAST(round(CAST(COALESCE(cm.n_common, 0) AS DOUBLE) * 10000 / nb.n_brute)
          |            AS BIGINT) AS recall_bp
-         |FROM nb LEFT JOIN ni USING (query_id) LEFT JOIN cm USING (query_id)""".stripMargin)
+         |FROM nb LEFT JOIN ni USING (query_id) LEFT JOIN cm USING (query_id)""".stripMargin,
+    "x_sim_topk_rerank" ->
+      s"""WITH ${rerankSqlCtes()}
+         |SELECT query_id, neighbor_id, rnk FROM rr WHERE rnk <= $topK""".stripMargin,
+    "x_sim_recall_rerank" ->
+      s"""WITH ${rerankSqlCtes()},
+         |ta AS (SELECT query_id, neighbor_id FROM rr WHERE rnk <= $topK),
+         |sb AS (SELECT q.query_id, c.vec_id AS neighbor_id, $cosSql AS score
+         |       FROM cc c, cq q WHERE c.vec_id <> q.query_id),
+         |rb AS (SELECT query_id, neighbor_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |                ORDER BY score DESC, neighbor_id ASC) AS rnk
+         |       FROM sb),
+         |tb AS (SELECT query_id, neighbor_id FROM rb WHERE rnk <= $topK),
+         |nb AS (SELECT query_id, count(*) AS n_brute FROM tb GROUP BY 1),
+         |na AS (SELECT query_id, count(*) AS n_rr FROM ta GROUP BY 1),
+         |cm AS (SELECT tb.query_id, count(*) AS n_common
+         |       FROM tb JOIN ta USING (query_id, neighbor_id) GROUP BY 1)
+         |SELECT nb.query_id, nb.n_brute,
+         |       COALESCE(na.n_rr, 0) AS n_rr,
+         |       COALESCE(cm.n_common, 0) AS n_common,
+         |       CAST(round(CAST(COALESCE(cm.n_common, 0) AS DOUBLE) * 10000 / nb.n_brute)
+         |            AS BIGINT) AS recall_bp
+         |FROM nb LEFT JOIN na USING (query_id) LEFT JOIN cm USING (query_id)""".stripMargin)
+
+  /** Oracle twin of [[kmeansRerankTopK]]: the unrolled Lloyd chain
+    * ([[kmeansConvSqlCtes]]) to the converged assignment, the M-step
+    * centroids of THAT assignment, per-query integer centroid distances,
+    * the [[kmeansProbes]]-nearest probe set, and the exact-cosine re-rank
+    * over the probed inverted lists — ends in `rr` (query_id, neighbor_id,
+    * rnk), with `cc`/`cq` exposed for the recall twin's brute-force leg. */
+  private def rerankSqlCtes(): String = {
+    val fin = s"a$kmeansMaxRounds"
+    s"""${kmeansConvSqlCtes()},
+       |cent AS MATERIALIZED (SELECT a.cluster, xp.dim,
+       |        CAST(floor(CAST(sum(xp.v) AS DOUBLE) / count(*)) AS BIGINT) AS c
+       |      FROM xp JOIN $fin a USING (vec_id) GROUP BY 1, 2),
+       |qd AS (SELECT xp.vec_id AS query_id, cent.cluster,
+       |        CAST(sum((xp.v - cent.c) * (xp.v - cent.c)) AS BIGINT) AS cdist2
+       |      FROM xp JOIN cent USING (dim)
+       |      WHERE xp.vec_id % $queryStride = 0 GROUP BY 1, 2),
+       |pr AS MATERIALIZED (SELECT query_id, cluster
+       |      FROM (SELECT query_id, cluster,
+       |              row_number() OVER (PARTITION BY query_id
+       |                     ORDER BY cdist2 ASC, cluster ASC) AS rn
+       |            FROM qd) WHERE rn <= $kmeansProbes),
+       |cc AS MATERIALIZED (SELECT e2.vec_id, a.cluster, e2.embedding::DOUBLE[] AS v
+       |      FROM embeddings e2 JOIN $fin a ON e2.vec_id = a.vec_id),
+       |cq AS (SELECT vec_id AS query_id, v AS qv, sqrt(list_dot_product(v, v)) AS qn
+       |      FROM cc WHERE vec_id % $queryStride = 0),
+       |sr AS (SELECT q.query_id, c.vec_id AS neighbor_id, $cosSql AS score
+       |      FROM cc c JOIN pr ON c.cluster = pr.cluster
+       |      JOIN cq q ON q.query_id = pr.query_id AND c.vec_id <> q.query_id),
+       |rr AS (SELECT query_id, neighbor_id,
+       |        CAST(row_number() OVER (PARTITION BY query_id
+       |               ORDER BY score DESC, neighbor_id ASC) AS BIGINT) AS rnk
+       |      FROM sr)""".stripMargin
+  }
 }

@@ -12,6 +12,16 @@ import org.apache.spark.sql.streaming.Trigger
   * cancelled (not silently passed) otherwise: this container ships no broker
   * and no Kafka connector jar, so by default the suite records the skip.
   *
+  * An EMBEDDED in-process KRaft broker was evaluated as the way to ungate
+  * this hermetically (round-9 review suggestion) and is not buildable here:
+  * the sandbox resolves dependencies offline from a pre-warmed cache that
+  * contains no `kafka-server`/`kafka-clients`/`spark-sql-kafka` artifact
+  * anywhere (`/opt/spark/jars` ships none either), and the environment has
+  * no network egress to fetch one. The env gate — cancel loudly, never
+  * fake a pass — remains the honest boundary for this surface; every
+  * broker-independent piece of the path (wire format round-trip, parse,
+  * null gate, windowed agg) is covered by the hermetic suites.
+  *
   * To run: point SPARK_GRAFT_KAFKA at a broker and put
   * `spark-sql-kafka-0-10` + its transitive jars on the test classpath. */
 class KafkaIntegrationSpec extends SparkSpec {

@@ -232,6 +232,30 @@ class OpsSpec extends SparkSpec {
     assert(out.filter($"head_byte" < 0 || $"head_byte" > 255).isEmpty)
   }
 
+  test("image stats come from a REAL ImageIO decode of real PNG bytes") {
+    // the payloads are genuine PNG containers (magic header), not text bytes
+    val recs = MultimodalPipeline.imageRecords(spark, sf).limit(3)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1))
+    recs.foreach { case (_, png) =>
+      assert(png.take(4).map(_ & 0xff).toSeq == Seq(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt),
+        "payload must be a real PNG container")
+    }
+    // an independent in-test decode of one payload reproduces the stats row
+    val (id, png) = recs.head
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    var rs = 0L
+    for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+      rs += (img.getRGB(x, y) >> 16) & 0xff
+    val row = MultimodalPipeline.imageStats(spark, sf)
+      .filter($"doc_id" === id).collect().head
+    assert(row.getLong(1) == img.getWidth && row.getLong(2) == img.getHeight)
+    assert(row.getLong(4) == rs, "decoded red-channel sum must match an independent decode")
+    // corrupted container must fail the decode loudly, not fake features
+    intercept[Exception] {
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png.take(8))).getWidth
+    }
+  }
+
   // ------------------------------------------------------------ Repetition
 
   test("repetition metrics: dup-bigram and top-token fractions on known docs") {
