@@ -29,11 +29,13 @@ import org.apache.spark.sql.SparkSession
   *    samples, no rounding or omission, the run's cpus/master recorded) is
   *    written next to the repo for round-over-round comparison — the
   *    stdout line is tail-budgeted and lossy by design;
-  *  - MEMO-BACKED queries (the LSH pair graph, the converged k-means
-  *    assignment, the BPE trainer — see [[graft.ops.SpillMemo]]) measure a
-  *    parquet READ-BACK in their warm samples; the derivation cost is the
-  *    FIRST sample in `bench_full.json`, so compare training-loop
-  *    regressions on first samples, never on the min;
+  *  - MEMO-BACKED queries (the LSH pair graph, the MinHash signature
+  *    index, the converged k-means assignment, the BPE trainer, the
+  *    per-doc feature base behind `x_doc_features`/`x_model_*` — see
+  *    [[graft.ops.SpillMemo]]) measure a parquet READ-BACK in their warm
+  *    samples; the derivation cost is the FIRST sample in
+  *    `bench_full.json`, so compare training-loop regressions on first
+  *    samples, never on the min;
   *  - failures are reported per query in an `errors` map (and as value -1)
   *    instead of masquerading as fast runs.
   */

@@ -800,11 +800,33 @@ object Similarity {
     Tables.embeddings(s, d).select(col("vec_id") +: projs: _*)
   }
 
+  /** DIVERSITY BINNING on the learned subspace — the curation operation the
+    * k-direction basis exists for: each vector's cell is the sign pattern of
+    * its [[pcaK]] fixed-point projections (2^k cells), and the output is the
+    * per-cell census (count + id range) a diversity sampler allocates
+    * quotas against (the [[graft.ops.Sampling]] quota shape over SEMANTIC
+    * cells instead of metadata strata). Plan: the projections are the same
+    * map-side k-literal dot products as [[pcaProjectK]], the cell id is
+    * in-row bit arithmetic, and the census is one aggregation whose key
+    * space is 2^k — the exchange moves at most 2^k rows per partition at
+    * any corpus size. */
+  def pcaBins(s: SparkSession, d: String): DataFrame = {
+    val binExpr = (1 to pcaK)
+      .map(c => s"(CASE WHEN proj${c}_fp >= 0 THEN ${1L << (c - 1)} ELSE 0 END)")
+      .mkString(" + ")
+    pcaProjectK(s, d)
+      .withColumn("cell", expr(s"CAST($binExpr AS BIGINT)"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("vec_id")).as("min_vec_id"), max(col("vec_id")).as("max_vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_embed_pca" -> ((s, d) => pcaPower(s, d)),
     "x_embed_pca_project" -> ((s, d) => pcaProject(s, d)),
     "x_embed_pca_k" -> ((s, d) => pcaPowerK(s, d)),
     "x_embed_pca_kproject" -> ((s, d) => pcaProjectK(s, d)),
+    "x_embed_pca_bins" -> ((s, d) => pcaBins(s, d)),
     "x_sim_knn_graph" -> ((s, d) => knnGraph(s, d)),
     "x_sim_knn_incremental" -> ((s, d) => knnIncremental(s, d)),
     "x_sim_topk_mp" -> multiProbeTopK,
@@ -1072,11 +1094,30 @@ object Similarity {
        |FROM q $joins GROUP BY q.vec_id""".stripMargin
   }
 
+  /** [[pcaBins]]'s twin: the k-projection relation wrapped in the identical
+    * sign-bit cell arithmetic and census aggregation. */
+  private def pcaBinsSql: String = {
+    val cols = (1 to pcaK).map(c =>
+      s"CAST(sum(q.qv * w$c.v) AS BIGINT) AS proj${c}_fp").mkString(",\n       ")
+    val joins = (1 to pcaK).map(c => s"JOIN w$c ON q.dim = w$c.i").mkString(" ")
+    val binExpr = (1 to pcaK)
+      .map(c => s"(CASE WHEN proj${c}_fp >= 0 THEN ${1L << (c - 1)} ELSE 0 END)")
+      .mkString(" + ")
+    s"""${pcaCtes(pcaK)},
+       |pj AS (SELECT q.vec_id, $cols
+       |       FROM q $joins GROUP BY q.vec_id)
+       |SELECT CAST($binExpr AS BIGINT) AS cell,
+       |       count(*) AS n_vecs,
+       |       min(vec_id) AS min_vec_id, max(vec_id) AS max_vec_id
+       |FROM pj GROUP BY 1""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "x_embed_pca" -> pcaSql,
     "x_embed_pca_project" -> pcaProjectSql,
     "x_embed_pca_k" -> pcaKSql,
     "x_embed_pca_kproject" -> pcaProjectKSql,
+    "x_embed_pca_bins" -> pcaBinsSql,
     "x_sim_knn_graph" -> knnSql(),
     "x_sim_knn_incremental" -> knnSql(incremental = true),
     "x_sim_topk_mp" ->

@@ -86,6 +86,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window"), s"rank must not move rows to one partition:\n$p")
   }
 
+  test("rerank: probe set broadcasts onto the corpus; top-k is the bounded-heap aggregate") {
+    val p = plan("x_sim_topk_rerank")
+    assert(p.contains("BroadcastHashJoin"), s"the probe set must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"candidates come from probed clusters only:\n$p")
+    // per-query top-k runs through TopKAgg's partial reduction, never a
+    // window over the full scored candidate set
+    assert(p.contains("ObjectHashAggregate"), s"top-k must heap-reduce map-side:\n$p")
+  }
+
   test("model gate is pure map-side: no exchange, no join, inside codegen") {
     val p = plan("x_model_gate")
     val shuffles = p.linesIterator.count(l => l.contains("Exchange"))
