@@ -703,16 +703,31 @@ object Similarity {
   private def pcaDirection(s: SparkSession, d: String): Array[Long] =
     pcaBasis(s, d, 1).head
 
-  /** The collected, max-abs-rescaled d² Gram matrix ([[pcaGScale]]). The
-    * `.head` collects ONE row of d² longs — corpus-independent size. */
+  /** Memo of the collected Gram matrix: (session identity, table dir) →
+    * the d² longs. Five queries now consume the basis (`x_embed_pca`,
+    * `_project`, `_k`, `_kproject`, `_bins`); without the memo EACH ran its
+    * own distributed Gram pass — a full corpus scan per query at 100 TB.
+    * The value is a driver-side d² array (64² longs ≈ 32 KB — nothing like
+    * the parquet-spill memos' relations), so the memo is the array itself:
+    * ONE corpus pass per session, every later consumer pays only the
+    * microsecond matvec rounds. */
+  private val gramMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), Array[Long]]
+
+  /** The collected, max-abs-rescaled d² Gram matrix ([[pcaGScale]]),
+    * memoized per session ([[gramMemo]]). The `.head` collects ONE row of
+    * d² longs — corpus-independent size. */
   private def scaledGram(s: SparkSession, d: String): Array[Long] = {
-    val gramAgg = org.apache.spark.sql.functions.udaf(
-      new graft.functions.GramAgg(pcaQScale),
-      org.apache.spark.sql.Encoders.product[graft.functions.GramIn])
-    val gram = Tables.embeddings(s, d).agg(gramAgg(col("embedding")).as("g"))
-      .head.getSeq[Long](0).toArray // d² longs — corpus-INDEPENDENT size
-    val gds = math.max(1L, gram.map(math.abs).max / pcaGScale)
-    gram.map(Math.floorDiv(_, gds))
+    val key = (System.identityHashCode(s), d)
+    gramMemo.synchronized(gramMemo.getOrElseUpdate(key, {
+      val gramAgg = org.apache.spark.sql.functions.udaf(
+        new graft.functions.GramAgg(pcaQScale),
+        org.apache.spark.sql.Encoders.product[graft.functions.GramIn])
+      val gram = Tables.embeddings(s, d).agg(gramAgg(col("embedding")).as("g"))
+        .head.getSeq[Long](0).toArray // d² longs — corpus-INDEPENDENT size
+      val gds = math.max(1L, gram.map(math.abs).max / pcaGScale)
+      gram.map(Math.floorDiv(_, gds))
+    }))
   }
 
   /** The first k fixed-round power-iterate directions (driver-side rounds

@@ -71,6 +71,20 @@ class FunnelRecallSpec extends SparkSpec {
     }
   }
 
+  test("rerank recall dominates single-cluster learned-IVF recall per query") {
+    // Multi-probe candidates are a SUPERSET of the home cluster's (the home
+    // cluster is always among the nearest kmeansProbes), and both paths
+    // score with the same exact cosine — so per-query recall can only rise.
+    val base = Similarity.recallKmeans(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap // query -> n_common
+    val rr = Similarity.recallRerank(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(rr.keySet == base.keySet)
+    rr.foreach { case (q, n) =>
+      assert(n >= base(q), s"query $q: rerank n_common $n < single-cluster ${base(q)}")
+    }
+  }
+
   test("oov: counts are bounded and the vocabulary cut is deterministic") {
     val a = TextAnalysis.oov(spark, sf).collect().map(r =>
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
