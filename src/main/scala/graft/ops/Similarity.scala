@@ -428,20 +428,9 @@ object Similarity {
     * its (score DESC, id ASC) order is exactly the oracle's
     * `row_number`. */
   def knnGraph(s: SparkSession, d: String, bits: Int = knnBits): DataFrame = {
-    val bucketExpr = (0 until bits)
-      .map(i => s"(CASE WHEN embedding[$i] >= 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
-    val e = Lineage.cut(
-      Tables.embeddings(s, d).select(
-        col("vec_id"),
-        expr(s"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $knnQuant) AS BIGINT))").as("q"),
-        expr(s"CAST($bucketExpr AS BIGINT)").as("bucket"))
-      .withColumn("nq",
-        expr("aggregate(zip_with(q, q, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
-      // nq = 0 (all components quantize to zero) would make the rank key's
-      // `div` NULL in Spark but a hard error in DuckDB — exclude degenerate
-      // vectors on BOTH sides (oracle mirrors this in its `n` CTE), the
-      // non-empty-token guard pattern used across TextAnalysis.
-      .filter(col("nq") > 0))
+    // degenerate-vector guard lives in [[knnRelation]] (oracle mirrors it
+    // in its `n` CTE — the non-empty-token guard pattern).
+    val e = Lineage.cut(knnRelation(Tables.embeddings(s, d), bits))
     val scored = e.as("a").join(e.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"),
@@ -457,7 +446,7 @@ object Similarity {
   /** Stand-in ingest-batch membership for [[knnIncremental]] — a TUNABLE
     * shared with the oracle ([[graft.ops.Dedup.incremental]]'s convention:
     * a real deployment passes an actual ingest partition). */
-  private[ops] val knnBatchMod = 10
+  private[graft] val knnBatchMod = 10
 
   /** Incremental kNN — [[knnGraph]]'s steady-state form: only the NEW
     * ingest batch gets neighbors, searched against the standing corpus
@@ -476,25 +465,50 @@ object Similarity {
     * Ranking reuses [[knnGraph]]'s pure-integer signed-squared-cosine
     * key. */
   def knnIncremental(s: SparkSession, d: String, bits: Int = knnBits): DataFrame = {
+    val e = Lineage.cut(knnRelation(Tables.embeddings(s, d), bits))
+    val isNew = col("vec_id") % knnBatchMod === 7
+    knnProbe(e.filter(isNew), e.filter(!isNew)
+      .select(col("vec_id").as("neighbor_id"), col("q").as("cq"),
+        col("bucket"), col("nq").as("nb")))
+  }
+
+  /** The (vec_id, q, bucket, nq) sign-bucket relation of any frame with
+    * (vec_id, embedding) — [[knnGraph]]/[[knnIncremental]]'s shared
+    * quantize + bucket + degenerate-vector guard, factored so the
+    * streaming ingest path ([[graft.streaming.KnnStream]]) builds its
+    * per-batch relation with the identical arithmetic. */
+  private[graft] def knnRelation(df: DataFrame, bits: Int = knnBits): DataFrame = {
     val bucketExpr = (0 until bits)
       .map(i => s"(CASE WHEN embedding[$i] >= 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
-    val e = Lineage.cut(
-      Tables.embeddings(s, d).select(
+    df.select(
         col("vec_id"),
         expr(s"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $knnQuant) AS BIGINT))").as("q"),
         expr(s"CAST($bucketExpr AS BIGINT)").as("bucket"))
       .withColumn("nq",
         expr("aggregate(zip_with(q, q, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
-      // same degenerate-vector guard as [[knnGraph]] (div-by-zero parity).
-      .filter(col("nq") > 0))
-    val isNew = col("vec_id") % knnBatchMod === 7
-    val batch = e.filter(isNew)
+      // nq = 0 would make the rank key's `div` NULL in Spark but a hard
+      // error in DuckDB — exclude degenerate vectors on BOTH sides.
+      .filter(col("nq") > 0)
+  }
+
+  /** The standing-corpus side of the incremental search (everything OUTSIDE
+    * the ingest batch), lineage-cut so per-ingest probes re-read
+    * materialized rows instead of re-deriving the bucketed relation. */
+  private[graft] def knnCorpusIndex(s: SparkSession, d: String): DataFrame =
+    Lineage.cut(knnRelation(Tables.embeddings(s, d))
+      .filter(col("vec_id") % knnBatchMod =!= 7)
+      .select(col("vec_id").as("neighbor_id"), col("q").as("cq"),
+        col("bucket"), col("nq").as("nb")))
+
+  /** Probe an ingest-batch sign-bucket relation against the standing corpus
+    * index and keep each ingest vector's top-[[knnK]] neighbors — the
+    * asymmetric conf-gated-broadcast join + pure-integer ranking shared by
+    * [[knnIncremental]] and its streaming twin. */
+  private[graft] def knnProbe(ingest: DataFrame, corpusIdx: DataFrame): DataFrame = {
+    val batch = ingest
       .select(col("vec_id").as("query_id"), col("q").as("bq"),
         col("bucket"), col("nq").as("na"))
-    val corpus = e.filter(!isNew)
-      .select(col("vec_id").as("neighbor_id"), col("q").as("cq"),
-        col("bucket"), col("nq").as("nb"))
-    val scored = corpus.join(Hints.broadcastSmall(batch), Seq("bucket"))
+    val scored = corpusIdx.join(Hints.broadcastSmall(batch), Seq("bucket"))
       .select(col("query_id"), col("neighbor_id"),
         expr("aggregate(zip_with(bq, cq, (x, y) -> x * y), 0L, (acc, v) -> acc + v)").as("dot"),
         col("na"), col("nb"))

@@ -58,18 +58,33 @@ object EventPipeline {
   def fileStream(s: SparkSession, sfDir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(s"$sfDir/events.parquet").schema
-    // FileStreamSource requires a *directory* to monitor; the testdata table
-    // is a single file, so expose it through a scratch dir (symlink — no
-    // copy; fall back to a copy if the filesystem refuses links). The dir is
-    // STABLE per source path — checkpoint recovery must observe the same
-    // source location, else the committed offsets don't cover the "new" file
-    // and a restart would re-ingest it. Keyed by a digest of the full source
-    // path (hashCode can collide across paths), and installed by staging to a
-    // temp name + ATOMIC_MOVE so concurrent sessions can't observe a
-    // half-written file and a crash can't leave a truncated one behind; a
-    // stale truncated copy from an earlier crash is detected by size and
-    // replaced the same way.
-    val target = java.nio.file.Paths.get(s"$sfDir/events.parquet")
+    val dir = installSourceDir(java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+    val stream = s.readStream.schema(schema).parquet(dir.toString)
+    // Same per-layout `ts` restoration as the batch reader (Tables.events):
+    // legacy nanos-as-long files truncate to micros; timestamp[us] files
+    // arrive as TIMESTAMP_NTZ and are relabeled to the UTC session type.
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => graft.Tables.normalizeNtz(stream)
+    }
+  }
+
+  /** Expose a single-file parquet table through a stable scratch DIRECTORY
+    * (FileStreamSource requires a directory to monitor): symlink — no
+    * copy; fall back to a copy if the filesystem refuses links. The dir is
+    * STABLE per source path — checkpoint recovery must observe the same
+    * source location, else the committed offsets don't cover the "new" file
+    * and a restart would re-ingest it. Keyed by a digest of the full source
+    * path (hashCode can collide across paths), and installed by staging to a
+    * temp name + ATOMIC_MOVE so concurrent sessions can't observe a
+    * half-written file and a crash can't leave a truncated one behind; a
+    * stale truncated copy from an earlier crash is detected by size and
+    * replaced the same way. Shared by every single-file streaming source
+    * ([[fileStream]], [[KnnStream]]). Exactly ONE file lands in the dir —
+    * the single-batch delivery contract the zero-delay-watermark streams
+    * document. */
+  private[streaming] def installSourceDir(target: java.nio.file.Path): java.nio.file.Path = {
     val tag = java.security.MessageDigest.getInstance("MD5")
       .digest(target.toAbsolutePath.toString.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(16)
@@ -104,15 +119,7 @@ object EventPipeline {
         throw new java.io.IOException(
           s"could not install streaming source file at $link (target: $target)")
     }
-    val stream = s.readStream.schema(schema).parquet(dir.toString)
-    // Same per-layout `ts` restoration as the batch reader (Tables.events):
-    // legacy nanos-as-long files truncate to micros; timestamp[us] files
-    // arrive as TIMESTAMP_NTZ and are relabeled to the UTC session type.
-    schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case _ => graft.Tables.normalizeNtz(stream)
-    }
+    dir
   }
 
   /** One streaming query: windowed counts → upsert deltas (S3) with a

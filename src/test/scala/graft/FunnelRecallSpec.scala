@@ -71,6 +71,18 @@ class FunnelRecallSpec extends SparkSpec {
     }
   }
 
+  test("golden: streamed ingest-kNN equals the batch incremental search") {
+    // Stateless stream-static probe: the result must equal the batch twin
+    // under any micro-batching (each ingest vector's candidates all come
+    // from the static index, so its top-k completes within its own batch).
+    val streamed = graft.streaming.KnnStream.streamedKnn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = Similarity.knnIncremental(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch, "streamed ingest-kNN diverged from the batch incremental form")
+    assert(streamed.nonEmpty)
+  }
+
   test("rerank recall dominates single-cluster learned-IVF recall per query") {
     // Multi-probe candidates are a SUPERSET of the home cluster's (the home
     // cluster is always among the nearest kmeansProbes), and both paths
