@@ -71,6 +71,46 @@ class FunnelRecallSpec extends SparkSpec {
     }
   }
 
+  test("ingest-kNN probe is batching-invariant: two micro-batches equal the batch form") {
+    // s_knn_stream's correctness claim is NO single-batch assumption (the
+    // probe is stateless stream-static, so each ingest vector's top-k
+    // completes within its own batch). The file source can't exercise that
+    // (one file = one batch); a MemoryStream delivering the ingest in TWO
+    // batches can.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpusIdx = Similarity.knnCorpusIndex(spark, sf)
+    val ingest = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect()
+      .filter(_._1 % Similarity.knnBatchMod == 7).toSeq
+    assert(ingest.size >= 2, "need at least two ingest vectors to split")
+    val (chunk1, chunk2) = ingest.splitAt(ingest.size / 2)
+    val sink = java.nio.file.Files.createTempDirectory("graft-sknn-t-").toString
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = in.toDF().toDF("vec_id", "embedding").writeStream
+      .option("checkpointLocation", s"$sink/ckpt")
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          graft.streaming.UpsertSink.writeBatch(
+            Similarity.knnProbe(Similarity.knnRelation(b.toDF()), corpusIdx),
+            id, s"$sink/sink")
+      }
+      .start()
+    try {
+      in.addData(chunk1: _*)
+      q.processAllAvailable()
+      in.addData(chunk2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = graft.streaming.UpsertSink
+      .resolve(spark, s"$sink/sink", Seq("vec_id", "rnk"))
+      .select("vec_id", "neighbor_id", "rnk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = Similarity.knnIncremental(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch, "two-batch ingest diverged from the batch incremental search")
+  }
+
   test("golden: streamed ingest-kNN equals the batch incremental search") {
     // Stateless stream-static probe: the result must equal the batch twin
     // under any micro-batching (each ingest vector's candidates all come
