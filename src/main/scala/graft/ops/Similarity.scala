@@ -671,10 +671,13 @@ object Similarity {
     * spectrum's scale changes, and the estimate only needs the DIRECTION);
     * with it the matvec-term bound is n-INDEPENDENT:
     * |G'| < 2·[[pcaGScale]] (floor division by `max|G| div gScale` can land
-    * just under 2×), |v| ≤ 2·[[pcaVScale]] after its own rescale plus ≤
-    * ~2× growth across the [[pcaK]]-1 Gram-Schmidt subtractions, so each
-    * term is < 2·10⁹ · 10⁶ = 2·10¹⁵ and the 64-way row accumulation stays
-    * under 1.3·10¹⁷ ≪ 2⁶³. The earlier unrescaled chain overflowed near
+    * just under 2×), and |v| ≤ 2·[[pcaVScale]] after its own rescale grows
+    * at most 2× PER Gram-Schmidt subtraction (Cauchy-Schwarz: the exact
+    * projection magnitude is ≤ |v|, so v − proj ≤ 2|v| + 1 for the floor),
+    * i.e. ≤ 2^([[pcaK]]−1) = 8× across the chain → |v| ≤ 1.6·10⁶. Each
+    * term is then < 2·10⁹ · 1.6·10⁶ and the 64-way row accumulation stays
+    * under 2.1·10¹⁷ ≪ 2⁶³ — 40× headroom at worst case, corpus size
+    * irrelevant. The earlier unrescaled chain overflowed near
     * n ≈ 5·10⁴ worst-case — and wrapped SILENTLY while the DuckDB oracle
     * raised on its HUGEINT→BIGINT cast; [[pcaBasis]] now also computes with
     * `Math.multiplyExact`/`addExact` so any future retune of these scales
