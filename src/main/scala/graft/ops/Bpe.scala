@@ -123,11 +123,11 @@ object Bpe {
     * (`x_bpe_merges`, `x_bpe_encode`) read the tiny materialized relations
     * back instead of re-running the rewrites. */
   private val trainMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), (String, String)]
+    scala.collection.concurrent.TrieMap.empty[(Long, String), (String, String)]
 
   private def trainedPaths(s: SparkSession, d: String): (String, String) =
     // synchronized + exit-cleaned scratch: see [[SpillMemo]].
-    trainMemo.synchronized(trainMemo.getOrElseUpdate((System.identityHashCode(s), d), {
+    trainMemo.synchronized(trainMemo.getOrElseUpdate((SpillMemo.sessionId(s), d), {
       val dir = SpillMemo.scratchDir("graft-bpe-")
       val (summaries, toks) = train(Tables.documents(s, d))
       summaries.write.mode("overwrite").parquet(s"$dir/summaries")

@@ -186,11 +186,11 @@ object Dedup {
     * the first consumer's first sample (SpillMemo read-back semantics,
     * recorded in `bench_full.json`). */
   private val sigMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+    scala.collection.concurrent.TrieMap.empty[(Long, String), String]
 
   /** The per-session materialized signature index ([[sigMemo]]). */
   private def signatures(s: SparkSession, d: String): DataFrame = {
-    val key = (System.identityHashCode(s), d)
+    val key = (SpillMemo.sessionId(s), d)
     val path = sigMemo.synchronized(sigMemo.getOrElseUpdate(key, {
       val out = SpillMemo.scratchDir("graft-minhashsig-")
       minhashSignatures(s, d).write.mode("overwrite").parquet(out)
@@ -212,7 +212,7 @@ object Dedup {
     * formulation, up to 16×). Banding itself is a single map-side explode
     * over the materialized signatures. */
   def minhashLsh(s: SparkSession, d: String): DataFrame = {
-    val key = (System.identityHashCode(s), d)
+    val key = (SpillMemo.sessionId(s), d)
     // synchronized: TrieMap's update is atomic but the spill thunk is not —
     // see [[SpillMemo]] (which also registers the dir for JVM-exit cleanup).
     val path = pairsMemo.synchronized(pairsMemo.getOrElseUpdate(key, {
@@ -233,7 +233,7 @@ object Dedup {
     * tiny (doc_a, doc_b) long-pair table. Parquet, not cache, for the same
     * eviction-immunity reasons. */
   private val pairsMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+    scala.collection.concurrent.TrieMap.empty[(Long, String), String]
 
   /** The (doc_id, band, bkey) LSH band relation of a signature frame — one
     * map-side explode, 8 rows per doc. Shared by the self-join candidate
@@ -574,17 +574,17 @@ object Dedup {
     * the iteration under reliable cuts instead of reading the local-mode
     * spill. */
   private val labelsMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, Boolean), String]
+    scala.collection.concurrent.TrieMap.empty[(Long, String, Boolean), String]
 
   /** The iterative min-label fixpoint over the LSH candidate graph (see
     * [[components]]), spilled + memoized per session. */
   private def componentLabels(s: SparkSession, d: String): DataFrame = {
-    val key = (System.identityHashCode(s), d,
+    val key = (SpillMemo.sessionId(s), d,
       s.conf.getOption(Lineage.reliableConf).exists(_.toBoolean))
     val path = labelsMemo.getOrElseUpdate(key, {
-      val out = java.nio.file.Files.createTempDirectory("graft-complabels-")
-      computeComponentLabels(s, d).write.mode("overwrite").parquet(out.toString)
-      out.toString
+      val out = SpillMemo.scratchDir("graft-complabels-")
+      computeComponentLabels(s, d).write.mode("overwrite").parquet(out)
+      out
     })
     s.read.parquet(path)
   }

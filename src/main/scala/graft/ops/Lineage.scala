@@ -70,7 +70,7 @@ object Lineage {
   * the derivation — the derivation cost appears only in the first (cold)
   * sample. `bench_full.json` keeps all raw samples precisely so the two are
   * distinguishable; BASELINE.md states this next to the affected queries. */
-private[ops] object SpillMemo {
+private[graft] object SpillMemo {
   private val created = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
 
   Runtime.getRuntime.addShutdownHook(new Thread(() => {
@@ -89,6 +89,30 @@ private[ops] object SpillMemo {
     created.add(p)
     p.toString
   }
+
+  private val sessionIds =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Long]
+  private val nextSessionId = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Monotone id for a session, for use in memo keys: unlike
+    * `System.identityHashCode` (whose value a GC'd session's successor can
+    * reuse, silently serving it the dead session's memo entries), an id from
+    * this map is never reassigned. The WeakHashMap keeps the map itself from
+    * pinning sessions. NOTE the memo families keyed on this assume the data
+    * under a table dir is immutable for the session's lifetime — the cached
+    * payloads are pure functions of (dir contents, tunables), and none of
+    * them read session conf at derivation time in a way that could change
+    * between calls. */
+  def sessionId(s: org.apache.spark.sql.SparkSession): Long =
+    sessionIds.synchronized {
+      val got = sessionIds.get(s)
+      if (got != null) got.longValue()
+      else {
+        val id = nextSessionId.incrementAndGet()
+        sessionIds.put(s, java.lang.Long.valueOf(id))
+        id
+      }
+    }
 }
 
 /** Join-side hints whose validity is DATA-dependent, behind a conf (the

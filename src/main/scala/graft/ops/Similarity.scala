@@ -89,10 +89,10 @@ object Similarity {
     * `x_sim_topk_brute` itself stays LIVE (it benchmarks the search, not
     * the table). */
   private val bruteMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+    scala.collection.concurrent.TrieMap.empty[(Long, String), String]
 
   private def bruteTruth(s: SparkSession, d: String): DataFrame = {
-    val key = (System.identityHashCode(s), d)
+    val key = (SpillMemo.sessionId(s), d)
     val path = bruteMemo.synchronized(bruteMemo.getOrElseUpdate(key, {
       val out = SpillMemo.scratchDir("graft-brutetruth-")
       bruteForceTopK(s, d).write.mode("overwrite").parquet(out)
@@ -282,7 +282,7 @@ object Similarity {
     * ([[kmeansIvfTopK]], a re-run of the training query) reads the tiny
     * (vec_id, cluster, dist2) table back instead of re-running the loop. */
   def kmeansConverged(s: SparkSession, d: String, k: Int = defaultKClusters): DataFrame = {
-    val key = (System.identityHashCode(s), d, k)
+    val key = (SpillMemo.sessionId(s), d, k)
     // synchronized + exit-cleaned scratch: see [[SpillMemo]].
     val path = kmeansMemo.synchronized(kmeansMemo.getOrElseUpdate(key, {
       val out = SpillMemo.scratchDir("graft-kmeans-")
@@ -295,7 +295,7 @@ object Similarity {
   /** [[kmeansConverged]] memo: (session identity, table dir, k) → spilled
     * parquet path of the converged assignment. */
   private val kmeansMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, Int), String]
+    scala.collection.concurrent.TrieMap.empty[(Long, String, Int), String]
 
   private def computeKmeansConverged(s: SparkSession, d: String, k: Int): DataFrame = {
     val e = Lineage.cut(quantizedCorpus(s, d).select(col("vec_id"), col("q")))
@@ -312,6 +312,20 @@ object Similarity {
       assign = next.select(col("vec_id"), col("cluster"), col("dist2"))
     }
     assign
+  }
+
+  /** TRUE iff one more Lloyd step leaves the memoized converged assignment
+    * unchanged — training reached a genuine fixed point rather than the
+    * [[kmeansMaxRounds]] cap. Exposed for the rerank-dominance spec: the
+    * per-query superset invariant (home cluster among the nearest
+    * recomputed centroids) is only guaranteed at a fixed point. */
+  private[graft] def kmeansIsFixedPoint(s: SparkSession, d: String,
+      k: Int = defaultKClusters): Boolean = {
+    val e = quantizedCorpus(s, d).select(col("vec_id"), col("q"))
+    val assign = kmeansConverged(s, d, k).select(col("vec_id"), col("cluster"))
+    lloydStep(e, assign)
+      .join(assign.withColumnRenamed("cluster", "prev"), "vec_id")
+      .filter(col("cluster") =!= col("prev")).isEmpty
   }
 
   /** IVF search over LEARNED buckets: identical plan to [[ivfTopK]] but the
@@ -605,10 +619,10 @@ object Similarity {
     * codebook-learning + assignment pipeline per query. [[pqEncode]]
     * (`x_embed_pq`) stays LIVE — it benchmarks the encode itself. */
   private val pqMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), (String, String)]
+    scala.collection.concurrent.TrieMap.empty[(Long, String), (String, String)]
 
   private def pqIndex(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val key = (System.identityHashCode(s), d)
+    val key = (SpillMemo.sessionId(s), d)
     val (codesPath, cbPath) = pqMemo.synchronized(pqMemo.getOrElseUpdate(key, {
       val codesOut = SpillMemo.scratchDir("graft-pqcodes-")
       val cbOut = SpillMemo.scratchDir("graft-pqcodebook-")
@@ -675,13 +689,24 @@ object Similarity {
     * at most 2× PER Gram-Schmidt subtraction (Cauchy-Schwarz: the exact
     * projection magnitude is ≤ |v|, so v − proj ≤ 2|v| + 1 for the floor),
     * i.e. ≤ 2^([[pcaK]]−1) = 8× across the chain → |v| ≤ 1.6·10⁶. Each
-    * term is then < 2·10⁹ · 1.6·10⁶ and the 64-way row accumulation stays
-    * under 2.1·10¹⁷ ≪ 2⁶³ — 40× headroom at worst case, corpus size
-    * irrelevant. The earlier unrescaled chain overflowed near
-    * n ≈ 5·10⁴ worst-case — and wrapped SILENTLY while the DuckDB oracle
-    * raised on its HUGEINT→BIGINT cast; [[pcaBasis]] now also computes with
-    * `Math.multiplyExact`/`addExact` so any future retune of these scales
-    * fails loudly at the same point the oracle does. */
+    * MATVEC term is then < 2·10⁹ · 1.6·10⁶ and the 64-way row accumulation
+    * stays under 2.1·10¹⁷ ≪ 2⁶³ — 40× headroom at worst case, corpus size
+    * irrelevant.
+    *
+    * That proof covers the matvec terms ONLY. The Gram-Schmidt projection's
+    * intermediate `num·w(i)` (num = ⟨v,w⟩ ≤ d·|v|·|w| ≈ 1.6·10¹⁴, times
+    * |w| ≤ 1.6·10⁶) reaches ~2.6·10²⁰ at the simultaneous-extremes worst
+    * case — ABOVE 2⁶³, so the projection step is NOT proven Long-safe; it
+    * relies on real iterates sitting far from the per-entry extreme (the
+    * all-entries-at-max vector is its own eigen-direction, which the
+    * deflation removes). Both bounds are corpus-INDEPENDENT either way —
+    * overflow here could only come from retuning the scales or k, never
+    * from more data. The guarantee on that path is fail-loud-TOGETHER,
+    * not proven-safe: [[pcaBasis]] computes with
+    * `Math.multiplyExact`/`addExact`, so it throws at exactly the point
+    * the DuckDB oracle's HUGEINT→BIGINT cast raises, instead of wrapping
+    * silently. (The earlier unrescaled chain overflowed near n ≈ 5·10⁴
+    * worst-case — and wrapped silently.) */
   private val pcaGScale = 1000000000L
 
   /** Power-iteration rounds — a fixed hyperparameter like
@@ -773,13 +798,13 @@ object Similarity {
     * ONE corpus pass per session, every later consumer pays only the
     * microsecond matvec rounds. */
   private val gramMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), Array[Long]]
+    scala.collection.concurrent.TrieMap.empty[(Long, String), Array[Long]]
 
   /** The collected, max-abs-rescaled d² Gram matrix ([[pcaGScale]]),
     * memoized per session ([[gramMemo]]). The `.head` collects ONE row of
     * d² longs — corpus-independent size. */
   private def scaledGram(s: SparkSession, d: String): Array[Long] = {
-    val key = (System.identityHashCode(s), d)
+    val key = (SpillMemo.sessionId(s), d)
     gramMemo.synchronized(gramMemo.getOrElseUpdate(key, {
       val gramAgg = org.apache.spark.sql.functions.udaf(
         new graft.functions.GramAgg(pcaQScale),

@@ -214,7 +214,7 @@ object TextAnalysis {
     * Derivation cost lands in the first consumer's first bench sample
     * (SpillMemo read-back semantics). */
   private val baseMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
+    scala.collection.concurrent.TrieMap.empty[(Long, String), String]
 
   /** The per-session materialized feature base ([[baseMemo]]): one row per
     * doc with `(doc_id, lang, n_words, n_chars_m, n_stop, n_punct, h,
@@ -223,7 +223,7 @@ object TextAnalysis {
     * contribute their own passes — once per session, not per query. */
   private[ops] def docBase(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val key = (System.identityHashCode(s), d)
+    val key = (SpillMemo.sessionId(s), d)
     val path = baseMemo.synchronized(baseMemo.getOrElseUpdate(key, {
       val out = SpillMemo.scratchDir("graft-docbase-")
       val en = stoplists.toMap.apply("en")
@@ -239,7 +239,15 @@ object TextAnalysis {
           expr("CAST(regexp_count(text, '[^a-z0-9 ]') AS BIGINT)").as("n_punct"),
           md5(col("text")).as("h"))
       val sp = surprisalDocs(docs).select(col("doc_id"), col("n_tokens"), col("bits_sum"))
-      mapSide.join(sp, "doc_id").write.mode("overwrite").parquet(out)
+      // LEFT join: the surprisal leg only has docs with ≥1 non-empty token
+      // (its tokenizer filters empty strings), but the base relation must
+      // cover EVERY document — map-side consumers ([[modelGate]],
+      // [[modelTrain]]) score all docs, and an inner join here would
+      // silently drop zero-token docs while their oracles keep them.
+      mapSide.join(sp, Seq("doc_id"), "left")
+        .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
+        .withColumn("bits_sum", coalesce(col("bits_sum"), lit(0L)))
+        .write.mode("overwrite").parquet(out)
       out
     }))
     s.read.parquet(path)
@@ -260,6 +268,10 @@ object TextAnalysis {
   def docFeatures(s: SparkSession, d: String): DataFrame = {
     val dupW = Window.partitionBy(col("h"))
     docBase(s, d)
+      // The feature table's contract (and its oracle's inner join on the
+      // surprisal CTE) excludes zero-token docs — the base keeps them for
+      // the map-side consumers, so re-impose the cut here.
+      .filter(col("n_tokens") > 0)
       .withColumn("is_dup", col("doc_id") > min(col("doc_id")).over(dupW))
       .select(
         col("doc_id"), col("n_words"),

@@ -1,6 +1,5 @@
 package graft.sources
 
-import java.nio.file.Files
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -42,7 +41,7 @@ object Formats {
         max(col("ts_us")).as("max_ts_us"))
 
   private def roundtrip(s: SparkSession, d: String, format: String): DataFrame = {
-    val dir = Files.createTempDirectory(s"graft-io-$format-").toFile.getAbsolutePath
+    val dir = graft.ops.SpillMemo.scratchDir(s"graft-io-$format-")
     val ev = safeEvents(s, d)
     ev.write.mode("overwrite").format(format)
       .option("header", "true") // csv only; ignored by json
@@ -80,7 +79,7 @@ object Formats {
     * pruning evaluates ARBITRARY deterministic predicates against the
     * partition listing, not just boundaries. */
   def partitionedRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val dir = Files.createTempDirectory("graft-io-part-").toFile.getAbsolutePath
+    val dir = graft.ops.SpillMemo.scratchDir("graft-io-part-")
     // FLOOR division for the day key (pure integer — subtract one when a
     // negative ts has a nonzero remainder): Spark's `div` truncates toward
     // zero while the oracle's DuckDB `//` floors, so the two would disagree

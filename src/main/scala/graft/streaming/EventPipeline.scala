@@ -227,7 +227,7 @@ object EventPipeline {
   private def runToSink(s: SparkSession, prefix: String, outputMode: String,
       resolveKeys: Seq[String])(build: SparkSession => DataFrame): DataFrame = {
     val ss = streamingSession(s)
-    val scratch = Files.createTempDirectory(prefix).toFile.getAbsolutePath
+    val scratch = graft.ops.SpillMemo.scratchDir(prefix)
     val q = build(ss).writeStream
       .outputMode(outputMode)
       .option("checkpointLocation", s"$scratch/ckpt")

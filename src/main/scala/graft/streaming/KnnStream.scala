@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -37,7 +35,7 @@ object KnnStream {
     * the resolved neighbor table. */
   def streamedKnn(s: SparkSession, sfDir: String): DataFrame = {
     val ss = EventPipeline.streamingSession(s)
-    val scratch = Files.createTempDirectory("graft-sknn-").toFile.getAbsolutePath
+    val scratch = graft.ops.SpillMemo.scratchDir("graft-sknn-")
     val corpusIdx = graft.ops.Similarity.knnCorpusIndex(ss, sfDir)
     val schema = ss.read.parquet(s"$sfDir/embeddings.parquet").schema
     val dir = EventPipeline.installSourceDir(

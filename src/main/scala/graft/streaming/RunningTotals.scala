@@ -1,6 +1,5 @@
 package graft.streaming
 
-import java.nio.file.Files
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
@@ -62,7 +61,7 @@ object RunningTotals {
   def streamedRunningTotals(s: SparkSession, sfDir: String): DataFrame = {
     val ss = EventPipeline.streamingSession(s)
     import ss.implicits._
-    val scratch = Files.createTempDirectory("graft-tws-").toFile.getAbsolutePath
+    val scratch = graft.ops.SpillMemo.scratchDir("graft-tws-")
     ss.conf.set("spark.sql.streaming.stateStore.providerClass", rocksProvider)
     val typed = EventPipeline.fileStream(ss, sfDir)
       .filter(col("user_id").isNotNull && col("value").isNotNull)

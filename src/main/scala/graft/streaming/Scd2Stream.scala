@@ -1,6 +1,5 @@
 package graft.streaming
 
-import java.nio.file.Files
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
@@ -141,7 +140,7 @@ object Scd2Stream {
   def streamedScd2(s: SparkSession, sfDir: String): DataFrame = {
     val ss = EventPipeline.streamingSession(s)
     import ss.implicits._
-    val scratch = Files.createTempDirectory("graft-scd2s-").toFile.getAbsolutePath
+    val scratch = graft.ops.SpillMemo.scratchDir("graft-scd2s-")
     ss.conf.set("spark.sql.streaming.stateStore.providerClass", EventPipeline.rocksProvider)
     val typed = EventPipeline.fileStream(ss, sfDir)
       .filter(col("user_id").isNotNull && col("ts").isNotNull &&
@@ -179,7 +178,7 @@ object Scd2Stream {
     * `x_pit_state`'s. */
   def streamedPit(s: SparkSession, sfDir: String): DataFrame = {
     val ss = EventPipeline.streamingSession(s)
-    val scratch = Files.createTempDirectory("graft-spit-").toFile.getAbsolutePath
+    val scratch = graft.ops.SpillMemo.scratchDir("graft-spit-")
     val dim = graft.ops.Lineage.cut(
       graft.ops.Temporal.scd2Events(
           graft.Tables.events(ss, sfDir).filter(col("event_type") =!= "purchase"))

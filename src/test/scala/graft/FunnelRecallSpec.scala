@@ -85,7 +85,7 @@ class FunnelRecallSpec extends SparkSpec {
       .filter(_._1 % Similarity.knnBatchMod == 7).toSeq
     assert(ingest.size >= 2, "need at least two ingest vectors to split")
     val (chunk1, chunk2) = ingest.splitAt(ingest.size / 2)
-    val sink = java.nio.file.Files.createTempDirectory("graft-sknn-t-").toString
+    val sink = graft.ops.SpillMemo.scratchDir("graft-sknn-t-")
     val in = MemoryStream[(Long, Seq[Float])]
     val q = in.toDF().toDF("vec_id", "embedding").writeStream
       .option("checkpointLocation", s"$sink/ckpt")
@@ -124,17 +124,25 @@ class FunnelRecallSpec extends SparkSpec {
   }
 
   test("rerank recall dominates single-cluster learned-IVF recall per query") {
-    // Multi-probe candidates are a SUPERSET of the home cluster's (the home
-    // cluster is always among the nearest kmeansProbes), and both paths
-    // score with the same exact cosine — so per-query recall can only rise.
+    // Multi-probe candidates are a SUPERSET of the home cluster's — but
+    // only when Lloyd reached a true fixed point (otherwise the home
+    // ASSIGNMENT cluster need not be among the probes' nearest RECOMPUTED
+    // centroids). Verify the fixed point first; if training truncated
+    // before convergence on some future fixture, fall back to the always-
+    // valid aggregate claim (total recall does not drop) instead of
+    // failing on an operator that is still correct.
     val base = Similarity.recallKmeans(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(3)).toMap // query -> n_common
     val rr = Similarity.recallRerank(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(rr.keySet == base.keySet)
-    rr.foreach { case (q, n) =>
-      assert(n >= base(q), s"query $q: rerank n_common $n < single-cluster ${base(q)}")
+    if (Similarity.kmeansIsFixedPoint(spark, sf)) {
+      rr.foreach { case (q, n) =>
+        assert(n >= base(q), s"query $q: rerank n_common $n < single-cluster ${base(q)}")
+      }
     }
+    assert(rr.values.sum >= base.values.sum,
+      s"aggregate rerank recall ${rr.values.sum} < single-cluster ${base.values.sum}")
   }
 
   test("oov: counts are bounded and the vocabulary cut is deterministic") {

@@ -88,6 +88,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.filter($"stop_pm" =!= expr("n_stop * 1000 div n_words")).isEmpty)
   }
 
+  test("docBase covers zero-token docs: modelGate scores every document") {
+    // A doc whose text yields no non-empty tokens has no surprisal row; the
+    // base relation must still carry it (left join, counts coalesced to 0)
+    // so the map-side consumers score ALL docs like their oracles do, while
+    // docFeatures' contract (inner join in its oracle) still excludes it.
+    val dir = graft.ops.SpillMemo.scratchDir("graft-docbase-t-")
+    Seq(
+      (1L, "en", "the quick brown fox"),
+      (2L, "en", ""), // splits to [""] → zero non-empty tokens
+      (3L, "de", "   ")) // splits to ["","","",""] → zero non-empty tokens
+      .toDF("doc_id", "lang", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val gate = TextAnalysis.modelGate(spark, dir)
+    assert(gate.select($"doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+    val feats = TextAnalysis.docFeatures(spark, dir)
+    assert(feats.select($"doc_id").as[Long].collect().toSet == Set(1L))
+  }
+
   test("datasetCard: one row, cross-checked against independent counts") {
     val row = TextAnalysis.datasetCard(spark, sf)
     val docs = Tables.documents(spark, sf).cache()
