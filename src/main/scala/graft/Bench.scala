@@ -54,6 +54,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.Logs.quietBenignWarnings()
 
     try // warm-up (untimed): exercises scan + shuffle + agg + noop machinery
       ops.WindowAgg.userWindows(spark, sfDir)

@@ -203,12 +203,20 @@ object GraftFunctions {
           exprs.head, exprs(1))
       }))
 
-  /** Register into a live session (temp function namespace). Idempotent. */
-  def register(spark: SparkSession): Unit =
+  /** Register into a live session (temp function namespace). Idempotent —
+    * and SILENTLY so: an already-registered name is skipped rather than
+    * replaced, because `createOrReplaceTempFunction` logs a "replaced a
+    * previously registered function" WARN per name per call, and operators
+    * call this defensively per query — hundreds of identical lines
+    * crowding the driver's budgeted log tail. Nothing else registers
+    * under these names, so skip ≡ replace here. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
     functions.foreach { case (ident, _, builder) =>
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        ident.funcName, builder, "built-in")
+      if (!reg.functionExists(ident))
+        reg.createOrReplaceTempFunction(ident.funcName, builder, "built-in")
     }
+  }
 }
 
 /** Session-extensions entry point: inject the native functions at session

@@ -19,6 +19,7 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.Logs.quietBenignWarnings()
     val explain = args.contains("-e")
     val names = args.filterNot(_ == "-e")
     names.foreach { name =>

@@ -20,6 +20,7 @@ object VerifySubset {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.Logs.quietBenignWarnings()
     new java.io.File(outDir).mkdirs()
     names.foreach { name =>
       graft.SparkEntry.queries(name)(spark, sfDir)
