@@ -922,8 +922,53 @@ object Similarity {
         min(col("vec_id")).as("min_vec_id"), max(col("vec_id")).as("max_vec_id"))
   }
 
+  /** EXPLAINED-VARIANCE split of the learned basis — the per-component
+    * Rayleigh quotient λ_c = v_cᵀG'v_c / v_cᵀv_c over the memoized RESCALED
+    * Gram ([[scaledGram]]; a scalar Gram rescale scales every λ equally, so
+    * the SHARES are rescale-invariant), plus each component's share of the
+    * λ total in basis points — the weights the diversity-binning and
+    * quota-sampling consumers need (an unweighted cell census treats a
+    * 90%-variance direction like a 1% one).
+    *
+    * Exactness: the quadratic form reaches ~2·10²⁵ at the documented
+    * iterate bounds — beyond Long, comfortably inside 128-bit — so the
+    * driver computes in BigInt and the oracle in DuckDB HUGEINT, the SAME
+    * exact integers; the floor-to-BIGINT at the end uses the
+    * [[floorDivSql]] identity on both sides, and the final narrowing is
+    * `longValueExact` vs HUGEINT→BIGINT cast — loud on both. Driver-side
+    * on the corpus-independent d² matrix like the basis itself
+    * ([[pcaBasis]]): nothing here scales with corpus size. */
+  def pcaVariance(s: SparkSession, d: String): DataFrame = {
+    val gram = scaledGram(s, d)
+    val dd = math.round(math.sqrt(gram.length.toDouble)).toInt
+    val basis = pcaBasis(s, d, pcaK)
+    def fdiv(a: BigInt, b: BigInt): BigInt = (a - ((a % b + b) % b)) / b
+    val lams = basis.map { v =>
+      var num = BigInt(0)
+      var den = BigInt(0)
+      var i = 0
+      while (i < dd) {
+        var j = 0
+        while (j < dd) { num += BigInt(gram(i * dd + j)) * v(i) * v(j); j += 1 }
+        den += BigInt(v(i)) * v(i)
+        i += 1
+      }
+      require(den != 0, "degenerate PCA component (zero iterate)")
+      fdiv(num, den)
+    }
+    val total = lams.sum
+    require(total != 0, "degenerate spectrum: zero total variance")
+    val sp = s
+    import sp.implicits._
+    lams.zipWithIndex.map { case (lam, c) =>
+      (c + 1L, lam.bigInteger.longValueExact(),
+        fdiv(lam * 10000, total).bigInteger.longValueExact())
+    }.toSeq.toDF("comp", "lam_fp", "share_bp")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_embed_pca" -> ((s, d) => pcaPower(s, d)),
+    "x_embed_pca_var" -> ((s, d) => pcaVariance(s, d)),
     "x_embed_pca_project" -> ((s, d) => pcaProject(s, d)),
     "x_embed_pca_k" -> ((s, d) => pcaPowerK(s, d)),
     "x_embed_pca_kproject" -> ((s, d) => pcaProjectK(s, d)),
@@ -1213,8 +1258,35 @@ object Similarity {
        |FROM pj GROUP BY 1""".stripMargin
   }
 
+  /** [[pcaVariance]]'s twin: per component, the HUGEINT quadratic form over
+    * the shared rescaled-Gram CTEs (`g2` × `w{c}` twice) and the norm, the
+    * floor-division identity on HUGEINTs, then shares against the λ total.
+    * BIGINT casts at the end raise on overflow exactly where the engine's
+    * `longValueExact` throws. */
+  private def pcaVarSql: String = {
+    def fdivH(a: String, b: String) = s"($a - (($a % $b + $b) % $b)) // $b"
+    val comps = (1 to pcaK).map { c =>
+      s"""r$c AS MATERIALIZED (SELECT
+         |    (SELECT sum(CAST(g2.s AS HUGEINT) * a.v * b.v)
+         |     FROM g2 JOIN w$c a ON g2.i = a.i JOIN w$c b ON g2.j = b.i) AS num,
+         |    (SELECT sum(CAST(v AS HUGEINT) * v) FROM w$c) AS den)""".stripMargin
+    }.mkString(",\n")
+    val lamRows = (1 to pcaK).map(c =>
+      s"  SELECT CAST($c AS BIGINT) AS comp, ${fdivH("num", "den")} AS lam FROM r$c")
+      .mkString("\n  UNION ALL\n")
+    s"""${pcaCtes(pcaK)},
+       |$comps,
+       |lams AS MATERIALIZED (
+       |$lamRows),
+       |tot AS (SELECT sum(lam) AS t FROM lams)
+       |SELECT comp, CAST(lam AS BIGINT) AS lam_fp,
+       |       CAST(${fdivH("(CAST(10000 AS HUGEINT) * lam)", "t")} AS BIGINT) AS share_bp
+       |FROM lams, tot""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "x_embed_pca" -> pcaSql,
+    "x_embed_pca_var" -> pcaVarSql,
     "x_embed_pca_project" -> pcaProjectSql,
     "x_embed_pca_k" -> pcaKSql,
     "x_embed_pca_kproject" -> pcaProjectKSql,

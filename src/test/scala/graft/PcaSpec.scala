@@ -15,7 +15,9 @@ class PcaSpec extends SparkSpec {
     * device), then per component 3 matvec+rescale rounds with per-round
     * modified Gram-Schmidt against earlier components. Constants restated
     * deliberately (see class scaladoc). */
-  private def sequentialBasis(k: Int): IndexedSeq[Array[Long]] = {
+  /** The rescaled Gram of the sequential reference (shared by the basis
+    * fold and the variance test). */
+  private def sequentialGram(): Array[Array[Long]] = {
     val vecs = Tables.embeddings(spark, sf).select("embedding").collect()
       .map(_.getSeq[Float](0).toArray)
     assert(vecs.nonEmpty)
@@ -34,6 +36,12 @@ class PcaSpec extends SparkSpec {
     }
     val gds = math.max(1L, gram.flatten.map(math.abs).max / 1000000000L)
     for (i <- 0 until dims; j <- 0 until dims) gram(i)(j) = Math.floorDiv(gram(i)(j), gds)
+    gram
+  }
+
+  private def sequentialBasis(k: Int): IndexedSeq[Array[Long]] = {
+    val gram = sequentialGram()
+    val dims = gram.length
     def dot(a: Array[Long], b: Array[Long]): Long =
       a.indices.map(i => a(i) * b(i)).sum
     val comps = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
@@ -81,6 +89,35 @@ class PcaSpec extends SparkSpec {
       val cos = basis(a).indices.map(i => basis(a)(i).toDouble * basis(b)(i)).sum / (na * nb)
       assert(math.abs(cos) < 0.01, s"components ${a + 1} and ${b + 1} not orthogonal: cos=$cos")
     }
+  }
+
+  test("pcaVariance equals the sequential BigInt Rayleigh fold, shares sum to ~100%") {
+    val got = Similarity.pcaVariance(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val gram = sequentialGram()
+    val dims = gram.length
+    val basis = sequentialBasis(Similarity.pcaK)
+    def fdiv(a: BigInt, b: BigInt): BigInt = (a - ((a % b + b) % b)) / b
+    val lams = basis.map { v =>
+      var num = BigInt(0)
+      var den = BigInt(0)
+      for (i <- 0 until dims) {
+        for (j <- 0 until dims) num += BigInt(gram(i)(j)) * v(i) * v(j)
+        den += BigInt(v(i)) * v(i)
+      }
+      fdiv(num, den)
+    }
+    val total = lams.sum
+    val expected = lams.zipWithIndex.map { case (lam, c) =>
+      (c + 1L, lam.toLong, fdiv(lam * 10000, total).toLong)
+    }.toSet
+    assert(got == expected, "variance split diverged from the sequential fold")
+    // floor rounding loses at most 1 bp per component
+    val shares = got.toSeq.map(_._3)
+    assert(shares.sum <= 10000L && shares.sum >= 10000L - Similarity.pcaK)
+    // the power method orders the spectrum: component 1 dominates
+    val byComp = got.toSeq.sortBy(_._1).map(_._2)
+    assert(byComp.head == byComp.max, "component 1 must carry the largest Rayleigh quotient")
   }
 
   test("modelTrain rounds equal a sequential batch-perceptron fold") {
