@@ -201,7 +201,7 @@ object Sampling {
     shuffleShardDocs(TextAnalysis.curatedDocs(s, d)
       .select(col("doc_id"), col("lang"), col("n_words")))
 
-  private[ops] val ctxLen = 2048
+  private[graft] val ctxLen = 2048
 
   /** Training-sequence packing: the assembly step that concatenates a
     * corpus stream and cuts it into fixed-length context windows
@@ -221,6 +221,54 @@ object Sampling {
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
       .withColumn("start_off", sum(col("n_tokens")).over(w) - col("n_tokens"))
       .withColumn("seq_id", expr(s"start_off div $ctxLen"))
+  }
+
+  /** BEST-FIT-DECREASING packing — the modern packer [[packSequences]]'s
+    * concatenate-and-cut is not: no document is ever split across context
+    * windows (cross-document attention contamination is the reason modern
+    * loaders bin-pack instead of cut). Per stratum (lang), docs are taken
+    * LONGEST FIRST (ties by doc_id) and each is placed WHOLE into the open
+    * bin of capacity [[ctxLen]] with the SMALLEST remaining space that
+    * still fits it (ties → lowest bin id); no fit opens a new bin. A doc
+    * longer than [[ctxLen]] gets a bin of its own (its remaining goes
+    * negative, so nothing joins it; chunk-first via `x_text_chunks` is the
+    * pipeline's answer for those). Emits each doc's bin and the bin's
+    * remaining capacity after placement — deterministic, so the loader
+    * manifest is reproducible and every row oracle-checkable (the DuckDB
+    * twin unrolls the identical fold as a recursive CTE over a
+    * remaining-capacity list).
+    *
+    * Shape: BFD is inherently sequential WITHIN a stratum (each placement
+    * depends on all earlier ones), so the stratum fold runs as typed
+    * `flatMapGroups` — the extension ladder's last rung, justified because
+    * no Catalyst operator expresses a data-dependent fold. Parallelism is
+    * across strata; state per stratum is the open-bin capacity array —
+    * O(bins), not O(docs). At 100 TB you pack per (stratum, curation
+    * shard) — the shard key already exists ([[curateShard]]) and a loader
+    * mounts shards independently, so the same plan runs one level down
+    * with bounded group sizes. */
+  def packBfd(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .as[(Long, String, Long)]
+    docs.groupByKey(_._2).flatMapGroups { (lang, it) =>
+      val sorted = it.toArray.sortBy { case (id, _, n) => (-n, id) }
+      val rem = scala.collection.mutable.ArrayBuffer.empty[Long]
+      sorted.iterator.map { case (id, _, n) =>
+        val fit = rem.filter(_ >= n)
+        if (fit.isEmpty) {
+          rem += ctxLen - n
+          (id, lang, n, rem.length.toLong, ctxLen - n)
+        } else {
+          val mr = fit.min
+          val idx = rem.indexOf(mr) // first bin holding the min → lowest id
+          rem(idx) = mr - n
+          (id, lang, n, idx + 1L, mr - n)
+        }
+      }
+    }.toDF("doc_id", "lang", "n_tokens", "bin_id", "bin_rem")
   }
 
   /** Draw size and ticket cap for [[weightedSample]] — TUNABLEs shared with
@@ -266,6 +314,7 @@ object Sampling {
     "x_mix_weights" -> mixWeights,
     "x_split_assign" -> splitAssign,
     "x_pack_sequences" -> packSequences,
+    "x_pack_bfd" -> packBfd,
     "x_shuffle_shard" -> shuffleShard,
     "x_global_index" -> globalIndex,
     "x_gate_percentile" -> percentileGate,
@@ -380,5 +429,45 @@ object Sampling {
          |      FROM t)
          |SELECT doc_id, lang, n_tokens, CAST(start_off AS BIGINT) AS start_off,
          |       CAST(start_off // $ctxLen AS BIGINT) AS seq_id
-         |FROM c""".stripMargin)
+         |FROM c""".stripMargin,
+    // [[packBfd]]'s twin: the identical longest-first best-fit fold,
+    // unrolled as a recursive CTE that steps one doc per stratum per round,
+    // carrying the open-bin remaining-capacity LIST as recursion state.
+    // Best fit = list_min over the fitting capacities; its first position
+    // is the lowest bin id (any bin holding that value fits by definition).
+    "x_pack_bfd" ->
+      s"""WITH RECURSIVE b AS (
+         |  SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+         |  FROM documents),
+         |d AS (
+         |  SELECT doc_id, lang, n,
+         |         CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, doc_id)
+         |              AS BIGINT) AS rn
+         |  FROM b),
+         |packed AS (
+         |  SELECT lang, CAST(0 AS BIGINT) AS rn, CAST([] AS BIGINT[]) AS rem,
+         |         CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n,
+         |         CAST(NULL AS BIGINT) AS bin_id, CAST(NULL AS BIGINT) AS bin_rem
+         |  FROM (SELECT DISTINCT lang FROM d)
+         |  UNION ALL
+         |  SELECT p.lang, d.rn,
+         |         CASE WHEN list_min(list_filter(p.rem, r -> r >= d.n)) IS NULL
+         |              THEN list_append(p.rem, $ctxLen - d.n)
+         |              ELSE list_transform(range(1, len(p.rem) + 1),
+         |                     i -> CASE WHEN i = list_position(p.rem,
+         |                                  list_min(list_filter(p.rem, r -> r >= d.n)))
+         |                               THEN p.rem[i] - d.n ELSE p.rem[i] END)
+         |         END,
+         |         d.doc_id, d.n,
+         |         CAST(CASE WHEN list_min(list_filter(p.rem, r -> r >= d.n)) IS NULL
+         |              THEN len(p.rem) + 1
+         |              ELSE list_position(p.rem,
+         |                     list_min(list_filter(p.rem, r -> r >= d.n))) END AS BIGINT),
+         |         CAST(CASE WHEN list_min(list_filter(p.rem, r -> r >= d.n)) IS NULL
+         |              THEN $ctxLen - d.n
+         |              ELSE list_min(list_filter(p.rem, r -> r >= d.n)) - d.n
+         |              END AS BIGINT)
+         |  FROM packed p JOIN d ON d.lang = p.lang AND d.rn = p.rn + 1)
+         |SELECT doc_id, lang, n AS n_tokens, bin_id, bin_rem
+         |FROM packed WHERE rn > 0""".stripMargin)
 }

@@ -106,6 +106,33 @@ class PipelineOpsSpec extends SparkSpec {
     assert(feats.select($"doc_id").as[Long].collect().toSet == Set(1L))
   }
 
+  test("packBfd: no document split, capacity respected, remaining exact, deterministic") {
+    val out = Sampling.packBfd(spark, sf).cache()
+    val nDocs = Tables.documents(spark, sf).count()
+    // whole-document invariant: every doc lands exactly once, in ONE bin
+    assert(out.count() == nDocs)
+    assert(out.select($"doc_id").distinct().count() == nDocs)
+    // capacity: a bin's token total fits the context, unless it holds a
+    // single oversize doc (which gets a dedicated bin by construction)
+    val bins = out.groupBy($"lang", $"bin_id")
+      .agg(sum($"n_tokens").as("tok"), count(lit(1)).as("nd"),
+        max($"n_tokens").as("mx"), min($"bin_rem").as("minrem"))
+      .collect()
+    bins.foreach { r =>
+      val (tok, nd, mx, minrem) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(tok <= Sampling.ctxLen || (nd == 1L && mx > Sampling.ctxLen),
+        s"overfull multi-doc bin: $r")
+      // remaining capacity decreases monotonically, so the per-bin min is
+      // the final state and must account for every placed token
+      assert(minrem == Sampling.ctxLen - tok, s"bin_rem drifted from token sum: $r")
+    }
+    // pure function of stable keys: a second run packs identically
+    val a = out.collect().map(_.toSeq).toSet
+    val b = Sampling.packBfd(spark, sf).collect().map(_.toSeq).toSet
+    assert(a == b)
+    out.unpersist()
+  }
+
   test("datasetCard: one row, cross-checked against independent counts") {
     val row = TextAnalysis.datasetCard(spark, sf)
     val docs = Tables.documents(spark, sf).cache()
