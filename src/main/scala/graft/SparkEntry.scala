@@ -33,7 +33,8 @@ object SparkEntry {
     (streaming.EventPipeline.queries, streaming.EventPipeline.oracle),
     (streaming.RunningTotals.queries, streaming.RunningTotals.oracle),
     (streaming.Scd2Stream.queries, streaming.Scd2Stream.oracle),
-    (streaming.KnnStream.queries, streaming.KnnStream.oracle))
+    (streaming.KnnStream.queries, streaming.KnnStream.oracle),
+    (streaming.GateStream.queries, streaming.GateStream.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's core computation: sliding-window per-user interaction

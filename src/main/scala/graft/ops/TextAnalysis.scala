@@ -671,16 +671,69 @@ object TextAnalysis {
     * integer relation — no shuffle, no text re-scan; the gate's whole cost
     * is a read of the compact feature parquet (the base derivation — one
     * corpus text pass per session — is where the scan lives). */
-  def modelGate(s: SparkSession, d: String): DataFrame = {
-    docBase(s, d)
-      .select(col("doc_id"), col("n_words"), col("n_stop"), col("n_punct"))
-      .withColumn("stop_pm", expr("n_stop * 1000 div n_words"))
+  def modelGate(s: SparkSession, d: String): DataFrame =
+    gateScore(docBase(s, d)
+      .select(col("doc_id"), col("n_words"), col("n_stop"), col("n_punct")))
+
+  /** The gate's scoring columns over any frame with (n_words, n_stop,
+    * n_punct) — ONE definition of the decision arithmetic, shared by the
+    * batch gate (off the memoized base) and the streamed ingest gate (off
+    * map-side counts), so the weights cannot drift between the two. */
+  private def gateScore(df: DataFrame): DataFrame =
+    df.withColumn("stop_pm", expr("n_stop * 1000 div n_words"))
       .withColumn("punct_pm", expr("n_punct * 1000 div n_words"))
       .withColumn("score_m",
         expr(s"$gwStop * stop_pm + ($gwPunct) * punct_pm" +
           s" + $gwLen * least(n_words, $gwLenCap) + ($gwBias)"))
       .withColumn("is_admit", col("score_m") >= 0)
+
+  /** The gate applied MAP-SIDE to a raw (doc_id, lang, text) frame — the
+    * at-ingest formulation: counts fuse into the scan/stream projection,
+    * no memo, no shuffle, so it is exactly what a streaming micro-batch
+    * can run (caller must have registered the kernels on the session that
+    * OWNS the frame). Keeps `lang` for the per-stratum rollup. */
+  private[graft] def gateMapSide(docs: DataFrame): DataFrame = {
+    val en = stoplists.toMap.apply("en")
+    gateScore(docs
+      .select(col("doc_id"), col("lang"), col("text"),
+        split(col("text"), " ").as("words"))
+      .select(
+        col("doc_id"), col("lang"),
+        size(col("words")).cast("long").as("n_words"),
+        expr(hitsExpr("words", en)).cast("long").as("n_stop"),
+        expr("CAST(regexp_count(text, '[^a-z0-9 ]') AS BIGINT)").as("n_punct")))
   }
+
+  /** [[gateMapSide]] rolled up per (lang, decision) — the census the
+    * streamed gate maintains in update mode (and the spec's batch
+    * reference). */
+  private[graft] def gateRollup(docs: DataFrame): DataFrame =
+    gateMapSide(docs)
+      .groupBy(col("lang"), col("is_admit"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("score_m")).as("score_m_sum"))
+
+  /** The streamed gate's oracle: the batch gate CTEs widened with `lang`,
+    * rolled up per (lang, decision) — shared with `s_model_gate_stream`. */
+  private[graft] def gateRollupSql: String =
+    s"""WITH w AS (SELECT doc_id, lang, text, string_split(text, ' ') AS words
+       |           FROM documents),
+       |f AS (SELECT doc_id, lang,
+       |        CAST(len(words) AS BIGINT) AS n_words,
+       |        CAST(${hitsSql("words", stoplists.toMap.apply("en"))} AS BIGINT) AS n_stop,
+       |        CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS BIGINT) AS n_punct
+       |      FROM w),
+       |p AS (SELECT doc_id, lang,
+       |        CAST(n_stop * 1000 // n_words AS BIGINT) AS stop_pm,
+       |        CAST(n_punct * 1000 // n_words AS BIGINT) AS punct_pm,
+       |        n_words
+       |      FROM f),
+       |g AS (SELECT doc_id, lang,
+       |        CAST($gwStop * stop_pm + ($gwPunct) * punct_pm
+       |             + $gwLen * least(n_words, $gwLenCap) + ($gwBias) AS BIGINT) AS score_m
+       |      FROM p)
+       |SELECT lang, score_m >= 0 AS is_admit, count(*) AS n_docs,
+       |       CAST(sum(score_m) AS BIGINT) AS score_m_sum
+       |FROM g GROUP BY 1, 2""".stripMargin
 
   /** Perceptron training rounds for [[modelTrain]] — a fixed hyperparameter
     * like `Similarity.pcaRounds`; the oracle unrolls exactly this many. */
