@@ -145,6 +145,34 @@ class FunnelRecallSpec extends SparkSpec {
       s"aggregate rerank recall ${rr.values.sum} < single-cluster ${base.values.sum}")
   }
 
+  test("graph beam search: well-formed ranking, deterministic, recall >= rerank") {
+    // Aggregate recall of the beam search must not trail the multi-probe
+    // re-rank (at sf0.1 it strictly beats it, 35/40 vs 28/40, at a
+    // fraction of the candidate volume; at this spec's sf0.001 the two
+    // tie at 9/10, so the pin is non-strict).
+    val g = Similarity.recallGraph(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val rr = Similarity.recallRerank(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(g.keySet == rr.keySet)
+    assert(g.values.sum >= rr.values.sum,
+      s"graph recall ${g.values.sum} < rerank ${rr.values.sum}")
+    // search output shape: no self-neighbors, contiguous 1-based ranks
+    val tk = Similarity.graphBeamTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    tk.foreach { case (q, n, rnk) =>
+      assert(n != q, s"self-neighbor for query $q")
+      assert(rnk >= 1 && rnk <= 10)
+    }
+    tk.groupBy(_._1).values.foreach { rows =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.size).map(_.toLong))
+    }
+    // pure function of the corpus: a second run ranks identically
+    val again = Similarity.graphBeamTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again == tk.toSet)
+  }
+
   test("oov: counts are bounded and the vocabulary cut is deterministic") {
     val a = TextAnalysis.oov(spark, sf).collect().map(r =>
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
