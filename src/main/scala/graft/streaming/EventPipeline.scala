@@ -55,9 +55,20 @@ object EventPipeline {
     * hermetically). Schema comes from a batch peek; `ts` is restored to the
     * UTC session TimestampType per the physical layout exactly as the batch
     * reader does (see [[graft.Tables.events]]). */
+  /** Memo: parquet schema per table file. A streamed bench run peeks the
+    * SAME footer once per query (~21 times) otherwise; the schema is a
+    * pure function of the file and the testdata is immutable for the
+    * run (the SpillMemo data-immutability note), so one read serves all. */
+  private val schemaMemo =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.types.StructType]
+
+  private[streaming] def tableSchema(
+      s: SparkSession, path: String): org.apache.spark.sql.types.StructType =
+    schemaMemo.getOrElseUpdate(path, s.read.parquet(path).schema)
+
   def fileStream(s: SparkSession, sfDir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = s.read.parquet(s"$sfDir/events.parquet").schema
+    val schema = tableSchema(s, s"$sfDir/events.parquet")
     val dir = installSourceDir(java.nio.file.Paths.get(s"$sfDir/events.parquet"))
     val stream = s.readStream.schema(schema).parquet(dir.toString)
     // Same per-layout `ts` restoration as the batch reader (Tables.events):
@@ -179,7 +190,7 @@ object EventPipeline {
     * while cutting the store count 4×. A LIVE deployment at real volume
     * raises the conf — state partitioning is a per-checkpoint choice, so
     * this never constrains a production checkpoint. */
-  private[graft] val defaultStreamPartitions = 8
+  private[graft] val defaultStreamPartitions = 16
 
   /** Conf key: state-store backend for the bounded-replay streaming queries
     * — `"hdfs"` (default: the in-memory `HDFSBackedStateStoreProvider`,
@@ -196,25 +207,49 @@ object EventPipeline {
 
   /** Child session for a streamed query: shared SparkContext, isolated SQL
     * conf with the reduced [[defaultStreamPartitions]] shuffle-partition
-    * count and the [[streamStateProviderConf]]-selected state backend. The
-    * BATCH suite's plans (and its 32 shuffle partitions) are untouched —
-    * only the streaming micro-batches and the scratch-sink resolve run at
-    * the stream width. */
-  private[graft] def streamingSession(s: SparkSession): SparkSession = {
+    * count and the requested state backend. The BATCH suite's plans (and
+    * its 32 shuffle partitions) are untouched — only the streaming
+    * micro-batches and the scratch-sink resolve run at the stream width.
+    *
+    * MEMOIZED per (outer session, graft confs, backend): a bench run
+    * executes 21 streamed queries, and a fresh `newSession()` per query
+    * pays SessionState construction and loses every analyzer/plan-level
+    * cache — one shared child per configuration amortizes that fixed cost
+    * across the family (r10 verdict #2). Callers that need RocksDB
+    * (`transformWithState`) request it via `provider`; they previously
+    * set it by MUTATING the child's conf, which under sharing would leak
+    * the backend into every later query — the parameter keys them to
+    * their own child instead. */
+  private val sessionMemo =
+    scala.collection.concurrent.TrieMap.empty[(Long, String), SparkSession]
+
+  private[graft] def streamingSession(
+      s: SparkSession, provider: Option[String] = None): SparkSession = {
     val n = s.conf.getOption(streamPartitionsConf)
       .getOrElse(defaultStreamPartitions.toString)
-    val ss = s.newSession()
-    // newSession() starts from the DEFAULT SQL conf, not the caller's
-    // runtime values — every graft conf the caller set (broadcast escape
-    // hatches, stream tunables) must be copied over or it would silently
-    // not apply to the streamed queries' plans.
-    s.conf.getAll.foreach { case (k, v) =>
-      if (k.startsWith("spark.graft.")) ss.conf.set(k, v)
-    }
-    ss.conf.set("spark.sql.shuffle.partitions", n)
-    if (s.conf.getOption(streamStateProviderConf).contains("rocksdb"))
-      ss.conf.set("spark.sql.streaming.stateStore.providerClass", rocksProvider)
-    ss
+    val graftConfs = s.conf.getAll.toSeq
+      .filter(_._1.startsWith("spark.graft.")).sortBy(_._1)
+    val resolved = provider.orElse(
+      if (s.conf.getOption(streamStateProviderConf).contains("rocksdb"))
+        Some(rocksProvider)
+      else None)
+    val cfg = (graftConfs.map { case (k, v) => s"$k=$v" } :+
+      s"n=$n" :+ s"p=${resolved.getOrElse("hdfs")}").mkString(";")
+    sessionMemo.synchronized(
+      sessionMemo.getOrElseUpdate((graft.ops.SpillMemo.sessionId(s), cfg), {
+        val ss = s.newSession()
+        // newSession() starts from the DEFAULT SQL conf, not the caller's
+        // runtime values — every graft conf the caller set (broadcast
+        // escape hatches, stream tunables) must be copied over or it
+        // would silently not apply to the streamed queries' plans. The
+        // memo key carries the same confs, so a caller that CHANGES a
+        // graft conf gets a fresh child rather than a stale one.
+        graftConfs.foreach { case (k, v) => ss.conf.set(k, v) }
+        ss.conf.set("spark.sql.shuffle.partitions", n)
+        resolved.foreach(p =>
+          ss.conf.set("spark.sql.streaming.stateStore.providerClass", p))
+        ss
+      }))
   }
 
   /** Run a streaming frame to completion into a scratch upsert sink and
@@ -235,6 +270,15 @@ object EventPipeline {
       .foreachBatch((b: Dataset[Row], id: Long) => UpsertSink.writeBatch(b, id, s"$scratch/sink"))
       .start()
     q.awaitTermination()
+    // Phase instrumentation for the streaming fixed-cost budget: with
+    // SPARK_GRAFT_STREAM_DEBUG set, print each micro-batch's duration
+    // breakdown (planning/WAL/state/addBatch) so fixed scaffolding is
+    // attributable without guessing.
+    if (sys.env.contains("SPARK_GRAFT_STREAM_DEBUG"))
+      q.recentProgress.foreach { p =>
+        System.err.println(s"[stream-debug] $prefix batch=${p.batchId} " +
+          s"rows=${p.numInputRows} durations=${p.durationMs}")
+      }
     UpsertSink.resolve(ss, s"$scratch/sink", resolveKeys)
   }
 

@@ -31,7 +31,7 @@ object GateStream {
     val ss = EventPipeline.streamingSession(s)
     graft.functions.GraftFunctions.register(ss)
     val scratch = graft.ops.SpillMemo.scratchDir("graft-sgate-")
-    val schema = ss.read.parquet(s"$sfDir/documents.parquet").schema
+    val schema = EventPipeline.tableSchema(ss, s"$sfDir/documents.parquet")
     val dir = EventPipeline.installSourceDir(
       java.nio.file.Paths.get(s"$sfDir/documents.parquet"))
     val docs = ss.readStream.schema(schema).parquet(dir.toString)

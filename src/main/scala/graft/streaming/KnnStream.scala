@@ -37,7 +37,7 @@ object KnnStream {
     val ss = EventPipeline.streamingSession(s)
     val scratch = graft.ops.SpillMemo.scratchDir("graft-sknn-")
     val corpusIdx = graft.ops.Similarity.knnCorpusIndex(ss, sfDir)
-    val schema = ss.read.parquet(s"$sfDir/embeddings.parquet").schema
+    val schema = EventPipeline.tableSchema(ss, s"$sfDir/embeddings.parquet")
     val dir = EventPipeline.installSourceDir(
       java.nio.file.Paths.get(s"$sfDir/embeddings.parquet"))
     val ingest = ss.readStream.schema(schema).parquet(dir.toString)

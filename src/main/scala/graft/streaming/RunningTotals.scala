@@ -59,10 +59,9 @@ object RunningTotals {
     * stream-width shuffle-partition count) — the caller's session conf is
     * never touched, and concurrent queries are unaffected. */
   def streamedRunningTotals(s: SparkSession, sfDir: String): DataFrame = {
-    val ss = EventPipeline.streamingSession(s)
+    val ss = EventPipeline.streamingSession(s, Some(rocksProvider))
     import ss.implicits._
     val scratch = graft.ops.SpillMemo.scratchDir("graft-tws-")
-    ss.conf.set("spark.sql.streaming.stateStore.providerClass", rocksProvider)
     val typed = EventPipeline.fileStream(ss, sfDir)
       .filter(col("user_id").isNotNull && col("value").isNotNull)
       .select(col("user_id"),

@@ -138,10 +138,9 @@ object Scd2Stream {
     * processor itself is order-correct for any delay — it folds strictly
     * behind the watermark). */
   def streamedScd2(s: SparkSession, sfDir: String): DataFrame = {
-    val ss = EventPipeline.streamingSession(s)
+    val ss = EventPipeline.streamingSession(s, Some(EventPipeline.rocksProvider))
     import ss.implicits._
     val scratch = graft.ops.SpillMemo.scratchDir("graft-scd2s-")
-    ss.conf.set("spark.sql.streaming.stateStore.providerClass", EventPipeline.rocksProvider)
     val typed = EventPipeline.fileStream(ss, sfDir)
       .filter(col("user_id").isNotNull && col("ts").isNotNull &&
         col("event_type").isNotNull && col("event_id").isNotNull)
