@@ -654,9 +654,74 @@ object Dedup {
 
   /** Modulus selecting the stand-in "incoming batch" for [[incremental]]
     * (doc_id % [[newMod]] == [[newRem]], ~10% of the corpus) — a real
-    * pipeline passes the actual new partition. */
-  private val newMod = 10
-  private val newRem = 7
+    * pipeline passes the actual new partition. Shared with the streaming
+    * twin ([[graft.streaming.DedupStream]]), whose file source replays the
+    * same partition as the arriving documents. */
+  private[graft] val newMod = 10
+  private[graft] val newRem = 7
+
+  /** The standing corpus side of the near-dup index an ingest probe runs
+    * against: the session's memoized signature relation and its band
+    * relation, both restricted to the already-indexed partition
+    * (`doc_id % newMod != newRem`). Both frames read off the spilled
+    * parquet memo ([[signatures]]), so a streaming consumer's
+    * per-micro-batch plans scan a static materialized index — no
+    * re-derivation per trigger. */
+  private[graft] def corpusSigIndex(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val sig = signatures(s, d).filter(col("doc_id") % newMod =!= newRem)
+    (sig, bandRelation(sig))
+  }
+
+  /** Map-side MinHash signatures of an ARRIVING document frame — the
+    * ingest leg of the incremental probe. Unlike the corpus side (which
+    * reads the persisted index), a genuinely new document has no index row
+    * yet, so its signature is computed from the raw text: the same
+    * shingle → md5 → Kirsch-Mitzenmacher loop as [[minhashSignatures]],
+    * fused into the micro-batch projection. Docs shorter than one shingle
+    * produce no signature row (and therefore no candidates — they are
+    * admitted by the left join in [[incrementalProbe]]). */
+  private[graft] def ingestSignatures(batch: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(batch.sparkSession)
+    batch
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .filter(size(col("words")) >= 3)
+      .select(col("doc_id"), expr("shingles3(words)").as("shs"))
+      .select(col("doc_id"), expr(s"minhash_sig(shs, $nSeeds)").as("sig"))
+  }
+
+  /** The asymmetric ingest-vs-corpus probe — ONE definition shared by the
+    * batch form ([[incremental]]) and the streaming form
+    * ([[graft.streaming.DedupStream.streamedIncrementalDedup]]), so the two
+    * cannot drift. `batch` carries the arriving (doc_id, text) rows;
+    * candidates come from corpus bands × (conf-gated broadcast) ingest
+    * bands — never corpus × corpus — and the verify step reads 16 longs
+    * per doc off the signatures, never the text. Output: one verdict row
+    * per arriving doc (dup_of, n_matches, is_dup). Each doc's verdict
+    * depends only on its own text plus the static corpus index, so the
+    * probe is batching-invariant: any partition of the ingest into
+    * micro-batches lands the same rows. */
+  private[graft] def incrementalProbe(
+      batch: DataFrame, corpusSig: DataFrame, corpusBands: DataFrame): DataFrame = {
+    val newSig = ingestSignatures(batch)
+    val cand = corpusBands.as("o")
+      .join(Hints.broadcastSmall(bandRelation(newSig).as("n")),
+        col("n.band") === col("o.band") && col("n.bkey") === col("o.bkey"))
+      .select(col("n.doc_id").as("new_id"), col("o.doc_id").as("old_id"))
+      .distinct()
+    val hits = cand
+      .join(newSig.select(col("doc_id").as("new_id"), col("sig").as("sig_n")), "new_id")
+      .join(corpusSig.select(col("doc_id").as("old_id"), col("sig").as("sig_o")), "old_id")
+      .withColumn("n_match",
+        expr("CAST(size(filter(zip_with(sig_n, sig_o, (x, y) -> x = y), b -> b)) AS BIGINT)"))
+      .filter(col("n_match") * 2 >= nSeeds)
+      .groupBy(col("new_id"))
+      .agg(min(col("old_id")).as("dup_of"), count(lit(1)).as("n_matches"))
+    batch.select(col("doc_id").as("new_id"))
+      .join(hits, Seq("new_id"), "left")
+      .select(col("new_id"), col("dup_of"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        col("dup_of").isNotNull.as("is_dup"))
+  }
 
   /** Incremental (ingestion-time) dedup: match an incoming batch against the
     * already-indexed corpus WITHOUT re-deduping the corpus against itself —
@@ -668,41 +733,26 @@ object Dedup {
     * whose signature-estimated Jaccard is ≥ 1/2 marks the new doc a dup of
     * its smallest-id match; unmatched new docs are admitted.
     *
-    * Plan: signatures come off the session's persisted index
-    * ([[signatures]] — in a real pipeline only the batch pays hashing; here
-    * the one derivation is shared by every index consumer); the batch band
-    * relation is broadcast (a day's ingest is
-    * orders of magnitude smaller than the corpus), so the corpus-side index
-    * scan joins with NO shuffle at all, and the verify step reads 16 longs
-    * per doc off the signature index, never the text. The broadcast is the
-    * [[Hints.broadcastSmall]] conf-gated kind: the stand-in batch here is
-    * ~10% of the corpus (fine at test scales), and a caller substituting a
-    * real ingest partition either keeps it broadcast-sized or sets
-    * `spark.graft.broadcastSmallSides=false` to take the shuffle join.
-    * Output is one row per
-    * new doc — dup verdict, matched corpus doc, match count. */
+    * Plan ([[incrementalProbe]] — one definition shared with the streaming
+    * twin): corpus-side signatures and bands come off the session's
+    * persisted index ([[corpusSigIndex]]), while the arriving batch pays
+    * its own map-side hashing from the raw text ([[ingestSignatures]] — a
+    * new doc has no index row yet). The ingest band relation is broadcast
+    * (a day's ingest is orders of magnitude smaller than the corpus), so
+    * the corpus-side index scan joins with NO shuffle at all, and the
+    * verify step reads 16 longs per doc off the signatures, never the
+    * text. The broadcast is the [[Hints.broadcastSmall]] conf-gated kind:
+    * the stand-in batch here is ~10% of the corpus (fine at test scales),
+    * and a caller substituting a real ingest partition either keeps it
+    * broadcast-sized or sets `spark.graft.broadcastSmallSides=false` to
+    * take the shuffle join. Output is one row per new doc — dup verdict,
+    * matched corpus doc, match count. */
   def incremental(s: SparkSession, d: String): DataFrame = {
-    val sig = signatures(s, d)
-    val bands = bandRelation(sig)
-    val isNew = col("doc_id") % newMod === newRem
-    val cand = bands.filter(!isNew).as("o")
-      .join(Hints.broadcastSmall(bands.filter(isNew).as("n")),
-        col("n.band") === col("o.band") && col("n.bkey") === col("o.bkey"))
-      .select(col("n.doc_id").as("new_id"), col("o.doc_id").as("old_id"))
-      .distinct()
-    val hits = cand
-      .join(sig.select(col("doc_id").as("new_id"), col("sig").as("sig_n")), "new_id")
-      .join(sig.select(col("doc_id").as("old_id"), col("sig").as("sig_o")), "old_id")
-      .withColumn("n_match",
-        expr("CAST(size(filter(zip_with(sig_n, sig_o, (x, y) -> x = y), b -> b)) AS BIGINT)"))
-      .filter(col("n_match") * 2 >= nSeeds)
-      .groupBy(col("new_id"))
-      .agg(min(col("old_id")).as("dup_of"), count(lit(1)).as("n_matches"))
-    Tables.documents(s, d).filter(isNew).select(col("doc_id").as("new_id"))
-      .join(hits, Seq("new_id"), "left")
-      .select(col("new_id"), col("dup_of"),
-        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
-        col("dup_of").isNotNull.as("is_dup"))
+    val (corpusSig, corpusBands) = corpusSigIndex(s, d)
+    incrementalProbe(
+      Tables.documents(s, d).filter(col("doc_id") % newMod === newRem)
+        .select(col("doc_id"), col("text")),
+      corpusSig, corpusBands)
   }
 
   /** PageRank iteration count — a fixed hyperparameter like [[Bpe.bpeRounds]]
