@@ -3,6 +3,7 @@ package graft.ops
 import graft.Tables
 import graft.functions.TopK
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor similarity search over the `embeddings`
@@ -476,6 +477,71 @@ object Similarity {
           .cast("double").as("score"))
     TopK.topK(scored, "query_id", "score", "neighbor_id", knnK)
       .select(col("query_id").as("vec_id"), col("neighbor_id"), col("rnk"))
+  }
+
+  /** [[knnGraph]] memo: (session id, table dir) → spilled parquet path —
+    * the corpus kNN graph is a persisted artifact in a production pipeline
+    * (SemDeDup pruning, diversity sampling, and the label-coherence eval
+    * below all read the SAME edges), so consumers after the first read a
+    * tiny (vec_id, neighbor_id, rnk) long-triple table instead of
+    * re-running the bucketed self-join — the [[sigMemo]]/[[navGraphMemo]]
+    * compute-once-read-many shape. */
+  private val knnGraphMemo =
+    scala.collection.concurrent.TrieMap.empty[(Long, String), String]
+
+  /** The per-session materialized corpus kNN graph ([[knnGraphMemo]]). */
+  private def knnGraphMemoed(s: SparkSession, d: String): DataFrame = {
+    val key = (SpillMemo.sessionId(s), d)
+    val path = knnGraphMemo.synchronized(knnGraphMemo.getOrElseUpdate(key, {
+      val out = SpillMemo.scratchDir("graft-knngraph-")
+      knnGraph(s, d).write.mode("overwrite").parquet(out)
+      out
+    }))
+    s.read.parquet(path)
+  }
+
+  /** EMBEDDING-SPACE LABEL COHERENCE — the kNN-classifier sanity eval a
+    * pipeline runs before trusting an embedding column for semantic dedup
+    * or clustering: each vector's label is predicted by majority vote of
+    * its top-[[knnK]] graph neighbors' labels (ties → smaller label id,
+    * the deterministic break the oracle's `row_number` mirrors), and the
+    * output is the per-label census — vectors evaluated, votes agreeing
+    * with the true label, and agreement in basis points. A label whose
+    * agreement is near the random-chance floor means the embedding does
+    * not separate that class, and every downstream consumer keyed on
+    * embedding geometry (SemDeDup, IVF routing, diversity bins) degrades
+    * for it.
+    *
+    * Plan: the graph comes off the session's spilled memo
+    * ([[knnGraphMemoed]] — edges are computed once per session, this eval
+    * reads long triples), labels join in by vec_id (hash joins on a
+    * 2-column projection of the embeddings scan — no vector payload
+    * moves), the vote argmax is a window over per-vector vote counts
+    * (≤ [[knnK]] rows per vector, bounded), and the census is one
+    * aggregation keyed by label. Only vectors with at least one graph
+    * neighbor are evaluated (isolated/degenerate vectors have no vote),
+    * matching the oracle's inner join. */
+  def knnLabelVote(s: SparkSession, d: String): DataFrame = {
+    val lab = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+    val votes = knnGraphMemoed(s, d)
+      .join(lab.select(col("vec_id").as("neighbor_id"), col("label").as("nlabel")),
+        "neighbor_id")
+      .groupBy(col("vec_id"), col("nlabel"))
+      .agg(count(lit(1)).as("votes"))
+    val pred = votes
+      .withColumn("vr", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("votes").desc, col("nlabel").asc)))
+      .filter(col("vr") === 1)
+      .select(col("vec_id"), col("nlabel").as("pred_label"))
+    lab.join(pred, "vec_id")
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(when(col("label") === col("pred_label"), 1L).otherwise(0L)).as("n_agree"))
+      .select(col("label"), col("n_vecs"), col("n_agree"),
+        expr("(n_agree * 10000) div n_vecs").as("agree_bp"))
   }
 
   /** Stand-in ingest-batch membership for [[knnIncremental]] — a TUNABLE
@@ -1127,7 +1193,8 @@ object Similarity {
     "x_embed_pca_k" -> ((s, d) => pcaPowerK(s, d)),
     "x_embed_pca_kproject" -> ((s, d) => pcaProjectK(s, d)),
     "x_embed_pca_bins" -> ((s, d) => pcaBins(s, d)),
-    "x_sim_knn_graph" -> ((s, d) => knnGraph(s, d)),
+    "x_sim_knn_graph" -> ((s, d) => knnGraphMemoed(s, d)),
+    "x_sim_knn_label_vote" -> ((s, d) => knnLabelVote(s, d)),
     "x_sim_knn_incremental" -> ((s, d) => knnIncremental(s, d)),
     "x_sim_topk_graph" -> ((s, d) => graphBeamTopK(s, d)),
     "x_sim_recall_graph" -> ((s, d) => recallGraph(s, d)),
@@ -1285,7 +1352,7 @@ object Similarity {
     * Integer sort key (signed squared cosine in ppm) — DuckDB reproduces
     * the ranking exactly; list_dot_product on the ≤2e5 quantized values is
     * integer-exact in doubles. */
-  private[graft] def knnSql(bits: Int = knnBits, incremental: Boolean = false): String = {
+  private def knnSqlChain(bits: Int, incremental: Boolean): String = {
     val bucket = (0 until bits)
       .map(i => s"(CASE WHEN embedding[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)")
       .mkString(" + ")
@@ -1313,9 +1380,36 @@ object Similarity {
        |r AS (SELECT query_id, neighbor_id,
        |        CAST(row_number() OVER (PARTITION BY query_id
        |               ORDER BY skey DESC, neighbor_id ASC) AS BIGINT) AS rnk
-       |      FROM sc)
-       |SELECT query_id AS vec_id, neighbor_id, rnk FROM r WHERE rnk <= $knnK""".stripMargin
+       |      FROM sc)""".stripMargin
   }
+
+  private[graft] def knnSql(bits: Int = knnBits, incremental: Boolean = false): String =
+    s"""${knnSqlChain(bits, incremental)}
+       |SELECT query_id AS vec_id, neighbor_id, rnk FROM r WHERE rnk <= $knnK""".stripMargin
+
+  /** [[knnLabelVote]]'s twin: the kNN-graph chain, then the majority vote
+    * (ties → smaller label, mirrored by the `row_number` order) and the
+    * per-label census. */
+  private def labelVoteSql: String =
+    s"""${knnSqlChain(knnBits, incremental = false)},
+       |g AS (SELECT query_id AS vec_id, neighbor_id FROM r WHERE rnk <= $knnK),
+       |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+       |v AS (SELECT g.vec_id, nl.label AS nlabel, count(*) AS votes
+       |      FROM g JOIN lab nl ON g.neighbor_id = nl.vec_id
+       |      GROUP BY 1, 2),
+       |w AS (SELECT vec_id, nlabel,
+       |        row_number() OVER (PARTITION BY vec_id
+       |          ORDER BY votes DESC, nlabel ASC) AS vr
+       |      FROM v),
+       |pr AS (SELECT vec_id, nlabel AS pred_label FROM w WHERE vr = 1),
+       |j AS (SELECT l.label, count(*) AS n_vecs,
+       |        sum(CASE WHEN l.label = p.pred_label THEN 1 ELSE 0 END) AS n_agree
+       |      FROM pr p JOIN lab l ON p.vec_id = l.vec_id
+       |      GROUP BY 1)
+       |SELECT label, CAST(n_vecs AS BIGINT) AS n_vecs,
+       |       CAST(n_agree AS BIGINT) AS n_agree,
+       |       CAST((n_agree * 10000) // n_vecs AS BIGINT) AS agree_bp
+       |FROM j""".stripMargin
 
   /** [[graphBeamTopK]]'s unrolled twin: graph construction (multi-probe
     * bucket candidates → integer-ppm ranking → top-[[graphDegree]] edges),
@@ -1526,6 +1620,7 @@ object Similarity {
     "x_embed_pca_kproject" -> pcaProjectKSql,
     "x_embed_pca_bins" -> pcaBinsSql,
     "x_sim_knn_graph" -> knnSql(),
+    "x_sim_knn_label_vote" -> labelVoteSql,
     "x_sim_knn_incremental" -> knnSql(incremental = true),
     "x_sim_topk_graph" ->
       s"""$graphSqlCtes

@@ -20,6 +20,10 @@ object Profile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.Logs.quietBenignWarnings()
+    // Stream-width experiments without a code edit: SPARK_GRAFT_STREAM_PARTS=n
+    // sets the child-session state-partition conf the streamed queries honor.
+    sys.env.get("SPARK_GRAFT_STREAM_PARTS").foreach(n =>
+      spark.conf.set("spark.graft.streamShufflePartitions", n))
     val explain = args.contains("-e")
     val names = args.filterNot(_ == "-e")
     names.foreach { name =>

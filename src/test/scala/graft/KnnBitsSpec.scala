@@ -78,4 +78,33 @@ class KnnBitsSpec extends SparkSpec {
     assert(graft.ops.Similarity.knnSql(bits = 8) !=
       graft.ops.Similarity.knnSql(bits = 6))
   }
+
+  test("knnLabelVote: census matches a vote recomputed over the independent graph") {
+    val lab = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+    // graph edges from the INDEPENDENT reference formulation; the vote +
+    // census arithmetic is then recomputed from scratch on top of them
+    val votes = refKnn(6, 3)
+      .join(lab.select(col("vec_id").as("neighbor_id"), col("label").as("nlabel")),
+        "neighbor_id")
+      .groupBy(col("vec_id"), col("nlabel")).agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("votes").desc, col("nlabel").asc)
+    val pred = votes.withColumn("vr", row_number().over(w)).filter(col("vr") === 1)
+      .select(col("vec_id"), col("nlabel").as("pred_label"))
+    val expected = lab.join(pred, "vec_id").groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("label") === col("pred_label"), 1L).otherwise(0L)).as("n_agree"))
+      .select(col("label"), col("n_vecs"), col("n_agree"),
+        expr("(n_agree * 10000) div n_vecs").as("agree_bp"))
+      .orderBy("label").collect().toSeq
+    val got = graft.ops.Similarity.knnLabelVote(spark, sf)
+      .orderBy("label").collect().toSeq
+    assert(got === expected)
+    assert(got.nonEmpty)
+    // census conservation: every voted vector is counted exactly once
+    val nPred = pred.count()
+    assert(got.map(_.getLong(1)).sum === nPred,
+      "per-label vector counts must sum to the number of voted vectors")
+  }
 }
