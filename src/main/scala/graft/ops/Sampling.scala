@@ -72,6 +72,49 @@ object Sampling {
           .as("weight_bp"))
   }
 
+  /** Token-budget multiplier and per-stratum epoch cap for [[mixEpochs]] —
+    * TUNABLEs shared with the oracle. A real run sets the multiplier from
+    * its compute budget (tokens to train on ÷ corpus tokens) and the cap
+    * from how many repeats a domain tolerates before memorization outweighs
+    * signal (the data-constrained-scaling rule of thumb of ~4 epochs). */
+  private[ops] val epochBudgetMult = 3L
+  private[ops] val maxEpochs = 4L
+
+  /** EPOCH ALLOCATION UNDER A TOKEN BUDGET — the data-constrained-scaling
+    * table a pipeline publishes when the training budget exceeds the
+    * corpus: for a budget of [[epochBudgetMult]]× the corpus tokens spread
+    * uniformly over strata (the [[mixWeights]] target mixture), how many
+    * epochs of each (lang, source) stratum are actually scheduled, capped
+    * at [[maxEpochs]] repeats — and how many budgeted tokens each
+    * data-constrained stratum leaves on the table (`shortfall_tokens` > 0
+    * means "this domain ran out of unique data"; the training-mix owner
+    * redistributes or goes and collects more of it). Epochs are emitted in
+    * basis points (40000 = the cap) — pure integer arithmetic end to end,
+    * so the table is exact and engine-portable.
+    *
+    * Plan: one shuffle for the per-stratum token sums (partial agg
+    * map-side over a 3-column projection), a 1-row global agg broadcast
+    * back — stratum cardinality is |lang|×|source|, a constant next to
+    * corpus size, identical to [[mixWeights]]'s shape. */
+  def mixEpochs(s: SparkSession, d: String): DataFrame = {
+    val strata = Tables.documents(s, d)
+      .select(col("lang"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      .groupBy(col("lang"), col("source"))
+      .agg(sum(col("n")).as("n_tokens"))
+    val totals = strata.agg(
+      sum(col("n_tokens")).as("total"), count(lit(1)).as("n_strata"))
+    strata.crossJoin(broadcast(totals))
+      .select(col("lang"), col("source"), col("n_tokens"),
+        expr(s"(total * $epochBudgetMult) div n_strata").as("ideal_tokens"))
+      .select(col("lang"), col("source"), col("n_tokens"),
+        expr(s"least(ideal_tokens, n_tokens * $maxEpochs)").as("alloc_tokens"),
+        col("ideal_tokens"))
+      .select(col("lang"), col("source"), col("n_tokens"), col("alloc_tokens"),
+        expr("(alloc_tokens * 10000) div n_tokens").as("epochs_bp"),
+        expr("ideal_tokens - alloc_tokens").as("shortfall_tokens"))
+  }
+
   /** Deterministic stratified train/val/test split: the first hex char of
     * md5(doc_id) buckets each document 12/2/2 sixteenths into
     * train/val/test, and the query rolls up doc and token counts per
@@ -312,6 +355,7 @@ object Sampling {
     "x_sample_quota" -> quotaSample,
     "x_sample_hash" -> hashSample,
     "x_mix_weights" -> mixWeights,
+    "x_mix_epochs" -> mixEpochs,
     "x_split_assign" -> splitAssign,
     "x_pack_sequences" -> packSequences,
     "x_pack_bfd" -> packBfd,
@@ -403,6 +447,20 @@ object Sampling {
     "x_sample_hash" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1', '2', '3')""".stripMargin,
+    "x_mix_epochs" ->
+      s"""WITH st AS (SELECT lang, source,
+         |              CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+         |            FROM documents GROUP BY 1, 2),
+         |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total, count(*) AS n_strata FROM st),
+         |a AS (SELECT lang, source, n_tokens,
+         |        (total * $epochBudgetMult) // n_strata AS ideal FROM st, t),
+         |b AS (SELECT lang, source, n_tokens, ideal,
+         |        least(ideal, n_tokens * $maxEpochs) AS alloc_tokens FROM a)
+         |SELECT lang, source, n_tokens,
+         |       CAST(alloc_tokens AS BIGINT) AS alloc_tokens,
+         |       CAST((alloc_tokens * 10000) // n_tokens AS BIGINT) AS epochs_bp,
+         |       CAST(ideal - alloc_tokens AS BIGINT) AS shortfall_tokens
+         |FROM b""".stripMargin,
     "x_mix_weights" ->
       """WITH strata AS (SELECT lang, source, count(*) AS n_docs FROM documents GROUP BY 1, 2),
         |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total, count(*) AS n_strata FROM strata)

@@ -177,4 +177,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out("event_type")._2 == etDist)
     ev.unpersist()
   }
+
+  test("mixEpochs: cap, budget conservation, and shortfall semantics") {
+    val rows = Sampling.mixEpochs(spark, sf)
+      .select($"n_tokens", $"alloc_tokens", $"epochs_bp", $"shortfall_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    // independent recomputation of the shared budget terms
+    val tokens = Tables.documents(spark, sf)
+      .select($"lang", $"source", size(split($"text", " ")).cast("long").as("n"))
+      .groupBy($"lang", $"source").agg(sum($"n").as("nt"))
+      .select($"nt").as[Long].collect().toSeq
+    val ideal = tokens.sum * 3 / tokens.size
+    rows.foreach { case (nt, alloc, bp, short) =>
+      assert(alloc <= 4 * nt, "epoch cap violated")
+      assert(alloc <= ideal, "allocation exceeds the uniform budget share")
+      assert(short >= 0 && short == ideal - alloc)
+      assert(bp == alloc * 10000 / nt)
+      // a shortfall means the stratum is pinned at the cap; no shortfall
+      // means it got its full share
+      if (short > 0) assert(bp == 40000, "data-constrained stratum not at cap")
+      else assert(alloc == ideal)
+    }
+    // every budgeted token is either allocated or declared a shortfall
+    assert(rows.map(r => r._2 + r._4).sum == ideal * rows.size)
+  }
 }
