@@ -687,6 +687,52 @@ object TextAnalysis {
           s" + $gwLen * least(n_words, $gwLenCap) + ($gwBias)"))
       .withColumn("is_admit", col("score_m") >= 0)
 
+  /** CURRICULUM ORDERING — the data-ordering step before training:
+    * documents are scheduled cleanest-first by their gate score (the
+    * annealing heuristic: high-confidence data early, noisier data late),
+    * interleaved round-robin across (lang, source) strata so no domain
+    * forms a long contiguous run in the schedule. Runs over the whole
+    * corpus — curation is a separate composable step (apply [[modelGate]]
+    * or [[graft.ops.Sampling.percentileGate]]-style cuts upstream and the
+    * ordering machinery is unchanged). Each doc gets its stratum `wave` (row_number by gate
+    * score DESC within stratum) and a GLOBAL curriculum position equal to
+    * `row_number() OVER (ORDER BY wave, lang, source)` — wave 1 of every
+    * stratum first, then wave 2, strata in lexicographic order inside a
+    * wave.
+    *
+    * The global position is computed WITHOUT a global sort: strata
+    * cardinality is dashboard-small (|lang|×|source|, the [[mixWeights]]
+    * assumption), so the per-stratum admitted counts collect into ONE
+    * array broadcast to every row, and each doc derives its position
+    * map-side as Σₜ min(nₜ, wave−1) (docs in strictly earlier waves) plus
+    * the count of strata still alive at its wave with key ≤ its own (its
+    * 1-based slot inside the wave). `CurriculumSpec`-style equivalence to
+    * the global window is pinned in `TextKernelsSpec`. The per-stratum
+    * wave window is as parallel as the stratum count — at 100 TB subdivide
+    * hot strata by a hash-salt prefix exactly as [[graft.ops.Sampling]]'s
+    * quota windows do. */
+  def curriculumOrder(s: SparkSession, d: String): DataFrame = {
+    val scored = modelGate(s, d).select(col("doc_id"), col("score_m"))
+    val strataKeys = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"))
+    val base = scored.join(strataKeys, "doc_id")
+    val w = Window.partitionBy(col("lang"), col("source"))
+      .orderBy(col("score_m").desc, col("doc_id"))
+    val waved = base.withColumn("wave", row_number().over(w).cast("long"))
+    val dir = base.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_s"))
+      .agg(sort_array(collect_list(
+        struct(col("lang").as("l"), col("source").as("src"), col("n_s")))).as("dir"))
+    waved.crossJoin(broadcast(dir))
+      .select(col("doc_id"), col("lang"), col("source"), col("score_m"), col("wave"),
+        expr(
+          """aggregate(dir, 0L, (acc, t) ->
+            |  acc + least(t.n_s, wave - 1) +
+            |  (CASE WHEN t.n_s >= wave AND
+            |             (t.l < lang OR (t.l = lang AND t.src <= source))
+            |        THEN 1L ELSE 0L END))""".stripMargin).as("pos"))
+  }
+
   /** The gate applied MAP-SIDE to a raw (doc_id, lang, text) frame — the
     * at-ingest formulation: counts fuse into the scan/stream projection,
     * no memo, no shuffle, so it is exactly what a streaming micro-batch
@@ -841,6 +887,7 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_model_train" -> modelTrain,
     "x_model_gate" -> modelGate,
+    "x_curriculum_order" -> curriculumOrder,
     "x_dataset_card" -> datasetCard,
     "x_text_chunks" -> chunks,
     "x_ngram_topk" -> ngramTopK,
@@ -939,6 +986,31 @@ object TextAnalysis {
            |       ($gwStop * stop_pm + ($gwPunct) * punct_pm
            |            + $gwLen * least(n_words, $gwLenCap) + ($gwBias)) >= 0 AS is_admit
            |FROM p""".stripMargin,
+      "x_curriculum_order" ->
+        s"""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS words
+           |           FROM documents),
+           |f AS (SELECT doc_id,
+           |        CAST(len(words) AS BIGINT) AS n_words,
+           |        CAST(${hitsSql("words", stoplists.toMap.apply("en"))} AS BIGINT) AS n_stop,
+           |        CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS BIGINT) AS n_punct
+           |      FROM w),
+           |p AS (SELECT doc_id, n_words,
+           |        CAST(n_stop * 1000 // n_words AS BIGINT) AS stop_pm,
+           |        CAST(n_punct * 1000 // n_words AS BIGINT) AS punct_pm
+           |      FROM f),
+           |sc AS (SELECT doc_id,
+           |         CAST($gwStop * stop_pm + ($gwPunct) * punct_pm
+           |              + $gwLen * least(n_words, $gwLenCap) + ($gwBias) AS BIGINT) AS score_m
+           |       FROM p),
+           |adm AS (SELECT s.doc_id, d.lang, d.source, s.score_m
+           |        FROM sc s JOIN documents d ON s.doc_id = d.doc_id),
+           |wv AS (SELECT doc_id, lang, source, score_m,
+           |         CAST(row_number() OVER (PARTITION BY lang, source
+           |                ORDER BY score_m DESC, doc_id) AS BIGINT) AS wave
+           |       FROM adm)
+           |SELECT doc_id, lang, source, score_m, wave,
+           |       CAST(row_number() OVER (ORDER BY wave, lang, source) AS BIGINT) AS pos
+           |FROM wv""".stripMargin,
       "x_dataset_card" ->
         """WITH b AS (SELECT doc_id, lang, source, md5(text) AS h,
           |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words

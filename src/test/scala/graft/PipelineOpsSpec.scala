@@ -202,4 +202,26 @@ class PipelineOpsSpec extends SparkSpec {
     // every budgeted token is either allocated or declared a shortfall
     assert(rows.map(r => r._2 + r._4).sum == ideal * rows.size)
   }
+
+  test("curriculumOrder: offset-sum position equals the global interleave window") {
+    import org.apache.spark.sql.expressions.Window
+    val out = TextAnalysis.curriculumOrder(spark, sf).cache()
+    val n = out.count()
+    assert(n > 0)
+    // pos is a permutation of 1..n
+    assert(out.select(countDistinct($"pos")).as[Long].head() == n)
+    assert(out.agg(min($"pos"), max($"pos")).as[(Long, Long)].head() == ((1L, n)))
+    // the broadcast-directory offset formulation must equal the literal
+    // global window it exists to avoid
+    val ref = out.select($"doc_id", $"wave", $"lang", $"source")
+      .withColumn("rpos", row_number()
+        .over(Window.orderBy($"wave", $"lang", $"source")).cast("long"))
+    assert(out.join(ref.select($"doc_id", $"rpos"), "doc_id")
+      .filter($"pos" =!= $"rpos").isEmpty)
+    // round-robin interleave: wave 1 of every stratum fills the first
+    // |strata| slots
+    val nStrata = out.select($"lang", $"source").distinct().count()
+    assert(out.filter($"wave" === 1).agg(max($"pos")).as[Long].head() == nStrata)
+    out.unpersist()
+  }
 }
