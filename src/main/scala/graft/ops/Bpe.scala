@@ -156,9 +156,43 @@ object Bpe {
   def bpeEncode(s: SparkSession, d: String): DataFrame =
     bpeEncodeDocs(s.read.parquet(trainedPaths(s, d)._2))
 
+  /** TOKENIZER FERTILITY PER LANGUAGE — the multilingual-fairness eval a
+    * tokenizer report publishes: post-merge tokens per word, by `lang`, in
+    * basis points. A trained merge table compresses the languages its
+    * training mix favored (fertility well below 10000 bp here — merges
+    * only fuse, so tokens ≤ non-empty words with this word-seeded trainer;
+    * a subword tokenizer reads the same ratio above 10000) and leaves
+    * under-represented languages paying more tokens for the same text —
+    * exactly the signal that decides whether the mix (or the merge budget)
+    * needs rebalancing before a production training run.
+    *
+    * Plan: the encoded corpus comes off the trainer's session memo (no
+    * re-tokenization), word counts are a map-side projection of the
+    * documents scan, and the rollup is one partial-agg shuffle keyed by
+    * lang. Docs whose text has no non-empty token (hence no encoded rows)
+    * still count words as 0 — the LEFT join + coalesce keeps coverage
+    * total, the [[graft.ops.TextAnalysis]] docBase convention. */
+  def bpeFertility(s: SparkSession, d: String): DataFrame = {
+    val enc = bpeEncode(s, d).select(col("doc_id"), col("n_tokens"))
+    val words = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        expr("CAST(size(filter(split(text, ' '), w -> length(w) > 0)) AS BIGINT)")
+          .as("n_words"))
+    words.join(enc, Seq("doc_id"), "left")
+      .select(col("lang"), col("n_words"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"), sum(col("n_tokens")).as("n_tokens"))
+      .filter(col("n_words") > 0)
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_tokens"),
+        expr("(n_tokens * 10000) div n_words").as("fertility_bp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_bpe_merges" -> bpeMerges,
-    "x_bpe_encode" -> bpeEncode)
+    "x_bpe_encode" -> bpeEncode,
+    "x_bpe_fertility" -> bpeFertility)
 
   /** One unrolled round of the oracle twin: t$r from t${r-1}. */
   private def roundSql(r: Int): String =
@@ -213,7 +247,23 @@ object Bpe {
        |       CAST(sum(length(replace(tok, ' ', ''))) AS BIGINT) AS n_chars
        |FROM t$bpeRounds GROUP BY 1""".stripMargin
 
+  private def fertilitySql: String =
+    s"""$corpusCtes,
+       |enc AS (SELECT doc_id, count(*) AS n_tokens FROM t$bpeRounds GROUP BY 1),
+       |wd AS (SELECT doc_id, lang,
+       |         CAST(len(list_filter(string_split(text, ' '),
+       |           w -> length(w) > 0)) AS BIGINT) AS n_words
+       |       FROM documents),
+       |j AS (SELECT w.lang, w.n_words, coalesce(e.n_tokens, 0) AS n_tokens
+       |      FROM wd w LEFT JOIN enc e USING (doc_id))
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(n_words) AS BIGINT) AS n_words,
+       |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |       CAST((sum(n_tokens) * 10000) // sum(n_words) AS BIGINT) AS fertility_bp
+       |FROM j GROUP BY 1 HAVING sum(n_words) > 0""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "x_bpe_merges" -> mergesSql,
-    "x_bpe_encode" -> encodeSql)
+    "x_bpe_encode" -> encodeSql,
+    "x_bpe_fertility" -> fertilitySql)
 }

@@ -116,4 +116,24 @@ class BpeSpec extends SparkSpec {
     // by exactly 2 (5 + 1 tokens -> 3 + 1)
     assert(r1 == (("p q", 2L, 4L)))
   }
+
+  test("fertility: per-lang rollup conserves the encode profile and the merge bound") {
+    val rows = Bpe.bpeFertility(spark, sf)
+      .select($"lang", $"n_docs", $"n_words", $"n_tokens", $"fertility_bp")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    // doc coverage is total (zero-token docs included via the left join)
+    assert(rows.map(_._2).sum == Tables.documents(spark, sf).count())
+    // conservation: per-lang token totals equal the encode profile's
+    val enc = Bpe.bpeEncode(spark, sf)
+      .join(Tables.documents(spark, sf).select($"doc_id", $"lang"), "doc_id")
+      .groupBy($"lang").agg(sum($"n_tokens").as("t"))
+      .as[(String, Long)].collect().toMap
+    rows.foreach { case (lang, _, nw, nt, bp) =>
+      assert(nt == enc.getOrElse(lang, 0L))
+      // this trainer seeds from words and merges only fuse: tokens <= words
+      assert(nt <= nw, s"$lang: post-merge tokens exceed non-empty words")
+      assert(bp == nt * 10000 / nw)
+    }
+  }
 }
