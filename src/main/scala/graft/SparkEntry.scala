@@ -35,7 +35,8 @@ object SparkEntry {
     (streaming.Scd2Stream.queries, streaming.Scd2Stream.oracle),
     (streaming.KnnStream.queries, streaming.KnnStream.oracle),
     (streaming.GateStream.queries, streaming.GateStream.oracle),
-    (streaming.DedupStream.queries, streaming.DedupStream.oracle))
+    (streaming.DedupStream.queries, streaming.DedupStream.oracle),
+    (streaming.DriftStream.queries, streaming.DriftStream.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's core computation: sliding-window per-user interaction

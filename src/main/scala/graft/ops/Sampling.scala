@@ -115,6 +115,49 @@ object Sampling {
         expr("ideal_tokens - alloc_tokens").as("shortfall_tokens"))
   }
 
+  /** INGEST DISTRIBUTION DRIFT — the data-drift monitor a pipeline runs
+    * on every arriving partition before admitting it to the corpus: the
+    * per-`lang` composition of the ingest
+    * (`doc_id % newMod == newRem`, [[graft.ops.Dedup.incremental]]'s
+    * arriving-partition convention) against the standing corpus, as shares
+    * in basis points plus their absolute difference. A large `drift_bp`
+    * on any stratum means the upstream source changed shape — the signal
+    * that pauses the pipeline before a skewed day poisons the training
+    * mix (half the per-stratum sum of `drift_bp` is the total-variation
+    * distance in bp). Pure integer arithmetic, so exact and
+    * engine-portable; strata missing from one side keep a 0-count row
+    * (the full-outer semantics a drift monitor needs — a BRAND-NEW
+    * language arriving is the loudest drift of all).
+    *
+    * Plan: one partial-agg shuffle keyed by lang over a 2-column
+    * projection, a 1-row total broadcast back — [[mixWeights]]'s shape.
+    * The streaming twin (`s_drift_stream`,
+    * [[graft.streaming.DriftStream]]) maintains the same census at ingest
+    * and shares this oracle. */
+  def ingestDrift(s: SparkSession, d: String): DataFrame =
+    driftOf(ingestCounts(Tables.documents(s, d)))
+
+  /** Per-lang (n_old, n_new) counts of a (doc_id, lang) frame under the
+    * arriving-partition convention — the map-side census both the batch
+    * and streamed drift forms roll up. */
+  private[graft] def ingestCounts(docs: DataFrame): DataFrame = {
+    val isNew = col("doc_id") % graft.ops.Dedup.newMod === graft.ops.Dedup.newRem
+    docs.groupBy(col("lang")).agg(
+      sum(when(!isNew, 1L).otherwise(0L)).as("n_old"),
+      sum(when(isNew, 1L).otherwise(0L)).as("n_new"))
+  }
+
+  /** Shares + drift off a per-lang (n_old, n_new) census — shared by the
+    * batch form and the streamed twin's post-resolve projection. */
+  private[graft] def driftOf(counts: DataFrame): DataFrame = {
+    val tot = counts.agg(sum(col("n_old")).as("t_old"), sum(col("n_new")).as("t_new"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_old"), col("n_new"),
+        expr("(n_old * 10000) div t_old").as("share_old_bp"),
+        expr("(n_new * 10000) div t_new").as("share_new_bp"))
+      .withColumn("drift_bp", abs(col("share_new_bp") - col("share_old_bp")))
+  }
+
   /** Deterministic stratified train/val/test split: the first hex char of
     * md5(doc_id) buckets each document 12/2/2 sixteenths into
     * train/val/test, and the query rolls up doc and token counts per
@@ -356,6 +399,7 @@ object Sampling {
     "x_sample_hash" -> hashSample,
     "x_mix_weights" -> mixWeights,
     "x_mix_epochs" -> mixEpochs,
+    "x_ingest_drift" -> ingestDrift,
     "x_split_assign" -> splitAssign,
     "x_pack_sequences" -> packSequences,
     "x_pack_bfd" -> packBfd,
@@ -364,6 +408,24 @@ object Sampling {
     "x_gate_percentile" -> percentileGate,
     "x_curate_shard" -> curateShard,
     "x_sample_weighted" -> weightedSample)
+
+  /** [[ingestDrift]]'s twin — shared verbatim by `s_drift_stream` (the
+    * streamed census accumulates to the same counts under any batching). */
+  private[graft] def ingestDriftSql: String =
+    s"""WITH c AS (SELECT lang,
+       |             CAST(sum(CASE WHEN doc_id % ${graft.ops.Dedup.newMod} <> ${graft.ops.Dedup.newRem}
+       |                           THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+       |             CAST(sum(CASE WHEN doc_id % ${graft.ops.Dedup.newMod} = ${graft.ops.Dedup.newRem}
+       |                           THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+       |           FROM documents GROUP BY 1),
+       |t AS (SELECT CAST(sum(n_old) AS BIGINT) AS t_old,
+       |        CAST(sum(n_new) AS BIGINT) AS t_new FROM c)
+       |SELECT lang, n_old, n_new,
+       |       CAST((n_old * 10000) // t_old AS BIGINT) AS share_old_bp,
+       |       CAST((n_new * 10000) // t_new AS BIGINT) AS share_new_bp,
+       |       CAST(abs((n_new * 10000) // t_new - (n_old * 10000) // t_old)
+       |            AS BIGINT) AS drift_bp
+       |FROM c, t""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "x_sample_weighted" ->
@@ -447,6 +509,7 @@ object Sampling {
     "x_sample_hash" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1', '2', '3')""".stripMargin,
+    "x_ingest_drift" -> ingestDriftSql,
     "x_mix_epochs" ->
       s"""WITH st AS (SELECT lang, source,
          |              CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens

@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** The TWENTIETH streaming execution: the INGEST DRIFT MONITOR — the
+  * batch [[graft.ops.Sampling.ingestDrift]] census maintained AS THE
+  * PARTITION ARRIVES, which is when a drift alarm is actually useful (a
+  * skewed day should pause admission before it lands in the corpus, not
+  * be discovered in a later sweep). The arriving documents maintain a
+  * per-`lang` running count as an unwindowed update-mode aggregation
+  * (state = one row per language — cardinality-bounded, nothing to evict,
+  * the [[GateStream]] shape), upserted by lang; the standing corpus
+  * census is computed once at query start and the share/drift projection
+  * ([[graft.ops.Sampling.driftOf]] — the SAME definition the batch form
+  * runs) is applied to the resolved table, so batch and stream cannot
+  * drift about drift.
+  *
+  * Semantics: counts accumulate across micro-batches and the keyed upsert
+  * keeps each lang's latest total, so the resolved census — and therefore
+  * every share and drift figure — equals the batch form under ANY
+  * batching of the source (`DriftStreamSpec` pins two-batch delivery).
+  * Languages present only in the corpus keep their row through the
+  * full-outer combine with the static census: a vanished language is
+  * drift too. */
+object DriftStream {
+
+  /** Run the drift stream to completion over the documents table
+    * (`doc_id % newMod == newRem` plays the arriving partition) and
+    * return the per-lang share/drift table. */
+  def streamedDrift(s: SparkSession, sfDir: String): DataFrame = {
+    val ss = EventPipeline.streamingSession(s)
+    val scratch = graft.ops.SpillMemo.scratchDir("graft-sdrift-")
+    val isNew = col("doc_id") % graft.ops.Dedup.newMod === graft.ops.Dedup.newRem
+    val oldCensus = graft.ops.Lineage.cut(
+      graft.Tables.documents(ss, sfDir).filter(!isNew)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_old")))
+    val schema = EventPipeline.tableSchema(ss, s"$sfDir/documents.parquet")
+    val dir = EventPipeline.installSourceDir(
+      java.nio.file.Paths.get(s"$sfDir/documents.parquet"))
+    val ingest = ss.readStream.schema(schema).parquet(dir.toString)
+      .filter(isNew)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_new"))
+    val q = ingest.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", s"$scratch/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch((b: Dataset[Row], id: Long) =>
+        UpsertSink.writeBatch(b, id, s"$scratch/sink"))
+      .start()
+    q.awaitTermination()
+    val newCounts = UpsertSink.resolve(ss, s"$scratch/sink", Seq("lang"))
+      .select(col("lang"), col("n_new"))
+    graft.ops.Sampling.driftOf(
+      oldCensus.join(newCounts, Seq("lang"), "full_outer")
+        .select(col("lang"),
+          coalesce(col("n_old"), lit(0L)).as("n_old"),
+          coalesce(col("n_new"), lit(0L)).as("n_new")))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_drift_stream" -> ((s, d) => streamedDrift(s, d)))
+
+  /** Running census + stateless share projection ⇒ NO watermark cut: the
+    * oracle is the batch drift table verbatim. */
+  val oracle: Map[String, String] = Map(
+    "s_drift_stream" -> graft.ops.Sampling.ingestDriftSql)
+}
