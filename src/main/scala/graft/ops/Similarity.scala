@@ -605,7 +605,8 @@ object Similarity {
     * index and keep each ingest vector's top-[[knnK]] neighbors — the
     * asymmetric conf-gated-broadcast join + pure-integer ranking shared by
     * [[knnIncremental]] and its streaming twin. */
-  private[graft] def knnProbe(ingest: DataFrame, corpusIdx: DataFrame): DataFrame = {
+  private[graft] def knnProbe(ingest: DataFrame, corpusIdx: DataFrame,
+      k: Int = knnK): DataFrame = {
     val batch = ingest
       .select(col("vec_id").as("query_id"), col("q").as("bq"),
         col("bucket"), col("nq").as("na"))
@@ -616,7 +617,7 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         expr("CAST(sign(dot) AS BIGINT) * ((dot * dot * 1000000) div (na * nb))")
           .cast("double").as("score"))
-    TopK.topK(scored, "query_id", "score", "neighbor_id", knnK)
+    TopK.topK(scored, "query_id", "score", "neighbor_id", k)
       .select(col("query_id").as("vec_id"), col("neighbor_id"), col("rnk"))
   }
 
@@ -773,6 +774,106 @@ object Similarity {
     * the multi-probe re-rank at a fraction of its candidate volume. */
   def recallGraph(s: SparkSession, d: String): DataFrame =
     recallOf(bruteTruth(s, d), graphBeamTopK(s, d), "n_graph")
+
+  /** GRAPH SEARCH FOR ARRIVING VECTORS — the serving path of a vector
+    * index: [[graphBeamTopK]]'s entry point is the query vertex itself,
+    * which only exists for corpus-member queries; a vector that ARRIVES
+    * (the `% knnBatchMod == 7` stand-in partition, [[knnIncremental]]'s
+    * convention) has no vertex, no out-edges, and no place in the standing
+    * graph. This is the HNSW-style answer: seed the beam at the ingest
+    * vector's [[beamWidth]] best multi-probe bucket matches (home +
+    * Hamming-1 buckets, ranked by [[knnIncremental]]'s ppm arithmetic —
+    * the cheap map-side entry), then traverse the CORPUS-INDUCED subgraph
+    * of the memoized [[navGraph]] (both edge endpoints outside the ingest
+    * partition: a new vector's edges do not exist at serving time, so
+    * walking through them would be reading an index that isn't built
+    * yet). Scoring, beam cut, and hop count are [[graphBeamTopK]]'s
+    * verbatim.
+    *
+    * Scale: per-ingest-vector cost is the probe plus ≤
+    * beamWidth·graphDegree·[[graphHops]] exact scorings against a STATIC
+    * persisted index — corpus-size-independent, the property that makes
+    * ingest-time similarity serving viable at 100 TB (the batch/stream
+    * ingest twins [[knnIncremental]]/`s_knn_stream` answer with bucket
+    * candidates only; this answers with graph-quality recall at the same
+    * asymptotics). */
+  def graphBeamIngestTopK(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val edges = navGraph(s, d)
+      .filter(col("src") % knnBatchMod =!= 7 && col("dst") % knnBatchMod =!= 7)
+    val c = corpus(s, d).select(col("vec_id"), col("v"))
+    val q = c.filter(col("vec_id") % knnBatchMod === 7)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    def score(pairs: DataFrame): DataFrame =
+      c.join(Hints.broadcastSmall(pairs.join(q, "query_id")),
+          col("vec_id") === col("cand_id"))
+        .withColumn("score", expr("cosine_sim(qv, v)"))
+        .select(col("query_id"), col("cand_id"), col("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("cand_id").asc)
+    // Multi-probe seeding, beam-width wide: the arriving vector probes its
+    // home bucket PLUS the Hamming-1 buckets (the [[computeNavGraph]] fan —
+    // without it a query whose home bucket holds no near neighbor starts
+    // the walk in the wrong region), and keeps [[beamWidth]] seeds so the
+    // first hop expands from a full beam rather than 3 entries (measured
+    // at sf0.01: 67% aggregate recall@10 home-bucket/3 seeds → 72%
+    // multi-probe/3 → 78% multi-probe/beam-width). Each corpus member has
+    // ONE bucket and the probe values are distinct, so the expansion
+    // cannot duplicate a candidate; [[knnProbe]] ranks with the ingest
+    // twins' ppm arithmetic.
+    val rel = Lineage.cut(knnRelation(Tables.embeddings(s, d)))
+    val probed = rel.filter(col("vec_id") % knnBatchMod === 7)
+      .select(col("vec_id"), col("q"), col("nq"),
+        explode(expr(s"concat(array(bucket), transform(sequence(0, ${knnBits - 1}), " +
+          "i -> bucket ^ CAST(shiftleft(1, i) AS BIGINT)))")).as("bucket"))
+    val seeds = knnProbe(probed,
+        rel.filter(col("vec_id") % knnBatchMod =!= 7)
+          .select(col("vec_id").as("neighbor_id"), col("q").as("cq"),
+            col("bucket"), col("nq").as("nb")), k = beamWidth)
+      .select(col("vec_id").as("query_id"), col("neighbor_id").as("cand_id"))
+    var visited = Lineage.cut(score(seeds))
+    for (_ <- 1 to graphHops) {
+      val beam = visited
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= beamWidth)
+        .select(col("query_id"), col("cand_id"))
+      val expanded = beam.join(edges, beam("cand_id") === edges("src"))
+        .select(col("query_id"), col("dst").as("cand_id")).distinct()
+      visited = Lineage.cut(visited.union(score(expanded)).distinct())
+    }
+    rankTopK(visited
+      .select(col("query_id"), col("cand_id").as("neighbor_id"), col("score")))
+  }
+
+  /** Brute-force ground truth for the ARRIVING queries: exact cosine
+    * top-[[topK]] of each ingest vector against the standing corpus —
+    * [[bruteForceTopK]]'s asymmetric form, memoized like [[bruteTruth]]. */
+  private val bruteIngestMemo =
+    scala.collection.concurrent.TrieMap.empty[(Long, String), String]
+
+  private def bruteTruthIngest(s: SparkSession, d: String): DataFrame = {
+    val key = (SpillMemo.sessionId(s), d)
+    val path = bruteIngestMemo.synchronized(bruteIngestMemo.getOrElseUpdate(key, {
+      val out = SpillMemo.scratchDir("graft-bruteingest-")
+      val c = corpus(s, d)
+      val q = c.filter(col("vec_id") % knnBatchMod === 7)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val scored = c.filter(col("vec_id") % knnBatchMod =!= 7)
+        .crossJoin(Hints.broadcastSmall(q))
+        .withColumn("score", expr("cosine_sim(qv, v)"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("score"))
+      rankTopK(scored).write.mode("overwrite").parquet(out)
+      out
+    }))
+    s.read.parquet(path)
+  }
+
+  /** Recall@k of the ingest graph search against the asymmetric brute
+    * truth — the serving-quality number read next to [[recallGraph]]:
+    * how much recall the probe-seeded entry costs relative to the
+    * perfect-entry corpus-member search. */
+  def recallGraphIngest(s: SparkSession, d: String): DataFrame =
+    recallOf(bruteTruthIngest(s, d), graphBeamIngestTopK(s, d), "n_graph_in")
 
   private def quantizedCorpus(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).select(col("vec_id"), col("label"),
@@ -1198,6 +1299,8 @@ object Similarity {
     "x_sim_knn_incremental" -> ((s, d) => knnIncremental(s, d)),
     "x_sim_topk_graph" -> ((s, d) => graphBeamTopK(s, d)),
     "x_sim_recall_graph" -> ((s, d) => recallGraph(s, d)),
+    "x_sim_topk_graph_in" -> ((s, d) => graphBeamIngestTopK(s, d)),
+    "x_sim_recall_graph_in" -> ((s, d) => recallGraphIngest(s, d)),
     "x_sim_topk_mp" -> multiProbeTopK,
     "x_sim_recall_mp" -> recallMultiProbe,
     "x_sim_topk_ivfpq" -> ivfpqTopK,
@@ -1416,8 +1519,12 @@ object Similarity {
     * then [[graphHops]] beam rounds as CTE pairs (beam cut by exact cosine
     * → expansion UNION-merged into the visited set — UNION dedups pairs;
     * scores are deterministic per pair, so dedup is exact), ending in the
-    * ranked visited set. CTE chain ends in `rk`. */
-  private def graphSqlCtes: String = {
+    * ranked visited set. CTE chain ends in `rk`. With `ingest = true` it
+    * is [[graphBeamIngestTopK]]'s twin instead: queries are the arriving
+    * partition, the walked edge set is the corpus-induced subgraph, and
+    * the beam seeds at the ppm-ranked sign-bucket probe matches
+    * ([[knnIncremental]]'s arithmetic over the chain's own `n` CTE). */
+  private def graphSqlCtes(ingest: Boolean = false): String = {
     val bucket = (0 until knnBits)
       .map(i => s"(CASE WHEN embedding[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)")
       .mkString(" + ")
@@ -1455,6 +1562,34 @@ object Similarity {
          |        FROM x$h x JOIN cc c ON c.vec_id = x.cand_id
          |                   JOIN qs q ON q.query_id = x.query_id)""".stripMargin
     }.mkString(",\n")
+    val queryPred =
+      if (ingest) s"vec_id % $knnBatchMod = 7" else s"vec_id % $queryStride = 0"
+    val edgeFilter =
+      if (ingest) s"\n         WHERE src % $knnBatchMod <> 7 AND dst % $knnBatchMod <> 7"
+      else ""
+    // Corpus-member queries seed at their own vertex; arriving queries seed
+    // at their [[knnK]] ppm-ranked bucket-probe matches (the chain's `n`
+    // CTE already carries the quantized/bucketed relation the probe needs).
+    val seedCtes =
+      if (!ingest) "v0 AS (SELECT query_id, query_id AS cand_id FROM qs),"
+      else
+        s"""spr AS (SELECT vec_id, q, nq,
+           |          unnest(list_concat([bucket],
+           |            list_transform(range(0, $knnBits), i -> xor(bucket, 1 << i)))) AS probe
+           |        FROM n WHERE vec_id % $knnBatchMod = 7),
+           |spp AS (SELECT a.vec_id AS query_id, b.vec_id AS nid,
+           |          CAST(list_dot_product(a.q, b.q) AS BIGINT) AS dot,
+           |          a.nq AS na, b.nq AS nb
+           |        FROM spr a JOIN n b ON b.bucket = a.probe
+           |        WHERE b.vec_id % $knnBatchMod <> 7),
+           |ssk AS (SELECT query_id, nid,
+           |          CAST(sign(dot) AS BIGINT) * ((dot * dot * 1000000) // (na * nb)) AS skey
+           |        FROM spp),
+           |srk AS (SELECT query_id, nid,
+           |          row_number() OVER (PARTITION BY query_id
+           |            ORDER BY skey DESC, nid ASC) AS rnk
+           |        FROM ssk),
+           |v0 AS (SELECT query_id, nid AS cand_id FROM srk WHERE rnk <= $beamWidth),""".stripMargin
     s"""WITH e AS (
        |  SELECT vec_id, embedding,
        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $knnQuant) AS BIGINT)) AS q,
@@ -1473,10 +1608,10 @@ object Similarity {
        |       FROM bse b JOIN pr p ON b.bucket = p.probe AND b.vec_id <> p.src),
        |${topDegree("ged0", "bp")},
        |$descent,
-       |edges AS MATERIALIZED (SELECT src, dst FROM ged$descentRounds),
+       |edges AS MATERIALIZED (SELECT src, dst FROM ged$descentRounds$edgeFilter),
        |qs AS (SELECT vec_id AS query_id, v AS qv, sqrt(list_dot_product(v, v)) AS qn
-       |       FROM cc WHERE vec_id % $queryStride = 0),
-       |v0 AS (SELECT query_id, query_id AS cand_id FROM qs),
+       |       FROM cc WHERE $queryPred),
+       |$seedCtes
        |s0 AS (SELECT v0.query_id, v0.cand_id, $cosSql AS score
        |       FROM v0 JOIN cc c ON c.vec_id = v0.cand_id
        |               JOIN qs q ON q.query_id = v0.query_id),
@@ -1623,10 +1758,33 @@ object Similarity {
     "x_sim_knn_label_vote" -> labelVoteSql,
     "x_sim_knn_incremental" -> knnSql(incremental = true),
     "x_sim_topk_graph" ->
-      s"""$graphSqlCtes
+      s"""${graphSqlCtes()}
          |SELECT query_id, neighbor_id, rnk FROM rk WHERE rnk <= $topK""".stripMargin,
+    "x_sim_topk_graph_in" ->
+      s"""${graphSqlCtes(ingest = true)}
+         |SELECT query_id, neighbor_id, rnk FROM rk WHERE rnk <= $topK""".stripMargin,
+    "x_sim_recall_graph_in" ->
+      s"""${graphSqlCtes(ingest = true)},
+         |ta AS (SELECT query_id, neighbor_id FROM rk WHERE rnk <= $topK),
+         |sb AS (SELECT q.query_id, c.vec_id AS neighbor_id, $cosSql AS score
+         |       FROM cc c, qs q WHERE c.vec_id % $knnBatchMod <> 7),
+         |rb AS (SELECT query_id, neighbor_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |                ORDER BY score DESC, neighbor_id ASC) AS rnk
+         |       FROM sb),
+         |tb AS (SELECT query_id, neighbor_id FROM rb WHERE rnk <= $topK),
+         |nb AS (SELECT query_id, count(*) AS n_brute FROM tb GROUP BY 1),
+         |na AS (SELECT query_id, count(*) AS n_graph_in FROM ta GROUP BY 1),
+         |cm AS (SELECT tb.query_id, count(*) AS n_common
+         |       FROM tb JOIN ta USING (query_id, neighbor_id) GROUP BY 1)
+         |SELECT nb.query_id, nb.n_brute,
+         |       COALESCE(na.n_graph_in, 0) AS n_graph_in,
+         |       COALESCE(cm.n_common, 0) AS n_common,
+         |       CAST(round(CAST(COALESCE(cm.n_common, 0) AS DOUBLE) * 10000 / nb.n_brute)
+         |            AS BIGINT) AS recall_bp
+         |FROM nb LEFT JOIN na USING (query_id) LEFT JOIN cm USING (query_id)""".stripMargin,
     "x_sim_recall_graph" ->
-      s"""$graphSqlCtes,
+      s"""${graphSqlCtes()},
          |ta AS (SELECT query_id, neighbor_id FROM rk WHERE rnk <= $topK),
          |sb AS (SELECT q.query_id, c.vec_id AS neighbor_id, $cosSql AS score
          |       FROM cc c, qs q WHERE c.vec_id <> q.query_id),

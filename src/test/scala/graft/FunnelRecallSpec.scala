@@ -173,6 +173,50 @@ class FunnelRecallSpec extends SparkSpec {
     assert(again == tk.toSet)
   }
 
+  test("ingest graph search: corpus-only answers, seed-dominant recall, deterministic") {
+    // the serving-time honesty invariant: queries are the arriving
+    // partition, every answer is a standing-corpus member — the search
+    // may not read vertices/edges that do not exist at serving time
+    val tk = Similarity.graphBeamIngestTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(tk.nonEmpty)
+    tk.foreach { case (q, n, rnk) =>
+      assert(q % 10 == 7, s"query $q is not an arriving vector")
+      assert(n % 10 != 7, s"answer $n is not a standing-corpus member")
+      assert(rnk >= 1 && rnk <= 10)
+    }
+    tk.groupBy(_._1).values.foreach { rows =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.size).map(_.toLong))
+    }
+    // the graph hops must not LOSE recall vs the bucket probe they seed
+    // from: true-top-10 hits of the walked search >= the 3-NN ppm probe's
+    // hits, against an independently recomputed exact truth
+    graft.functions.GraftFunctions.register(spark)
+    val c = Tables.embeddings(spark, sf).select($"vec_id",
+      org.apache.spark.sql.functions.expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val q = c.filter($"vec_id" % 10 === 7)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+    val truth = c.filter($"vec_id" % 10 =!= 7).crossJoin(q)
+      .withColumn("score", org.apache.spark.sql.functions.expr("cosine_sim(qv, v)"))
+      .withColumn("rnk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"query_id")
+          .orderBy($"score".desc, $"vec_id".asc)))
+      .filter($"rnk" <= 10)
+      .select($"query_id", $"vec_id".as("neighbor_id"))
+    val walked = tk.map(t => (t._1, t._2)).toSet
+    val truthSet = truth.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val seedSet = Similarity.knnIncremental(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val walkedHits = truthSet.intersect(walked).size
+    val seedHits = truthSet.intersect(seedSet).size
+    assert(walkedHits >= seedHits,
+      s"walked search found $walkedHits true neighbors < probe-only $seedHits")
+    // determinism: a second run ranks identically
+    val again = Similarity.graphBeamIngestTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again == tk.toSet)
+  }
+
   test("oov: counts are bounded and the vocabulary cut is deterministic") {
     val a = TextAnalysis.oov(spark, sf).collect().map(r =>
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
