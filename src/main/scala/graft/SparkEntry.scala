@@ -36,7 +36,8 @@ object SparkEntry {
     (streaming.KnnStream.queries, streaming.KnnStream.oracle),
     (streaming.GateStream.queries, streaming.GateStream.oracle),
     (streaming.DedupStream.queries, streaming.DedupStream.oracle),
-    (streaming.DriftStream.queries, streaming.DriftStream.oracle))
+    (streaming.DriftStream.queries, streaming.DriftStream.oracle),
+    (streaming.GraphAnnStream.queries, streaming.GraphAnnStream.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's core computation: sliding-window per-user interaction

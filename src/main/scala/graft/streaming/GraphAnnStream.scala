@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** The TWENTY-FIRST streaming execution: GRAPH-QUALITY ANN AT INGEST —
+  * the serving upgrade of [[KnnStream]]: that stream answers each arriving
+  * vector with bucket-probe candidates (its recall ceiling), while this
+  * one runs the full probe-seeded beam search over the standing navigable
+  * graph ([[graft.ops.Similarity.graphBeamProbe]] — the SAME definition
+  * the batch `x_sim_topk_graph_in` runs, so batch and stream cannot
+  * drift) inside each micro-batch. The standing index trio (corpus-
+  * induced edges, bucketed probe index, corpus vectors) derives ONCE at
+  * query start ([[graft.ops.Similarity.ingestGraphIndex]]); per trigger,
+  * the beam search is plain batch operators over the micro-batch frame
+  * against those static relations.
+  *
+  * Semantics make this the easy kind of stream: the search is STATELESS
+  * (static right side, nothing to evict, no watermark) and each arriving
+  * vector's answer depends only on its own embedding plus the static
+  * index, so its top-k is complete within its own micro-batch — the
+  * result equals the batch form under ANY batching of the source
+  * (`GraphAnnStreamSpec` pins two-batch delivery). Results land in the
+  * keyed-upsert sink under (query_id, rnk), so checkpoint replay is
+  * idempotent.
+  *
+  * Scale: per-trigger cost is ingest rows × (probe + ≤
+  * beamWidth·degree·hops exact scorings) against the static persisted
+  * index — corpus-size-independent per vector; state is zero. At 100 TB
+  * the graph is the persisted artifact and triggers pay only their own
+  * ingest volume — this is how a vector index actually serves an
+  * embedding firehose. */
+object GraphAnnStream {
+
+  /** Run the ingest graph-ANN stream to completion over the embeddings
+    * table (rows with `vec_id % knnBatchMod == 7` play the arriving
+    * batch — the ingest twins' convention) and return the resolved
+    * answer table. */
+  def streamedGraphAnn(s: SparkSession, sfDir: String): DataFrame = {
+    val ss = EventPipeline.streamingSession(s)
+    val scratch = graft.ops.SpillMemo.scratchDir("graft-sgann-")
+    val (edges, corpusIdx, c) = graft.ops.Similarity.ingestGraphIndex(ss, sfDir)
+    val schema = EventPipeline.tableSchema(ss, s"$sfDir/embeddings.parquet")
+    val dir = EventPipeline.installSourceDir(
+      java.nio.file.Paths.get(s"$sfDir/embeddings.parquet"))
+    val ingest = ss.readStream.schema(schema).parquet(dir.toString)
+      .filter(col("vec_id") % graft.ops.Similarity.knnBatchMod === 7)
+      .select(col("vec_id"), col("embedding"))
+    val q = ingest.writeStream
+      .option("checkpointLocation", s"$scratch/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: Dataset[Row], id: Long) =>
+        UpsertSink.writeBatch(
+          graft.ops.Similarity.graphBeamProbe(b.toDF(), edges, corpusIdx, c),
+          id, s"$scratch/sink")
+      }
+      .start()
+    q.awaitTermination()
+    UpsertSink.resolve(ss, s"$scratch/sink", Seq("query_id", "rnk"))
+      .select(col("query_id"), col("neighbor_id"), col("rnk"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_graph_ann_stream" -> ((s, d) => streamedGraphAnn(s, d)))
+
+  /** Stateless stream-static search ⇒ NO watermark cut: the oracle is the
+    * batch ingest graph search verbatim. */
+  val oracle: Map[String, String] = Map(
+    "s_graph_ann_stream" -> graft.ops.Similarity.oracle("x_sim_topk_graph_in"))
+}
