@@ -93,6 +93,104 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Static kernel behind [[CosinePrefixSims]] — kept as a plain method so the
+  * generated code is one call site inside the WholeStageCodegen span (the
+  * [[StopwordHits]]/[[WinnowFp]] pattern). */
+object CosineKernels {
+
+  /** All prefix cosines in ONE left-to-right pass: `out(j)` is bit-equal to
+    * `cosine_sim(slice(a, 1, dims(j)), slice(b, 1, dims(j)))` because a
+    * prefix cosine's dot/norm accumulators ARE the full fold's partial sums
+    * — the kernel just records the ratio at each checkpoint instead of
+    * re-folding per truncation. Checkpoints past the vector length record
+    * the full-length value (`slice` past the end returns the whole array in
+    * both engines). Stops scanning at the last checkpoint: evaluating
+    * truncations `[8,16,32]` of a 1024-dim vector reads 32 elements. */
+  def prefixSims(a: ArrayData, b: ArrayData, dims: Array[Int]): ArrayData = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    val out = new Array[Double](dims.length)
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    var j = 0
+    while (i < n && j < dims.length) {
+      val xi = a.getDouble(i)
+      val yi = b.getDouble(i)
+      dot += xi * yi
+      na += xi * xi
+      nb += yi * yi
+      i += 1
+      while (j < dims.length && dims(j) == i) {
+        out(j) = dot / (math.sqrt(na) * math.sqrt(nb))
+        j += 1
+      }
+    }
+    while (j < dims.length) {
+      out(j) = dot / (math.sqrt(na) * math.sqrt(nb))
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** `cosine_prefix(a, b, dims)`: cosine similarity of every DIMENSION-PREFIX
+  * of two double vectors in one fused pass — the evaluation kernel behind
+  * Matryoshka-style truncated-embedding retrieval (MRL: Kusupati et al.,
+  * NeurIPS 2022), where serving truncates stored vectors to their first m
+  * dimensions and quality is judged by recall of the truncated ranking
+  * against the full-dimension one.
+  *
+  * Why a kernel: the declarative twin scores each truncation separately
+  * (`cosine_sim(slice(qv,1,m), slice(v,1,m))` per m) — that re-reads the
+  * prefix AND allocates two sliced arrays per candidate per truncation, in
+  * the exact N×Q inner loop ANN evaluation burns its cycles. One pass with
+  * running accumulators emits all truncation scores for the cost of the
+  * longest one, zero allocation beyond the output array.
+  *
+  * Numeric contract: per element the accumulation order is identical to the
+  * slice formulation's fold, so each output is BIT-EQUAL to the per-slice
+  * `cosine_sim` (and to DuckDB's `list_dot_product(a[1:m], b[1:m])` ratio) —
+  * see the oracle of `x_embed_mrl_recall`. `dims` must fold to a strictly
+  * ascending array of positive integers at plan time. */
+case class CosinePrefixSims(left: Expression, right: Expression, dims: Seq[Int])
+  extends BinaryExpression with ImplicitCastInputTypes with Serializable {
+
+  require(dims.nonEmpty && dims.head >= 1 && dims.sliding(2).forall(w => w.length < 2 || w(0) < w(1)),
+    s"cosine_prefix: dims must be strictly ascending positive ints, got $dims")
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "cosine_prefix"
+
+  @transient private lazy val dimArr: Array[Int] = dims.toArray
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CosineKernels.prefixSims(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], dimArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("dims", dimArr, "int[]")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val res = ctx.freshName("res")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $res =
+         |  graft.functions.CosineKernels.prefixSims($a, $b, $ref);
+         |if ($res == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $res;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosinePrefixSims =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Registration surface for the engine's native functions — both the
   * in-session path ([[register]], idempotent, used by the query packs) and
   * the `spark.sql.extensions=graft.functions.GraftExtensions` path a library
@@ -105,6 +203,29 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => {
         require(exprs.length == 2, s"cosine_sim expects 2 arguments, got ${exprs.length}")
         CosineSimilarity(exprs.head, exprs(1))
+      }),
+    (new FunctionIdentifier("cosine_prefix"),
+      new ExpressionInfo(classOf[CosinePrefixSims].getName, "cosine_prefix"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3,
+          s"cosine_prefix expects (a, b, dims literal array), got ${exprs.length} args")
+        val dims = exprs(2) match {
+          case e if e.foldable && e.dataType.isInstanceOf[ArrayType] =>
+            val arr = e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+            (0 until arr.numElements()).map { i =>
+              arr.get(i, e.dataType.asInstanceOf[ArrayType].elementType) match {
+                case v: Int => v
+                case v: Long if v.isValidInt => v.toInt
+                case v: Short => v.toInt
+                case v: Byte => v.toInt
+                case other => throw new IllegalArgumentException(
+                  s"cosine_prefix: dims elements must be integers, got $other")
+              }
+            }
+          case other => throw new IllegalArgumentException(
+            s"cosine_prefix: dims must fold to an array of integers, got $other")
+        }
+        CosinePrefixSims(exprs.head, exprs(1), dims)
       }),
     (new FunctionIdentifier("simhash32"),
       new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),

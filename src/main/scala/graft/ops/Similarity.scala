@@ -410,6 +410,58 @@ object Similarity {
   def recallRerank(s: SparkSession, d: String): DataFrame =
     recallOf(bruteTruth(s, d), kmeansRerankTopK(s, d), "n_rr")
 
+  /** Truncation depths for the Matryoshka evaluation — strictly ascending,
+    * ending at the full dimensionality so the last row is a structural
+    * recall=10000 bp sanity check. */
+  private[graft] val mrlDims = Seq(8, 16, 32, 64)
+
+  /** MATRYOSHKA (truncated-dimension) RETRIEVAL EVAL (`x_embed_mrl_recall`):
+    * recall@k of cosine search over each DIMENSION PREFIX of the stored
+    * vectors against the full-dimension ranking — the table that decides
+    * how far a deployment can truncate its embeddings (MRL, Kusupati et
+    * al. 2022: serve the first m dims, keep most of the recall, cut the
+    * index to m/d of its size). At 100 TB of vectors, truncation is the
+    * single biggest index-cost lever a pipeline owner has, and this is the
+    * measurement that prices it.
+    *
+    * Plan: ONE corpus scan and ONE broadcast candidate join score ALL
+    * truncation depths — [[graft.functions.CosinePrefixSims]] emits every
+    * prefix cosine from one fused accumulator pass (each output bit-equal
+    * to `cosine_sim` over the slice, see the kernel contract), so the
+    * eval costs the same join the plain brute-force search pays, not
+    * |dims|× it. Per-(query, m) top-k via the bounded-heap [[TopKAgg]]
+    * (map-side k-truncation — the shuffle moves O(k) rows per group, not
+    * the N×Q×|dims| scored set). The tiny ranked relation (|q|·|dims|·k
+    * rows) is lineage-cut before being self-joined against its m=64 slice
+    * so the corpus join runs once. */
+  def mrlRecall(s: SparkSession, d: String): DataFrame = {
+    val c = corpus(s, d)
+    val q = c.filter(col("vec_id") % queryStride === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val dimsSql = mrlDims.mkString(", ")
+    val scored = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        posexplode(expr(s"cosine_prefix(qv, v, array($dimsSql))")).as(Seq("j", "score")))
+      .select(col("query_id"), col("neighbor_id"), col("score"),
+        element_at(typedLit(mrlDims.map(_.toLong)), col("j") + 1).as("m"))
+    val top = Lineage.cut(scored.groupBy(col("query_id"), col("m"))
+      .agg(graft.functions.TopK.topKColumn(topK, col("score"), col("neighbor_id")).as("top"))
+      .select(col("query_id"), col("m"), explode(col("top.neighbor_id")).as("neighbor_id")))
+    val truth = top.filter(col("m") === mrlDims.last)
+      .select(col("query_id"), col("neighbor_id"))
+    val totals = truth.agg(count(lit(1)).as("n_truth"))
+    // Left-join the hit counts onto the truncation universe: a depth whose
+    // top-k shares NOTHING with the full ranking must surface as an explicit
+    // recall-0 row (that zero is the finding), not vanish from the table.
+    val hits = top.join(truth, Seq("query_id", "neighbor_id"))
+      .groupBy(col("m")).agg(count(lit(1)).as("n_hits"))
+    top.select(col("m")).distinct()
+      .join(hits, Seq("m"), "left_outer")
+      .crossJoin(broadcast(totals))
+      .select(col("m"), coalesce(col("n_hits"), lit(0L)).as("n_common"), col("n_truth"))
+      .withColumn("recall_bp", expr("(n_common * 10000) div n_truth"))
+  }
+
   private val pqSubvectors = 4
   private val pqSubDim = 16 // 64 dims / 4 subvectors
   // Codebook entries per PQ subspace — a storage-FORMAT constant (code width
@@ -1420,7 +1472,8 @@ object Similarity {
     "x_sim_recall" -> recallIvf,
     "x_sim_recall_pq" -> recallPq,
     "x_embed_centroids" -> centroids,
-    "x_embed_quantize" -> quantize)
+    "x_embed_quantize" -> quantize,
+    "x_embed_mrl_recall" -> mrlRecall)
 
   private val cosSql =
     "list_dot_product(q.qv, c.v) / (q.qn * sqrt(list_dot_product(c.v, c.v)))"
@@ -2045,6 +2098,31 @@ object Similarity {
         |SELECT label, dim, q_sum, n_vecs,
         |       CAST(q_sum AS DOUBLE) / n_vecs / 1000000 AS centroid
         |FROM agg""".stripMargin,
+    "x_embed_mrl_recall" ->
+      s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id % $queryStride = 0),
+         |m AS (SELECT unnest([${mrlDims.mkString(", ")}]) AS m),
+         |scored AS (SELECT q.query_id, m.m, c.vec_id AS neighbor_id,
+         |             list_dot_product(list_slice(q.qv, 1, m.m), list_slice(c.v, 1, m.m))
+         |               / (sqrt(list_dot_product(list_slice(q.qv, 1, m.m), list_slice(q.qv, 1, m.m)))
+         |                  * sqrt(list_dot_product(list_slice(c.v, 1, m.m), list_slice(c.v, 1, m.m)))) AS score
+         |           FROM c, q, m WHERE c.vec_id <> q.query_id),
+         |ranked AS (SELECT query_id, m, neighbor_id,
+         |             row_number() OVER (PARTITION BY query_id, m
+         |                    ORDER BY score DESC, neighbor_id ASC) AS rnk
+         |           FROM scored),
+         |top AS (SELECT query_id, m, neighbor_id FROM ranked WHERE rnk <= $topK),
+         |truth AS (SELECT query_id, neighbor_id FROM top WHERE m = ${mrlDims.last}),
+         |tot AS (SELECT count(*) AS n_truth FROM truth),
+         |hits AS (SELECT t.m, count(*) AS n_hits
+         |         FROM top t JOIN truth tr
+         |           ON t.query_id = tr.query_id AND t.neighbor_id = tr.neighbor_id
+         |         GROUP BY t.m),
+         |mm AS (SELECT DISTINCT m FROM top)
+         |SELECT CAST(mm.m AS BIGINT) AS m, COALESCE(h.n_hits, 0) AS n_common,
+         |       tot.n_truth AS n_truth,
+         |       (COALESCE(h.n_hits, 0) * 10000) // tot.n_truth AS recall_bp
+         |FROM mm LEFT JOIN hits h ON mm.m = h.m CROSS JOIN tot""".stripMargin,
     "x_sim_topk_brute" ->
       s"""WITH c AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
          |q AS (SELECT vec_id AS query_id, v AS qv, sqrt(list_dot_product(v, v)) AS qn
