@@ -876,6 +876,72 @@ object Dedup {
           .otherwise(expr("(20000 * n_tri) div (deg * (deg - 1))")))
   }
 
+  /** Minimum repeated-run length (tokens) for [[dupSpans]] — the published
+    * exact-substring dedup threshold is 50 BPE tokens on web corpora; 8
+    * whitespace tokens is the same knob scaled to the fixture texts. */
+  private[graft] val dupSpanLen = 8
+
+  /** CROSS-DOCUMENT REPEATED-SPAN DETECTION (`x_dedup_spans`): the maximal
+    * token ranges of each document that also appear verbatim in at least
+    * one OTHER document — the exact-substring dedup of Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better"), whose
+    * finding is that training corpora carry long verbatim repeats INSIDE
+    * otherwise-distinct documents (boilerplate, licenses, quoted posts)
+    * that document-level dedup ([[exact]], [[minhashLsh]]) cannot see, and
+    * that models memorize. Emits per-document cut lists: `[span_start,
+    * span_end]` token ranges (1-based, inclusive) plus their length — the
+    * relation a curation pass subtracts before tokenization.
+    *
+    * Spark-first shape: the paper's suffix array is a single-machine
+    * construction; the distributed equivalent is an inverted index of
+    * length-L token windows — a position-annotated explode, one
+    * partial-agg shuffle keyed by window to find windows with
+    * `count(DISTINCT doc) >= 2`, a semi-join back, then per-document
+    * ISLAND MERGE of surviving positions (windows at distance ≤ L union
+    * into one contiguous covered range — lag/sum-over-window partitioned
+    * by doc_id, so the sort is per-document). Every repeated substring of
+    * length ≥ L contains a repeated L-window at its start, so span
+    * RECALL is exact; the merge closes gaps ≤ L between hits, which can
+    * bridge two repeats separated by < L novel tokens — the conservative
+    * direction for a cut list (the same pigeonhole argument as
+    * [[simhashPairs]]' banding). The windows relation is derived on both
+    * sides of the df-filter join rather than checkpointed —
+    * recompute-over-materialize, the documented [[dupCoverage]] trade. At
+    * 100 TB the group-by key would be a 128-bit window fingerprint (16
+    * bytes moved per window instead of ~L words; collisions 2⁻⁶⁴); the
+    * string key here keeps the relation byte-comparable to the DuckDB
+    * oracle. */
+  def dupSpans(s: SparkSession, d: String): DataFrame =
+    dupSpansOf(Tables.documents(s, d))
+
+  /** Core of [[dupSpans]] over any (doc_id, text) frame — split out so the
+    * island-merge semantics are pinnable on synthetic corpora. */
+  private[graft] def dupSpansOf(docs: DataFrame): DataFrame = {
+    val L = dupSpanLen
+    val grams = docs
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .filter(size(col("words")) >= L)
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(1, size(words) - ${L - 1}), i -> array_join(slice(words, i, $L), ' '))"))
+          .as(Seq("j", "gram")))
+      .select(col("doc_id"), (col("j") + 1).cast("long").as("p"), col("gram"))
+    val dup = grams.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select(col("gram"))
+    val matched = grams.join(dup, Seq("gram")).select(col("doc_id"), col("p"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val spans = matched
+      .withColumn("brk",
+        when(col("p") - lag(col("p"), 1).over(w) <= L, lit(0)).otherwise(lit(1)))
+      .withColumn("span", sum(col("brk")).over(w))
+    spans.groupBy(col("doc_id"), col("span"))
+      .agg(min(col("p")).as("span_start"), (max(col("p")) + lit(L - 1)).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("n_dup_tokens"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_dedup_exact" -> exact,
     "x_dedup_segments" -> segmentDedup,
@@ -894,7 +960,8 @@ object Dedup {
     "x_dedup_semantic" -> ((s, d) => semanticDedup(s, d)),
     "x_dedup_components" -> components,
     "x_dedup_keep_best" -> keepBest,
-    "x_dedup_incremental" -> incremental)
+    "x_dedup_incremental" -> incremental,
+    "x_dedup_spans" -> dupSpans)
 
   /** Oracle for BOTH decontamination paths ([[decontaminate]],
     * [[decontaminateBloom]]) — bloom prefiltering cannot change the output. */
@@ -1159,5 +1226,26 @@ object Dedup {
          |        WHERE list_dot_product(p.v, q.v) / (p.nrm * q.nrm) >= $semCosMin)
          |SELECT ka.vec_id, ka.cluster,
          |       ka.vec_id NOT IN (SELECT vec_id FROM dup) AS is_kept
-         |FROM ka""".stripMargin)
+         |FROM ka""".stripMargin,
+    "x_dedup_spans" -> {
+      val L = dupSpanLen
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents
+         |           WHERE len(string_split(text, ' ')) >= $L),
+         |g AS (SELECT doc_id, CAST(i AS BIGINT) AS p,
+         |        array_to_string(list_slice(words, i, i + ${L - 1}), ' ') AS gram
+         |      FROM (SELECT doc_id, words,
+         |              unnest(range(1, len(words) - ${L - 2})) AS i FROM w)),
+         |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+         |m AS (SELECT g.doc_id, g.p FROM g JOIN dup USING (gram)),
+         |b AS (SELECT doc_id, p,
+         |        CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= $L
+         |             THEN 0 ELSE 1 END AS brk
+         |      FROM m),
+         |sp AS (SELECT doc_id, p,
+         |         sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS span
+         |       FROM b)
+         |SELECT doc_id, min(p) AS span_start, max(p) + ${L - 1} AS span_end,
+         |       max(p) + ${L - 1} - min(p) + 1 AS n_dup_tokens
+         |FROM sp GROUP BY doc_id, span""".stripMargin
+    })
 }
