@@ -37,7 +37,8 @@ object SparkEntry {
     (streaming.GateStream.queries, streaming.GateStream.oracle),
     (streaming.DedupStream.queries, streaming.DedupStream.oracle),
     (streaming.DriftStream.queries, streaming.DriftStream.oracle),
-    (streaming.GraphAnnStream.queries, streaming.GraphAnnStream.oracle))
+    (streaming.GraphAnnStream.queries, streaming.GraphAnnStream.oracle),
+    (streaming.SampleStream.queries, streaming.SampleStream.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's core computation: sliding-window per-user interaction

@@ -40,6 +40,31 @@ object Sampling {
       .filter(col("rnk") <= quota)
   }
 
+  /** Fixed sample size for [[bottomkSample]] / `s_sample_stream`. */
+  private[graft] val bottomK = 64
+
+  /** BOTTOM-K (KMV) UNIFORM SAMPLE: the `bottomK` documents with the
+    * smallest `md5(doc_id)` — a FIXED-SIZE uniform sample, where
+    * [[hashSample]]'s threshold predicate gives a fixed RATE. The bottom-k
+    * set is the classic KMV sketch: deterministic (no RNG state to
+    * coordinate across executors or replays), uniform (the hash is
+    * pseudorandom in the id), and MERGEABLE — the global bottom-k of any
+    * partition/batch union equals the bottom-k of the per-part bottom-ks,
+    * which is what lets the streamed twin ([[graft.streaming.SampleStream]])
+    * maintain it at ingest with k rows of state and lets a 1000-executor
+    * cluster compute it as a TakeOrderedAndProject (per-partition heap of
+    * k, then a driver merge of k×partitions candidates — no global sort,
+    * no shuffle of the corpus). The hash column is part of the output: a
+    * consumer refreshing the sample tomorrow keeps exactly the rows whose
+    * hash still ranks in the bottom k, so membership is stable under
+    * corpus growth — the property that makes KMV samples auditable. */
+  def bottomkSample(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .orderBy(col("h"), col("doc_id"))
+      .limit(bottomK)
+
   /** Uniform ~25% subsample: keep docs whose md5(doc_id) falls in the first
     * quarter of hash space (first hex char in 0..3). Map-side only; the
     * complement is the held-out set, so the same predicate implements
@@ -397,6 +422,7 @@ object Sampling {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_sample_quota" -> quotaSample,
     "x_sample_hash" -> hashSample,
+    "x_sample_bottomk" -> bottomkSample,
     "x_mix_weights" -> mixWeights,
     "x_mix_epochs" -> mixEpochs,
     "x_ingest_drift" -> ingestDrift,
@@ -509,6 +535,9 @@ object Sampling {
     "x_sample_hash" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1', '2', '3')""".stripMargin,
+    "x_sample_bottomk" ->
+      s"""SELECT doc_id, lang, source, md5(CAST(doc_id AS VARCHAR)) AS h
+         |FROM documents ORDER BY h, doc_id LIMIT $bottomK""".stripMargin,
     "x_ingest_drift" -> ingestDriftSql,
     "x_mix_epochs" ->
       s"""WITH st AS (SELECT lang, source,
