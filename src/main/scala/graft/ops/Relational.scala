@@ -208,16 +208,31 @@ object Relational {
     * one core — the one formulation that could not survive a 100× scale-up. */
   def zorderLayout(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val li = Tables.lineitem(s, d).select(
+    fileZoneMap(zorderBase(s, d),
+      Seq(col("zkey"), col("l_orderkey"), col("l_linenumber")))
+  }
+
+  /** The lineitem projection both layout queries cluster: the two probe
+    * columns plus the Morton key over them and the unique tie-break. */
+  private def zorderBase(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).select(
       col("l_orderkey"), col("l_linenumber"),
       col("l_partkey").cast("long").as("pk"),
       col("l_suppkey").cast("long").as("sk"))
       .withColumn("zkey", expr("zorder2(pk, sk)"))
-    val parted = li
-      .repartitionByRange(col("zkey"), col("l_orderkey"), col("l_linenumber"))
+
+  /** Per-file zone map of `base` laid out in `sortExprs` order: assign each
+    * row to one of [[zFiles]] equal-sized files by GLOBAL sort rank (the
+    * exact `ntile` contract, computed distributedly: range-exchange on the
+    * sort key, per-partition local ranks, prefix-sum offsets broadcast
+    * back — no global sort on one node), then min/max each probe column
+    * per file. `sortExprs` must end in a unique tie-break or the rank —
+    * and therefore the file assignment — is nondeterministic. */
+  private def fileZoneMap(base: DataFrame, sortExprs: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val parted = base
+      .repartitionByRange(sortExprs: _*)
       .withColumn("pid", spark_partition_id().cast("long"))
-    val localW = Window.partitionBy(col("pid"))
-      .orderBy(col("zkey"), col("l_orderkey"), col("l_linenumber"))
+    val localW = Window.partitionBy(col("pid")).orderBy(sortExprs: _*)
     // MATERIALIZED before fan-out ([[graft.ops.Lineage]] contract): the
     // ranked relation feeds both the offset aggregation and the join back,
     // and an unmaterialized plan would EXECUTE the range exchange twice —
@@ -251,8 +266,83 @@ object Relational {
         min(col("sk")).as("sk_lo"), max(col("sk")).as("sk_hi"))
   }
 
+  /** Probe ranges per zone-map column for [[zonemapPrune]]. */
+  private val pruneProbes = 8
+
+  /** DATA-SKIPPING PAYOFF (`x_zonemap_prune`): the question
+    * [[zorderLayout]] exists to answer — how many of the laid-out files
+    * does a range predicate actually have to read? Simulates THREE layouts
+    * a table owner chooses between — a single-column `linear_pk` sort,
+    * the raw Morton interleave `zorder`, and `zorder_norm` (each column
+    * min-max-scaled to the full [[graft.functions.ZOrder2.bits]]-bit
+    * domain before interleaving) — builds each one's per-file zone map,
+    * and probes every file against an equal-width grid of range predicates
+    * on each clustered column. `skip_bp` is the fraction of (file, probe)
+    * scans the zone map eliminates — the number that decides the layout:
+    * linear wins everything on its own sort column and nothing on the
+    * other; z-order trades a little of one for a lot of both.
+    *
+    * The normalized variant is the finding this table exists to surface:
+    * on UNEQUAL-WIDTH domains the raw interleave is dominated by the wider
+    * column's high bits (the narrow column's high bits are constant zero),
+    * so it degenerates toward a linear sort — measured here: raw `zorder`
+    * prunes the narrow `sk` column at ~2% while `zorder_norm` restores
+    * balanced multi-dimensional pruning. Production OPTIMIZE ZORDER
+    * normalizes for exactly this reason. (The scale factors fit in a long
+    * up to spans of ~2⁴², past which a deployment divides before
+    * multiplying.)
+    *
+    * Plan: three [[fileZoneMap]] layout simulations (each one range
+    * exchange — laying data out IS a sort; this query prices three
+    * layouts, so it pays three), then pure constant-sized arithmetic: zone
+    * maps are [[zFiles]] rows per layout, the probe grid is
+    * [[pruneProbes]] rows per column off a broadcast 1-row min/max agg,
+    * and the touch test is a ≤3×[[zFiles]]×2×[[pruneProbes]]-row broadcast
+    * cross join. All integer, so exact and engine-portable. */
+  def zonemapPrune(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val li = zorderBase(s, d)
+    val tieBreak = Seq(col("l_orderkey"), col("l_linenumber"))
+    val bounds = li.agg(
+      min(col("pk")).as("pk_min"), max(col("pk")).as("pk_max"),
+      min(col("sk")).as("sk_min"), max(col("sk")).as("sk_max"))
+    val full = (1L << graft.functions.ZOrder2.bits) - 1
+    val liNorm = li.crossJoin(broadcast(bounds))
+      .withColumn("npk", expr(s"((pk - pk_min) * ${full}L) div greatest(pk_max - pk_min, 1L)"))
+      .withColumn("nsk", expr(s"((sk - sk_min) * ${full}L) div greatest(sk_max - sk_min, 1L)"))
+      .withColumn("nzkey", expr("zorder2(npk, nsk)"))
+    val zm = fileZoneMap(li, col("zkey") +: tieBreak)
+      .withColumn("layout", lit("zorder"))
+      .unionByName(fileZoneMap(li, col("pk") +: tieBreak)
+        .withColumn("layout", lit("linear_pk")))
+      .unionByName(fileZoneMap(liNorm, col("nzkey") +: tieBreak)
+        .withColumn("layout", lit("zorder_norm")))
+    def probeRanges(mn: String, mx: String, name: String): DataFrame =
+      bounds.select(
+          explode(sequence(lit(0L), lit(pruneProbes - 1L))).as("i"),
+          col(mn).as("mn"), col(mx).as("mx"))
+        .select(lit(name).as("probe_col"),
+          expr(s"mn + (i * (mx - mn + 1)) div $pruneProbes").as("p_lo"),
+          expr(s"mn + ((i + 1) * (mx - mn + 1)) div $pruneProbes - 1").as("p_hi"))
+    val probes = probeRanges("pk_min", "pk_max", "pk")
+      .unionByName(probeRanges("sk_min", "sk_max", "sk"))
+    zm.crossJoin(broadcast(probes))
+      .withColumn("touch", when(
+        (col("probe_col") === "pk" &&
+          col("pk_lo") <= col("p_hi") && col("pk_hi") >= col("p_lo")) ||
+        (col("probe_col") === "sk" &&
+          col("sk_lo") <= col("p_hi") && col("sk_hi") >= col("p_lo")), lit(1L))
+        .otherwise(lit(0L)))
+      .groupBy(col("layout"), col("probe_col"))
+      .agg(countDistinct(col("file_id")).as("n_files"),
+        sum(col("touch")).as("n_scanned"))
+      .withColumn("skip_bp",
+        expr(s"10000 - (n_scanned * 10000) div (n_files * $pruneProbes)"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_zorder_layout" -> zorderLayout,
+    "x_zonemap_prune" -> zonemapPrune,
     "h_salted_count" -> saltedCounts,
     "h_cube_summary" -> cubeSummary,
     "h_window_suite" -> windowSuite,
@@ -289,6 +379,52 @@ object Relational {
          |       min(pk) AS pk_lo, max(pk) AS pk_hi,
          |       min(sk) AS sk_lo, max(sk) AS sk_hi
          |FROM f GROUP BY 1""".stripMargin,
+    "x_zonemap_prune" ->
+      s"""WITH z AS (SELECT l_orderkey, l_linenumber,
+         |             CAST(l_partkey AS BIGINT) AS pk, CAST(l_suppkey AS BIGINT) AS sk,
+         |             ${zorderSqlExpr("CAST(l_partkey AS BIGINT)", "CAST(l_suppkey AS BIGINT)")} AS zkey
+         |           FROM lineitem),
+         |f AS (SELECT 'zorder' AS layout, pk, sk,
+         |        CAST(ntile($zFiles) OVER (ORDER BY zkey, l_orderkey, l_linenumber) AS BIGINT) AS file_id
+         |      FROM z
+         |      UNION ALL
+         |      SELECT 'linear_pk' AS layout, pk, sk,
+         |        CAST(ntile($zFiles) OVER (ORDER BY pk, l_orderkey, l_linenumber) AS BIGINT) AS file_id
+         |      FROM z
+         |      UNION ALL
+         |      SELECT 'zorder_norm' AS layout, pk, sk,
+         |        CAST(ntile($zFiles) OVER (ORDER BY ${zorderSqlExpr("npk", "nsk")}, l_orderkey, l_linenumber) AS BIGINT) AS file_id
+         |      FROM (SELECT z.*,
+         |              ((pk - pk_min) * ${(1L << graft.functions.ZOrder2.bits) - 1}) // greatest(pk_max - pk_min, 1) AS npk,
+         |              ((sk - sk_min) * ${(1L << graft.functions.ZOrder2.bits) - 1}) // greatest(sk_max - sk_min, 1) AS nsk
+         |            FROM z CROSS JOIN (SELECT min(pk) AS pk_min, max(pk) AS pk_max,
+         |                                      min(sk) AS sk_min, max(sk) AS sk_max FROM z))),
+         |zm AS (SELECT layout, file_id, min(pk) AS pk_lo, max(pk) AS pk_hi,
+         |              min(sk) AS sk_lo, max(sk) AS sk_hi
+         |       FROM f GROUP BY 1, 2),
+         |b AS (SELECT min(pk) AS pk_min, max(pk) AS pk_max,
+         |             min(sk) AS sk_min, max(sk) AS sk_max FROM z),
+         |i AS (SELECT unnest(range(0, $pruneProbes)) AS i),
+         |pr AS (SELECT 'pk' AS probe_col,
+         |         pk_min + (i * (pk_max - pk_min + 1)) // $pruneProbes AS p_lo,
+         |         pk_min + ((i + 1) * (pk_max - pk_min + 1)) // $pruneProbes - 1 AS p_hi
+         |       FROM b, i
+         |       UNION ALL
+         |       SELECT 'sk' AS probe_col,
+         |         sk_min + (i * (sk_max - sk_min + 1)) // $pruneProbes AS p_lo,
+         |         sk_min + ((i + 1) * (sk_max - sk_min + 1)) // $pruneProbes - 1 AS p_hi
+         |       FROM b, i),
+         |t AS (SELECT zm.layout, pr.probe_col, zm.file_id,
+         |        CASE WHEN (pr.probe_col = 'pk' AND zm.pk_lo <= pr.p_hi AND zm.pk_hi >= pr.p_lo)
+         |               OR (pr.probe_col = 'sk' AND zm.sk_lo <= pr.p_hi AND zm.sk_hi >= pr.p_lo)
+         |             THEN 1 ELSE 0 END AS touch
+         |      FROM zm CROSS JOIN pr)
+         |SELECT layout, probe_col,
+         |       count(DISTINCT file_id) AS n_files,
+         |       CAST(sum(touch) AS BIGINT) AS n_scanned,
+         |       10000 - (CAST(sum(touch) AS BIGINT) * 10000)
+         |               // (count(DISTINCT file_id) * $pruneProbes) AS skip_bp
+         |FROM t GROUP BY 1, 2""".stripMargin,
     "h_salted_count" ->
       """SELECT l_returnflag, count(*) AS n_rows,
         |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty

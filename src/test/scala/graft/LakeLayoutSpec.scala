@@ -63,4 +63,30 @@ class LakeLayoutSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(saltedSum == directSum)
   }
+
+  test("zone-map pruning: linear layout prunes only its own column; normalization restores sk pruning") {
+    val rows = ops.Relational.zonemapPrune(spark, sf)
+      .select($"layout", $"probe_col", $"n_files", $"n_scanned", $"skip_bp")
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    assert(rows.size == 6, "three layouts x two probe columns")
+    rows.foreach { case ((lay, c), (nf, ns, bp)) =>
+      assert(bp >= 0 && bp <= 10000, s"$lay/$c skip_bp out of range")
+      assert(ns >= 0 && ns <= nf * 8, s"$lay/$c scanned count out of range")
+    }
+    // a single-column sort cannot narrow the other column's zone maps
+    assert(rows(("linear_pk", "sk"))._3 == 0, "linear layout must not prune sk")
+    assert(rows(("linear_pk", "pk"))._3 > 0, "linear layout must prune its own column")
+    // the unequal-domain fix: min-max normalization before interleaving
+    // must strictly improve the narrow column over the raw Morton key
+    assert(rows(("zorder_norm", "sk"))._3 > rows(("zorder", "sk"))._3,
+      "normalized interleave must out-prune raw z-order on the narrow column")
+    assert(rows(("zorder_norm", "pk"))._3 > 0)
+  }
+
+  test("zone-map file assignment is deterministic across executions") {
+    val a = ops.Relational.zonemapPrune(spark, sf).collect().map(_.toString).sorted.toSeq
+    val b = ops.Relational.zonemapPrune(spark, sf).collect().map(_.toString).sorted.toSeq
+    assert(a == b, "re-running the layout simulation changed the pruning table")
+  }
 }
