@@ -942,6 +942,41 @@ object Dedup {
         (col("span_end") - col("span_start") + 1).as("n_dup_tokens"))
   }
 
+  /** EVAL-SIDE CONTAMINATION SCORE (`x_decontam_overlap`): per eval
+    * document, the fraction (basis points) of its distinct shingles found
+    * anywhere in the training side — the complementary direction to
+    * [[decontaminate]]: that query answers the CORPUS owner's question
+    * ("which training docs must I drop"), this one answers the EVAL
+    * owner's ("how compromised is each benchmark item, and is it a quote
+    * or a verbatim copy") — the published benchmark-contamination
+    * methodology reports exactly this per-item n-gram overlap
+    * percentage, because a 30% overlap item gets flagged and a 95% item
+    * gets removed.
+    *
+    * Plan keeps the corpus map-side: the eval shingle set (small by
+    * construction) is lineage-cut once and its keys broadcast; the
+    * training side is a single scan semi-joined against that broadcast
+    * (no corpus shuffle), reduced to the ≤|eval-shingle| matched-key set;
+    * the per-item score is then eval-sized arithmetic. Broadcasts go
+    * through [[Hints.broadcastSmall]] — conf-escapable when an eval suite
+    * outgrows the driver. */
+  def decontamOverlap(s: SparkSession, d: String): DataFrame = {
+    val sh = shingleSets(s, d).select(col("doc_id"), col("sh"))
+    val eval = Lineage.cut(sh.filter(col("doc_id") % evalMod === 0)
+      .select(col("doc_id").as("eval_id"), col("sh")))
+    val evalKeys = eval.select(col("sh")).distinct()
+    val hitShingles = sh.filter(col("doc_id") % evalMod =!= 0)
+      .join(Hints.broadcastSmall(evalKeys), Seq("sh"), "left_semi")
+      .select(col("sh")).distinct()
+    val hits = eval.join(Hints.broadcastSmall(hitShingles), Seq("sh"), "left_semi")
+      .groupBy(col("eval_id")).agg(count(lit(1)).as("n_hit"))
+    eval.groupBy(col("eval_id")).agg(count(lit(1)).as("n_shingles"))
+      .join(hits, Seq("eval_id"), "left_outer")
+      .select(col("eval_id"), col("n_shingles"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("overlap_bp", expr("(n_hit * 10000) div n_shingles"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_dedup_exact" -> exact,
     "x_dedup_segments" -> segmentDedup,
@@ -961,7 +996,8 @@ object Dedup {
     "x_dedup_components" -> components,
     "x_dedup_keep_best" -> keepBest,
     "x_dedup_incremental" -> incremental,
-    "x_dedup_spans" -> dupSpans)
+    "x_dedup_spans" -> dupSpans,
+    "x_decontam_overlap" -> decontamOverlap)
 
   /** Oracle for BOTH decontamination paths ([[decontaminate]],
     * [[decontaminateBloom]]) — bloom prefiltering cannot change the output. */
@@ -1247,5 +1283,17 @@ object Dedup {
          |SELECT doc_id, min(p) AS span_start, max(p) + ${L - 1} AS span_end,
          |       max(p) + ${L - 1} - min(p) + 1 AS n_dup_tokens
          |FROM sp GROUP BY doc_id, span""".stripMargin
-    })
+    },
+    "x_decontam_overlap" ->
+      s"""$shingleSqlCtes,
+         |ev AS (SELECT doc_id AS eval_id, sh FROM s WHERE doc_id % $evalMod = 0),
+         |hit AS (SELECT DISTINCT s.sh FROM s
+         |        JOIN (SELECT DISTINCT sh FROM ev) ek ON s.sh = ek.sh
+         |        WHERE s.doc_id % $evalMod <> 0),
+         |tot AS (SELECT eval_id, count(*) AS n_shingles FROM ev GROUP BY 1),
+         |h AS (SELECT ev.eval_id, count(*) AS n_hit FROM ev
+         |      JOIN hit ON ev.sh = hit.sh GROUP BY 1)
+         |SELECT tot.eval_id, tot.n_shingles, COALESCE(h.n_hit, 0) AS n_hit,
+         |       (COALESCE(h.n_hit, 0) * 10000) // tot.n_shingles AS overlap_bp
+         |FROM tot LEFT JOIN h USING (eval_id)""".stripMargin)
 }

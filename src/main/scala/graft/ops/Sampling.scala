@@ -140,6 +140,36 @@ object Sampling {
         expr("ideal_tokens - alloc_tokens").as("shortfall_tokens"))
   }
 
+  /** TEMPERATURE-SCALED MIXTURE (`x_mix_temperature`): per-stratum
+    * sampling shares under temperature α = 1/2 — share ∝ √n instead of
+    * ∝ n — next to the raw shares, plus the implied per-stratum
+    * up/down-weight. This is the published multilingual sampling recipe
+    * (exponentiated smoothing: raise each domain's mass to α < 1, then
+    * renormalize), sitting between [[mixWeights]]' uniform-over-domains
+    * target (α = 0) and raw proportional sampling (α = 1): big domains
+    * shrink, small ones grow, nothing is flattened to equality.
+    *
+    * α = 1/2 specifically because it keeps the table EXACT and
+    * engine-portable: IEEE `sqrt` is correctly rounded in every engine
+    * (a general `pow(x, α)` is not), so `isqrt = floor(sqrt(n))` is the
+    * same integer everywhere, and all downstream arithmetic is integer.
+    * Plan: [[mixWeights]]' shape — one partial-agg shuffle to count
+    * strata, a 1-row totals agg broadcast back. */
+  def mixTemperature(s: SparkSession, d: String): DataFrame = {
+    val strata = Tables.documents(s, d)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("isqrt_n", expr("CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT)"))
+    val totals = strata.agg(
+      sum(col("n_docs")).as("total"), sum(col("isqrt_n")).as("t_sqrt"))
+    strata.crossJoin(broadcast(totals))
+      .select(col("lang"), col("source"), col("n_docs"),
+        expr("(n_docs * 10000) div total").as("share_bp"),
+        expr("(isqrt_n * 10000) div t_sqrt").as("temp_share_bp"))
+      .withColumn("boost_bp",
+        expr("CASE WHEN share_bp = 0 THEN NULL ELSE (temp_share_bp * 10000) div share_bp END"))
+  }
+
   /** INGEST DISTRIBUTION DRIFT — the data-drift monitor a pipeline runs
     * on every arriving partition before admitting it to the corpus: the
     * per-`lang` composition of the ingest
@@ -425,6 +455,7 @@ object Sampling {
     "x_sample_bottomk" -> bottomkSample,
     "x_mix_weights" -> mixWeights,
     "x_mix_epochs" -> mixEpochs,
+    "x_mix_temperature" -> mixTemperature,
     "x_ingest_drift" -> ingestDrift,
     "x_split_assign" -> splitAssign,
     "x_pack_sequences" -> packSequences,
@@ -539,6 +570,19 @@ object Sampling {
       s"""SELECT doc_id, lang, source, md5(CAST(doc_id AS VARCHAR)) AS h
          |FROM documents ORDER BY h, doc_id LIMIT $bottomK""".stripMargin,
     "x_ingest_drift" -> ingestDriftSql,
+    "x_mix_temperature" ->
+      """WITH st AS (SELECT lang, source, count(*) AS n_docs,
+        |              CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS isqrt_n
+        |            FROM documents GROUP BY 1, 2),
+        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+        |             CAST(sum(isqrt_n) AS BIGINT) AS t_sqrt FROM st)
+        |SELECT lang, source, n_docs,
+        |       (n_docs * 10000) // total AS share_bp,
+        |       (isqrt_n * 10000) // t_sqrt AS temp_share_bp,
+        |       CASE WHEN (n_docs * 10000) // total = 0 THEN NULL
+        |            ELSE (((isqrt_n * 10000) // t_sqrt) * 10000) // ((n_docs * 10000) // total)
+        |       END AS boost_bp
+        |FROM st CROSS JOIN t""".stripMargin,
     "x_mix_epochs" ->
       s"""WITH st AS (SELECT lang, source,
          |              CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens

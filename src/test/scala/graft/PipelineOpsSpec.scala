@@ -224,4 +224,45 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.filter($"wave" === 1).agg(max($"pos")).as[Long].head() == nStrata)
     out.unpersist()
   }
+
+  test("mixTemperature: sqrt smoothing shrinks big strata, grows small ones, shares conserve") {
+    val rows = Sampling.mixTemperature(spark, sf)
+      .select($"n_docs", $"share_bp", $"temp_share_bp", $"boost_bp")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val n = rows.length
+    // floor-division shares: each sum lands within one rounding unit per stratum
+    val shareSum = rows.map(_._2).sum
+    val tempSum = rows.map(_._3).sum
+    assert(shareSum > 10000 - n && shareSum <= 10000, s"raw shares sum $shareSum")
+    assert(tempSum > 10000 - n && tempSum <= 10000, s"temp shares sum $tempSum")
+    // α = 1/2 direction: the largest stratum must not gain mass, the
+    // smallest must not lose it (up to the ±1 bp floor-rounding of each share)
+    val biggest = rows.maxBy(_._1)
+    val smallest = rows.minBy(_._1)
+    assert(biggest._3 <= biggest._2 + 1, s"largest stratum gained: $biggest")
+    assert(smallest._3 >= smallest._2 - 1, s"smallest stratum shrank: $smallest")
+    assert(smallest._4 >= biggest._4, "boost must favor the smaller stratum")
+  }
+
+  test("decontamOverlap: bounded per-item scores, consistent with the pair-level decontaminate") {
+    val overlap = Dedup.decontamOverlap(spark, sf)
+      .select($"eval_id", $"n_shingles", $"n_hit", $"overlap_bp")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(overlap.nonEmpty)
+    overlap.values.foreach { case (id, n, hit, bp) =>
+      assert(hit >= 0 && hit <= n, s"eval $id hit count out of range")
+      assert(bp == hit * 10000 / n, s"eval $id bp inconsistent")
+    }
+    // every eval item the pair-level check flags must score at least the
+    // flagged pair's shared-shingle count (its hits subsume any one pair's)
+    Dedup.decontaminate(spark, sf)
+      .select($"eval_id", $"shared").as[(Long, Long)].collect()
+      .groupBy(_._1).foreach { case (evalId, pairs) =>
+        val maxShared = pairs.map(_._2).max
+        assert(overlap(evalId)._3 >= maxShared,
+          s"eval $evalId: per-item hits ${overlap(evalId)._3} < pair-level shared $maxShared")
+      }
+  }
 }
