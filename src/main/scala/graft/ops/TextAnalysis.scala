@@ -687,6 +687,36 @@ object TextAnalysis {
           s" + $gwLen * least(n_words, $gwLenCap) + ($gwBias)"))
       .withColumn("is_admit", col("score_m") >= 0)
 
+  /** PER-LANGUAGE SCORE CALIBRATION (`x_quality_calibrate`): each
+    * document's quality-gate score re-expressed as its PERCENTILE WITHIN
+    * ITS LANGUAGE (basis points). Quality classifiers are biased toward
+    * the language that dominates their features (here the stopword list),
+    * so one global score threshold silently over-prunes every other
+    * language; production pipelines therefore calibrate per stratum and
+    * threshold on the percentile — "keep the top 40% of each language",
+    * not "keep score ≥ c" — which this table makes a single filter.
+    * `pct_bp = (rank − 1)·10000 div (n_lang − 1)`: integer-exact, 0 for
+    * each language's worst document, 10000 for its best.
+    *
+    * Plan: the gate score comes off the memoized per-doc feature base
+    * ([[docBase]] — corpus text is not re-read); the rank window
+    * partitions by `lang`, whose parallelism ceiling is |langs|, but its
+    * input is the per-doc compact relation, the same bounded-window shape
+    * as [[vocab]] — at 100 TB pre-aggregate to score histograms per lang
+    * and rank against the histogram instead. */
+  def qualityCalibrate(s: SparkSession, d: String): DataFrame = {
+    val scored = modelGate(s, d).select(col("doc_id"), col("score_m"))
+      .join(Tables.documents(s, d).select(col("doc_id"), col("lang")), "doc_id")
+    val w = Window.partitionBy(col("lang")).orderBy(col("score_m"), col("doc_id"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("n_lang",
+        count(lit(1)).over(Window.partitionBy(col("lang"))).cast("long"))
+      .withColumn("pct_bp", expr("((rnk - 1) * 10000) div greatest(n_lang - 1, 1)"))
+      .select(col("doc_id"), col("lang"), col("score_m"),
+        col("rnk"), col("n_lang"), col("pct_bp"))
+  }
+
   /** CURRICULUM ORDERING — the data-ordering step before training:
     * documents are scheduled cleanest-first by their gate score (the
     * annealing heuristic: high-confidence data early, noisier data late),
@@ -887,6 +917,7 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_model_train" -> modelTrain,
     "x_model_gate" -> modelGate,
+    "x_quality_calibrate" -> qualityCalibrate,
     "x_curriculum_order" -> curriculumOrder,
     "x_dataset_card" -> datasetCard,
     "x_text_chunks" -> chunks,
@@ -986,6 +1017,26 @@ object TextAnalysis {
            |       ($gwStop * stop_pm + ($gwPunct) * punct_pm
            |            + $gwLen * least(n_words, $gwLenCap) + ($gwBias)) >= 0 AS is_admit
            |FROM p""".stripMargin,
+      "x_quality_calibrate" ->
+        s"""WITH w AS (SELECT doc_id, lang, text, string_split(text, ' ') AS words
+           |           FROM documents),
+           |f AS (SELECT doc_id, lang,
+           |        CAST(len(words) AS BIGINT) AS n_words,
+           |        CAST(${hitsSql("words", stoplists.toMap.apply("en"))} AS BIGINT) AS n_stop,
+           |        CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS BIGINT) AS n_punct
+           |      FROM w),
+           |sc AS (SELECT doc_id, lang,
+           |         CAST($gwStop * (n_stop * 1000 // n_words)
+           |              + ($gwPunct) * (n_punct * 1000 // n_words)
+           |              + $gwLen * least(n_words, $gwLenCap) + ($gwBias) AS BIGINT) AS score_m
+           |       FROM f),
+           |r AS (SELECT doc_id, lang, score_m,
+           |        CAST(row_number() OVER (PARTITION BY lang ORDER BY score_m, doc_id) AS BIGINT) AS rnk,
+           |        CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n_lang
+           |      FROM sc)
+           |SELECT doc_id, lang, score_m, rnk, n_lang,
+           |       ((rnk - 1) * 10000) // greatest(n_lang - 1, 1) AS pct_bp
+           |FROM r""".stripMargin,
       "x_curriculum_order" ->
         s"""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS words
            |           FROM documents),

@@ -85,4 +85,23 @@ class DupSpansSpec extends SparkSpec {
       }
     }
   }
+
+  test("span strip: ledger covers every document, cut + kept conserve, sums match the cut list") {
+    val strip = ops.Dedup.dupSpanStrip(spark, sf)
+      .select($"doc_id", $"n_tokens", $"n_spans", $"n_cut", $"n_kept")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(strip.length == nDocs, "every document must get a ledger row")
+    strip.foreach { case (id, tok, ns, cut, kept) =>
+      assert(kept + cut == tok, s"doc $id tokens not conserved")
+      assert(cut >= 0 && cut <= tok, s"doc $id cut out of range")
+      assert((ns == 0) == (cut == 0), s"doc $id span/cut count mismatch")
+    }
+    val fromSpans = ops.Dedup.dupSpans(spark, sf)
+      .groupBy($"doc_id").agg(sum($"n_dup_tokens").as("c"))
+      .select($"doc_id", $"c").as[(Long, Long)].collect().toMap
+    strip.filter(_._4 > 0).foreach { case (id, _, _, cut, _) =>
+      assert(fromSpans(id) == cut, s"doc $id strip total diverges from the span list")
+    }
+  }
 }

@@ -265,4 +265,25 @@ class PipelineOpsSpec extends SparkSpec {
           s"eval $evalId: per-item hits ${overlap(evalId)._3} < pair-level shared $maxShared")
       }
   }
+
+  test("qualityCalibrate: per-language percentiles span 0..10000 and order by score") {
+    val rows = TextAnalysis.qualityCalibrate(spark, sf)
+      .select($"lang", $"score_m", $"rnk", $"n_lang", $"pct_bp")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      val n = rs.head._4
+      assert(rs.length == n, s"$lang n_lang inconsistent")
+      assert(rs.map(_._3).sorted.toSeq == (1L to n).toSeq, s"$lang ranks not dense")
+      if (n >= 2) {
+        assert(rs.map(_._5).min == 0, s"$lang worst doc must calibrate to 0")
+        assert(rs.map(_._5).max == 10000, s"$lang best doc must calibrate to 10000")
+      }
+      // percentile must be monotone in the raw score within the language
+      rs.sortBy(r => (r._2, r._3)).map(_._5).sliding(2).foreach {
+        case Array(a, b) => assert(a <= b, s"$lang percentile not monotone in score")
+        case _ =>
+      }
+    }
+  }
 }
