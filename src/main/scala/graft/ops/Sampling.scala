@@ -140,6 +140,35 @@ object Sampling {
         expr("ideal_tokens - alloc_tokens").as("shortfall_tokens"))
   }
 
+  /** Power-of-two context caps for [[lengthBuckets]]. */
+  private[graft] val lengthBucketCaps = Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L, 2048L)
+
+  /** LENGTH-BUCKETED BATCHING LEDGER (`x_length_buckets`): documents
+    * histogrammed into power-of-two context caps with the PADDING WASTE
+    * each bucket pays — the table behind length-bucketed batching, the
+    * alternative to [[packSequences]]' concatenation when cross-document
+    * attention must never mix documents: every doc in a bucket pads to
+    * the bucket cap, so `waste_bp` (padded ÷ capacity) is the fraction of
+    * compute the bucketing burns, and the bucket whose waste dominates
+    * tells the owner where to split caps finer. Documents longer than the
+    * top cap land there with their overflow counted as
+    * `truncated_tokens` — a nonzero value says to raise the cap or chunk
+    * upstream ([[graft.ops.TextAnalysis]]'s chunker). Pure map-side CASE
+    * assignment + one partial-agg shuffle on ≤ |caps| keys; all integer. */
+  def lengthBuckets(s: SparkSession, d: String): DataFrame = {
+    val caseSql = lengthBucketCaps.map(c => s"WHEN n_tokens <= $c THEN ${c}L")
+      .mkString("CASE ", " ", s" ELSE ${lengthBucketCaps.max}L END")
+    Tables.documents(s, d)
+      .select(size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("cap", expr(caseSql))
+      .groupBy(col("cap")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        sum(expr("greatest(cap - n_tokens, 0L)")).as("padding_tokens"),
+        sum(expr("greatest(n_tokens - cap, 0L)")).as("truncated_tokens"))
+      .withColumn("waste_bp", expr("(padding_tokens * 10000) div (n_docs * cap)"))
+  }
+
   /** TEMPERATURE-SCALED MIXTURE (`x_mix_temperature`): per-stratum
     * sampling shares under temperature α = 1/2 — share ∝ √n instead of
     * ∝ n — next to the raw shares, plus the implied per-stratum
@@ -456,6 +485,7 @@ object Sampling {
     "x_mix_weights" -> mixWeights,
     "x_mix_epochs" -> mixEpochs,
     "x_mix_temperature" -> mixTemperature,
+    "x_length_buckets" -> lengthBuckets,
     "x_ingest_drift" -> ingestDrift,
     "x_split_assign" -> splitAssign,
     "x_pack_sequences" -> packSequences,
@@ -570,6 +600,20 @@ object Sampling {
       s"""SELECT doc_id, lang, source, md5(CAST(doc_id AS VARCHAR)) AS h
          |FROM documents ORDER BY h, doc_id LIMIT $bottomK""".stripMargin,
     "x_ingest_drift" -> ingestDriftSql,
+    "x_length_buckets" -> {
+      val caseSql = lengthBucketCaps.map(c => s"WHEN n_tokens <= $c THEN $c")
+        .mkString("CASE ", " ", s" ELSE ${lengthBucketCaps.max} END")
+      s"""WITH lens AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |              FROM documents),
+         |b AS (SELECT n_tokens, CAST($caseSql AS BIGINT) AS cap FROM lens)
+         |SELECT cap, count(*) AS n_docs,
+         |       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         |       CAST(sum(greatest(cap - n_tokens, 0)) AS BIGINT) AS padding_tokens,
+         |       CAST(sum(greatest(n_tokens - cap, 0)) AS BIGINT) AS truncated_tokens,
+         |       (CAST(sum(greatest(cap - n_tokens, 0)) AS BIGINT) * 10000)
+         |         // (count(*) * cap) AS waste_bp
+         |FROM b GROUP BY 1""".stripMargin
+    },
     "x_mix_temperature" ->
       """WITH st AS (SELECT lang, source, count(*) AS n_docs,
         |              CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS isqrt_n

@@ -458,6 +458,41 @@ object TextAnalysis {
       .filter(col("rnk") <= ngramTopN)
   }
 
+  /** Vocabulary-size checkpoints for [[vocabCoverage]]. */
+  private[graft] val coverageNs = Seq(10L, 20L, 50L, 100L, 200L)
+
+  /** VOCABULARY COVERAGE CURVE (`x_vocab_coverage`): the fraction of all
+    * corpus token OCCURRENCES covered by the top-N vocabulary, at
+    * [[coverageNs]] checkpoints — the curve a tokenizer owner reads to
+    * size a vocabulary (where it flattens, additional entries buy almost
+    * nothing; the knee is the budget). Complements [[vocab]] (which lists
+    * the entries) and [[fertility]] (which prices what falls OUTSIDE the
+    * vocab) with the sizing decision itself.
+    *
+    * Plan: one explode → partial-count shuffle builds the global tf
+    * relation (distinct tokens move, not occurrences); the candidate cut
+    * is a TakeOrderedAndProject at the largest checkpoint (bounded heap,
+    * no global sort — the [[bpePairs]] shape); ranks and the per-
+    * checkpoint cumulative sums are then arithmetic over ≤ max(N) rows
+    * against a broadcast 1-row total. Checkpoints past the true
+    * vocabulary size report full coverage of whatever exists. */
+  def vocabCoverage(s: SparkSession, d: String): DataFrame = {
+    val tf = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token")).agg(count(lit(1)).as("tf"))
+    val totals = tf.agg(sum(col("tf")).as("total_tokens"))
+    val top = tf.orderBy(col("tf").desc, col("token").asc).limit(coverageNs.max.toInt)
+      .withColumn("rnk", row_number()
+        .over(Window.orderBy(col("tf").desc, col("token").asc)).cast("long"))
+    top.select(col("tf"), col("rnk"),
+        explode(typedLit(coverageNs)).as("n_vocab"))
+      .filter(col("rnk") <= col("n_vocab"))
+      .groupBy(col("n_vocab")).agg(sum(col("tf")).as("covered_tokens"))
+      .crossJoin(broadcast(totals))
+      .withColumn("coverage_bp", expr("(covered_tokens * 10000) div total_tokens"))
+  }
+
   /** Merge-candidate rank depth for [[bpePairs]] — TUNABLE shared with the
     * oracle (`BoundedHeapSpec` re-runs the cut at 4096). */
   private[graft] val bpeTopN = 20
@@ -918,6 +953,7 @@ object TextAnalysis {
     "x_model_train" -> modelTrain,
     "x_model_gate" -> modelGate,
     "x_quality_calibrate" -> qualityCalibrate,
+    "x_vocab_coverage" -> vocabCoverage,
     "x_curriculum_order" -> curriculumOrder,
     "x_dataset_card" -> datasetCard,
     "x_text_chunks" -> chunks,
@@ -1017,6 +1053,20 @@ object TextAnalysis {
            |       ($gwStop * stop_pm + ($gwPunct) * punct_pm
            |            + $gwLen * least(n_words, $gwLenCap) + ($gwBias)) >= 0 AS is_admit
            |FROM p""".stripMargin,
+      "x_vocab_coverage" ->
+        s"""WITH tf AS (SELECT t AS token, count(*) AS tf
+           |            FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+           |            WHERE len(t) > 0 GROUP BY 1),
+           |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS total_tokens FROM tf),
+           |top AS (SELECT tf, CAST(row_number() OVER (ORDER BY tf DESC, token ASC) AS BIGINT) AS rnk
+           |        FROM tf ORDER BY tf DESC, token ASC LIMIT ${coverageNs.max}),
+           |ck AS (SELECT unnest([${coverageNs.mkString(", ")}]) AS n_vocab)
+           |SELECT CAST(ck.n_vocab AS BIGINT) AS n_vocab,
+           |       CAST(sum(top.tf) AS BIGINT) AS covered_tokens,
+           |       tot.total_tokens,
+           |       (CAST(sum(top.tf) AS BIGINT) * 10000) // tot.total_tokens AS coverage_bp
+           |FROM ck JOIN top ON top.rnk <= ck.n_vocab CROSS JOIN tot
+           |GROUP BY ck.n_vocab, tot.total_tokens""".stripMargin,
       "x_quality_calibrate" ->
         s"""WITH w AS (SELECT doc_id, lang, text, string_split(text, ' ') AS words
            |           FROM documents),

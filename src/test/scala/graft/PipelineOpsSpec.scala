@@ -266,6 +266,45 @@ class PipelineOpsSpec extends SparkSpec {
       }
   }
 
+  test("vocabCoverage: monotone in vocab size, bounded, checkpoints complete") {
+    val rows = TextAnalysis.vocabCoverage(spark, sf)
+      .select($"n_vocab", $"covered_tokens", $"total_tokens", $"coverage_bp")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == TextAnalysis.coverageNs)
+    assert(rows.map(_._3).distinct.length == 1, "one global total")
+    rows.foreach { case (n, cov, tot, bp) =>
+      assert(cov >= 0 && cov <= tot, s"n=$n covered out of range")
+      assert(bp == cov * 10000 / tot, s"n=$n bp inconsistent")
+    }
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._2 <= b._2, "coverage must be non-decreasing in vocab size")
+      case _ =>
+    }
+    // cross-check the smallest checkpoint against a direct computation
+    val tf = Tables.documents(spark, sf)
+      .select(explode(split($"text", " ")).as("t")).filter(length($"t") > 0)
+      .groupBy($"t").agg(count(lit(1)).as("tf"))
+      .as[(String, Long)].collect()
+    val directTop10 = tf.sortBy(r => (-r._2, r._1)).take(10).map(_._2).sum
+    assert(rows.head._2 == directTop10, "top-10 coverage diverges from direct computation")
+  }
+
+  test("lengthBuckets: docs conserved, padding identity holds, only the top cap truncates") {
+    val rows = Sampling.lengthBuckets(spark, sf)
+      .select($"cap", $"n_docs", $"sum_tokens", $"padding_tokens", $"truncated_tokens", $"waste_bp")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.map(_._2).sum == Tables.documents(spark, sf).count())
+    val maxCap = Sampling.lengthBucketCaps.max
+    rows.foreach { case (cap, nd, tok, pad, trunc, bp) =>
+      assert(Sampling.lengthBucketCaps.contains(cap), s"unknown cap $cap")
+      assert(bp >= 0 && bp <= 10000, s"cap $cap waste out of range")
+      if (cap != maxCap) assert(trunc == 0, s"cap $cap must not truncate")
+      // capacity = used + padded (truncated tokens never entered capacity)
+      assert(nd * cap == (tok - trunc) + pad, s"cap $cap capacity identity broken")
+    }
+  }
+
   test("qualityCalibrate: per-language percentiles span 0..10000 and order by score") {
     val rows = TextAnalysis.qualityCalibrate(spark, sf)
       .select($"lang", $"score_m", $"rnk", $"n_lang", $"pct_bp")
