@@ -340,9 +340,14 @@ object GraftFunctions {
   }
 }
 
-/** Session-extensions entry point: inject the native functions at session
-  * build time (`.config("spark.sql.extensions", "graft.functions.GraftExtensions")`). */
+/** Session-extensions entry point: inject the native functions and the
+  * kernel-fusion optimizer rule at session build time
+  * (`.config("spark.sql.extensions", "graft.functions.GraftExtensions")`).
+  * On an already-built session the same rule is one line away:
+  * `spark.experimental.extraOptimizations ++= Seq(graft.plans.FusePrefixCosines)`. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     GraftFunctions.functions.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => graft.plans.FusePrefixCosines)
+  }
 }
