@@ -99,17 +99,28 @@ case class CosineSimilarity(left: Expression, right: Expression)
 object CosineKernels {
 
   /** All prefix cosines in ONE left-to-right pass: `out(j)` is bit-equal to
-    * `cosine_sim(slice(a, 1, dims(j)), slice(b, 1, dims(j)))` because a
-    * prefix cosine's dot/norm accumulators ARE the full fold's partial sums
-    * — the kernel just records the ratio at each checkpoint instead of
-    * re-folding per truncation. Checkpoints past the vector length record
-    * the full-length value (`slice` past the end returns the whole array in
-    * both engines). Stops scanning at the last checkpoint: evaluating
-    * truncations `[8,16,32]` of a 1024-dim vector reads 32 elements. */
+    * `cosine_sim(slice(a, 1, dims(j)), slice(b, 1, dims(j)))` — INCLUDING
+    * every edge of the slice formulation, so the fusion rule
+    * ([[graft.plans.FusePrefixCosines]]) is semantics-preserving on ANY
+    * input, not just equal-length pairs:
+    *
+    *  - checkpoint m ≤ min(len a, len b): both slices have length m, the
+    *    accumulators at element m ARE the sliced fold's sums — finite value;
+    *  - checkpoint m past BOTH lengths with len a == len b: both slices
+    *    clamp to the whole (equal-length) arrays — the full-length value;
+    *  - checkpoint m past the SHORTER length with len a ≠ len b: the two
+    *    slices clamp to different lengths, and `cosine_sim` of
+    *    length-mismatched arrays is null — a NULL ENTRY (hence the
+    *    containsNull = true output type).
+    *
+    * Stops scanning at the last checkpoint: evaluating truncations
+    * `[8,16,32]` of a 1024-dim vector reads 32 elements. */
   def prefixSims(a: ArrayData, b: ArrayData, dims: Array[Int]): ArrayData = {
-    val n = a.numElements()
-    if (n != b.numElements()) return null
-    val out = new Array[Double](dims.length)
+    val la = a.numElements()
+    val lb = b.numElements()
+    val n = math.min(la, lb)
+    val equalLen = la == lb
+    val out = new Array[Any](dims.length)
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
@@ -128,7 +139,7 @@ object CosineKernels {
       }
     }
     while (j < dims.length) {
-      out(j) = dot / (math.sqrt(na) * math.sqrt(nb))
+      out(j) = if (equalLen) dot / (math.sqrt(na) * math.sqrt(nb)) else null
       j += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
@@ -152,8 +163,11 @@ object CosineKernels {
   * Numeric contract: per element the accumulation order is identical to the
   * slice formulation's fold, so each output is BIT-EQUAL to the per-slice
   * `cosine_sim` (and to DuckDB's `list_dot_product(a[1:m], b[1:m])` ratio) —
-  * see the oracle of `x_embed_mrl_recall`. `dims` must fold to a strictly
-  * ascending array of positive integers at plan time. */
+  * see the oracle of `x_embed_mrl_recall` — including the ragged-pair edge:
+  * a checkpoint past the shorter of two UNEQUAL-length vectors is a null
+  * entry, exactly as the per-slice cosine of the differently-clamped slices
+  * would be (see [[CosineKernels.prefixSims]]). `dims` must fold to a
+  * strictly ascending array of positive integers at plan time. */
 case class CosinePrefixSims(left: Expression, right: Expression, dims: Seq[Int])
   extends BinaryExpression with ImplicitCastInputTypes with Serializable {
 
@@ -161,7 +175,7 @@ case class CosinePrefixSims(left: Expression, right: Expression, dims: Seq[Int])
     s"cosine_prefix: dims must be strictly ascending positive ints, got $dims")
 
   override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
-  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
   override def nullable: Boolean = true
   override def prettyName: String = "cosine_prefix"
 

@@ -303,9 +303,13 @@ object Relational {
     graft.functions.GraftFunctions.register(s)
     val li = zorderBase(s, d)
     val tieBreak = Seq(col("l_orderkey"), col("l_linenumber"))
-    val bounds = li.agg(
+    // materialized once: the 1-row bounds agg is referenced by the
+    // normalized layout's crossJoin and both probe grids — uncut, the
+    // min/max scan over lineitem would re-execute per reference
+    // (the fileZoneMap comment's contract)
+    val bounds = Lineage.cut(li.agg(
       min(col("pk")).as("pk_min"), max(col("pk")).as("pk_max"),
-      min(col("sk")).as("sk_min"), max(col("sk")).as("sk_max"))
+      min(col("sk")).as("sk_min"), max(col("sk")).as("sk_max")))
     val full = (1L << graft.functions.ZOrder2.bits) - 1
     val liNorm = li.crossJoin(broadcast(bounds))
       .withColumn("npk", expr(s"((pk - pk_min) * ${full}L) div greatest(pk_max - pk_min, 1L)"))

@@ -740,8 +740,12 @@ object TextAnalysis {
     * as [[vocab]] — at 100 TB pre-aggregate to score histograms per lang
     * and rank against the histogram instead. */
   def qualityCalibrate(s: SparkSession, d: String): DataFrame = {
-    val scored = modelGate(s, d).select(col("doc_id"), col("score_m"))
-      .join(Tables.documents(s, d).select(col("doc_id"), col("lang")), "doc_id")
+    // lang rides the memoized base relation — re-joining the documents
+    // table here would pay a corpus scan plus a shuffle for a column the
+    // memo already carries
+    val scored = gateScore(docBase(s, d)
+      .select(col("doc_id"), col("lang"), col("n_words"), col("n_stop"), col("n_punct")))
+      .select(col("doc_id"), col("lang"), col("score_m"))
     val w = Window.partitionBy(col("lang")).orderBy(col("score_m"), col("doc_id"))
     scored
       .withColumn("rnk", row_number().over(w).cast("long"))

@@ -43,8 +43,22 @@ class MrlSpec extends SparkSpec {
     assert(got(2) == full)
   }
 
-  test("length mismatch yields null; dims must be strictly ascending positive") {
-    assert(CosinePrefixSims(lit2(Seq(1.0, 2.0)), lit2(Seq(1.0)), Seq(1)).eval() == null)
+  test("ragged pairs follow the per-slice contract: valid to the shorter length, null past it") {
+    val a = Seq(1.0, 2.0, 3.0)
+    val b = Seq(4.0, 5.0)
+    val got = CosinePrefixSims(lit2(a), lit2(b), Seq(1, 2, 3)).eval()
+      .asInstanceOf[ArrayData].toObjectArray(org.apache.spark.sql.types.DoubleType)
+    // m <= min length: both slices have length m — bit-equal to the sliced cosine
+    (1 to 2).foreach { m =>
+      val want = graft.functions.CosineSimilarity(lit2(a.take(m)), lit2(b.take(m))).eval()
+      assert(got(m - 1) == want, s"checkpoint $m diverges from the sliced cosine")
+    }
+    // m past the shorter of two UNEQUAL vectors clamps the slices to
+    // different lengths — the per-slice cosine is null, so the entry is
+    assert(got(2) == null, "checkpoint past the shorter ragged side must be null")
+  }
+
+  test("dims must be strictly ascending positive") {
     intercept[IllegalArgumentException] { CosinePrefixSims(lit2(Seq(1.0)), lit2(Seq(1.0)), Seq(2, 2)) }
     intercept[IllegalArgumentException] { CosinePrefixSims(lit2(Seq(1.0)), lit2(Seq(1.0)), Seq(0, 1)) }
   }

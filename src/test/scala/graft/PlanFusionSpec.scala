@@ -78,6 +78,26 @@ class PlanFusionSpec extends SparkSpec {
     }
   }
 
+  test("fusion preserves ragged-pair null semantics bit-for-bit") {
+    // even ids: len(a)=8 vs len(b)=16 — depth 12 clamps the slices to
+    // different lengths, so the per-slice cosine (and the fused entry) is
+    // null; odd ids keep 16/16 and stay finite at every depth
+    val ragged = vectors.select($"id",
+      expr("slice(a, 1, CAST(CASE WHEN id % 2 = 0 THEN 8 ELSE 16 END AS INT))").as("a"),
+      $"b")
+    def q(df: DataFrame) = df.select($"id",
+      expr("cosine_sim(slice(a, 1, 4), slice(b, 1, 4))").as("c4"),
+      expr("cosine_sim(slice(a, 1, 12), slice(b, 1, 12))").as("c12"))
+    val unfused = q(ragged).as[(Long, Option[Double], Option[Double])].collect().sortBy(_._1)
+    val fused = withRule {
+      assert(countNodes(q(ragged), _.isInstanceOf[CosinePrefixSims]) == 2, "rule must fire")
+      q(ragged).as[(Long, Option[Double], Option[Double])].collect().sortBy(_._1)
+    }
+    assert(fused.toSeq == unfused.toSeq, "fusion changed a ragged-pair result")
+    assert(unfused.exists(_._3.isEmpty), "test data must exercise the null edge")
+    assert(unfused.forall(_._2.nonEmpty), "depth within both lengths must stay finite")
+  }
+
   test("full-vector cosine alongside sliced ones is preserved, sliced ones fuse") {
     withRule {
       val df = vectors.select(
