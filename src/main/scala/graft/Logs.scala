@@ -17,6 +17,20 @@ package graft
   *    notice. Real stream failures surface as exceptions (propagated into
   *    Bench's per-query `errors` map / Verify's `[verify] failed` line),
   *    not as WARNs, so no failure signal is lost.
+  *  - `state.StateStore` — the maintenance thread's shutdown race: a
+  *    scheduled maintenance tick that fires while `spark.stop()` is
+  *    tearing SparkEnv down logs `WARN StateStore: Error running
+  *    maintenance thread ... SparkEnv not active` with a full stack
+  *    trace. Benign by construction — SparkEnv is gone, there is no
+  *    state left to maintain and no query left to serve — but the trace
+  *    landed AFTER the bench JSON line in round 11's 2000-char tail and
+  *    cost the round its official benchmark (`BENCH_r11.json`
+  *    `"parsed": null`). Real state-store failures during a RUNNING
+  *    query surface as query exceptions, not this logger's WARNs.
+  *    (Belt: [[graft.streaming.EventPipeline.releaseStreamState]] also
+  *    stops the maintenance thread after every completed replay, and
+  *    Bench prints its line after `spark.stop()` returns — this demotion
+  *    is the suspenders for a tick already in flight.)
   *
   * Applied only in the mains, never in library code — an embedding
   * application keeps its own logging policy.
@@ -28,7 +42,8 @@ object Logs {
     Seq(
       "org.apache.spark.sql.execution.window",
       "org.apache.spark.sql.execution.streaming.runtime.ResolveWriteToStream",
-      "org.apache.spark.sql.execution.streaming.runtime.MicroBatchExecution"
+      "org.apache.spark.sql.execution.streaming.runtime.MicroBatchExecution",
+      "org.apache.spark.sql.execution.streaming.state.StateStore"
     ).foreach(Configurator.setLevel(_, Level.ERROR))
   }
 }

@@ -58,6 +58,7 @@ object DedupStream {
       }
       .start()
     q.awaitTermination()
+    EventPipeline.releaseStreamState(ss)
     UpsertSink.resolve(ss, s"$scratch/sink", Seq("new_id"))
       .select(col("new_id"), col("dup_of"), col("n_matches"), col("is_dup"))
   }

@@ -50,6 +50,7 @@ object DriftStream {
         UpsertSink.writeBatch(b, id, s"$scratch/sink"))
       .start()
     q.awaitTermination()
+    EventPipeline.releaseStreamState(ss)
     val newCounts = UpsertSink.resolve(ss, s"$scratch/sink", Seq("lang"))
       .select(col("lang"), col("n_new"))
     graft.ops.Sampling.driftOf(

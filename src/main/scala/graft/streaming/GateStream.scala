@@ -43,6 +43,7 @@ object GateStream {
         UpsertSink.writeBatch(b, id, s"$scratch/sink"))
       .start()
     q.awaitTermination()
+    EventPipeline.releaseStreamState(ss)
     UpsertSink.resolve(ss, s"$scratch/sink", Seq("lang", "is_admit"))
       .select(col("lang"), col("is_admit"), col("n_docs"), col("score_m_sum"))
   }

@@ -57,6 +57,7 @@ object GraphAnnStream {
       }
       .start()
     q.awaitTermination()
+    EventPipeline.releaseStreamState(ss)
     UpsertSink.resolve(ss, s"$scratch/sink", Seq("query_id", "rnk"))
       .select(col("query_id"), col("neighbor_id"), col("rnk"))
   }

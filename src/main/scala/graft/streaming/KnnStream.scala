@@ -53,6 +53,7 @@ object KnnStream {
       }
       .start()
     q.awaitTermination()
+    EventPipeline.releaseStreamState(ss)
     UpsertSink.resolve(ss, s"$scratch/sink", Seq("vec_id", "rnk"))
       .select(col("vec_id"), col("neighbor_id"), col("rnk"))
   }

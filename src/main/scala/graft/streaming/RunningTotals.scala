@@ -76,6 +76,7 @@ object RunningTotals {
       .foreachBatch((b: Dataset[Row], id: Long) => UpsertSink.writeBatch(b, id, s"$scratch/sink"))
       .start()
     q.awaitTermination()
+    EventPipeline.releaseStreamState(ss)
     UpsertSink.resolve(ss, s"$scratch/sink", Seq("user_id"))
       .select(col("user_id"), col("n_events"), col("value_c_sum"))
   }

@@ -47,6 +47,7 @@ object SampleStream {
           b.orderBy(col("h"), col("doc_id")).limit(k), id, s"$scratch/sink"))
       .start()
     q.awaitTermination()
+    EventPipeline.releaseStreamState(ss)
     UpsertSink.resolve(ss, s"$scratch/sink", Seq("doc_id"))
       .orderBy(col("h"), col("doc_id")).limit(k)
       .select(col("doc_id"), col("lang"), col("source"), col("h"))

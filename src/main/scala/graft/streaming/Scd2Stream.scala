@@ -155,6 +155,7 @@ object Scd2Stream {
       .foreachBatch((b: Dataset[Row], id: Long) => UpsertSink.writeBatch(b, id, s"$scratch/sink"))
       .start()
     q.awaitTermination()
+    EventPipeline.releaseStreamState(ss)
     UpsertSink.resolve(ss, s"$scratch/sink", Seq("user_id", "run_id"))
       .select(col("user_id"), col("run_id"), col("event_type"),
         col("valid_from_us"), col("n_events"), col("valid_to_us"))
@@ -201,6 +202,7 @@ object Scd2Stream {
       .foreachBatch((b: Dataset[Row], id: Long) => UpsertSink.writeBatch(b, id, s"$scratch/sink"))
       .start()
     q.awaitTermination()
+    EventPipeline.releaseStreamState(ss)
     UpsertSink.resolve(ss, s"$scratch/sink", Seq("event_id"))
       .select(col("event_id"), col("user_id"), col("ts_us"),
         col("state_type"), col("state_run"), col("state_since_us"))

@@ -141,4 +141,36 @@ class BenchLineSpec extends AnyFunSuite {
     // sf renders as the basename, not the full path
     assert(line.endsWith(""","sf":"sf0.1"}"""), line)
   }
+
+  // Round 11 lost its benchmark to output ORDER, not length: the line fit
+  // the budget but a StateStore maintenance WARN fired during spark.stop()
+  // and printed after it, displacing it from the driver's tail. The
+  // emission path now runs teardown FIRST and prints last — these pin it.
+
+  test("emitLineLast: teardown output lands before the line; line is the final stdout") {
+    val out = new java.io.ByteArrayOutputStream()
+    val line = """{"metric":"total","value":1,"unit":"sec"}"""
+    Console.withOut(new java.io.PrintStream(out, true)) {
+      Bench.emitLineLast(line, () => println("teardown noise"))
+    }
+    val text = out.toString
+    assert(text.endsWith(line + "\n"),
+      s"the driver line must be the final stdout output, got: $text")
+    assert(text.indexOf("teardown noise") < text.indexOf(line),
+      "teardown must run (and log) before the line is printed")
+  }
+
+  test("emitLineLast: a throwing teardown never suppresses the line") {
+    val out = new java.io.ByteArrayOutputStream()
+    val err = new java.io.ByteArrayOutputStream()
+    val line = """{"metric":"total","value":2,"unit":"sec"}"""
+    Console.withOut(new java.io.PrintStream(out, true)) {
+      Console.withErr(new java.io.PrintStream(err, true)) {
+        Bench.emitLineLast(line, () => sys.error("stop exploded"))
+      }
+    }
+    assert(out.toString.endsWith(line + "\n"), out.toString)
+    assert(err.toString.contains("stop exploded"),
+      "the teardown failure must be reported on stderr before the line")
+  }
 }
