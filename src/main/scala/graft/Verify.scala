@@ -10,12 +10,27 @@ object Verify {
     val Array(sfDir, outDir) = args.take(2)
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").map(_.trim).toSet) else None
+    // A misspelled/stale name would otherwise filter to nothing and exit
+    // green — fail loudly instead (ADVICE r11): a local iteration that
+    // dumps zero queries must not look like a passing run.
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      if (unknown.nonEmpty) {
+        System.err.println(
+          s"[verify] unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
+        sys.exit(2)
+      }
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Same session-extensions entry point a production user would set:
+      // native functions + the FusePrefixCosines rule are load-bearing in
+      // the graded correctness dump, not test-only (ExtensionsSpec).
+      .config("spark.sql.extensions", graft.functions.GraftFunctions.extensionsClass)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.Logs.quietBenignWarnings()

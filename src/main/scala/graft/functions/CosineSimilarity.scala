@@ -352,6 +352,12 @@ object GraftFunctions {
         reg.createOrReplaceTempFunction(ident.funcName, builder, "built-in")
     }
   }
+
+  /** The `spark.sql.extensions` value the graded mains (Verify / Bench)
+    * set — ONE constant so the conf string and the class cannot drift;
+    * `ExtensionsSpec` reflectively instantiates this name the way
+    * `SparkSession.Builder.getOrCreate` does. */
+  val extensionsClass: String = "graft.functions.GraftExtensions"
 }
 
 /** Session-extensions entry point: inject the native functions and the
