@@ -181,10 +181,53 @@ object MultimodalPipeline {
       .toDF("doc_id", "width", "height", "n_px", "r_sum", "g_sum", "b_sum")
   }
 
+  /** IMAGE-TEXT ALIGNMENT SCORING (`x_mm_alignment`) — the CLIP-filter
+    * shape, the modality-pairing signal a multimodal curation pipeline
+    * gates on (LAION's cosine ≥ 0.28 cut): each document's IMAGE
+    * embedding is scored against its TEXT embedding by an exact integer
+    * dot product, and the pair is kept only when the alignment clears the
+    * threshold — mis-paired image/caption rows (the dominant failure of
+    * web-scraped pairs) are what this drops.
+    *
+    * Fixture mapping (the lake carries no real CLIP embeddings):
+    *  - the text side is the `embeddings` row paired by id
+    *    (`vec_id = doc_id`), milli-quantized to integers — the corpus's
+    *    actual embedding space;
+    *  - the image side runs the REAL PNG decode ([[imageStats]] — codec
+    *    parse + pixel inflation, nothing stubbed) and lifts the decoded
+    *    channel statistics into the text space through a deterministic
+    *    integer projection head (`(r_sum·(k+1) + g_sum·(k+2) +
+    *    b_sum·(k+3)) mod 2001 − 1000` per dimension k) — the
+    *    clearly-marked stand-in for the vision tower, exactly
+    *    [[decodeStub]]'s discipline: the plumbing (decode → embed → pair
+    *    join → score → gate) is production-shaped, the learned weights
+    *    are not in the container.
+    *
+    * All arithmetic is integer (engine-exact, like `x_model_gate`'s
+    * milli-unit logits): the score is a sum of 64 bounded products, the
+    * gate is `align_fp >= 0` — positive alignment keeps the pair. Plan
+    * shape: one decode pass (`mapPartitions`, O(1) out per image), one
+    * id-equi join against the embeddings table, map-side score — at
+    * 100 TB both sides partition by the id key and nothing else moves. */
+  def alignment(s: SparkSession, d: String): DataFrame =
+    imageStats(s, d)
+      .select(col("doc_id"), col("r_sum"), col("g_sum"), col("b_sum"))
+      .join(Tables.embeddings(s, d).select(col("vec_id").as("doc_id"),
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+          .as("tv")), "doc_id")
+      .withColumn("iv", expr(
+        "transform(sequence(0, size(tv) - 1), " +
+          "k -> ((r_sum * (k + 1) + g_sum * (k + 2) + b_sum * (k + 3)) % 2001) - 1000)"))
+      .select(col("doc_id"),
+        expr("aggregate(zip_with(iv, tv, (a, b) -> a * b), 0L, (acc, v) -> acc + v)")
+          .as("align_fp"))
+      .withColumn("is_aligned", col("align_fp") >= 0)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_mm_features" -> features,
     "x_mm_frames" -> frames,
-    "x_mm_image_stats" -> imageStats)
+    "x_mm_image_stats" -> imageStats,
+    "x_mm_alignment" -> alignment)
 
   /** Oracle mirrors the stub arithmetic on the source text. PRECONDITION
     * (checked by `MultimodalSpec`): the synthetic `documents.text` is pure
@@ -231,5 +274,29 @@ object MultimodalPipeline {
         |       CAST(sum((doc_id + 7 * x + 13 * y) % 256) AS BIGINT) AS r_sum,
         |       CAST(sum((2 * doc_id + 5 * x + 11 * y) % 256) AS BIGINT) AS g_sum,
         |       CAST(sum((3 * doc_id + x * y) % 256) AS BIGINT) AS b_sum
-        |FROM ys GROUP BY 1, 2, 3""".stripMargin)
+        |FROM ys GROUP BY 1, 2, 3""".stripMargin,
+    // Channel sums come from the pixel formula (the engine's arrive via the
+    // real PNG decode — a wrong decode cannot hash-match, as in
+    // x_mm_image_stats); the projection head and milli-quantization mirror
+    // the engine integer-for-integer.
+    "x_mm_alignment" ->
+      """WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (doc_id * 3) % 9 AS h
+        |           FROM documents),
+        |xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM d),
+        |ys AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs),
+        |px AS (SELECT doc_id,
+        |         CAST(sum((doc_id + 7 * x + 13 * y) % 256) AS BIGINT) AS r_sum,
+        |         CAST(sum((2 * doc_id + 5 * x + 11 * y) % 256) AS BIGINT) AS g_sum,
+        |         CAST(sum((3 * doc_id + x * y) % 256) AS BIGINT) AS b_sum
+        |       FROM ys GROUP BY 1),
+        |j AS (SELECT p.doc_id, p.r_sum, p.g_sum, p.b_sum,
+        |        list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS tv
+        |      FROM px p JOIN embeddings e ON e.vec_id = p.doc_id),
+        |sc AS (SELECT doc_id,
+        |         CAST(list_dot_product(
+        |           list_transform(range(0, len(tv)),
+        |             k -> ((r_sum * (k + 1) + g_sum * (k + 2) + b_sum * (k + 3)) % 2001) - 1000),
+        |           tv) AS BIGINT) AS align_fp
+        |       FROM j)
+        |SELECT doc_id, align_fp, align_fp >= 0 AS is_aligned FROM sc""".stripMargin)
 }

@@ -256,6 +256,41 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("image-text alignment: integer score arithmetic recomputed driver-side; gate splits") {
+    val out = MultimodalPipeline.alignment(spark, sf)
+      .select($"doc_id", $"align_fp", $"is_aligned")
+      .as[(Long, Long, Boolean)].collect()
+    assert(out.nonEmpty)
+    // Independent recomputation: channel sums via an in-test ImageIO decode
+    // of the real PNG, projection head + milli-quantized text embedding by
+    // hand — the engine's score must match exactly, and the gate must be
+    // score >= 0.
+    val emb = Tables.embeddings(spark, sf)
+      .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .as[(Long, Array[Double])].collect().toMap
+    val pngs = MultimodalPipeline.imageRecords(spark, sf)
+      .filter($"doc_id".isin(out.take(5).map(_._1): _*))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    out.take(5).foreach { case (id, score, aligned) =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(pngs(id)))
+      var rs = 0L; var gs = 0L; var bs = 0L
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val p = img.getRGB(x, y)
+        rs += (p >> 16) & 0xff; gs += (p >> 8) & 0xff; bs += p & 0xff
+      }
+      val tv = emb(id).map(x => math.round(x * 1000))
+      val expect = tv.indices.map { k =>
+        (((rs * (k + 1) + gs * (k + 2) + bs * (k + 3)) % 2001) - 1000) * tv(k)
+      }.sum
+      assert(score == expect, s"doc $id alignment score mismatch")
+      assert(aligned == (score >= 0L), s"doc $id gate must be align_fp >= 0")
+    }
+    // the threshold must split the population — an all-true (or all-false)
+    // gate gates nothing
+    assert(out.exists(_._3) && out.exists(!_._3),
+      "alignment gate must keep some pairs and drop some pairs")
+  }
+
   // ------------------------------------------------------------ Repetition
 
   test("repetition metrics: dup-bigram and top-token fractions on known docs") {
