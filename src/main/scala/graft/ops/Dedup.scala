@@ -901,10 +901,15 @@ object Dedup {
     * into one contiguous covered range — lag/sum-over-window partitioned
     * by doc_id, so the sort is per-document). Every repeated substring of
     * length ≥ L contains a repeated L-window at its start, so span
-    * RECALL is exact; the merge closes gaps ≤ L between hits, which can
-    * bridge two repeats separated by < L novel tokens — the conservative
-    * direction for a cut list (the same pigeonhole argument as
-    * [[simhashPairs]]' banding). The windows relation is derived on both
+    * RECALL is exact (the pigeonhole argument of [[simhashPairs]]'
+    * banding); and because two matched windows merge only at start
+    * distance ≤ L — where their L-token coverages overlap or abut — each
+    * emitted span is the EXACT union of matched-window coverage: a novel
+    * token is never included in a span (two repeats separated by g ≥ 1
+    * novel tokens sit at window distance L + g > L and stay separate
+    * islands). Precision is exact for the covered set; "conservative"
+    * here means only that coverage is window-granular — a repeat's last
+    * partial window extends the span to the full matched window. The windows relation is derived on both
     * sides of the df-filter join rather than checkpointed —
     * recompute-over-materialize, the documented [[dupCoverage]] trade. At
     * 100 TB the group-by key would be a 128-bit window fingerprint (16

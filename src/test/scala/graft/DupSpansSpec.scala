@@ -47,15 +47,16 @@ class DupSpansSpec extends SparkSpec {
     assert(out(1L) == Seq((1L, L.toLong), (2L * L + 3L, 3L * L + 2L)))
   }
 
-  test("repeats separated by a short gap merge into one conservative span") {
+  test("a 1-token novel gap keeps runs in separate spans; a contiguous run merges fully") {
     val r1 = toks(1 to L, "x")
     val r2 = toks(1 to L, "y")
     val out = spans(
       (1L, s"$r1 g $r2"), // 1 novel token between — window distance L+1 > L? start of r2 = L+2
       (2L, r1),
       (3L, r2))
-    // matched window starts: 1 (r1) and L+2 (r2); distance L+1 > L keeps them
-    // apart ONLY if > L — here 9 > 8, so two spans that ABUT (end 8, start 10).
+    // matched window starts: 1 (r1) and L+2 (r2); distance L+1 = 9 > L = 8, so
+    // the runs stay in SEPARATE spans and the novel token 9 stays uncovered
+    // (end 8, start 10) — spans are the exact union of matched-window coverage.
     assert(out(1L) == Seq((1L, L.toLong), (L + 2L, 2L * L + 1L)))
     val merged = spans(
       (1L, s"${toks(1 to (L + L), "x")}"), // one 16-token run
