@@ -189,8 +189,16 @@ object EventPipeline {
     * Eight partitions keeps the replay parallel enough for the data volume
     * while cutting the store count 4×. A LIVE deployment at real volume
     * raises the conf — state partitioning is a per-checkpoint choice, so
-    * this never constrains a production checkpoint. */
-  private[graft] val defaultStreamPartitions = 16
+    * this never constrains a production checkpoint.
+    *
+    * History: round 11 silently bumped this to 16 alongside the shared
+    * child session; re-measured in round 12 AFTER the provider-release
+    * fix, 8 strictly wins again (warm `s_full_join_stream` 3.26 s at 8 vs
+    * 5.18 at 16 vs 3.60 at 4; `s_dedup_windows_stream` 2.67 / 3.08 /
+    * 3.15) — the r8 sweet spot stands, and 4 shows the parallelism floor.
+    * `spark.graft.streamShufflePartitions` (or Profile's
+    * SPARK_GRAFT_STREAM_PARTS) overrides without a code edit. */
+  private[graft] val defaultStreamPartitions = 8
 
   /** Conf key: state-store backend for the bounded-replay streaming queries
     * — `"hdfs"` (default: the in-memory `HDFSBackedStateStoreProvider`,
