@@ -38,6 +38,7 @@ object SparkEntry {
     (streaming.DedupStream.queries, streaming.DedupStream.oracle),
     (streaming.DriftStream.queries, streaming.DriftStream.oracle),
     (streaming.GraphAnnStream.queries, streaming.GraphAnnStream.oracle),
+    (streaming.GraphInsertStream.queries, streaming.GraphInsertStream.oracle),
     (streaming.SampleStream.queries, streaming.SampleStream.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

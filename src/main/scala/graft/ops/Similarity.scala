@@ -1073,22 +1073,61 @@ object Similarity {
     * the new vertex walks the augmented graph to its true neighbors —
     * the property insertion exists to provide. */
   def graphInsert(s: SparkSession, d: String): DataFrame = {
+    val (edges, all) = insertIndex(s, d)
+    insertRows(graphBeamIngestTopK(s, d), None, edges, all)
+  }
+
+  /** The static relations an insert works against: the corpus-induced
+    * edge subgraph and the FULL vector table (trim candidates include
+    * already-inserted arriving ids, so the lookup side must cover both id
+    * spaces). Shared by [[graphInsert]] and the streamed twin
+    * [[graft.streaming.GraphInsertStream]], which derives them once at
+    * query start. */
+  private[graft] def insertIndex(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.register(s)
     val (edges, _, _) = ingestGraphIndex(s, d)
-    val searched = graphBeamIngestTopK(s, d) // (query_id, neighbor_id, rnk<=topK)
-    val all = corpus(s, d).select(col("vec_id"), col("v"))
+    (edges, corpus(s, d).select(col("vec_id"), col("v")))
+  }
+
+  /** ONE insert delta — the definition shared by the batch form (whole
+    * ingest at once, no prior) and the streamed twin (per micro-batch,
+    * prior = the sink's already-re-trimmed lists), so the two cannot
+    * drift. `searched` carries this delta's (query_id, neighbor_id, rnk)
+    * search results; `prior`, when present, is the resolved sink whose
+    * `is_new = false` rows are the CURRENT adjacency of vertices earlier
+    * deltas already re-trimmed (vertices absent from it fall back to the
+    * static edge list).
+    *
+    * The incremental form converges to the batch answer under ANY split
+    * of the ingest by the bounded-heap merge law (the KMV argument of
+    * [[graft.streaming.SampleStream]]): an element outside
+    * top-k(A) has ≥ k better elements that survive into every later
+    * candidate set, so top-k(top-k(A) ∪ B) = top-k(A ∪ B) — re-trimming
+    * a prior trim with new reverse candidates equals one trim over the
+    * union, and replaying a delta over its own output is a no-op
+    * (idempotent under checkpoint recovery). `GraphInsertStreamSpec`
+    * pins both. */
+  private[graft] def insertRows(searched: DataFrame, prior: Option[DataFrame],
+      edges: DataFrame, allVecs: DataFrame): DataFrame = {
     val newOut = searched.select(col("query_id").as("src"),
       col("neighbor_id").as("dst"), col("rnk"), lit(true).as("is_new"))
     val touched = searched.select(col("neighbor_id").as("src")).distinct()
-    val cand = edges.join(Hints.broadcastSmall(touched), Seq("src"))
+    val base = edges.join(Hints.broadcastSmall(touched), Seq("src"))
       .select(col("src"), col("dst"))
-      .unionByName(searched.select(col("neighbor_id").as("src"),
-        col("query_id").as("dst")))
+    val existing = prior.fold(base) { p =>
+      val pt = p.filter(!col("is_new"))
+        .join(Hints.broadcastSmall(touched), Seq("src"))
+        .select(col("src"), col("dst"))
+      pt.unionByName(
+        base.join(pt.select(col("src")).distinct(), Seq("src"), "left_anti"))
+    }
+    val cand = existing.unionByName(
+      searched.select(col("neighbor_id").as("src"), col("query_id").as("dst")))
     // Both endpoint lookups broadcast the batch-sized pair relation onto a
     // corpus scan — the corpus itself never shuffles (the knnProbe shape).
-    val withSrc = all.select(col("vec_id").as("src"), col("v").as("av"))
+    val withSrc = allVecs.select(col("vec_id").as("src"), col("v").as("av"))
       .join(Hints.broadcastSmall(cand), Seq("src"))
-    val scored = all.select(col("vec_id").as("dst"), col("v").as("bv"))
+    val scored = allVecs.select(col("vec_id").as("dst"), col("v").as("bv"))
       .join(Hints.broadcastSmall(withSrc), Seq("dst"))
       .withColumn("score", expr("cosine_sim(av, bv)"))
       .select(col("src"), col("dst"), col("score"))

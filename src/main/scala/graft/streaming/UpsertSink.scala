@@ -39,11 +39,23 @@ object UpsertSink {
     * streaming-sink metadata probe on a glob path throws-and-logs a WARN with
     * a full stack trace (benign but alarming in harness logs), and an
     * explicit listing also lets an empty sink fail with a real message
-    * instead of a path-not-found deep in the reader. */
-  def resolve(s: SparkSession, dir: String, keys: Seq[String]): DataFrame = {
+    * instead of a path-not-found deep in the reader.
+    *
+    * `exceptBatch` excludes one delta from the merge — for a foreachBatch
+    * body that reads the sink's pre-batch state while COMPUTING its own
+    * delta (the incremental-index shape, [[graft.streaming.GraphInsertStream]]):
+    * on checkpoint replay the failed attempt's delta `b<id>` may already
+    * exist, and a prior that included it would (a) not be the pre-batch
+    * state and (b) make the job read the very directory its write is
+    * overwriting. Excluding the batch's own id restores exactly the
+    * state the original attempt saw, so replay is a bit-identical no-op. */
+  def resolve(s: SparkSession, dir: String, keys: Seq[String],
+      exceptBatch: Option[Long] = None): DataFrame = {
     val base = new java.io.File(dir)
+    val skip = exceptBatch.map(id => s"b$id").toSet
     val deltas = Option(base.listFiles())
-      .map(_.filter(f => f.isDirectory && f.getName.startsWith("b")).map(_.getAbsolutePath).sorted)
+      .map(_.filter(f => f.isDirectory && f.getName.startsWith("b") && !skip(f.getName))
+        .map(_.getAbsolutePath).sorted)
       .getOrElse(Array.empty[String])
     require(deltas.nonEmpty,
       s"UpsertSink.resolve: no delta directories under $dir — the streaming query produced no batches")
