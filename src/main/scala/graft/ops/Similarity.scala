@@ -1168,6 +1168,38 @@ object Similarity {
       .agg(min(struct(col("dist2"), col("cluster"))).as("m"))
       .select(col("vec_id"), col("sub_id"), col("m.cluster").as("code"), col("m.dist2").as("dist2"))
 
+  /** EMBEDDING-SPACE DRIFT (`x_embed_drift`): per-dimension mean shift of
+    * the ARRIVING vectors against the standing corpus — the input-
+    * distribution monitor for the embedding column itself, complementing
+    * the per-language ingest census ([[Sampling]]'s drift pack): a new
+    * encoder version, a domain shift, or a normalization bug moves
+    * per-dimension means long before it moves language shares, and a
+    * serving index built on the old distribution quietly degrades
+    * (IVF lists empty out, LSH buckets skew). All arithmetic is exact
+    * integer in the ppm-quantized space: `shift_x = sum_in·n_corp −
+    * sum_corp·n_in` is the cross-multiplied mean difference
+    * ((mean_in − mean_corp)·n_in·n_corp) — no division, so the flagged
+    * set is engine- and partition-order-exact.
+    *
+    * Plan: ONE corpus pass (posexplode to (dim, value) is map-side), one
+    * partial-agged shuffle keyed by dimension — d groups however large
+    * the corpus. At 100 TB the conditional sums stay one pass; the
+    * cross-product would be computed in decimal (sums reach ~10¹⁸ at
+    * 10¹² vectors — the documented HUGEINT boundary, same note as the
+    * dataset card's distinct swap). */
+  def embedDrift(s: SparkSession, d: String): DataFrame =
+    quantizedCorpus(s, d)
+      .select(col("vec_id"), posexplode(col("q")).as(Seq("dim", "x")))
+      .withColumn("is_in", col("vec_id") % knnBatchMod === 7)
+      .groupBy(col("dim"))
+      .agg(
+        sum(when(col("is_in"), 1L).otherwise(0L)).as("n_in"),
+        sum(when(!col("is_in"), 1L).otherwise(0L)).as("n_corp"),
+        sum(when(col("is_in"), col("x")).otherwise(0L)).as("sum_in"),
+        sum(when(!col("is_in"), col("x")).otherwise(0L)).as("sum_corp"))
+      .withColumn("shift_x",
+        col("sum_in") * col("n_corp") - col("sum_corp") * col("n_in"))
+
   def pqEncode(s: SparkSession, d: String): DataFrame = {
     // subs feeds both codebook learning and assignment; materialize once.
     val subs = Lineage.cut(pqSubs(quantizedCorpus(s, d)))
@@ -1564,6 +1596,7 @@ object Similarity {
     "x_sim_topk_graph_in" -> ((s, d) => graphBeamIngestTopK(s, d)),
     "x_sim_recall_graph_in" -> ((s, d) => recallGraphIngest(s, d)),
     "x_sim_graph_insert" -> ((s, d) => graphInsert(s, d)),
+    "x_embed_drift" -> ((s, d) => embedDrift(s, d)),
     "x_sim_topk_mp" -> multiProbeTopK,
     "x_sim_recall_mp" -> recallMultiProbe,
     "x_sim_topk_ivfpq" -> ivfpqTopK,
@@ -2031,6 +2064,23 @@ object Similarity {
     "x_sim_topk_graph_in" ->
       s"""${graphSqlCtes(ingest = true)}
          |SELECT query_id, neighbor_id, rnk FROM rk WHERE rnk <= $topK""".stripMargin,
+    "x_embed_drift" ->
+      s"""WITH e AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |xp AS (SELECT vec_id, CAST(i - 1 AS INT) AS dim, q[i] AS x
+         |       FROM (SELECT vec_id, q, unnest(range(1, len(q) + 1)) AS i FROM e))
+         |SELECT dim,
+         |  CAST(count(*) FILTER (vec_id % $knnBatchMod = 7) AS BIGINT) AS n_in,
+         |  CAST(count(*) FILTER (vec_id % $knnBatchMod <> 7) AS BIGINT) AS n_corp,
+         |  CAST(COALESCE(sum(x) FILTER (vec_id % $knnBatchMod = 7), 0) AS BIGINT) AS sum_in,
+         |  CAST(COALESCE(sum(x) FILTER (vec_id % $knnBatchMod <> 7), 0) AS BIGINT) AS sum_corp,
+         |  CAST(COALESCE(sum(x) FILTER (vec_id % $knnBatchMod = 7), 0)
+         |         * count(*) FILTER (vec_id % $knnBatchMod <> 7)
+         |       - COALESCE(sum(x) FILTER (vec_id % $knnBatchMod <> 7), 0)
+         |         * count(*) FILTER (vec_id % $knnBatchMod = 7) AS BIGINT) AS shift_x
+         |FROM xp GROUP BY dim""".stripMargin,
     "x_sim_graph_insert" ->
       s"""${graphSqlCtes(ingest = true)},
          |srch AS (SELECT query_id, neighbor_id, rnk FROM rk WHERE rnk <= $topK),

@@ -291,6 +291,29 @@ class OpsSpec extends SparkSpec {
       "alignment gate must keep some pairs and drop some pairs")
   }
 
+  test("embedding drift: cross-multiplied mean shift recomputed driver-side") {
+    val out = ops.Similarity.embedDrift(spark, sf)
+      .select($"dim", $"n_in", $"n_corp", $"sum_in", $"sum_corp", $"shift_x")
+      .as[(Int, Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val vecs = Tables.embeddings(spark, sf)
+      .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .as[(Long, Array[Double])].collect()
+    val dims = vecs.head._2.length
+    assert(out.size == dims, s"one row per dimension, got ${out.size} for $dims dims")
+    (0 until dims).foreach { k =>
+      var nIn = 0L; var nC = 0L; var sIn = 0L; var sC = 0L
+      vecs.foreach { case (id, v) =>
+        val q = math.round(v(k) * 1000000)
+        if (id % 10 == 7) { nIn += 1; sIn += q } else { nC += 1; sC += q }
+      }
+      val (_, gnIn, gnC, gsIn, gsC, gShift) = out(k)
+      assert((gnIn, gnC, gsIn, gsC) == ((nIn, nC, sIn, sC)), s"dim $k sums mismatch")
+      assert(gShift == sIn * nC - sC * nIn, s"dim $k cross-multiplied shift mismatch")
+    }
+    // the signal must be non-trivial on the fixture: some dimension shifts
+    assert(out.values.exists(_._6 != 0L), "expected a nonzero drift somewhere")
+  }
+
   // ------------------------------------------------------------ Repetition
 
   test("repetition metrics: dup-bigram and top-token fractions on known docs") {
