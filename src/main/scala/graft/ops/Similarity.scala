@@ -131,7 +131,13 @@ object Similarity {
     * bounded, so the hint is the conf-gated [[Hints.broadcastSmall]] kind:
     * a deployment probing with a corpus-scale query set flips
     * `spark.graft.broadcastSmallSides=false` for the shuffle join. */
-  def multiProbeTopK(s: SparkSession, d: String): DataFrame = {
+  def multiProbeTopK(s: SparkSession, d: String): DataFrame =
+    rankTopK(mpScored(s, d))
+
+  /** The multi-probe scored candidate relation shared by the search and
+    * the hard-negative miner: home + Hamming-1 sign buckets, exact cosine
+    * per bucket-matched pair. */
+  private def mpScored(s: SparkSession, d: String): DataFrame = {
     val bucketExpr = (0 until mpBits)
       .map(i => s"(CASE WHEN v[$i] >= 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
     val c = corpus(s, d).withColumn("bucket", expr(s"CAST($bucketExpr AS BIGINT)"))
@@ -139,12 +145,30 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("bucket").as("qb"))
       .select(col("query_id"), col("qv"), explode(expr(
         s"concat(array(qb), transform(sequence(0, ${mpBits - 1}), i -> qb ^ CAST(shiftleft(1, i) AS BIGINT)))")).as("probe"))
-    val scored = c.join(Hints.broadcastSmall(probes),
+    c.join(Hints.broadcastSmall(probes),
         col("bucket") === col("probe") && col("vec_id") =!= col("query_id"))
       .withColumn("score", expr("cosine_sim(qv, v)"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("score"))
-    rankTopK(scored)
   }
+
+  /** HARD-NEGATIVE MINING (`x_sim_hard_negatives`): per anchor, the
+    * candidates ranked (topK, 2·topK] in its graph beam search's visited
+    * set — high-similarity NON-neighbors, the training pairs a
+    * contrastive retriever/embedder actually learns from (random
+    * negatives are too easy to carry gradient; the band just past the
+    * positives is where ANCE/RocketQA-style mining samples). The
+    * positives band (rank ≤ topK) is exactly [[graphBeamTopK]]'s answer,
+    * so the two queries together emit (anchor, positive, hard-negative)
+    * triplet material with no overlap by construction — and BOTH read
+    * the same session memo ([[graphRanked]] persists the top-2·topK
+    * ranking of the visited set), so mining costs one parquet read, not
+    * a second traversal. The multi-probe candidate set was measured too
+    * sparse for the band at some scales (0 negatives at sf0.01); the
+    * beam's visited set carries hundreds of exactly-scored candidates
+    * per anchor at every scale. */
+  def hardNegatives(s: SparkSession, d: String): DataFrame =
+    graphRanked(s, d).filter(col("rnk") > topK)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"))
 
   /** Recall@k of the multi-probe LSH search against brute force — the
     * number that tunes the bits-vs-probes trade ([[multiProbeTopK]]). */
@@ -821,17 +845,22 @@ object Similarity {
   private val graphInMemo =
     scala.collection.concurrent.TrieMap.empty[(Long, String), String]
 
-  def graphBeamTopK(s: SparkSession, d: String): DataFrame = {
+  def graphBeamTopK(s: SparkSession, d: String): DataFrame =
+    graphRanked(s, d).filter(col("rnk") <= topK)
+
+  /** The memoized corpus-member search ranking, kept to 2·topK so the
+    * top-k answer AND the hard-negative band read one derivation. */
+  private def graphRanked(s: SparkSession, d: String): DataFrame = {
     val key = (SpillMemo.sessionId(s), d)
     val path = graphTopKMemo.synchronized(graphTopKMemo.getOrElseUpdate(key, {
       val out = SpillMemo.scratchDir("graft-graphtopk-")
-      computeGraphBeamTopK(s, d).write.mode("overwrite").parquet(out)
+      computeGraphBeamRanked(s, d).write.mode("overwrite").parquet(out)
       out
     }))
     s.read.parquet(path)
   }
 
-  private def computeGraphBeamTopK(s: SparkSession, d: String): DataFrame = {
+  private def computeGraphBeamRanked(s: SparkSession, d: String): DataFrame = {
     val edges = navGraph(s, d)
     val c = corpus(s, d).select(col("vec_id"), col("v"))
     val q = c.filter(col("vec_id") % queryStride === 0)
@@ -844,8 +873,9 @@ object Similarity {
     val visited = beamSearch(
       score(q.select(col("query_id"), col("query_id").as("cand_id"))),
       edges, score, graphHops)
-    rankTopK(visited.filter(col("cand_id") =!= col("query_id"))
-      .select(col("query_id"), col("cand_id").as("neighbor_id"), col("score")))
+    TopK.topK(visited.filter(col("cand_id") =!= col("query_id"))
+        .select(col("query_id"), col("cand_id").as("neighbor_id"), col("score")),
+      "query_id", "score", "neighbor_id", 2 * topK)
   }
 
   /** The frontier-tracked beam loop shared by the corpus-member and ingest
@@ -1599,6 +1629,7 @@ object Similarity {
     "x_embed_drift" -> ((s, d) => embedDrift(s, d)),
     "x_sim_topk_mp" -> multiProbeTopK,
     "x_sim_recall_mp" -> recallMultiProbe,
+    "x_sim_hard_negatives" -> ((s, d) => hardNegatives(s, d)),
     "x_sim_topk_ivfpq" -> ivfpqTopK,
     "x_embed_pq" -> pqEncode,
     "x_embed_kmeans_iter" -> ((s, d) => kmeansIter(s, d)),
@@ -2141,6 +2172,10 @@ object Similarity {
     "x_sim_topk_mp" ->
       s"""$multiProbeSqlCtes
          |SELECT query_id, neighbor_id, rnk FROM ranked WHERE rnk <= $topK""".stripMargin,
+    "x_sim_hard_negatives" ->
+      s"""${graphSqlCtes()}
+         |SELECT query_id, neighbor_id, rnk FROM rk
+         |WHERE rnk > $topK AND rnk <= ${2 * topK}""".stripMargin,
     "x_sim_recall_mp" ->
       s"""$multiProbeSqlCtes,
          |ta AS (SELECT query_id, neighbor_id FROM ranked WHERE rnk <= $topK),
