@@ -39,6 +39,7 @@ object SparkEntry {
     (streaming.DriftStream.queries, streaming.DriftStream.oracle),
     (streaming.GraphAnnStream.queries, streaming.GraphAnnStream.oracle),
     (streaming.GraphInsertStream.queries, streaming.GraphInsertStream.oracle),
+    (streaming.AlignStream.queries, streaming.AlignStream.oracle),
     (streaming.SampleStream.queries, streaming.SampleStream.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

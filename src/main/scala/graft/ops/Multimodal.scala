@@ -126,9 +126,15 @@ object MultimodalPipeline {
     * `binary` column is the production path. */
   def imageRecords(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, d)
-      .select(col("doc_id"))
-      .as[Long]
+    imageRecordsOf(Tables.documents(s, d).select(col("doc_id")).as[Long])
+  }
+
+  /** [[imageRecords]] over any id set — the form the streamed alignment
+    * gate feeds per micro-batch. */
+  private[graft] def imageRecordsOf(ids: org.apache.spark.sql.Dataset[Long]): DataFrame = {
+    val s = ids.sparkSession
+    import s.implicits._
+    ids
       .mapPartitions(_.map { id =>
         val w = pngWidth(id); val h = pngHeight(id)
         val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -158,9 +164,14 @@ object MultimodalPipeline {
     * Decode runs in `mapPartitions` so a heavier codec would amortize its
     * init per partition; output is O(1) per image regardless of pixel
     * count. */
-  def imageStats(s: SparkSession, d: String): DataFrame = {
+  def imageStats(s: SparkSession, d: String): DataFrame =
+    imageStatsOf(imageRecords(s, d))
+
+  /** [[imageStats]] over any (doc_id, png) frame — per-micro-batch form. */
+  private[graft] def imageStatsOf(recs: DataFrame): DataFrame = {
+    val s = recs.sparkSession
     import s.implicits._
-    imageRecords(s, d)
+    recs
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, png) =>
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
@@ -210,11 +221,21 @@ object MultimodalPipeline {
     * id-equi join against the embeddings table, map-side score — at
     * 100 TB both sides partition by the id key and nothing else moves. */
   def alignment(s: SparkSession, d: String): DataFrame =
-    imageStats(s, d)
+    alignmentOf(imageStats(s, d), textVectors(s, d))
+
+  /** The milli-quantized text-embedding side of the pair join (static in
+    * the streamed gate — derived once at query start). */
+  private[graft] def textVectors(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(col("vec_id").as("doc_id"),
+      expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+        .as("tv"))
+
+  /** [[alignment]] over any decoded-stats frame — ONE definition shared
+    * by the batch form and the streamed gate, so the two cannot drift. */
+  private[graft] def alignmentOf(stats: DataFrame, tv: DataFrame): DataFrame =
+    stats
       .select(col("doc_id"), col("r_sum"), col("g_sum"), col("b_sum"))
-      .join(Tables.embeddings(s, d).select(col("vec_id").as("doc_id"),
-        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
-          .as("tv")), "doc_id")
+      .join(Hints.broadcastSmall(tv), Seq("doc_id"))
       .withColumn("iv", expr(
         "transform(sequence(0, size(tv) - 1), " +
           "k -> ((r_sum * (k + 1) + g_sum * (k + 2) + b_sum * (k + 3)) % 2001) - 1000)"))
