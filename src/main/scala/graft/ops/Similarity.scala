@@ -937,6 +937,49 @@ object Similarity {
   def recallGraph(s: SparkSession, d: String): DataFrame =
     recallOf(bruteTruth(s, d), graphBeamTopK(s, d), "n_graph")
 
+  /** Fixed-point DCG position weights: w(i) = round(10⁶ / log₂(i+1)) for
+    * i = 1..[[topK]], and their prefix sums (the ideal-DCG table). ONE
+    * Scala derivation feeds both the engine plan and the DuckDB oracle as
+    * literal arrays, so the irrational log₂ weights cannot drift between
+    * engines — the [[pcaBasis]] array-literal discipline applied to eval
+    * metrics. */
+  private[graft] val dcgW: IndexedSeq[Long] =
+    (1 to topK).map(i => math.round(1e6 / (math.log(i + 1) / math.log(2.0))))
+  private[graft] val dcgPrefix: IndexedSeq[Long] = dcgW.scanLeft(0L)(_ + _).tail
+
+  /** RANKING-QUALITY EVAL (`x_sim_eval_rank`): MRR and nDCG@k of the graph
+    * beam search against the brute-force truth — the IR metrics a serving
+    * deployment reports next to recall (recall says WHETHER the true
+    * neighbors appear; MRR/nDCG say WHERE — an index that buries its hits
+    * at rank 9 scores the same recall and far worse nDCG). Both the run
+    * (the memoized [[graphRanked]] top-k) and the truth (the memoized
+    * [[bruteTruth]]) are session memos, so the eval costs two parquet
+    * reads and a k-row-per-query join. All arithmetic is integer
+    * fixed-point: mrr_fp = 10⁶ div first-hit-rank, dcg/idcg read the
+    * shared [[dcgW]]/[[dcgPrefix]] literals, ndcg_bp = 10⁴·dcg div idcg —
+    * engine-exact, no floating log. */
+  def evalRank(s: SparkSession, d: String): DataFrame = {
+    val wArr = dcgW.map(w => s"${w}L").mkString("array(", ", ", ")")
+    val psArr = dcgPrefix.map(w => s"${w}L").mkString("array(", ", ", ")")
+    val run = graphRanked(s, d).filter(col("rnk") <= topK)
+    val truth = bruteTruth(s, d).select(col("query_id"), col("neighbor_id"))
+    val hits = run.join(truth, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id"))
+      .agg(min(col("rnk")).as("first_hit"),
+        count(lit(1)).as("n_hits"),
+        sum(expr(s"element_at($wArr, CAST(rnk AS INT))")).as("dcg_fp"))
+    truth.groupBy(col("query_id")).agg(count(lit(1)).as("n_truth"))
+      .join(hits, Seq("query_id"), "left_outer")
+      .select(col("query_id"), col("n_truth"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("first_hit"), lit(0L)).as("first_hit"),
+        when(col("first_hit").isNull, lit(0L))
+          .otherwise(expr("1000000L div first_hit")).as("mrr_fp"),
+        coalesce(col("dcg_fp"), lit(0L)).as("dcg_fp"),
+        expr(s"element_at($psArr, CAST(least(n_truth, $topK) AS INT))").as("idcg_fp"))
+      .withColumn("ndcg_bp", expr("(10000L * dcg_fp) div idcg_fp"))
+  }
+
   /** GRAPH SEARCH FOR ARRIVING VECTORS — the serving path of a vector
     * index: [[graphBeamTopK]]'s entry point is the query vertex itself,
     * which only exists for corpus-member queries; a vector that ARRIVES
@@ -1630,6 +1673,7 @@ object Similarity {
     "x_sim_topk_mp" -> multiProbeTopK,
     "x_sim_recall_mp" -> recallMultiProbe,
     "x_sim_hard_negatives" -> ((s, d) => hardNegatives(s, d)),
+    "x_sim_eval_rank" -> ((s, d) => evalRank(s, d)),
     "x_sim_topk_ivfpq" -> ivfpqTopK,
     "x_embed_pq" -> pqEncode,
     "x_embed_kmeans_iter" -> ((s, d) => kmeansIter(s, d)),
@@ -2176,6 +2220,34 @@ object Similarity {
       s"""${graphSqlCtes()}
          |SELECT query_id, neighbor_id, rnk FROM rk
          |WHERE rnk > $topK AND rnk <= ${2 * topK}""".stripMargin,
+    "x_sim_eval_rank" -> {
+      val wList = dcgW.mkString("[", ", ", "]")
+      val psList = dcgPrefix.mkString("[", ", ", "]")
+      s"""${graphSqlCtes()},
+         |ta AS (SELECT query_id, neighbor_id, rnk FROM rk WHERE rnk <= $topK),
+         |sb AS (SELECT q.query_id, c.vec_id AS neighbor_id, $cosSql AS score
+         |       FROM cc c, qs q WHERE c.vec_id <> q.query_id),
+         |rb AS (SELECT query_id, neighbor_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |                ORDER BY score DESC, neighbor_id ASC) AS rnk
+         |       FROM sb),
+         |tb AS (SELECT query_id, neighbor_id FROM rb WHERE rnk <= $topK),
+         |hits AS (SELECT ta.query_id, min(ta.rnk) AS first_hit,
+         |           count(*) AS n_hits,
+         |           CAST(sum(($wList)[ta.rnk]) AS BIGINT) AS dcg_fp
+         |         FROM ta JOIN tb USING (query_id, neighbor_id) GROUP BY 1),
+         |nt AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_truth FROM tb GROUP BY 1)
+         |SELECT nt.query_id, nt.n_truth,
+         |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |  CAST(COALESCE(h.first_hit, 0) AS BIGINT) AS first_hit,
+         |  CAST(CASE WHEN h.first_hit IS NULL THEN 0
+         |            ELSE 1000000 // h.first_hit END AS BIGINT) AS mrr_fp,
+         |  CAST(COALESCE(h.dcg_fp, 0) AS BIGINT) AS dcg_fp,
+         |  CAST(($psList)[least(nt.n_truth, $topK)] AS BIGINT) AS idcg_fp,
+         |  CAST((10000 * COALESCE(h.dcg_fp, 0))
+         |         // (($psList)[least(nt.n_truth, $topK)]) AS BIGINT) AS ndcg_bp
+         |FROM nt LEFT JOIN hits h USING (query_id)""".stripMargin
+    },
     "x_sim_recall_mp" ->
       s"""$multiProbeSqlCtes,
          |ta AS (SELECT query_id, neighbor_id FROM ranked WHERE rnk <= $topK),

@@ -314,6 +314,34 @@ class OpsSpec extends SparkSpec {
     assert(out.values.exists(_._6 != 0L), "expected a nonzero drift somewhere")
   }
 
+  test("ranking eval: DCG weight table and the perfect-run fixed points") {
+    // w(i) = round(1e6 / log2(i+1)) — spot-pin the rational anchors and
+    // monotonicity; the oracle shares these exact literals.
+    val w = ops.Similarity.dcgW
+    assert(w(0) == 1000000L && w(2) == 500000L && w(6) == 333333L)
+    assert(w == w.sortBy(-_), "weights must decrease with rank")
+    assert(ops.Similarity.dcgPrefix.last == w.sum)
+    val out = ops.Similarity.evalRank(spark, sf)
+      .select($"query_id", $"n_truth", $"n_hits", $"first_hit", $"mrr_fp",
+        $"dcg_fp", $"idcg_fp", $"ndcg_bp")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (q, nTruth, nHits, firstHit, mrr, dcg, idcg, ndcg) =>
+      assert(nHits <= nTruth && ndcg <= 10000,
+        s"query $q: hits within truth, ndcg within scale")
+      if (firstHit > 0) assert(mrr == 1000000L / firstHit, s"query $q mrr arithmetic")
+      else assert(mrr == 0L && nHits == 0L)
+      assert(dcg <= idcg, s"query $q: dcg cannot exceed the ideal")
+      // the graph search finds every true neighbor at this scale
+      // (recall ladder, BASELINE.md round 12) — a PERFECT run's fixed
+      // points pin the metric top end: first hit at rank 1, ndcg = 1.
+      if (nHits == nTruth && nTruth == 10) {
+        assert(firstHit == 1L && mrr == 1000000L, s"query $q perfect-run MRR")
+        assert(ndcg == 10000L, s"query $q perfect-run nDCG")
+      }
+    }
+  }
+
   // ------------------------------------------------------------ Repetition
 
   test("repetition metrics: dup-bigram and top-token fractions on known docs") {
