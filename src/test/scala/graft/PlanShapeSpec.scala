@@ -310,4 +310,28 @@ class PlanShapeSpec extends SparkSpec {
       s"the corpus-size scalar must broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("alignment gate: pair side broadcasts onto the decode pass — no sort-merge") {
+    val p = plan("x_mm_alignment")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the text-embedding side must broadcast onto the decoded stats:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"the decode output must not sort-merge:\n$p")
+  }
+
+  test("graph insert: batch-sized candidate relations broadcast onto corpus scans") {
+    // Both endpoint-vector lookups must broadcast the (delta-sized)
+    // candidate pairs, never shuffle the corpus (the knnProbe shape).
+    val p = plan("x_sim_graph_insert")
+    assert(p.contains("BroadcastHashJoin"),
+      s"candidate pairs must broadcast onto the vector scans:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus must not shuffle for the insert re-trim:\n$p")
+  }
+
+  test("embedding drift is one partial-agged pass — a single exchange on the dimension key") {
+    val p = plan("x_embed_drift")
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, s"expected exactly one exchange (by dim), got $exchanges:\n$p")
+    assert(!p.contains("Join"), s"drift must not join anything:\n$p")
+  }
 }
