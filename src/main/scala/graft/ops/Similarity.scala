@@ -1261,7 +1261,7 @@ object Similarity {
     * 10¹² vectors — the documented HUGEINT boundary, same note as the
     * dataset card's distinct swap). */
   def embedDrift(s: SparkSession, d: String): DataFrame =
-    quantizedCorpus(s, d)
+    embedDriftOf(quantizedCorpus(s, d)
       .select(col("vec_id"), posexplode(col("q")).as(Seq("dim", "x")))
       .withColumn("is_in", col("vec_id") % knnBatchMod === 7)
       .groupBy(col("dim"))
@@ -1269,9 +1269,27 @@ object Similarity {
         sum(when(col("is_in"), 1L).otherwise(0L)).as("n_in"),
         sum(when(!col("is_in"), 1L).otherwise(0L)).as("n_corp"),
         sum(when(col("is_in"), col("x")).otherwise(0L)).as("sum_in"),
-        sum(when(!col("is_in"), col("x")).otherwise(0L)).as("sum_corp"))
-      .withColumn("shift_x",
-        col("sum_in") * col("n_corp") - col("sum_corp") * col("n_in"))
+        sum(when(!col("is_in"), col("x")).otherwise(0L)).as("sum_corp")))
+
+  /** The drift projection over a combined per-dimension census — shared
+    * by the one-pass batch form and the streamed twin (which maintains
+    * the ingest side as running state and joins the static corpus side at
+    * resolve), so the two cannot drift. */
+  private[graft] def embedDriftOf(combined: DataFrame): DataFrame =
+    combined.withColumn("shift_x",
+      col("sum_in") * col("n_corp") - col("sum_corp") * col("n_in"))
+
+  /** The per-dimension (n, sum) census of one side — the building block
+    * the streamed drift derives statically (corpus) and as running state
+    * (ingest). */
+  private[graft] def embedCensus(vecs: DataFrame, nCol: String,
+      sumCol: String): DataFrame =
+    vecs
+      .select(posexplode(
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"))
+        .as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as(nCol), sum(col("x")).as(sumCol))
 
   def pqEncode(s: SparkSession, d: String): DataFrame = {
     // subs feeds both codebook learning and assignment; materialize once.

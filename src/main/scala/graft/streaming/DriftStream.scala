@@ -60,11 +60,61 @@ object DriftStream {
           coalesce(col("n_new"), lit(0L)).as("n_new")))
   }
 
+  /** The TWENTY-EIGHTH streaming execution: EMBEDDING-SPACE DRIFT AS A
+    * STREAM — the per-dimension twin of [[streamedDrift]]'s language
+    * census, watching the embedding column itself
+    * ([[graft.ops.Similarity.embedDrift]]'s semantics, shared through
+    * `embedDriftOf`): arriving vectors maintain a running per-dimension
+    * (count, sum) census as an unwindowed update-mode aggregation —
+    * state = d rows (64 here), cardinality-bounded by the embedding
+    * width however many vectors arrive, nothing to evict. The standing
+    * corpus census derives once at query start; the cross-multiplied
+    * shift projection applies to the resolved table, so the result
+    * equals the batch drift under ANY batching of the source
+    * (`DriftStreamSpec` pins two-batch delivery). An encoder swap or
+    * normalization bug trips THIS alarm at ingest — before the skewed
+    * vectors reach the index the serving family searches. */
+  def streamedEmbedDrift(s: SparkSession, sfDir: String): DataFrame = {
+    val ss = EventPipeline.streamingSession(s)
+    val scratch = graft.ops.SpillMemo.scratchDir("graft-sedrift-")
+    val mod = graft.ops.Similarity.knnBatchMod
+    val corpusCensus = graft.ops.Lineage.cut(graft.ops.Similarity.embedCensus(
+      graft.Tables.embeddings(ss, sfDir).filter(col("vec_id") % mod =!= 7),
+      "n_corp", "sum_corp"))
+    val schema = EventPipeline.tableSchema(ss, s"$sfDir/embeddings.parquet")
+    val dir = EventPipeline.installSourceDir(
+      java.nio.file.Paths.get(s"$sfDir/embeddings.parquet"))
+    val ingest = graft.ops.Similarity.embedCensus(
+      ss.readStream.schema(schema).parquet(dir.toString)
+        .filter(col("vec_id") % mod === 7),
+      "n_in", "sum_in")
+    val q = ingest.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", s"$scratch/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch((b: Dataset[Row], id: Long) =>
+        UpsertSink.writeBatch(b, id, s"$scratch/sink"))
+      .start()
+    q.awaitTermination()
+    EventPipeline.releaseStreamState(ss)
+    val inCounts = UpsertSink.resolve(ss, s"$scratch/sink", Seq("dim"))
+      .select(col("dim"), col("n_in"), col("sum_in"))
+    graft.ops.Similarity.embedDriftOf(
+      corpusCensus.join(inCounts, Seq("dim"), "full_outer")
+        .select(col("dim"),
+          coalesce(col("n_in"), lit(0L)).as("n_in"),
+          coalesce(col("n_corp"), lit(0L)).as("n_corp"),
+          coalesce(col("sum_in"), lit(0L)).as("sum_in"),
+          coalesce(col("sum_corp"), lit(0L)).as("sum_corp")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "s_drift_stream" -> ((s, d) => streamedDrift(s, d)))
+    "s_drift_stream" -> ((s, d) => streamedDrift(s, d)),
+    "s_embed_drift_stream" -> ((s, d) => streamedEmbedDrift(s, d)))
 
   /** Running census + stateless share projection ⇒ NO watermark cut: the
-    * oracle is the batch drift table verbatim. */
+    * oracles are the batch drift tables verbatim. */
   val oracle: Map[String, String] = Map(
-    "s_drift_stream" -> graft.ops.Sampling.ingestDriftSql)
+    "s_drift_stream" -> graft.ops.Sampling.ingestDriftSql,
+    "s_embed_drift_stream" -> graft.ops.Similarity.oracle("x_embed_drift"))
 }

@@ -61,4 +61,18 @@ class DriftStreamSpec extends SparkSpec {
     val langs = Tables.documents(spark, sf).select("lang").distinct().count()
     assert(streamed.size == langs)
   }
+
+  test("golden: streamed embedding drift equals the batch per-dimension table") {
+    def dims(df: org.apache.spark.sql.DataFrame): Set[(Int, Long, Long, Long, Long, Long)] =
+      df.select("dim", "n_in", "n_corp", "sum_in", "sum_corp", "shift_x")
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    val streamed = dims(graft.streaming.DriftStream.streamedEmbedDrift(spark, sf))
+    val batch = dims(graft.ops.Similarity.embedDrift(spark, sf))
+    assert(streamed == batch, "streamed embedding drift diverged from the batch form")
+    // state is bounded by the embedding width, not the arrival volume
+    val width = Tables.embeddings(spark, sf)
+      .select(size($"embedding")).head().getInt(0)
+    assert(streamed.size == width)
+  }
 }
