@@ -244,11 +244,41 @@ object MultimodalPipeline {
           .as("align_fp"))
       .withColumn("is_aligned", col("align_fp") >= 0)
 
+  /** MULTIMODAL CURATION LEDGER (`x_mm_curation`): the composed admission
+    * funnel for image-text PAIRS — the multimodal twin of the text-side
+    * `x_curation_pipeline`: a pair enters training only if its TEXT
+    * passes the learned quality gate ([[TextAnalysis.modelGate]] — off
+    * the memoized per-doc feature base) AND its modalities actually
+    * belong together ([[alignment]]'s CLIP-shaped integer gate). Emits
+    * the per-(lang, source) accountability rollup — pairs seen, pairs
+    * admitted, text-rejected, mis-aligned, and the admitted token budget
+    * — the ledger a dataset card cites for the multimodal split.
+    * Documents with no paired embedding drop at the inner join (no
+    * pairing ⇒ not multimodal training material). Plan: both gates are
+    * per-doc relations keyed by doc_id (one compact join each), the
+    * rollup is one low-cardinality exchange — nothing corpus-sized moves
+    * beyond the gates' own documented passes. */
+  def mmCuration(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"), col("lang"), col("source"))
+      .join(TextAnalysis.modelGate(s, d)
+        .select(col("doc_id"), col("n_words"), col("is_admit")), "doc_id")
+      .join(alignment(s, d).select(col("doc_id"), col("is_aligned")), "doc_id")
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("is_admit") && col("is_aligned"), 1L).otherwise(0L))
+          .as("n_admitted"),
+        sum(when(!col("is_admit"), 1L).otherwise(0L)).as("n_text_rejected"),
+        sum(when(!col("is_aligned"), 1L).otherwise(0L)).as("n_misaligned"),
+        sum(when(col("is_admit") && col("is_aligned"), col("n_words"))
+          .otherwise(0L)).as("tokens_admitted"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_mm_features" -> features,
     "x_mm_frames" -> frames,
     "x_mm_image_stats" -> imageStats,
-    "x_mm_alignment" -> alignment)
+    "x_mm_alignment" -> alignment,
+    "x_mm_curation" -> mmCuration)
 
   /** Oracle mirrors the stub arithmetic on the source text. PRECONDITION
     * (checked by `MultimodalSpec`): the synthetic `documents.text` is pure
@@ -319,5 +349,39 @@ object MultimodalPipeline {
         |             k -> ((r_sum * (k + 1) + g_sum * (k + 2) + b_sum * (k + 3)) % 2001) - 1000),
         |           tv) AS BIGINT) AS align_fp
         |       FROM j)
-        |SELECT doc_id, align_fp, align_fp >= 0 AS is_aligned FROM sc""".stripMargin)
+        |SELECT doc_id, align_fp, align_fp >= 0 AS is_aligned FROM sc""".stripMargin,
+    // Composes the model-gate CTE chain (one SQL spelling of the gate,
+    // TextAnalysis.modelGateSqlCtes) with the alignment CTEs above and
+    // rolls up per stratum.
+    "x_mm_curation" ->
+      s"""WITH ${TextAnalysis.modelGateSqlCtes},
+        |dd AS (SELECT doc_id, 8 + doc_id % 9 AS w2, 8 + (doc_id * 3) % 9 AS h2
+        |       FROM documents),
+        |xs AS (SELECT doc_id, w2, h2, unnest(range(0, w2)) AS x FROM dd),
+        |ys AS (SELECT doc_id, w2, h2, x, unnest(range(0, h2)) AS y FROM xs),
+        |px AS (SELECT doc_id,
+        |         CAST(sum((doc_id + 7 * x + 13 * y) % 256) AS BIGINT) AS r_sum,
+        |         CAST(sum((2 * doc_id + 5 * x + 11 * y) % 256) AS BIGINT) AS g_sum,
+        |         CAST(sum((3 * doc_id + x * y) % 256) AS BIGINT) AS b_sum
+        |       FROM ys GROUP BY 1),
+        |jj AS (SELECT p2.doc_id, p2.r_sum, p2.g_sum, p2.b_sum,
+        |        list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS tv
+        |      FROM px p2 JOIN embeddings e ON e.vec_id = p2.doc_id),
+        |sc AS (SELECT doc_id,
+        |         CAST(list_dot_product(
+        |           list_transform(range(0, len(tv)),
+        |             k -> ((r_sum * (k + 1) + g_sum * (k + 2) + b_sum * (k + 3)) % 2001) - 1000),
+        |           tv) AS BIGINT) AS align_fp
+        |       FROM jj),
+        |al AS (SELECT doc_id, align_fp >= 0 AS is_aligned FROM sc)
+        |SELECT d.lang, d.source,
+        |  CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(COALESCE(sum(CASE WHEN mg.is_admit AND al.is_aligned THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_admitted,
+        |  CAST(COALESCE(sum(CASE WHEN NOT mg.is_admit THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_text_rejected,
+        |  CAST(COALESCE(sum(CASE WHEN NOT al.is_aligned THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_misaligned,
+        |  CAST(COALESCE(sum(CASE WHEN mg.is_admit AND al.is_aligned THEN mg.n_words ELSE 0 END), 0) AS BIGINT) AS tokens_admitted
+        |FROM documents d
+        |JOIN mg ON mg.doc_id = d.doc_id
+        |JOIN al ON al.doc_id = d.doc_id
+        |GROUP BY 1, 2""".stripMargin)
 }

@@ -1035,28 +1035,39 @@ object TextAnalysis {
        |$out""".stripMargin
   }
 
+  /** CTE chain ending in `mg` — the model-gate decision per document
+    * (features → per-mille rates → integer logit → `is_admit`). Shared by
+    * the `x_model_gate` oracle and the multimodal curation ledger's
+    * ([[MultimodalPipeline]] `x_mm_curation`), so the gate arithmetic has
+    * one SQL spelling. */
+  private[graft] def modelGateSqlCtes: String =
+    s"""w AS (SELECT doc_id, text, string_split(text, ' ') AS words
+       |           FROM documents),
+       |f AS (SELECT doc_id,
+       |        CAST(len(words) AS BIGINT) AS n_words,
+       |        CAST(${hitsSql("words", stoplists.toMap.apply("en"))} AS BIGINT) AS n_stop,
+       |        CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS BIGINT) AS n_punct
+       |      FROM w),
+       |p AS (SELECT doc_id, n_words, n_stop, n_punct,
+       |        CAST(n_stop * 1000 // n_words AS BIGINT) AS stop_pm,
+       |        CAST(n_punct * 1000 // n_words AS BIGINT) AS punct_pm
+       |      FROM f),
+       |mg AS (SELECT doc_id, n_words, n_stop, n_punct, stop_pm, punct_pm,
+       |        CAST($gwStop * stop_pm + ($gwPunct) * punct_pm
+       |             + $gwLen * least(n_words, $gwLenCap) + ($gwBias) AS BIGINT) AS score_m,
+       |        ($gwStop * stop_pm + ($gwPunct) * punct_pm
+       |             + $gwLen * least(n_words, $gwLenCap) + ($gwBias)) >= 0 AS is_admit
+       |       FROM p)""".stripMargin
+
   val oracle: Map[String, String] = {
     val hits = (l: String) => hitsSql("words", stoplists.toMap.apply(l))
     Map(
       "x_model_train" -> modelTrainSql,
       "x_model_gate" ->
-        s"""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS words
-           |           FROM documents),
-           |f AS (SELECT doc_id,
-           |        CAST(len(words) AS BIGINT) AS n_words,
-           |        CAST(${hitsSql("words", stoplists.toMap.apply("en"))} AS BIGINT) AS n_stop,
-           |        CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS BIGINT) AS n_punct
-           |      FROM w),
-           |p AS (SELECT doc_id, n_words, n_stop, n_punct,
-           |        CAST(n_stop * 1000 // n_words AS BIGINT) AS stop_pm,
-           |        CAST(n_punct * 1000 // n_words AS BIGINT) AS punct_pm
-           |      FROM f)
+        s"""WITH $modelGateSqlCtes
            |SELECT doc_id, n_words, n_stop, n_punct, stop_pm, punct_pm,
-           |       CAST($gwStop * stop_pm + ($gwPunct) * punct_pm
-           |            + $gwLen * least(n_words, $gwLenCap) + ($gwBias) AS BIGINT) AS score_m,
-           |       ($gwStop * stop_pm + ($gwPunct) * punct_pm
-           |            + $gwLen * least(n_words, $gwLenCap) + ($gwBias)) >= 0 AS is_admit
-           |FROM p""".stripMargin,
+           |       score_m, is_admit
+           |FROM mg""".stripMargin,
       "x_vocab_coverage" ->
         s"""WITH tf AS (SELECT t AS token, count(*) AS tf
            |            FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)

@@ -314,6 +314,39 @@ class OpsSpec extends SparkSpec {
     assert(out.values.exists(_._6 != 0L), "expected a nonzero drift somewhere")
   }
 
+  test("multimodal curation ledger: recomposed exactly from its component gates") {
+    val out = MultimodalPipeline.mmCuration(spark, sf)
+      .select($"lang", $"source", $"n_pairs", $"n_admitted",
+        $"n_text_rejected", $"n_misaligned", $"tokens_admitted")
+      .as[(String, String, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(out.nonEmpty)
+    val gate = ops.TextAnalysis.modelGate(spark, sf)
+      .select($"doc_id", $"n_words", $"is_admit")
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val aligned = MultimodalPipeline.alignment(spark, sf)
+      .select($"doc_id", $"is_aligned").as[(Long, Boolean)].collect().toMap
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"lang", $"source").as[(Long, String, String)].collect()
+    val expect = docs.filter(d => gate.contains(d._1) && aligned.contains(d._1))
+      .groupBy(d => (d._2, d._3)).map { case (k, ds) =>
+        val rows = ds.map { case (id, _, _) =>
+          val (w, admit) = gate(id); (w, admit, aligned(id))
+        }
+        k -> (rows.size.toLong,
+          rows.count { case (_, a, al) => a && al }.toLong,
+          rows.count(!_._2).toLong,
+          rows.count(!_._3).toLong,
+          rows.collect { case (w, true, true) => w }.sum)
+      }
+    assert(out.keySet == expect.keySet, "stratum coverage mismatch")
+    expect.foreach { case (k, (n, adm, rej, mis, tok)) =>
+      val (_, _, gn, gadm, grej, gmis, gtok) = out(k)
+      assert((gn, gadm, grej, gmis, gtok) == ((n, adm, rej, mis, tok)),
+        s"stratum $k ledger mismatch")
+    }
+  }
+
   test("ranking eval: DCG weight table and the perfect-run fixed points") {
     // w(i) = round(1e6 / log2(i+1)) — spot-pin the rational anchors and
     // monotonicity; the oracle shares these exact literals.
