@@ -22,16 +22,20 @@ case class MediaFrame(doc_id: Long, frame_idx: Long, frame_bytes: Long, frame_md
   * batched-UDF decode stage (one iterator per partition, so a real decoder
   * would amortize its codec/model initialization per partition, not per row).
   *
-  * The container has no image/audio codecs, so [[MultimodalPipeline.decodeStub]]
-  * is a clearly-marked deterministic FAKE: it derives "features" from the raw
-  * bytes (length, first/last byte, their mean). Everything around it —
-  * binary column synthesis, metadata struct, encoders, partition-wise batch
+  * The JDK ships real codecs for two modalities and those paths use them —
+  * PNG via `javax.imageio` ([[MultimodalPipeline.imageStats]]) and WAV/PCM
+  * via `javax.sound.sampled` ([[MultimodalPipeline.audioStats]]); only the
+  * VIDEO path keeps the clearly-marked deterministic stand-in
+  * ([[MultimodalPipeline.decodeStub]]/[[MultimodalPipeline.frameSampleStub]]
+  * — the JDK ships no video codec), and everything around it — binary
+  * column synthesis, metadata struct, encoders, partition-wise batch
   * shape — is the real plumbing a codec drop-in would use unchanged.
   */
 object MultimodalPipeline {
 
-  /** STUB decode: replace with a real codec (e.g. JPEG decode → pixel stats).
-    * Deterministic pure function of the payload bytes + metadata. */
+  /** STUB decode (VIDEO-class payloads — the JDK ships no video codec;
+    * the image and audio paths run real decodes): replace with a real
+    * codec. Deterministic pure function of the payload bytes + metadata. */
   def decodeStub(r: MediaRecord): MediaFeatures = {
     val n = r.payload.length
     val head = if (n > 0) r.payload(0) & 0xff else 0
@@ -192,6 +196,95 @@ object MultimodalPipeline {
       .toDF("doc_id", "width", "height", "n_px", "r_sum", "g_sum", "b_sum")
   }
 
+  /** Deterministic 16-bit PCM sample formula for the WAV fixtures — the
+    * audio twin of [[pix]]: pure integer arithmetic in (doc_id, i), so
+    * the oracle recomputes the expected sample statistics without any
+    * codec, and a decode that misreads the RIFF container, the
+    * endianness, or the sample width cannot hash-match (PCM is
+    * lossless). */
+  private[ops] def pcm(docId: Long, i: Long): Int =
+    (((docId * 31 + i * i * 7) % 65536) - 32768).toInt
+
+  private[ops] def wavSamples(docId: Long): Int = (256 + docId % 256).toInt
+
+  /** Threshold above which a sample counts as CLIPPED (near full-scale):
+    * the audio-curation signal — recordings that slam the rails carry
+    * distortion a speech/audio model should not train on. */
+  private[ops] val clipAbs = 32000
+
+  /** Real WAV payloads, one per document: 16-bit signed PCM mono at 8 kHz
+    * whose samples follow [[pcm]], written through the JDK's
+    * `javax.sound.sampled` WAV encoder — the FIXTURE half; everything
+    * downstream of the `binary` column is the production path (the same
+    * discipline as [[imageRecords]]' PNG side). */
+  def audioRecords(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val n = wavSamples(id)
+        val bytes = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val v = pcm(id, i)
+          bytes(2 * i) = (v & 0xff).toByte          // little-endian PCM
+          bytes(2 * i + 1) = ((v >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(bytes), fmt, n.toLong)
+        val out = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+        (id, out.toByteArray)
+      })
+      .toDF("doc_id", "wav")
+  }
+
+  /** REAL audio decode (`x_mm_audio_stats`): `javax.sound.sampled` parses
+    * the RIFF/WAVE container (fmt chunk → sample rate / width / channels,
+    * data chunk → frames) and the samples are reassembled from the
+    * decoded little-endian frames — the JDK ships a WAV codec, so the
+    * audio path holds the same no-stub standard as the PNG path (the
+    * [[decodeStub]] stand-in now covers only video, where the JDK ships
+    * nothing). Emits the per-clip statistics an audio-curation pipeline
+    * gates on before the expensive model stages: exact sample count,
+    * integer loudness proxy (sum |s|), peak |s|, and the CLIPPED-sample
+    * count (|s| ≥ [[clipAbs]] — rail-slamming distortion). Decode runs in
+    * `mapPartitions`; output is O(1) per clip regardless of duration. */
+  def audioStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    audioRecords(s, d)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, wav) =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(wav))
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+          s"unexpected decoded format for clip $id: $fmt")
+        val bytes = ais.readAllBytes()
+        val n = bytes.length / 2
+        var sumAbs = 0L; var peak = 0L; var clipped = 0L
+        var i = 0
+        while (i < n) {
+          // decoded PCM frames in the container's own byte order
+          val lo = bytes(2 * i) & 0xff
+          val hi = bytes(2 * i + 1).toInt
+          val v = if (fmt.isBigEndian) ((bytes(2 * i).toInt << 8) | (bytes(2 * i + 1) & 0xff))
+                  else ((hi << 8) | lo)
+          val a = math.abs(v.toLong)
+          sumAbs += a
+          if (a > peak) peak = a
+          if (a >= clipAbs) clipped += 1
+          i += 1
+        }
+        (id, n.toLong, math.round(fmt.getSampleRate).toLong, sumAbs, peak, clipped)
+      })
+      .toDF("doc_id", "n_samples", "sample_rate", "sum_abs", "peak_abs", "n_clipped")
+  }
+
   /** IMAGE-TEXT ALIGNMENT SCORING (`x_mm_alignment`) — the CLIP-filter
     * shape, the modality-pairing signal a multimodal curation pipeline
     * gates on (LAION's cosine ≥ 0.28 cut): each document's IMAGE
@@ -278,7 +371,8 @@ object MultimodalPipeline {
     "x_mm_frames" -> frames,
     "x_mm_image_stats" -> imageStats,
     "x_mm_alignment" -> alignment,
-    "x_mm_curation" -> mmCuration)
+    "x_mm_curation" -> mmCuration,
+    "x_mm_audio_stats" -> audioStats)
 
   /** Oracle mirrors the stub arithmetic on the source text. PRECONDITION
     * (checked by `MultimodalSpec`): the synthetic `documents.text` is pure
@@ -350,6 +444,23 @@ object MultimodalPipeline {
         |           tv) AS BIGINT) AS align_fp
         |       FROM j)
         |SELECT doc_id, align_fp, align_fp >= 0 AS is_aligned FROM sc""".stripMargin,
+    // Sample statistics from the PCM formula — the oracle never sees the
+    // WAV bytes, so a decode that misreads the RIFF container or the
+    // sample encoding cannot hash-match (the x_mm_image_stats contract,
+    // applied to audio).
+    "x_mm_audio_stats" ->
+      """WITH d AS (SELECT doc_id, 256 + doc_id % 256 AS n FROM documents),
+        |i AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM d),
+        |sm AS (SELECT doc_id, n,
+        |         abs(((doc_id * 31 + i * i * 7) % 65536) - 32768) AS a
+        |       FROM i)
+        |SELECT doc_id,
+        |  CAST(max(n) AS BIGINT) AS n_samples,
+        |  CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(sum(a) AS BIGINT) AS sum_abs,
+        |  CAST(max(a) AS BIGINT) AS peak_abs,
+        |  CAST(count(*) FILTER (a >= 32000) AS BIGINT) AS n_clipped
+        |FROM sm GROUP BY doc_id""".stripMargin,
     // Composes the model-gate CTE chain (one SQL spelling of the gate,
     // TextAnalysis.modelGateSqlCtes) with the alignment CTEs above and
     // rolls up per stratum.

@@ -314,6 +314,35 @@ class OpsSpec extends SparkSpec {
     assert(out.values.exists(_._6 != 0L), "expected a nonzero drift somewhere")
   }
 
+  test("audio stats: real RIFF/WAVE containers, independent decode, loud corruption") {
+    val recs = MultimodalPipeline.audioRecords(spark, sf).limit(3)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1))
+    recs.foreach { case (_, wav) =>
+      assert(new String(wav.take(4), "US-ASCII") == "RIFF" &&
+        new String(wav.slice(8, 12), "US-ASCII") == "WAVE",
+        "payload must be a real RIFF/WAVE container")
+    }
+    // an independent in-test decode of one payload reproduces the stats row
+    val (id, wav) = recs.head
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    val bytes = ais.readAllBytes()
+    var sumAbs = 0L
+    for (i <- 0 until bytes.length / 2) {
+      val v = ((bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff))
+      sumAbs += math.abs(v.toLong)
+    }
+    val row = MultimodalPipeline.audioStats(spark, sf)
+      .filter($"doc_id" === id).collect().head
+    assert(row.getLong(1) == bytes.length / 2 && row.getLong(2) == 8000L)
+    assert(row.getLong(3) == sumAbs, "loudness sum must match an independent decode")
+    // corrupted container must fail the decode loudly, not fake features
+    intercept[Exception] {
+      javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(wav.take(16)))
+    }
+  }
+
   test("multimodal curation ledger: recomposed exactly from its component gates") {
     val out = MultimodalPipeline.mmCuration(spark, sf)
       .select($"lang", $"source", $"n_pairs", $"n_admitted",
