@@ -958,11 +958,22 @@ object Similarity {
     * fixed-point: mrr_fp = 10⁶ div first-hit-rank, dcg/idcg read the
     * shared [[dcgW]]/[[dcgPrefix]] literals, ndcg_bp = 10⁴·dcg div idcg —
     * engine-exact, no floating log. */
-  def evalRank(s: SparkSession, d: String): DataFrame = {
+  def evalRank(s: SparkSession, d: String): DataFrame =
+    evalOf(graphRanked(s, d).filter(col("rnk") <= topK), bruteTruth(s, d))
+
+  /** The same metrics for the INGEST search ([[graphBeamIngestTopK]] vs
+    * the asymmetric brute truth) — the SERVING-side ranking quality: the
+    * corpus-member eval prices the index's internal fidelity, this one
+    * prices what a caller who ships a NEW vector actually receives. */
+  def evalRankIngest(s: SparkSession, d: String): DataFrame =
+    evalOf(graphBeamIngestTopK(s, d), bruteTruthIngest(s, d))
+
+  /** MRR/nDCG of any (query_id, neighbor_id, rnk) run against any truth
+    * — one metric definition for the corpus-member and ingest evals. */
+  private def evalOf(run: DataFrame, truthDf: DataFrame): DataFrame = {
     val wArr = dcgW.map(w => s"${w}L").mkString("array(", ", ", ")")
     val psArr = dcgPrefix.map(w => s"${w}L").mkString("array(", ", ", ")")
-    val run = graphRanked(s, d).filter(col("rnk") <= topK)
-    val truth = bruteTruth(s, d).select(col("query_id"), col("neighbor_id"))
+    val truth = truthDf.select(col("query_id"), col("neighbor_id"))
     val hits = run.join(truth, Seq("query_id", "neighbor_id"))
       .groupBy(col("query_id"))
       .agg(min(col("rnk")).as("first_hit"),
@@ -1692,6 +1703,7 @@ object Similarity {
     "x_sim_recall_mp" -> recallMultiProbe,
     "x_sim_hard_negatives" -> ((s, d) => hardNegatives(s, d)),
     "x_sim_eval_rank" -> ((s, d) => evalRank(s, d)),
+    "x_sim_eval_rank_in" -> ((s, d) => evalRankIngest(s, d)),
     "x_sim_topk_ivfpq" -> ivfpqTopK,
     "x_embed_pq" -> pqEncode,
     "x_embed_kmeans_iter" -> ((s, d) => kmeansIter(s, d)),
@@ -2245,6 +2257,34 @@ object Similarity {
          |ta AS (SELECT query_id, neighbor_id, rnk FROM rk WHERE rnk <= $topK),
          |sb AS (SELECT q.query_id, c.vec_id AS neighbor_id, $cosSql AS score
          |       FROM cc c, qs q WHERE c.vec_id <> q.query_id),
+         |rb AS (SELECT query_id, neighbor_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |                ORDER BY score DESC, neighbor_id ASC) AS rnk
+         |       FROM sb),
+         |tb AS (SELECT query_id, neighbor_id FROM rb WHERE rnk <= $topK),
+         |hits AS (SELECT ta.query_id, min(ta.rnk) AS first_hit,
+         |           count(*) AS n_hits,
+         |           CAST(sum(($wList)[ta.rnk]) AS BIGINT) AS dcg_fp
+         |         FROM ta JOIN tb USING (query_id, neighbor_id) GROUP BY 1),
+         |nt AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_truth FROM tb GROUP BY 1)
+         |SELECT nt.query_id, nt.n_truth,
+         |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |  CAST(COALESCE(h.first_hit, 0) AS BIGINT) AS first_hit,
+         |  CAST(CASE WHEN h.first_hit IS NULL THEN 0
+         |            ELSE 1000000 // h.first_hit END AS BIGINT) AS mrr_fp,
+         |  CAST(COALESCE(h.dcg_fp, 0) AS BIGINT) AS dcg_fp,
+         |  CAST(($psList)[least(nt.n_truth, $topK)] AS BIGINT) AS idcg_fp,
+         |  CAST((10000 * COALESCE(h.dcg_fp, 0))
+         |         // (($psList)[least(nt.n_truth, $topK)]) AS BIGINT) AS ndcg_bp
+         |FROM nt LEFT JOIN hits h USING (query_id)""".stripMargin
+    },
+    "x_sim_eval_rank_in" -> {
+      val wList = dcgW.mkString("[", ", ", "]")
+      val psList = dcgPrefix.mkString("[", ", ", "]")
+      s"""${graphSqlCtes(ingest = true)},
+         |ta AS (SELECT query_id, neighbor_id, rnk FROM rk WHERE rnk <= $topK),
+         |sb AS (SELECT q.query_id, c.vec_id AS neighbor_id, $cosSql AS score
+         |       FROM cc c, qs q WHERE c.vec_id % $knnBatchMod <> 7),
          |rb AS (SELECT query_id, neighbor_id,
          |         row_number() OVER (PARTITION BY query_id
          |                ORDER BY score DESC, neighbor_id ASC) AS rnk
