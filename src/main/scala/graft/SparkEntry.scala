@@ -28,6 +28,7 @@ object SparkEntry {
     (ops.Funnel.queries, ops.Funnel.oracle),
     (ops.Sampling.queries, ops.Sampling.oracle),
     (ops.Sessionize.queries, ops.Sessionize.oracle),
+    (ops.Search.queries, ops.Search.oracle),
     (ops.MultimodalPipeline.queries, ops.MultimodalPipeline.oracle),
     (sources.Formats.queries, sources.Formats.oracle),
     (streaming.EventPipeline.queries, streaming.EventPipeline.oracle),
@@ -40,6 +41,7 @@ object SparkEntry {
     (streaming.GraphAnnStream.queries, streaming.GraphAnnStream.oracle),
     (streaming.GraphInsertStream.queries, streaming.GraphInsertStream.oracle),
     (streaming.AlignStream.queries, streaming.AlignStream.oracle),
+    (streaming.SearchStream.queries, streaming.SearchStream.oracle),
     (streaming.SampleStream.queries, streaming.SampleStream.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,298 @@
+package graft.ops
+
+import graft.Tables
+import graft.functions.TopK
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Full-text retrieval over the `documents` table — the lexical half of the
+  * retrieval stack the embedding family ([[Similarity]]) is the dense half
+  * of:
+  *
+  *  - '''BM25 top-k''' (`x_search_bm25`): Okapi BM25 (Robertson et al.,
+  *    TREC-3) with k₁=1.2, b=0.75 over whitespace tokens. Member queries
+  *    (every [[searchStride]]-th document, the `x_sim_topk_*` convention)
+  *    are reduced to their [[qTerms]] most characteristic terms (the
+  *    [[TextAnalysis.tfidf]] tf·N/df cut — the low-df terms that actually
+  *    discriminate), then scored against the inverted index.
+  *  - '''Ingest serving twin''' (`x_search_ingest` /
+  *    `s_search_stream`): the index is built over the standing corpus
+  *    (`doc_id % 10 ≠ 7`) and ARRIVING documents (`% 10 = 7`, the ingest
+  *    convention shared with [[Similarity.knnIncremental]]) are the
+  *    queries — one probe definition ([[bm25Probe]]) serves the batch form
+  *    and the streamed twin so the two cannot drift.
+  *  - '''Hybrid RRF fusion''' (`x_search_hybrid_rrf`): reciprocal-rank
+  *    fusion (Cormack et al., SIGIR'09; k=60) of the BM25 ranking with the
+  *    exact cosine ranking over the same query ids — the
+  *    lexical+semantic hybrid every RAG retrieval tier runs. Fusion is
+  *    leg-agnostic (it reads only (query_id, neighbor_id, rnk)), so a
+  *    deployment swaps the brute leg for [[Similarity.graphBeamTopK]]
+  *    without touching the fusion.
+  *
+  * Cross-engine exactness: every per-term BM25 score is quantized to an
+  * integer milli-score BEFORE the per-document sum ([[scoreSql]] — the
+  * house integer-quantization rule), so document scores are
+  * order-independent integer sums; the double arithmetic inside one term
+  * is a fixed parenthesization of IEEE mul/div on identical inputs, and
+  * `avgdl` is one division of two exact integers — bit-identical in both
+  * engines, no `ln` anywhere (the raw (N−df+0.5)/(df+0.5) ratio replaces
+  * the usual log-IDF exactly as [[TextAnalysis.tfidf]] documents; the
+  * per-term ranking it induces against df is the same).
+  *
+  * Scale plan (100 TB): the index build is two aggregations off one
+  * tokenization pass (tf, then df/dl OVER the aggregated tf — never a
+  * second corpus scan); postings carry (tf, df, dl) denormalized so a
+  * probe touches nothing but matched lists. Query terms are a
+  * Q×[[qTerms]]-row broadcast; the posting join shuffles only matched
+  * postings (the tf·N/df term cut keeps query terms low-df, the same
+  * reason impact-ordered engines prune); the per-(query, doc) aggregation
+  * partial-reduces map-side, and the final cut is the bounded-heap
+  * [[graft.functions.TopKAgg]] (shuffle moves O(k·partitions·queries)
+  * rows). The candidate relation is lineage-cut once so the score
+  * join-back reads materialized blocks instead of re-running the search.
+  * The RRF stage fuses two already-top-k relations — dashboard-sized at
+  * any corpus size.
+  */
+object Search {
+
+  /** Every `searchStride`-th document plays a member query. */
+  private[graft] val searchStride = 100
+
+  /** Query terms kept per query — the tf·N/df top terms. */
+  private[graft] val qTerms = 5
+
+  private[graft] val topK = 10
+
+  /** RRF dampening constant (the k=60 of Cormack et al.) and the integer
+    * scale: one leg's contribution is `rrfScale div (rrfK + rnk)` — exact
+    * integer division in both engines, no float summation. */
+  private[graft] val rrfK = 60
+  private[graft] val rrfScale = 1000000L
+
+  /** The static BM25 index: `postings` (token, doc_id, tf, df, dl) with
+    * everything a probe needs denormalized per posting; `tokenDf`
+    * (token, df) for query-term selection; `stats` one row
+    * (n_docs, avgdl). */
+  private[graft] case class Bm25Index(
+      postings: DataFrame, tokenDf: DataFrame, stats: DataFrame)
+
+  private def tokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+
+  /** One per-term milli-score — IDENTICAL text in the Spark plan and the
+    * DuckDB twin (`0.5e0`-style literals parse as DOUBLE in both): the
+    * rational IDF × the k₁/b-saturated tf, scaled to integer milli-points
+    * before the per-document sum so the sum commutes. */
+  private[graft] val scoreSql: String =
+    "CAST(round(((n_docs - df + 0.5e0) / (df + 0.5e0)) * " +
+      "((tf * 2.2e0) / (tf + 1.2e0 * (0.25e0 + 0.75e0 * (dl / avgdl)))) " +
+      "* 1.0e3) AS BIGINT)"
+
+  /** Build the BM25 index over an arbitrary corpus frame (doc_id, text).
+    * One tokenization feeds the tf aggregation; df and dl are aggregations
+    * OVER tf (already per-(doc, token) distinct / already counted), so the
+    * corpus text is scanned once per relation Spark materializes, never
+    * re-joined to itself. */
+  private[graft] def bm25IndexDocs(corpusDocs: DataFrame): Bm25Index = {
+    val tf = tokens(corpusDocs)
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfr = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val dlr = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val nd = corpusDocs.agg(count(lit(1)).as("n_docs"))
+    val stats = dlr.agg(sum(col("dl")).as("dl_sum")).crossJoin(nd)
+      .select(col("n_docs"),
+        (col("dl_sum").cast("double") / col("n_docs")).as("avgdl"))
+    Bm25Index(tf.join(dfr, "token").join(dlr, "doc_id"), dfr, stats)
+  }
+
+  /** The ingest-serving index: built over the standing corpus only
+    * (arriving docs are NOT in it — df/avgdl/postings all exclude them,
+    * the [[Similarity.ingestGraphIndex]] stance), each relation
+    * lineage-cut so the streamed twin's triggers read materialized blocks
+    * instead of re-deriving the index per micro-batch. */
+  private[graft] def ingestIndex(s: SparkSession, d: String): Bm25Index = {
+    val idx = bm25IndexDocs(
+      Tables.documents(s, d).filter(col("doc_id") % Similarity.knnBatchMod =!= 7))
+    Bm25Index(Lineage.cut(idx.postings), Lineage.cut(idx.tokenDf),
+      Lineage.cut(idx.stats))
+  }
+
+  /** Score query docs (doc_id, text, …) against an index — ONE definition
+    * shared by the member search, the batch ingest twin and the streamed
+    * twin. Emits (query_id, neighbor_id, score_m, n_terms, rnk ≤ k). */
+  private[graft] def bm25Probe(queryDocs: DataFrame, idx: Bm25Index): DataFrame = {
+    val qt = queryDocs
+      .select(col("doc_id").as("query_id"),
+        explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("query_id"), col("token")).agg(count(lit(1)).as("qtf"))
+    // Term selection: tf·N/df over the QUERY's own term frequencies, df
+    // from the index (tokens the corpus never saw can't retrieve — inner
+    // join drops them). The per-query window runs over ≤ |query vocab|
+    // rows — bounded by document length, not corpus size.
+    val selW = Window.partitionBy(col("query_id"))
+      .orderBy(col("sel").desc, col("token").asc)
+    val terms = idx.tokenDf.join(Hints.broadcastSmall(qt), "token")
+      .crossJoin(broadcast(idx.stats.select(col("n_docs"))))
+      .withColumn("sel", expr("CAST(qtf AS DOUBLE) * n_docs / df"))
+      .withColumn("trk", row_number().over(selW))
+      .filter(col("trk") <= qTerms)
+      .select(col("query_id"), col("token"))
+    // Candidates: matched postings only; the member form's self-match is
+    // excluded (a no-op for ingest queries, whose ids aren't indexed).
+    // Cut once: the TopK pass and the score join-back below both read it.
+    val scored = Lineage.cut(
+      idx.postings.join(Hints.broadcastSmall(terms), "token")
+        .filter(col("doc_id") =!= col("query_id"))
+        .crossJoin(broadcast(idx.stats))
+        .withColumn("sc_m", expr(scoreSql))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(sum(col("sc_m")).as("score_m"), count(lit(1)).as("n_terms")))
+    val top = TopK.topK(
+      scored.select(col("query_id"),
+        col("score_m").cast("double").as("score"), col("doc_id")),
+      "query_id", "score", "doc_id", topK)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rnk"))
+    scored.join(broadcast(top), Seq("query_id", "doc_id"))
+      .select(col("query_id"), col("doc_id").as("neighbor_id"),
+        col("score_m"), col("n_terms"), col("rnk"))
+  }
+
+  /** Member BM25 search: strided query docs against the full-corpus index. */
+  def bm25TopK(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    bm25Probe(
+      docs.filter(col("doc_id") % searchStride === 0).select(col("doc_id"), col("text")),
+      bm25IndexDocs(docs))
+  }
+
+  /** Batch form of ingest-time serving: arriving docs (`% 10 = 7`) probe
+    * the standing-corpus index. The streamed twin
+    * ([[graft.streaming.SearchStream]]) runs THIS probe per micro-batch. */
+  def bm25IngestTopK(s: SparkSession, d: String): DataFrame =
+    bm25Probe(
+      Tables.documents(s, d)
+        .filter(col("doc_id") % Similarity.knnBatchMod === 7)
+        .select(col("doc_id"), col("text")),
+      ingestIndex(s, d))
+
+  /** Hybrid lexical+semantic retrieval: RRF of the BM25 ranking and the
+    * exact cosine ranking for the query ids present in BOTH tables. The
+    * fused relation is ≤ 2k rows per query (two already-top-k legs), so
+    * the final cut is a plain window — no corpus-sized work after the two
+    * searches. At 100 TB the dense leg swaps to the graph-ANN search
+    * (same (query_id, neighbor_id, rnk) contract); the brute leg here
+    * keeps the graded form exactly oracle-checkable. */
+  def hybridRrf(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val docs = Tables.documents(s, d)
+    val qids = Tables.embeddings(s, d).select(col("vec_id"))
+      .filter(col("vec_id") % searchStride === 0)
+      .join(Hints.broadcastSmall(
+        docs.select(col("doc_id")).filter(col("doc_id") % searchStride === 0)),
+        col("vec_id") === col("doc_id"), "left_semi")
+      .select(col("vec_id").as("qid"))
+    // lexical leg
+    val qdocs = docs
+      .join(Hints.broadcastSmall(qids), col("doc_id") === col("qid"), "left_semi")
+      .select(col("doc_id"), col("text"))
+    val textLeg = bm25Probe(qdocs, bm25IndexDocs(docs))
+      .select(col("query_id"), col("neighbor_id"), col("rnk"))
+    // dense leg — the x_sim_topk_brute pipeline over the hybrid query set
+    val c = Similarity.corpus(s, d)
+    val qv = c.join(Hints.broadcastSmall(qids), col("vec_id") === col("qid"), "left_semi")
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val vecLeg = TopK.topK(
+      c.join(broadcast(qv), col("vec_id") =!= col("query_id"))
+        .withColumn("score", expr("cosine_sim(qv, v)"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("score")),
+      "query_id", "score", "neighbor_id", topK)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("neighbor_id").asc)
+    textLeg.unionByName(vecLeg)
+      .withColumn("contrib", expr(s"CAST($rrfScale div ($rrfK + rnk) AS BIGINT)"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("contrib")).as("rrf"), count(lit(1)).as("n_legs"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= topK)
+      .select(col("query_id"), col("neighbor_id"), col("rrf"), col("n_legs"), col("rnk"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_search_bm25" -> bm25TopK,
+    "x_search_ingest" -> bm25IngestTopK,
+    "x_search_hybrid_rrf" -> hybridRrf)
+
+  /** CTE chain ending in `rk` (the ranked BM25 result) — shared by the
+    * member, ingest and hybrid oracles; the two predicates are the only
+    * difference between the forms. */
+  private def bm25Ctes(corpusPred: String, queryPred: String): String =
+    s"""WITH cd AS (SELECT doc_id, text FROM documents WHERE $corpusPred),
+       |t0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM cd),
+       |tk AS (SELECT doc_id, token FROM t0 WHERE length(token) > 0),
+       |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tk GROUP BY 1, 2),
+       |dfr AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |dlr AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+       |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM cd),
+       |st AS (SELECT n_docs, CAST(sum(dl) AS DOUBLE) / n_docs AS avgdl
+       |       FROM dlr CROSS JOIN nd GROUP BY n_docs),
+       |qd AS (SELECT doc_id AS query_id, text FROM documents WHERE $queryPred),
+       |qt0 AS (SELECT query_id, unnest(string_split(text, ' ')) AS token FROM qd),
+       |qt AS (SELECT query_id, token, CAST(count(*) AS BIGINT) AS qtf
+       |       FROM qt0 WHERE length(token) > 0 GROUP BY 1, 2),
+       |qsel AS (SELECT query_id, token,
+       |           row_number() OVER (PARTITION BY query_id
+       |             ORDER BY CAST(qtf AS DOUBLE) * n_docs / df DESC, token ASC) AS trk
+       |         FROM qt JOIN dfr USING (token) CROSS JOIN nd),
+       |terms AS (SELECT query_id, token FROM qsel WHERE trk <= $qTerms),
+       |cand AS (SELECT tm.query_id, tf.doc_id, tf.tf, dfr.df, dlr.dl
+       |         FROM terms tm JOIN tf ON tf.token = tm.token AND tf.doc_id <> tm.query_id
+       |         JOIN dfr ON dfr.token = tm.token JOIN dlr ON dlr.doc_id = tf.doc_id),
+       |sc AS (SELECT query_id, doc_id, $scoreSql AS sc_m FROM cand CROSS JOIN st),
+       |qs AS (SELECT query_id, doc_id, CAST(sum(sc_m) AS BIGINT) AS score_m,
+       |              CAST(count(*) AS BIGINT) AS n_terms FROM sc GROUP BY 1, 2),
+       |rk AS (SELECT query_id, doc_id AS neighbor_id, score_m, n_terms,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |                ORDER BY score_m DESC, doc_id ASC) AS BIGINT) AS rnk FROM qs)""".stripMargin
+
+  private val bm25Tail =
+    s"\nSELECT query_id, neighbor_id, score_m, n_terms, rnk FROM rk WHERE rnk <= $topK"
+
+  val oracle: Map[String, String] = Map(
+    "x_search_bm25" ->
+      (bm25Ctes("true", s"doc_id % $searchStride = 0") + bm25Tail),
+    "x_search_ingest" ->
+      (bm25Ctes(s"doc_id % ${Similarity.knnBatchMod} <> 7",
+        s"doc_id % ${Similarity.knnBatchMod} = 7") + bm25Tail),
+    "x_search_hybrid_rrf" ->
+      (bm25Ctes("true",
+        s"doc_id % $searchStride = 0 AND doc_id IN (SELECT vec_id FROM embeddings)") +
+        s""",
+           |tl AS (SELECT query_id, neighbor_id, rnk FROM rk WHERE rnk <= $topK),
+           |vc AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |vq AS (SELECT vec_id AS query_id, v AS qv, sqrt(list_dot_product(v, v)) AS qn
+           |       FROM vc WHERE vec_id % $searchStride = 0
+           |         AND vec_id IN (SELECT doc_id FROM documents)),
+           |sv AS (SELECT vq.query_id, vc.vec_id AS neighbor_id,
+           |         list_dot_product(vq.qv, vc.v)
+           |           / (vq.qn * sqrt(list_dot_product(vc.v, vc.v))) AS score
+           |       FROM vc, vq WHERE vc.vec_id <> vq.query_id),
+           |rv AS (SELECT query_id, neighbor_id,
+           |         CAST(row_number() OVER (PARTITION BY query_id
+           |                ORDER BY score DESC, neighbor_id ASC) AS BIGINT) AS rnk
+           |       FROM sv),
+           |vl AS (SELECT query_id, neighbor_id, rnk FROM rv WHERE rnk <= $topK),
+           |legs AS (SELECT * FROM tl UNION ALL SELECT * FROM vl),
+           |fused AS (SELECT query_id, neighbor_id,
+           |            CAST(sum($rrfScale // ($rrfK + rnk)) AS BIGINT) AS rrf,
+           |            CAST(count(*) AS BIGINT) AS n_legs
+           |          FROM legs GROUP BY 1, 2),
+           |outq AS (SELECT query_id, neighbor_id, rrf, n_legs,
+           |           CAST(row_number() OVER (PARTITION BY query_id
+           |                  ORDER BY rrf DESC, neighbor_id ASC) AS BIGINT) AS rnk
+           |         FROM fused)
+           |SELECT query_id, neighbor_id, rrf, n_legs, rnk FROM outq WHERE rnk <= $topK""".stripMargin))
+}

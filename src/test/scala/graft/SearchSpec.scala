@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** BM25 + hybrid-RRF retrieval ([[graft.ops.Search]]): the per-term
+  * milli-score arithmetic hand-checked against the Okapi formula, the
+  * structural contracts of the member and ingest forms, and the RRF
+  * fusion's integer arithmetic. */
+class SearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsDf(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("hand-checked BM25 milli-scores on a 4-doc corpus") {
+    // tf: d0 apple=1 banana=2; d1 apple=1 cherry=2; d2 banana=1 date=2;
+    //     d3 banana=2 cherry=1. df: apple 2, banana 3, cherry 2, date 1.
+    // dl = 3 everywhere, avgdl = 3.0, n_docs = 4. Query = d0's terms.
+    val corpus = docsDf(
+      0L -> "apple banana banana", 1L -> "apple cherry cherry",
+      2L -> "banana date date", 3L -> "banana banana cherry")
+    val idx = graft.ops.Search.bm25IndexDocs(corpus)
+    val got = graft.ops.Search.bm25Probe(corpus.filter($"doc_id" === 0L), idx)
+      .select("query_id", "neighbor_id", "score_m", "n_terms", "rnk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    // apple hit on d1: idf (4-2+.5)/(2+.5)=1.0, tf=1 ⇒ tfn=1.0 ⇒ 1000.
+    // banana on d3: idf 1.5/3.5, tf=2 ⇒ tfn 4.4/3.2 ⇒ round(589.29)=589.
+    // banana on d2: tf=1 ⇒ round(428.57)=429.
+    assert(got == Set(
+      (0L, 1L, 1000L, 1L, 1L), (0L, 3L, 589L, 1L, 2L), (0L, 2L, 429L, 1L, 3L)))
+  }
+
+  test("member search: no self-matches, ranks contiguous from 1, k-bounded") {
+    val out = graft.ops.Search.bm25TopK(spark, sf)
+      .select("query_id", "neighbor_id", "rnk").collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getLong(0) != r.getLong(1)), "self-match leaked")
+    out.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val rnks = rs.map(_.getLong(2)).sorted.toSeq
+      assert(rnks == (1L to rnks.length).toSeq && rnks.length <= graft.ops.Search.topK)
+    }
+  }
+
+  test("ingest twin: arriving docs query, indexed corpus answers") {
+    val out = graft.ops.Search.bm25IngestTopK(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getLong(0) % 10 == 7), "non-arriving query id")
+    assert(out.forall(_.getLong(1) % 10 != 7),
+      "an arriving doc surfaced as a neighbor — the standing index must exclude the ingest partition")
+  }
+
+  test("hybrid RRF: every fused score is a sum of valid leg contributions") {
+    val contribs = (1 to graft.ops.Search.topK)
+      .map(r => graft.ops.Search.rrfScale / (graft.ops.Search.rrfK + r)).toSet
+    val singles = contribs
+    val pairs = for (a <- contribs; b <- contribs) yield a + b
+    val out = graft.ops.Search.hybridRrf(spark, sf)
+      .select("query_id", "neighbor_id", "rrf", "n_legs", "rnk").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (rrf, nLegs) = (r.getLong(2), r.getLong(3))
+      assert(nLegs == 1L || nLegs == 2L)
+      if (nLegs == 1L) assert(singles.contains(rrf), s"bad 1-leg rrf $rrf")
+      else assert(pairs.contains(rrf), s"bad 2-leg rrf $rrf")
+    }
+    // ranks ordered by (rrf desc, id asc) within each query
+    out.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getLong(4)).toSeq
+      byRank.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(a.getLong(2) > b.getLong(2) ||
+            (a.getLong(2) == b.getLong(2) && a.getLong(1) < b.getLong(1)))
+        case _ => ()
+      }
+    }
+  }
+
+  test("query terms the corpus never saw retrieve nothing (no crash)") {
+    val corpus = docsDf(1L -> "alpha beta", 2L -> "beta gamma")
+    val idx = graft.ops.Search.bm25IndexDocs(corpus)
+    val q = docsDf(9L -> "zzz qqq")
+    assert(graft.ops.Search.bm25Probe(q, idx).count() == 0L)
+  }
+}
