@@ -478,7 +478,87 @@ object Sampling {
       .orderBy(col("ticket"), col("doc_id"))
       .limit(weightedK)
 
+  /** DSIR feature-space width (hashed unigram buckets), selection quota,
+    * and the target distribution's language — tunables shared with the
+    * oracle twin like `knnBits`. 64 buckets is the test-scale setting; the
+    * published recipe uses 10⁴ hashed n-gram buckets at web scale — the
+    * plan is bucket-count-independent (the weight table stays a broadcast
+    * of `dsirBuckets` rows either way). */
+  private[graft] val dsirBuckets = 64
+  private[graft] val dsirQuota = 64
+  private[graft] val dsirTargetLang = "en"
+
+  /** Fixed-point log₂ in 1/1024-bit units, exact in both engines: the
+    * integer bit length anchors the power of two and a 10-bit mantissa
+    * interpolation — floor((x·1024) / 2^(bitlen−1)) — adds the fraction,
+    * so log2fp(x) = (bitlen(x)−1)·1024 + frac − 1024. Monotone, pure
+    * integer arithmetic (`bin`/`printf('%b')` + shift + floor-div), max
+    * error vs true log₂ ≈ 0.086 bit. The finer sibling of
+    * [[TextAnalysis.surprisal]]'s ⌈log₂⌉ device, which steps only at
+    * powers of two — too coarse to rank likelihood ratios. */
+  private[graft] def log2fpSpark(x: String): String =
+    s"((length(bin($x)) - 1) * 1024 + (($x) * 1024) div " +
+      s"shiftleft(CAST(1 AS BIGINT), length(bin($x)) - 1) - 1024)"
+
+  private def log2fpDuck(x: String): String =
+    s"((length(printf('%b', $x)) - 1) * 1024 + (($x) * 1024) // " +
+      s"(1::BIGINT << (length(printf('%b', $x)) - 1)) - 1024)"
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al., NeurIPS
+    * 2023): score every document by the log-likelihood ratio of a TARGET
+    * distribution over a RAW distribution in a hashed feature space, then
+    * keep the highest-ratio documents. Here the feature space is
+    * [[dsirBuckets]] md5-hashed unigram buckets (the house md5-prefix
+    * integer hash), the target is the `lang = 'en'` sub-corpus standing in
+    * for "looks like the high-quality reference distribution", and both
+    * unigram LMs get add-1 smoothing. A document's score is
+    * Σ_tokens [log₂ p̂_target(bucket) − log₂ p̂_raw(bucket)] in exact
+    * 1/1024-bit fixed point ([[log2fpSpark]]) — an integer sum, so it
+    * commutes across partitions, and the whole differential is
+    * engine-exact with no float log anywhere. Selection is the
+    * deterministic top-[[dsirQuota]] by (score, doc_id) — the Gumbel
+    * resampling of the paper replaced by its deterministic limit, the
+    * [[quotaSample]] hash-not-rand rationale.
+    *
+    * Plan / 100 TB: one tokenization feeds a [[dsirBuckets]]-row census
+    * (map-side partial agg — bytes on the wire); the weight table is a
+    * broadcast of 64 rows back onto the token stream, so scoring is
+    * map-side; the per-doc sum partial-aggregates; the final cut is
+    * `TakeOrderedAndProject` (bounded per-partition heaps, k-row driver
+    * merge — the [[TextAnalysis.oov]] shape). Nothing data-sized is ever
+    * globally sorted or collected. */
+  def dsirSample(s: SparkSession, d: String): DataFrame =
+    dsirSampleDocs(Tables.documents(s, d))
+
+  /** [[dsirSample]] over any frame with (doc_id, lang, text). */
+  private[graft] def dsirSampleDocs(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .withColumn("bucket",
+        expr(s"CAST(conv(substring(md5(token), 1, 15), 16, 10) AS BIGINT) % $dsirBuckets"))
+    val raw = toks.groupBy(col("bucket")).agg(count(lit(1)).as("cnt_r"))
+    val tgt = toks.filter(col("lang") === dsirTargetLang)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt_t"))
+    val tot = raw.agg(sum(col("cnt_r")).as("n_r"))
+      .crossJoin(tgt.agg(sum(col("cnt_t")).as("n_t")))
+    val weights = raw.join(tgt, Seq("bucket"), "left")
+      .na.fill(0L, Seq("cnt_t"))
+      .crossJoin(broadcast(tot))
+      .withColumn("w_mb", expr(
+        s"${log2fpSpark("cnt_t + 1")} - ${log2fpSpark(s"n_t + $dsirBuckets")}" +
+          s" - ${log2fpSpark("cnt_r + 1")} + ${log2fpSpark(s"n_r + $dsirBuckets")}"))
+      .select(col("bucket"), col("w_mb"))
+    toks.join(Hints.broadcastSmall(weights), "bucket")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("w_mb")).as("score_mb"))
+      .orderBy(col("score_mb").desc, col("doc_id").asc)
+      .limit(dsirQuota)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("score_mb"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_sample_dsir" -> dsirSample,
     "x_sample_quota" -> quotaSample,
     "x_sample_hash" -> hashSample,
     "x_sample_bottomk" -> bottomkSample,
@@ -515,6 +595,27 @@ object Sampling {
        |FROM c, t""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "x_sample_dsir" ->
+      s"""WITH t0 AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents),
+         |tk AS (SELECT doc_id, lang,
+         |         CAST(('0x' || substr(md5(token), 1, 15))::UBIGINT % $dsirBuckets AS BIGINT) AS bucket
+         |       FROM t0 WHERE length(token) > 0),
+         |raw AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cnt_r FROM tk GROUP BY 1),
+         |tgt AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cnt_t
+         |        FROM tk WHERE lang = '$dsirTargetLang' GROUP BY 1),
+         |tot AS (SELECT (SELECT CAST(sum(cnt_r) AS BIGINT) FROM raw) AS n_r,
+         |               (SELECT CAST(sum(cnt_t) AS BIGINT) FROM tgt) AS n_t),
+         |wb AS (SELECT raw.bucket, cnt_r, COALESCE(tgt.cnt_t, 0) AS cnt_t
+         |       FROM raw LEFT JOIN tgt USING (bucket)),
+         |wt AS (SELECT bucket,
+         |         ${log2fpDuck("cnt_t + 1")} - ${log2fpDuck(s"n_t + $dsirBuckets")}
+         |         - ${log2fpDuck("cnt_r + 1")} + ${log2fpDuck(s"n_r + $dsirBuckets")} AS w_mb
+         |       FROM wb CROSS JOIN tot),
+         |sc AS (SELECT tk.doc_id, tk.lang, CAST(count(*) AS BIGINT) AS n_tokens,
+         |              CAST(sum(w_mb) AS BIGINT) AS score_mb
+         |       FROM tk JOIN wt USING (bucket) GROUP BY 1, 2)
+         |SELECT doc_id, lang, n_tokens, score_mb FROM sc
+         |ORDER BY score_mb DESC, doc_id ASC LIMIT $dsirQuota""".stripMargin,
     "x_sample_weighted" ->
       s"""WITH b AS (SELECT doc_id, lang,
          |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
