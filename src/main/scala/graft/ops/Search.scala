@@ -235,12 +235,26 @@ object Search {
     val c = Similarity.corpus(s, d)
     val qv = c.join(Hints.broadcastSmall(qids), col("vec_id") === col("qid"), "left_semi")
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    val vecLeg = TopK.topK(
-      c.join(broadcast(qv), col("vec_id") =!= col("query_id"))
+    val vecLeg = denseProbe(qv, c)
+    fuseRrf(textLeg, vecLeg)
+  }
+
+  /** Brute-cosine top-k of `qv` (query_id, qv) against a corpus
+    * (vec_id, v) — the dense leg, shared by the member hybrid, the batch
+    * ingest hybrid and its streamed twin. */
+  private[graft] def denseProbe(qv: DataFrame, corpusC: DataFrame): DataFrame =
+    TopK.topK(
+      corpusC.join(broadcast(qv), col("vec_id") =!= col("query_id"))
         .withColumn("score", expr("cosine_sim(qv, v)"))
         .select(col("query_id"), col("vec_id").as("neighbor_id"), col("score")),
       "query_id", "score", "neighbor_id", topK)
       .select(col("query_id"), col("neighbor_id"), col("rnk"))
+
+  /** RRF fusion of two (query_id, neighbor_id, rnk) legs — ONE definition
+    * for every hybrid form. Exact integer contributions; the input legs
+    * are already top-k-reduced, so the window works dashboard-sized
+    * relations at any corpus size. */
+  private[graft] def fuseRrf(textLeg: DataFrame, vecLeg: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("rrf").desc, col("neighbor_id").asc)
     textLeg.unionByName(vecLeg)
@@ -252,10 +266,60 @@ object Search {
       .select(col("query_id"), col("neighbor_id"), col("rrf"), col("n_legs"), col("rnk"))
   }
 
+  /** The static index trio for INGEST-time hybrid serving: the pruned
+    * lexical index, the standing dense corpus (vec_id, v with ingest
+    * vectors excluded), and the raw embeddings relation the stream uses to
+    * look up an arriving document's vector — all lineage-cut once. */
+  private[graft] def hybridIngestIndex(
+      s: SparkSession, d: String): (Bm25Index, DataFrame, DataFrame) = {
+    graft.functions.GraftFunctions.register(s)
+    val c = Lineage.cut(Similarity.corpus(s, d)
+      .filter(col("vec_id") % Similarity.knnBatchMod =!= 7)
+      .select(col("vec_id"), col("v")))
+    val emb = Lineage.cut(Similarity.corpus(s, d)
+      .filter(col("vec_id") % Similarity.knnBatchMod === 7)
+      .select(col("vec_id"), col("v")))
+    (ingestIndex(s, d), c, emb)
+  }
+
+  /** Per-batch hybrid ingest probe — ONE definition shared by the batch
+    * form and the streamed twin: `batch` carries arriving (doc_id, text)
+    * rows; their embeddings are looked up from the static `emb` relation
+    * (the embedding-store read a serving tier does on arrival), the two
+    * legs run against the static indexes, and the fusion is per-query
+    * independent, so the result equals the batch form under ANY
+    * micro-batching. */
+  private[graft] def hybridProbe(
+      batch: DataFrame, idx: Bm25Index, corpusC: DataFrame,
+      emb: DataFrame): DataFrame = {
+    // The embedding lookup GATES the hybrid contract: an arrival without a
+    // stored vector is not served here (both twins agree by construction —
+    // the inner join is the gate in batch and stream alike).
+    val withV = batch.select(col("doc_id"), col("text"))
+      .join(Hints.broadcastSmall(emb), col("doc_id") === col("vec_id"))
+    val textLeg = bm25Probe(withV.select(col("doc_id"), col("text")), idx)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"))
+    val qv = withV.select(col("doc_id").as("query_id"), col("v").as("qv"))
+    fuseRrf(textLeg, denseProbe(qv, corpusC))
+  }
+
+  /** Batch form of hybrid ingest serving: arriving ids present in BOTH
+    * tables (`% 10 = 7`) are fused across the lexical and dense legs
+    * against the standing indexes. */
+  def hybridIngest(s: SparkSession, d: String): DataFrame = {
+    val (idx, c, emb) = hybridIngestIndex(s, d)
+    hybridProbe(
+      Tables.documents(s, d)
+        .filter(col("doc_id") % Similarity.knnBatchMod === 7)
+        .select(col("doc_id"), col("text")),
+      idx, c, emb)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_search_bm25" -> bm25TopK,
     "x_search_ingest" -> bm25IngestTopK,
-    "x_search_hybrid_rrf" -> hybridRrf)
+    "x_search_hybrid_rrf" -> hybridRrf,
+    "x_search_hybrid_in" -> hybridIngest)
 
   /** CTE chain ending in `rk` (the ranked BM25 result) — shared by the
     * member, ingest and hybrid oracles; the two predicates are the only
@@ -306,29 +370,44 @@ object Search {
     "x_search_hybrid_rrf" ->
       (bm25Ctes("true",
         s"doc_id % $searchStride = 0 AND doc_id IN (SELECT vec_id FROM embeddings)") +
-        s""",
-           |tl AS (SELECT query_id, neighbor_id, rnk FROM rk WHERE rnk <= $topK),
-           |vc AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-           |vq AS (SELECT vec_id AS query_id, v AS qv, sqrt(list_dot_product(v, v)) AS qn
-           |       FROM vc WHERE vec_id % $searchStride = 0
-           |         AND vec_id IN (SELECT doc_id FROM documents)),
-           |sv AS (SELECT vq.query_id, vc.vec_id AS neighbor_id,
-           |         list_dot_product(vq.qv, vc.v)
-           |           / (vq.qn * sqrt(list_dot_product(vc.v, vc.v))) AS score
-           |       FROM vc, vq WHERE vc.vec_id <> vq.query_id),
-           |rv AS (SELECT query_id, neighbor_id,
-           |         CAST(row_number() OVER (PARTITION BY query_id
-           |                ORDER BY score DESC, neighbor_id ASC) AS BIGINT) AS rnk
-           |       FROM sv),
-           |vl AS (SELECT query_id, neighbor_id, rnk FROM rv WHERE rnk <= $topK),
-           |legs AS (SELECT * FROM tl UNION ALL SELECT * FROM vl),
-           |fused AS (SELECT query_id, neighbor_id,
-           |            CAST(sum($rrfScale // ($rrfK + rnk)) AS BIGINT) AS rrf,
-           |            CAST(count(*) AS BIGINT) AS n_legs
-           |          FROM legs GROUP BY 1, 2),
-           |outq AS (SELECT query_id, neighbor_id, rrf, n_legs,
-           |           CAST(row_number() OVER (PARTITION BY query_id
-           |                  ORDER BY rrf DESC, neighbor_id ASC) AS BIGINT) AS rnk
-           |         FROM fused)
-           |SELECT query_id, neighbor_id, rrf, n_legs, rnk FROM outq WHERE rnk <= $topK""".stripMargin))
+        hybridTail(
+          s"vec_id % $searchStride = 0 AND vec_id IN (SELECT doc_id FROM documents)",
+          "true")),
+    "x_search_hybrid_in" ->
+      (bm25Ctes(s"doc_id % ${Similarity.knnBatchMod} <> 7",
+        s"doc_id % ${Similarity.knnBatchMod} = 7 AND doc_id IN (SELECT vec_id FROM embeddings)") +
+        hybridTail(
+          s"vec_id % ${Similarity.knnBatchMod} = 7 AND vec_id IN (SELECT doc_id FROM documents)",
+          s"vec_id % ${Similarity.knnBatchMod} <> 7")))
+
+  /** The fusion tail appended to [[bm25Ctes]]: dense-leg CTEs (query and
+    * corpus predicates parameterize the member vs ingest forms) + the RRF
+    * merge — shared so the two hybrid oracles cannot drift from each
+    * other. */
+  private def hybridTail(vqPred: String, corpusPred: String): String =
+    s""",
+       |tl AS (SELECT query_id, neighbor_id, rnk FROM rk WHERE rnk <= $topK),
+       |vc0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |vc AS (SELECT * FROM vc0 WHERE $corpusPred),
+       |vq AS (SELECT vec_id AS query_id, v AS qv, sqrt(list_dot_product(v, v)) AS qn
+       |       FROM vc0 WHERE $vqPred),
+       |sv AS (SELECT vq.query_id, vc.vec_id AS neighbor_id,
+       |         list_dot_product(vq.qv, vc.v)
+       |           / (vq.qn * sqrt(list_dot_product(vc.v, vc.v))) AS score
+       |       FROM vc, vq WHERE vc.vec_id <> vq.query_id),
+       |rv AS (SELECT query_id, neighbor_id,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |                ORDER BY score DESC, neighbor_id ASC) AS BIGINT) AS rnk
+       |       FROM sv),
+       |vl AS (SELECT query_id, neighbor_id, rnk FROM rv WHERE rnk <= $topK),
+       |legs AS (SELECT * FROM tl UNION ALL SELECT * FROM vl),
+       |fused AS (SELECT query_id, neighbor_id,
+       |            CAST(sum($rrfScale // ($rrfK + rnk)) AS BIGINT) AS rrf,
+       |            CAST(count(*) AS BIGINT) AS n_legs
+       |          FROM legs GROUP BY 1, 2),
+       |outq AS (SELECT query_id, neighbor_id, rrf, n_legs,
+       |           CAST(row_number() OVER (PARTITION BY query_id
+       |                  ORDER BY rrf DESC, neighbor_id ASC) AS BIGINT) AS rnk
+       |         FROM fused)
+       |SELECT query_id, neighbor_id, rrf, n_legs, rnk FROM outq WHERE rnk <= $topK""".stripMargin
 }
