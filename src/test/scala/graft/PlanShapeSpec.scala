@@ -334,4 +334,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges == 1, s"expected exactly one exchange (by dim), got $exchanges:\n$p")
     assert(!p.contains("Join"), s"drift must not join anything:\n$p")
   }
+
+  test("bm25 probe: query terms broadcast onto pruned lists; final cut is the bounded heap") {
+    val p = plan("x_search_bm25")
+    assert(p.contains("BroadcastHashJoin"),
+      s"terms and the top-k join-back must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the posting lists must never sort-merge against the probe:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"the final cut must be the TopKAgg bounded heap:\n$p")
+  }
+
+  test("dsir: weight lookup broadcasts (64 rows) and the cut is TakeOrderedAndProject") {
+    val p = plan("x_sample_dsir")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the quota cut must be per-partition heaps + driver merge, not a global sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the bucket-weight table must broadcast onto the token stream:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("hybrid fusion works dashboard-sized relations — no corpus-sized sort-merge") {
+    val p = plan("x_search_hybrid_rrf")
+    assert(!p.contains("SortMergeJoin"),
+      s"every join in the hybrid pipeline must hash/broadcast:\n$p")
+    assert(p.contains("Window"), s"the fused cut is a window over ≤2k rows/query:\n$p")
+  }
 }
