@@ -217,6 +217,14 @@ object Search {
     * (same (query_id, neighbor_id, rnk) contract); the brute leg here
     * keeps the graded form exactly oracle-checkable. */
   def hybridRrf(s: SparkSession, d: String): DataFrame = {
+    val (textLeg, vecLeg) = memberLegs(s, d)
+    fuseRrf(textLeg, vecLeg)
+  }
+
+  /** The member hybrid's two legs — shared by [[hybridRrf]] and the
+    * [[hybridEval]] diagnostics so the evaluated legs ARE the served
+    * legs. */
+  private def memberLegs(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.register(s)
     val docs = Tables.documents(s, d)
     val qids = Tables.embeddings(s, d).select(col("vec_id"))
@@ -235,8 +243,44 @@ object Search {
     val c = Similarity.corpus(s, d)
     val qv = c.join(Hints.broadcastSmall(qids), col("vec_id") === col("qid"), "left_semi")
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    val vecLeg = denseProbe(qv, c)
-    fuseRrf(textLeg, vecLeg)
+    (textLeg, denseProbe(qv, c))
+  }
+
+  /** Retrieval-tier diagnostics — the `x_sim_eval_rank` analogue for the
+    * hybrid stack: per query, how much the two legs agree (top-k overlap)
+    * and where the FUSED top-k actually came from (both legs / lexical
+    * only / dense only). The number a hybrid deployment watches: overlap
+    * ≈ k means one leg is redundant; fused_dense_only ≈ 0 means the dense
+    * index isn't contributing. All joins run over already-top-k relations
+    * (≤ k rows per query per leg) — dashboard-sized at any corpus size;
+    * the legs are lineage-cut so the four readers share one search each. */
+  def hybridEval(s: SparkSession, d: String): DataFrame = {
+    val (textLeg0, vecLeg0) = memberLegs(s, d)
+    val tl = Lineage.cut(textLeg0)
+    val vl = Lineage.cut(vecLeg0)
+    val fused = fuseRrf(tl, vl)
+    val nT = tl.groupBy(col("query_id")).agg(count(lit(1)).as("n_text"))
+    val nD = vl.groupBy(col("query_id")).agg(count(lit(1)).as("n_dense"))
+    val nC = tl.join(vl, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_common"))
+    val prov = fused
+      .join(tl.select(col("query_id"), col("neighbor_id"), lit(1L).as("in_text")),
+        Seq("query_id", "neighbor_id"), "left")
+      .join(vl.select(col("query_id"), col("neighbor_id"), lit(1L).as("in_dense")),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(
+        sum(when(col("in_text").isNotNull && col("in_dense").isNotNull, 1L)
+          .otherwise(0L)).as("fused_both"),
+        sum(when(col("in_text").isNotNull && col("in_dense").isNull, 1L)
+          .otherwise(0L)).as("fused_text_only"),
+        sum(when(col("in_text").isNull && col("in_dense").isNotNull, 1L)
+          .otherwise(0L)).as("fused_dense_only"))
+    nT.join(nD, Seq("query_id"), "full_outer")
+      .join(nC, Seq("query_id"), "full_outer")
+      .join(prov, Seq("query_id"), "full_outer")
+      .na.fill(0L, Seq("n_text", "n_dense", "n_common",
+        "fused_both", "fused_text_only", "fused_dense_only"))
   }
 
   /** Brute-cosine top-k of `qv` (query_id, qv) against a corpus
@@ -319,7 +363,8 @@ object Search {
     "x_search_bm25" -> bm25TopK,
     "x_search_ingest" -> bm25IngestTopK,
     "x_search_hybrid_rrf" -> hybridRrf,
-    "x_search_hybrid_in" -> hybridIngest)
+    "x_search_hybrid_in" -> hybridIngest,
+    "x_search_eval" -> hybridEval)
 
   /** CTE chain ending in `rk` (the ranked BM25 result) — shared by the
     * member, ingest and hybrid oracles; the two predicates are the only
@@ -368,23 +413,29 @@ object Search {
       (bm25Ctes(s"doc_id % ${Similarity.knnBatchMod} <> 7",
         s"doc_id % ${Similarity.knnBatchMod} = 7") + bm25Tail),
     "x_search_hybrid_rrf" ->
-      (bm25Ctes("true",
-        s"doc_id % $searchStride = 0 AND doc_id IN (SELECT vec_id FROM embeddings)") +
-        hybridTail(
-          s"vec_id % $searchStride = 0 AND vec_id IN (SELECT doc_id FROM documents)",
-          "true")),
+      (memberHybridCtes + hybridSelect),
     "x_search_hybrid_in" ->
       (bm25Ctes(s"doc_id % ${Similarity.knnBatchMod} <> 7",
         s"doc_id % ${Similarity.knnBatchMod} = 7 AND doc_id IN (SELECT vec_id FROM embeddings)") +
-        hybridTail(
+        hybridCtes(
           s"vec_id % ${Similarity.knnBatchMod} = 7 AND vec_id IN (SELECT doc_id FROM documents)",
-          s"vec_id % ${Similarity.knnBatchMod} <> 7")))
+          s"vec_id % ${Similarity.knnBatchMod} <> 7") + hybridSelect),
+    "x_search_eval" -> (memberHybridCtes + evalTail))
 
-  /** The fusion tail appended to [[bm25Ctes]]: dense-leg CTEs (query and
-    * corpus predicates parameterize the member vs ingest forms) + the RRF
-    * merge — shared so the two hybrid oracles cannot drift from each
-    * other. */
-  private def hybridTail(vqPred: String, corpusPred: String): String =
+  /** The member hybrid's full CTE chain — shared by the fused query and
+    * the eval diagnostics so the evaluated legs ARE the served legs. */
+  private def memberHybridCtes: String =
+    bm25Ctes("true",
+      s"doc_id % $searchStride = 0 AND doc_id IN (SELECT vec_id FROM embeddings)") +
+      hybridCtes(
+        s"vec_id % $searchStride = 0 AND vec_id IN (SELECT doc_id FROM documents)",
+        "true")
+
+  /** The fusion CTEs appended to [[bm25Ctes]] (through `outq`): dense-leg
+    * CTEs (query and corpus predicates parameterize the member vs ingest
+    * forms) + the RRF merge — shared so the hybrid oracles cannot drift
+    * from each other. */
+  private def hybridCtes(vqPred: String, corpusPred: String): String =
     s""",
        |tl AS (SELECT query_id, neighbor_id, rnk FROM rk WHERE rnk <= $topK),
        |vc0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -408,6 +459,39 @@ object Search {
        |outq AS (SELECT query_id, neighbor_id, rrf, n_legs,
        |           CAST(row_number() OVER (PARTITION BY query_id
        |                  ORDER BY rrf DESC, neighbor_id ASC) AS BIGINT) AS rnk
-       |         FROM fused)
-       |SELECT query_id, neighbor_id, rrf, n_legs, rnk FROM outq WHERE rnk <= $topK""".stripMargin
+       |         FROM fused)""".stripMargin
+
+  private def hybridSelect: String =
+    s"\nSELECT query_id, neighbor_id, rrf, n_legs, rnk FROM outq WHERE rnk <= $topK"
+
+  /** The [[hybridEval]] diagnostics over the member chain's `tl`/`vl`/
+    * `outq` relations. */
+  private def evalTail: String =
+    s""",
+       |nt AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_text FROM tl GROUP BY 1),
+       |ndn AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_dense FROM vl GROUP BY 1),
+       |nc AS (SELECT tl.query_id, CAST(count(*) AS BIGINT) AS n_common
+       |       FROM tl JOIN vl USING (query_id, neighbor_id) GROUP BY 1),
+       |pv AS (SELECT o.query_id,
+       |         CAST(sum(CASE WHEN t.neighbor_id IS NOT NULL AND v.neighbor_id IS NOT NULL
+       |                       THEN 1 ELSE 0 END) AS BIGINT) AS fused_both,
+       |         CAST(sum(CASE WHEN t.neighbor_id IS NOT NULL AND v.neighbor_id IS NULL
+       |                       THEN 1 ELSE 0 END) AS BIGINT) AS fused_text_only,
+       |         CAST(sum(CASE WHEN t.neighbor_id IS NULL AND v.neighbor_id IS NOT NULL
+       |                       THEN 1 ELSE 0 END) AS BIGINT) AS fused_dense_only
+       |       FROM (SELECT query_id, neighbor_id FROM outq WHERE rnk <= $topK) o
+       |       LEFT JOIN tl t ON t.query_id = o.query_id AND t.neighbor_id = o.neighbor_id
+       |       LEFT JOIN vl v ON v.query_id = o.query_id AND v.neighbor_id = o.neighbor_id
+       |       GROUP BY 1),
+       |qq AS (SELECT query_id FROM nt UNION SELECT query_id FROM ndn
+       |       UNION SELECT query_id FROM nc UNION SELECT query_id FROM pv)
+       |SELECT qq.query_id,
+       |  CAST(COALESCE(n_text, 0) AS BIGINT) AS n_text,
+       |  CAST(COALESCE(n_dense, 0) AS BIGINT) AS n_dense,
+       |  CAST(COALESCE(n_common, 0) AS BIGINT) AS n_common,
+       |  CAST(COALESCE(fused_both, 0) AS BIGINT) AS fused_both,
+       |  CAST(COALESCE(fused_text_only, 0) AS BIGINT) AS fused_text_only,
+       |  CAST(COALESCE(fused_dense_only, 0) AS BIGINT) AS fused_dense_only
+       |FROM qq LEFT JOIN nt USING (query_id) LEFT JOIN ndn USING (query_id)
+       |LEFT JOIN nc USING (query_id) LEFT JOIN pv USING (query_id)""".stripMargin
 }

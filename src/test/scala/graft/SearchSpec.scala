@@ -77,6 +77,24 @@ class SearchSpec extends SparkSpec {
     }
   }
 
+  test("hybrid eval: overlap and provenance counts obey their identities") {
+    val out = graft.ops.Search.hybridEval(spark, sf)
+      .select("query_id", "n_text", "n_dense", "n_common",
+        "fused_both", "fused_text_only", "fused_dense_only").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (nT, nD, nC) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val (fB, fT, fD) = (r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(nC <= math.min(nT, nD), "overlap exceeds a leg")
+      assert(fB + fT + fD <= graft.ops.Search.topK, "fused counts exceed k")
+      assert(fB <= nC, "fused-from-both exceeds the overlap")
+      assert(fT <= nT && fD <= nD, "provenance exceeds its leg")
+      // RRF ranks every overlap doc above any single-leg doc it dominates;
+      // with both legs at k=10, every common doc makes the fused top-k.
+      assert(fB == nC, "an overlap doc fell out of the fused top-k")
+    }
+  }
+
   test("query terms the corpus never saw retrieve nothing (no crash)") {
     val corpus = docsDf(1L -> "alpha beta", 2L -> "beta gamma")
     val idx = graft.ops.Search.bm25IndexDocs(corpus)
