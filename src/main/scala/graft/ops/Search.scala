@@ -359,7 +359,51 @@ object Search {
       idx, c, emb)
   }
 
+  /** Exact-phrase (positional) search: find every document containing the
+    * corpus's most frequent bigram, with per-document occurrence counts
+    * and the first match position. The phrase choice is itself derived
+    * (top bigram by count, ties on the words) so the query is
+    * deterministic and self-contained; matching is strictly IN-ROW — a
+    * higher-order filter over token positions, zero joins beyond the
+    * 1-row phrase broadcast — so the scan is one map-side pass at any
+    * corpus size. A many-phrase workload builds a positional inverted
+    * index instead (position lists per token, consecutive-position
+    * intersection — the [[bm25IndexDocs]] shape plus a positions column);
+    * the single-phrase form here is the exhaustive baseline that index
+    * would be verified against, the `x_sim_topk_brute` stance.
+    *
+    * Engine-exactness notes: Spark `sequence(a, b)` is INCLUSIVE and
+    * descends when b < a, so the empty-doc guard is explicit; DuckDB's
+    * `range(a, b)` is end-exclusive. Both emit 1-based positions. */
+  def phraseSearch(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val idxSeq = expr(
+      "CASE WHEN size(w) < 2 THEN array() ELSE sequence(1, size(w) - 1) END")
+    val bigrams = base
+      .select(explode(expr(
+        "transform(CASE WHEN size(w) < 2 THEN CAST(array() AS ARRAY<INT>) " +
+          "ELSE sequence(1, size(w) - 1) END, " +
+          "i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .filter(length(col("w1")) > 0 && length(col("w2")) > 0)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+    val phrase = bigrams
+      .orderBy(col("c").desc, col("w1").asc, col("w2").asc).limit(1)
+      .select(col("w1"), col("w2"))
+    base.crossJoin(broadcast(phrase))
+      .withColumn("matches", expr(
+        "filter(CASE WHEN size(w) < 2 THEN CAST(array() AS ARRAY<INT>) " +
+          "ELSE sequence(1, size(w) - 1) END, " +
+          "i -> element_at(w, i) = w1 AND element_at(w, i + 1) = w2)"))
+      .filter(size(col("matches")) >= 1)
+      .select(col("doc_id"), col("w1"), col("w2"),
+        size(col("matches")).cast("long").as("n_occ"),
+        expr("CAST(element_at(matches, 1) AS BIGINT)").as("first_pos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_search_phrase" -> phraseSearch,
     "x_search_bm25" -> bm25TopK,
     "x_search_ingest" -> bm25IngestTopK,
     "x_search_hybrid_rrf" -> hybridRrf,
@@ -407,6 +451,19 @@ object Search {
     s"\nSELECT query_id, neighbor_id, score_m, n_terms, rnk FROM rk WHERE rnk <= $topK"
 
   val oracle: Map[String, String] = Map(
+    "x_search_phrase" ->
+      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |pos AS (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM base),
+        |bi AS (SELECT w[i] AS w1, w[i + 1] AS w2 FROM pos
+        |       WHERE length(w[i]) > 0 AND length(w[i + 1]) > 0),
+        |bc AS (SELECT w1, w2, count(*) AS c FROM bi GROUP BY 1, 2),
+        |ph AS (SELECT w1, w2 FROM bc ORDER BY c DESC, w1 ASC, w2 ASC LIMIT 1),
+        |m AS (SELECT b.doc_id, ph.w1, ph.w2,
+        |        [i FOR i IN range(1, len(b.w)) IF b.w[i] = ph.w1 AND b.w[i + 1] = ph.w2] AS matches
+        |      FROM base b CROSS JOIN ph)
+        |SELECT doc_id, w1, w2, CAST(len(matches) AS BIGINT) AS n_occ,
+        |       CAST(matches[1] AS BIGINT) AS first_pos
+        |FROM m WHERE len(matches) >= 1""".stripMargin,
     "x_search_bm25" ->
       (bm25Ctes("true", s"doc_id % $searchStride = 0") + bm25Tail),
     "x_search_ingest" ->

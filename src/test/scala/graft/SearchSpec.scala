@@ -95,6 +95,24 @@ class SearchSpec extends SparkSpec {
     }
   }
 
+  test("phrase search finds the top bigram with exact positions on real data") {
+    val out = graft.ops.Search.phraseSearch(spark, sf)
+      .select("doc_id", "w1", "w2", "n_occ", "first_pos").collect()
+    assert(out.nonEmpty)
+    // one phrase corpus-wide; every row repeats it
+    assert(out.map(r => (r.getString(1), r.getString(2))).toSet.size == 1)
+    // re-check every reported occurrence count and first position in-driver
+    val (w1, w2) = (out.head.getString(1), out.head.getString(2))
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { r =>
+      val w = texts(r.getLong(0)).split(" ", -1)
+      val hits = (0 until w.length - 1).filter(i => w(i) == w1 && w(i + 1) == w2)
+      assert(hits.length.toLong == r.getLong(3), s"n_occ mismatch for doc ${r.getLong(0)}")
+      assert(hits.head + 1L == r.getLong(4), "first_pos must be 1-based first hit")
+    }
+  }
+
   test("query terms the corpus never saw retrieve nothing (no crash)") {
     val corpus = docsDf(1L -> "alpha beta", 2L -> "beta gamma")
     val idx = graft.ops.Search.bm25IndexDocs(corpus)
