@@ -43,6 +43,7 @@ object SparkEntry {
     (streaming.AlignStream.queries, streaming.AlignStream.oracle),
     (streaming.SearchStream.queries, streaming.SearchStream.oracle),
     (streaming.HybridStream.queries, streaming.HybridStream.oracle),
+    (streaming.DsirStream.queries, streaming.DsirStream.oracle),
     (streaming.SampleStream.queries, streaming.SampleStream.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -530,35 +530,71 @@ object Sampling {
   def dsirSample(s: SparkSession, d: String): DataFrame =
     dsirSampleDocs(Tables.documents(s, d))
 
-  /** [[dsirSample]] over any frame with (doc_id, lang, text). */
-  private[graft] def dsirSampleDocs(docs: DataFrame): DataFrame = {
-    val toks = docs
+  /** (doc, lang, hashed feature bucket) token stream — shared by the
+    * census and the scoring pass. */
+  private def dsirTokens(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("token"))
       .filter(length(col("token")) > 0)
       .withColumn("bucket",
         expr(s"CAST(conv(substring(md5(token), 1, 15), 16, 10) AS BIGINT) % $dsirBuckets"))
+
+  /** The [[dsirBuckets]]-row weight table (bucket → fixed-point log-ratio)
+    * from a CENSUS corpus frame — the standing artifact an ingest scorer
+    * broadcasts. */
+  private[graft] def dsirWeights(docs: DataFrame): DataFrame = {
+    val toks = dsirTokens(docs)
     val raw = toks.groupBy(col("bucket")).agg(count(lit(1)).as("cnt_r"))
     val tgt = toks.filter(col("lang") === dsirTargetLang)
       .groupBy(col("bucket")).agg(count(lit(1)).as("cnt_t"))
     val tot = raw.agg(sum(col("cnt_r")).as("n_r"))
       .crossJoin(tgt.agg(sum(col("cnt_t")).as("n_t")))
-    val weights = raw.join(tgt, Seq("bucket"), "left")
+    raw.join(tgt, Seq("bucket"), "left")
       .na.fill(0L, Seq("cnt_t"))
       .crossJoin(broadcast(tot))
       .withColumn("w_mb", expr(
         s"${log2fpSpark("cnt_t + 1")} - ${log2fpSpark(s"n_t + $dsirBuckets")}" +
           s" - ${log2fpSpark("cnt_r + 1")} + ${log2fpSpark(s"n_r + $dsirBuckets")}"))
       .select(col("bucket"), col("w_mb"))
-    toks.join(Hints.broadcastSmall(weights), "bucket")
+  }
+
+  /** Map-side scoring of a docs frame against a broadcast weight table. */
+  private[graft] def dsirScore(docs: DataFrame, weights: DataFrame): DataFrame =
+    dsirTokens(docs).join(Hints.broadcastSmall(weights), "bucket")
       .groupBy(col("doc_id"), col("lang"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("w_mb")).as("score_mb"))
+
+  /** Deterministic top-[[dsirQuota]] trim — `TakeOrderedAndProject`, and
+    * MERGEABLE: top-q(A ∪ B) = top-q(top-q(A) ∪ top-q(B)), the law the
+    * streamed maintenance rides. */
+  private[graft] def dsirTrim(scored: DataFrame): DataFrame =
+    scored
       .orderBy(col("score_mb").desc, col("doc_id").asc)
       .limit(dsirQuota)
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("score_mb"))
+
+  /** [[dsirSample]] over any frame with (doc_id, lang, text). */
+  private[graft] def dsirSampleDocs(docs: DataFrame): DataFrame =
+    dsirTrim(dsirScore(docs, dsirWeights(docs)))
+
+  /** DSIR AT INGEST: the weight table derives from the STANDING corpus
+    * (`doc_id % 10 ≠ 7` — arrivals must not shift the reference
+    * distributions they are judged against) and arriving documents
+    * (`% 10 = 7`) are scored map-side against it; the admission set is
+    * the top-[[dsirQuota]] arrivals. The streamed twin
+    * ([[graft.streaming.DsirStream]]) maintains exactly this set as
+    * batches arrive, riding [[dsirTrim]]'s merge law. */
+  def dsirIngest(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val weights = dsirWeights(docs.filter(
+      col("doc_id") % graft.ops.Dedup.newMod =!= graft.ops.Dedup.newRem))
+    dsirTrim(dsirScore(docs.filter(
+      col("doc_id") % graft.ops.Dedup.newMod === graft.ops.Dedup.newRem), weights))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_sample_dsir" -> dsirSample,
+    "x_sample_dsir_in" -> dsirIngest,
     "x_sample_quota" -> quotaSample,
     "x_sample_hash" -> hashSample,
     "x_sample_bottomk" -> bottomkSample,
@@ -594,28 +630,39 @@ object Sampling {
        |            AS BIGINT) AS drift_bp
        |FROM c, t""".stripMargin
 
+  /** DSIR oracle builder: `censusPred` scopes the weight-table corpus,
+    * `scorePred` the scored documents — "true"/"true" is the member form,
+    * the ingest twin splits them on the arrival remainder. Shared
+    * verbatim by `s_dsir_stream` (stateless scoring + mergeable trim). */
+  private[graft] def dsirSql(censusPred: String, scorePred: String): String =
+    s"""WITH t0 AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents),
+       |tk0 AS (SELECT doc_id, lang,
+       |         CAST(('0x' || substr(md5(token), 1, 15))::UBIGINT % $dsirBuckets AS BIGINT) AS bucket
+       |       FROM t0 WHERE length(token) > 0),
+       |tkc AS (SELECT * FROM tk0 WHERE $censusPred),
+       |tks AS (SELECT * FROM tk0 WHERE $scorePred),
+       |raw AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cnt_r FROM tkc GROUP BY 1),
+       |tgt AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cnt_t
+       |        FROM tkc WHERE lang = '$dsirTargetLang' GROUP BY 1),
+       |tot AS (SELECT (SELECT CAST(sum(cnt_r) AS BIGINT) FROM raw) AS n_r,
+       |               (SELECT CAST(sum(cnt_t) AS BIGINT) FROM tgt) AS n_t),
+       |wb AS (SELECT raw.bucket, cnt_r, COALESCE(tgt.cnt_t, 0) AS cnt_t
+       |       FROM raw LEFT JOIN tgt USING (bucket)),
+       |wt AS (SELECT bucket,
+       |         ${log2fpDuck("cnt_t + 1")} - ${log2fpDuck(s"n_t + $dsirBuckets")}
+       |         - ${log2fpDuck("cnt_r + 1")} + ${log2fpDuck(s"n_r + $dsirBuckets")} AS w_mb
+       |       FROM wb CROSS JOIN tot),
+       |sc AS (SELECT tks.doc_id, tks.lang, CAST(count(*) AS BIGINT) AS n_tokens,
+       |              CAST(sum(w_mb) AS BIGINT) AS score_mb
+       |       FROM tks JOIN wt USING (bucket) GROUP BY 1, 2)
+       |SELECT doc_id, lang, n_tokens, score_mb FROM sc
+       |ORDER BY score_mb DESC, doc_id ASC LIMIT $dsirQuota""".stripMargin
+
   val oracle: Map[String, String] = Map(
-    "x_sample_dsir" ->
-      s"""WITH t0 AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents),
-         |tk AS (SELECT doc_id, lang,
-         |         CAST(('0x' || substr(md5(token), 1, 15))::UBIGINT % $dsirBuckets AS BIGINT) AS bucket
-         |       FROM t0 WHERE length(token) > 0),
-         |raw AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cnt_r FROM tk GROUP BY 1),
-         |tgt AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cnt_t
-         |        FROM tk WHERE lang = '$dsirTargetLang' GROUP BY 1),
-         |tot AS (SELECT (SELECT CAST(sum(cnt_r) AS BIGINT) FROM raw) AS n_r,
-         |               (SELECT CAST(sum(cnt_t) AS BIGINT) FROM tgt) AS n_t),
-         |wb AS (SELECT raw.bucket, cnt_r, COALESCE(tgt.cnt_t, 0) AS cnt_t
-         |       FROM raw LEFT JOIN tgt USING (bucket)),
-         |wt AS (SELECT bucket,
-         |         ${log2fpDuck("cnt_t + 1")} - ${log2fpDuck(s"n_t + $dsirBuckets")}
-         |         - ${log2fpDuck("cnt_r + 1")} + ${log2fpDuck(s"n_r + $dsirBuckets")} AS w_mb
-         |       FROM wb CROSS JOIN tot),
-         |sc AS (SELECT tk.doc_id, tk.lang, CAST(count(*) AS BIGINT) AS n_tokens,
-         |              CAST(sum(w_mb) AS BIGINT) AS score_mb
-         |       FROM tk JOIN wt USING (bucket) GROUP BY 1, 2)
-         |SELECT doc_id, lang, n_tokens, score_mb FROM sc
-         |ORDER BY score_mb DESC, doc_id ASC LIMIT $dsirQuota""".stripMargin,
+    "x_sample_dsir" -> dsirSql("true", "true"),
+    "x_sample_dsir_in" -> dsirSql(
+      s"doc_id % ${graft.ops.Dedup.newMod} <> ${graft.ops.Dedup.newRem}",
+      s"doc_id % ${graft.ops.Dedup.newMod} = ${graft.ops.Dedup.newRem}"),
     "x_sample_weighted" ->
       s"""WITH b AS (SELECT doc_id, lang,
          |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
