@@ -402,8 +402,60 @@ object Search {
         expr("CAST(element_at(matches, 1) AS BIGINT)").as("first_pos"))
   }
 
+  /** Phrase-workload width for the INDEXED form. */
+  private[graft] val nPhrases = 4
+
+  /** Multi-phrase search over a POSITIONAL INVERTED INDEX — the shape
+    * [[phraseSearch]]'s scaladoc promises for many-phrase workloads, made
+    * real: postings are (token, doc_id, pos), the workload is the corpus's
+    * top-[[nPhrases]] bigrams (deterministic cut), and a phrase matches by
+    * CONSECUTIVE-POSITION INTERSECTION — the first word's posting list
+    * joins the second's on (doc_id, pos+1). Per (phrase, doc): occurrence
+    * count and first match position, identical semantics to running
+    * [[phraseSearch]]'s exhaustive scan once per phrase
+    * (`SearchSpec` pins the equivalence on the live corpus).
+    *
+    * Scale plan: the phrase table is a [[nPhrases]]-row broadcast; only
+    * posting lists of words that APPEAR in some phrase are touched (the
+    * broadcast join prunes the index scan), and the intersection join
+    * shuffles those lists once on (doc_id) — at 100 TB this is the
+    * difference between one corpus text scan per phrase and one
+    * posting-list join for the whole workload. */
+  def phraseIndexSearch(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    // positional postings: one in-row explode, (token, doc_id, pos)
+    val postings = base
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("p0", "token")))
+      .filter(length(col("token")) > 0)
+      .select(col("doc_id"), col("token"), (col("p0") + 1).cast("long").as("pos"))
+    val bigrams = base
+      .select(explode(expr(
+        "transform(CASE WHEN size(w) < 2 THEN CAST(array() AS ARRAY<INT>) " +
+          "ELSE sequence(1, size(w) - 1) END, " +
+          "i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .filter(length(col("w1")) > 0 && length(col("w2")) > 0)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+    val phrases = bigrams
+      .orderBy(col("c").desc, col("w1").asc, col("w2").asc).limit(nPhrases)
+      .select(col("w1"), col("w2"))
+    // consecutive-position intersection: left word's list ⨝ right word's
+    // list on (doc, pos+1); the broadcast phrase table prunes both scans
+    val left = postings.join(broadcast(phrases), col("token") === col("w1"))
+      .select(col("w1"), col("w2"), col("doc_id"), col("pos"))
+    val right = postings.select(
+      col("token").as("r_token"), col("doc_id").as("r_doc"), col("pos").as("r_pos"))
+    left.join(right,
+        col("r_token") === col("w2") && col("r_doc") === col("doc_id") &&
+          col("r_pos") === col("pos") + 1)
+      .groupBy(col("w1"), col("w2"), col("doc_id"))
+      .agg(count(lit(1)).as("n_occ"), min(col("pos")).as("first_pos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_search_phrase" -> phraseSearch,
+    "x_search_phrase_idx" -> phraseIndexSearch,
     "x_search_bm25" -> bm25TopK,
     "x_search_ingest" -> bm25IngestTopK,
     "x_search_hybrid_rrf" -> hybridRrf,
@@ -464,6 +516,24 @@ object Search {
         |SELECT doc_id, w1, w2, CAST(len(matches) AS BIGINT) AS n_occ,
         |       CAST(matches[1] AS BIGINT) AS first_pos
         |FROM m WHERE len(matches) >= 1""".stripMargin,
+    "x_search_phrase_idx" ->
+      s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |pidx AS (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM base),
+         |post AS (SELECT doc_id, w[i] AS token, CAST(i AS BIGINT) AS pos
+         |         FROM pidx WHERE length(w[i]) > 0),
+         |pos2 AS (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM base),
+         |bi AS (SELECT w[i] AS w1, w[i + 1] AS w2 FROM pos2
+         |       WHERE length(w[i]) > 0 AND length(w[i + 1]) > 0),
+         |bc AS (SELECT w1, w2, count(*) AS c FROM bi GROUP BY 1, 2),
+         |ph AS (SELECT w1, w2 FROM bc ORDER BY c DESC, w1 ASC, w2 ASC LIMIT $nPhrases),
+         |lft AS (SELECT ph.w1, ph.w2, p.doc_id, p.pos
+         |        FROM post p JOIN ph ON p.token = ph.w1),
+         |m AS (SELECT l.w1, l.w2, l.doc_id, l.pos
+         |      FROM lft l JOIN post r
+         |        ON r.token = l.w2 AND r.doc_id = l.doc_id AND r.pos = l.pos + 1)
+         |SELECT w1, w2, doc_id, CAST(count(*) AS BIGINT) AS n_occ,
+         |       CAST(min(pos) AS BIGINT) AS first_pos
+         |FROM m GROUP BY 1, 2, 3""".stripMargin,
     "x_search_bm25" ->
       (bm25Ctes("true", s"doc_id % $searchStride = 0") + bm25Tail),
     "x_search_ingest" ->

@@ -113,6 +113,27 @@ class SearchSpec extends SparkSpec {
     }
   }
 
+  test("positional-index phrase search equals the exhaustive scan, completely") {
+    val out = graft.ops.Search.phraseIndexSearch(spark, sf)
+      .select("w1", "w2", "doc_id", "n_occ", "first_pos").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(out.nonEmpty)
+    val phrases = out.map(t => (t._1, t._2))
+    assert(phrases.size == graft.ops.Search.nPhrases,
+      s"expected ${graft.ops.Search.nPhrases} distinct phrases, got $phrases")
+    // full in-driver recompute: every (phrase, doc) hit, count and position
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1))
+    val truth = (for {
+      (w1, w2) <- phrases.toSeq
+      (id, w) <- texts
+      hits = (0 until w.length - 1).filter(i => w(i) == w1 && w(i + 1) == w2)
+      if hits.nonEmpty
+    } yield (w1, w2, id, hits.length.toLong, hits.head + 1L)).toSet
+    assert(out == truth, "indexed intersection diverged from the exhaustive scan")
+  }
+
   test("query terms the corpus never saw retrieve nothing (no crash)") {
     val corpus = docsDf(1L -> "alpha beta", 2L -> "beta gamma")
     val idx = graft.ops.Search.bm25IndexDocs(corpus)
