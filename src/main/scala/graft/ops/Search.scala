@@ -150,32 +150,34 @@ object Search {
       Lineage.cut(idx.stats))
   }
 
-  /** Score query docs (doc_id, text, …) against an index — ONE definition
-    * shared by the member search, the batch ingest twin and the streamed
-    * twin. Emits (query_id, neighbor_id, score_m, n_terms, rnk ≤ k). */
-  private[graft] def bm25Probe(queryDocs: DataFrame, idx: Bm25Index): DataFrame = {
+  /** Term selection: tf·N/df over the QUERY's own term frequencies, df
+    * from the index (tokens the corpus never saw can't retrieve — inner
+    * join drops them). The per-query window runs over ≤ |query vocab|
+    * rows — bounded by document length, not corpus size. Emits
+    * (query_id, token). */
+  private[graft] def queryTerms(queryDocs: DataFrame, idx: Bm25Index): DataFrame = {
     val qt = queryDocs
       .select(col("doc_id").as("query_id"),
         explode(split(col("text"), " ")).as("token"))
       .filter(length(col("token")) > 0)
       .groupBy(col("query_id"), col("token")).agg(count(lit(1)).as("qtf"))
-    // Term selection: tf·N/df over the QUERY's own term frequencies, df
-    // from the index (tokens the corpus never saw can't retrieve — inner
-    // join drops them). The per-query window runs over ≤ |query vocab|
-    // rows — bounded by document length, not corpus size.
     val selW = Window.partitionBy(col("query_id"))
       .orderBy(col("sel").desc, col("token").asc)
-    val terms = idx.tokenDf.join(Hints.broadcastSmall(qt), "token")
+    idx.tokenDf.join(Hints.broadcastSmall(qt), "token")
       .crossJoin(broadcast(idx.stats.select(col("n_docs"))))
       .withColumn("sel", expr("CAST(qtf AS DOUBLE) * n_docs / df"))
       .withColumn("trk", row_number().over(selW))
       .filter(col("trk") <= qTerms)
       .select(col("query_id"), col("token"))
-    // Candidates: matched PRUNED postings only, and the impacts are
-    // precomputed — the probe is join + integer sum, no arithmetic. The
-    // member form's self-match is excluded (a no-op for ingest queries,
-    // whose ids aren't indexed). Cut once: the TopK pass and the score
-    // join-back below both read it.
+  }
+
+  /** Score a (query_id, token) term set against the pruned index — the
+    * probe core, also fed directly by the RM3 expanded set. Candidates:
+    * matched PRUNED postings only, impacts precomputed — join + integer
+    * sum, no arithmetic. The member form's self-match is excluded (a
+    * no-op for ingest queries, whose ids aren't indexed). Cut once: the
+    * TopK pass and the score join-back both read it. */
+  private[graft] def probeTerms(terms: DataFrame, idx: Bm25Index): DataFrame = {
     val scored = Lineage.cut(
       idx.postings.join(Hints.broadcastSmall(terms), "token")
         .filter(col("doc_id") =!= col("query_id"))
@@ -190,6 +192,12 @@ object Search {
       .select(col("query_id"), col("doc_id").as("neighbor_id"),
         col("score_m"), col("n_terms"), col("rnk"))
   }
+
+  /** Score query docs (doc_id, text, …) against an index — ONE definition
+    * shared by the member search, the batch ingest twin and the streamed
+    * twin. Emits (query_id, neighbor_id, score_m, n_terms, rnk ≤ k). */
+  private[graft] def bm25Probe(queryDocs: DataFrame, idx: Bm25Index): DataFrame =
+    probeTerms(queryTerms(queryDocs, idx), idx)
 
   /** Member BM25 search: strided query docs against the full-corpus index. */
   def bm25TopK(s: SparkSession, d: String): DataFrame = {
@@ -208,6 +216,51 @@ object Search {
         .filter(col("doc_id") % Similarity.knnBatchMod === 7)
         .select(col("doc_id"), col("text")),
       ingestIndex(s, d))
+
+  /** Pseudo-relevance-feedback depth and expansion width (the RM3 shape,
+    * Lavrenko & Croft's relevance models as deployed in Anserini/Indri:
+    * expand the query with terms mined from the first round's top
+    * documents, then search again). */
+  private[graft] val fbDocs = 3
+  private[graft] val fbTerms = 3
+
+  /** RM3-style query expansion over the member queries: round 1 is the
+    * plain BM25 search; the [[fbDocs]] top documents per query act as
+    * pseudo-relevant feedback; expansion candidates are their terms
+    * weighted by feedback-tf × rarity (exact integer
+    * `(Σ tf · 10⁶) div df`), original query terms excluded (anti-join);
+    * the [[fbTerms]] best join the original terms and round 2 re-probes
+    * the SAME pruned index with the expanded set. Everything between the
+    * two probes runs over dashboard-sized relations (k docs per query →
+    * their forward-index rows → a per-query window over ≤ |feedback
+    * vocab|); the forward (doc → term) relation is derived once here —
+    * feedback mining needs doc-major access the impact-PRUNED postings
+    * deliberately no longer provide. */
+  def rm3Search(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val idx = bm25IndexDocs(docs)
+    val qdocs = docs.filter(col("doc_id") % searchStride === 0)
+      .select(col("doc_id"), col("text"))
+    val terms = Lineage.cut(queryTerms(qdocs, idx))
+    val fb = probeTerms(terms, idx)
+      .filter(col("rnk") <= fbDocs)
+      .select(col("query_id"), col("neighbor_id"))
+    // forward index (doc_id, token, tf) for feedback-term mining
+    val fwd = tokens(docs)
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val expW = Window.partitionBy(col("query_id"))
+      .orderBy(col("exp_s").desc, col("token").asc)
+    val expansion = fb
+      .join(fwd, fb("neighbor_id") === fwd("doc_id"))
+      .groupBy(col("query_id"), col("token")).agg(sum(col("tf")).as("ftf"))
+      .join(idx.tokenDf, "token")
+      .withColumn("exp_s", expr("CAST((ftf * 1000000) div df AS BIGINT)"))
+      .join(terms, Seq("query_id", "token"), "left_anti")
+      .withColumn("erk", row_number().over(expW))
+      .filter(col("erk") <= fbTerms)
+      .select(col("query_id"), col("token"))
+    probeTerms(terms.unionByName(expansion), idx)
+  }
 
   /** Hybrid lexical+semantic retrieval: RRF of the BM25 ranking and the
     * exact cosine ranking for the query ids present in BOTH tables. The
@@ -457,6 +510,7 @@ object Search {
     "x_search_phrase" -> phraseSearch,
     "x_search_phrase_idx" -> phraseIndexSearch,
     "x_search_bm25" -> bm25TopK,
+    "x_search_rm3" -> rm3Search,
     "x_search_ingest" -> bm25IngestTopK,
     "x_search_hybrid_rrf" -> hybridRrf,
     "x_search_hybrid_in" -> hybridIngest,
@@ -539,6 +593,32 @@ object Search {
     "x_search_ingest" ->
       (bm25Ctes(s"doc_id % ${Similarity.knnBatchMod} <> 7",
         s"doc_id % ${Similarity.knnBatchMod} = 7") + bm25Tail),
+    "x_search_rm3" ->
+      (bm25Ctes("true", s"doc_id % $searchStride = 0") +
+        s""",
+           |fbk AS (SELECT query_id, neighbor_id FROM rk WHERE rnk <= $fbDocs),
+           |ex0 AS (SELECT f.query_id, tf.token, CAST(sum(tf.tf) AS BIGINT) AS ftf
+           |        FROM fbk f JOIN tf ON tf.doc_id = f.neighbor_id GROUP BY 1, 2),
+           |ex1 AS (SELECT e.query_id, e.token,
+           |          CAST((e.ftf * 1000000) // dfr.df AS BIGINT) AS exp_s
+           |        FROM ex0 e JOIN dfr USING (token)
+           |        WHERE NOT EXISTS (SELECT 1 FROM terms t
+           |                          WHERE t.query_id = e.query_id AND t.token = e.token)),
+           |ex AS (SELECT query_id, token FROM (
+           |         SELECT query_id, token,
+           |           row_number() OVER (PARTITION BY query_id
+           |             ORDER BY exp_s DESC, token ASC) AS erk
+           |         FROM ex1) WHERE erk <= $fbTerms),
+           |t2 AS (SELECT query_id, token FROM terms
+           |       UNION ALL SELECT query_id, token FROM ex),
+           |cand2 AS (SELECT tm.query_id, p.doc_id, p.imp_m
+           |          FROM t2 tm JOIN pr p ON p.token = tm.token AND p.doc_id <> tm.query_id),
+           |qs2 AS (SELECT query_id, doc_id, CAST(sum(imp_m) AS BIGINT) AS score_m,
+           |               CAST(count(*) AS BIGINT) AS n_terms FROM cand2 GROUP BY 1, 2),
+           |rk2 AS (SELECT query_id, doc_id AS neighbor_id, score_m, n_terms,
+           |          CAST(row_number() OVER (PARTITION BY query_id
+           |                 ORDER BY score_m DESC, doc_id ASC) AS BIGINT) AS rnk FROM qs2)
+           |SELECT query_id, neighbor_id, score_m, n_terms, rnk FROM rk2 WHERE rnk <= $topK""".stripMargin),
     "x_search_hybrid_rrf" ->
       (memberHybridCtes + hybridSelect),
     "x_search_hybrid_in" ->

@@ -134,6 +134,25 @@ class SearchSpec extends SparkSpec {
     assert(out == truth, "indexed intersection diverged from the exhaustive scan")
   }
 
+  test("RM3 expands with feedback terms: wider matches, original ranks perturbed") {
+    val r1 = graft.ops.Search.bm25TopK(spark, sf)
+      .select("query_id", "neighbor_id", "n_terms", "rnk").collect()
+    val r2 = graft.ops.Search.rm3Search(spark, sf)
+      .select("query_id", "neighbor_id", "n_terms", "rnk").collect()
+    assert(r2.nonEmpty)
+    val maxTerms = graft.ops.Search.qTerms + graft.ops.Search.fbTerms
+    assert(r2.forall(_.getLong(2) <= maxTerms), "matched terms exceed query + expansion")
+    // expansion must actually add matchable terms somewhere
+    assert(r2.map(_.getLong(2)).max > r1.map(_.getLong(2)).max ||
+      r2.map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet !=
+        r1.map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet,
+      "round 2 is identical to round 1 — the expansion did nothing")
+    r2.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val rnks = rs.map(_.getLong(3)).sorted.toSeq
+      assert(rnks == (1L to rnks.length).toSeq)
+    }
+  }
+
   test("query terms the corpus never saw retrieve nothing (no crash)") {
     val corpus = docsDf(1L -> "alpha beta", 2L -> "beta gamma")
     val idx = graft.ops.Search.bm25IndexDocs(corpus)
