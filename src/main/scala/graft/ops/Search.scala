@@ -217,6 +217,46 @@ object Search {
         .select(col("doc_id"), col("text")),
       ingestIndex(s, d))
 
+  /** Snippet window width (tokens). */
+  private[graft] val snipW = 8
+
+  /** Snippet extraction — the results-presentation step of the retrieval
+    * stack: for each member query's top-[[fbDocs]] BM25 hits, the best
+    * [[snipW]]-token window of the hit document (the window containing
+    * the most query-term occurrences; earliest window on ties) plus its
+    * 1-based start position and hit count. Window scoring is strictly
+    * IN-ROW (a higher-order sliding sum over the token array — no
+    * explode, no shuffle); the only joins carry the k-per-query hit
+    * relation and the per-query sorted term arrays, both
+    * dashboard-sized, onto one pass over the hit documents' text. */
+  def snippetSearch(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val idx = bm25IndexDocs(docs)
+    val qdocs = docs.filter(col("doc_id") % searchStride === 0)
+      .select(col("doc_id"), col("text"))
+    val terms = Lineage.cut(queryTerms(qdocs, idx))
+    val hits = probeTerms(terms, idx)
+      .filter(col("rnk") <= fbDocs)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"))
+    val qarr = terms.groupBy(col("query_id"))
+      .agg(sort_array(collect_list(col("token"))).as("qts"))
+    hits
+      .join(Hints.broadcastSmall(qarr), "query_id")
+      .join(docs.select(col("doc_id"), split(col("text"), " ").as("w")),
+        col("neighbor_id") === col("doc_id"))
+      .withColumn("hitsb", expr(
+        "transform(w, t -> CASE WHEN array_contains(qts, t) THEN 1 ELSE 0 END)"))
+      .withColumn("n_win", expr(s"greatest(size(w) - $snipW + 1, 1)"))
+      .withColumn("scores", expr(
+        s"transform(sequence(1, n_win), i -> aggregate(slice(hitsb, i, $snipW), 0, (a, x) -> a + x))"))
+      .withColumn("win_start",
+        expr("CAST(array_position(scores, array_max(scores)) AS BIGINT)"))
+      .withColumn("n_win_hits", expr("CAST(array_max(scores) AS BIGINT)"))
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        col("win_start"), col("n_win_hits"),
+        expr(s"array_join(slice(w, CAST(win_start AS INT), $snipW), ' ')").as("snippet"))
+  }
+
   /** Pseudo-relevance-feedback depth and expansion width (the RM3 shape,
     * Lavrenko & Croft's relevance models as deployed in Anserini/Indri:
     * expand the query with terms mined from the first round's top
@@ -511,6 +551,7 @@ object Search {
     "x_search_phrase_idx" -> phraseIndexSearch,
     "x_search_bm25" -> bm25TopK,
     "x_search_rm3" -> rm3Search,
+    "x_search_snippet" -> snippetSearch,
     "x_search_ingest" -> bm25IngestTopK,
     "x_search_hybrid_rrf" -> hybridRrf,
     "x_search_hybrid_in" -> hybridIngest,
@@ -593,6 +634,31 @@ object Search {
     "x_search_ingest" ->
       (bm25Ctes(s"doc_id % ${Similarity.knnBatchMod} <> 7",
         s"doc_id % ${Similarity.knnBatchMod} = 7") + bm25Tail),
+    "x_search_snippet" ->
+      (bm25Ctes("true", s"doc_id % $searchStride = 0") +
+        s""",
+           |hits AS (SELECT query_id, neighbor_id, rnk FROM rk WHERE rnk <= $fbDocs),
+           |qarr AS (SELECT query_id, list(token ORDER BY token) AS qts
+           |         FROM terms GROUP BY 1),
+           |hd AS (SELECT h.query_id, h.neighbor_id, h.rnk, q.qts, b.w
+           |       FROM hits h JOIN qarr q USING (query_id)
+           |       JOIN (SELECT doc_id, string_split(text, ' ') AS w FROM documents) b
+           |         ON b.doc_id = h.neighbor_id),
+           |sw AS (SELECT query_id, neighbor_id, rnk, w,
+           |         [CASE WHEN list_contains(qts, t) THEN 1 ELSE 0 END FOR t IN w] AS hitsb,
+           |         greatest(len(w) - $snipW + 1, 1) AS n_win
+           |       FROM hd),
+           |sc2 AS (SELECT query_id, neighbor_id, rnk, w,
+           |          [CAST(list_sum(hitsb[i:i + ${snipW - 1}]) AS BIGINT)
+           |           FOR i IN range(1, n_win + 1)] AS scores
+           |        FROM sw)
+           |SELECT query_id, neighbor_id, rnk,
+           |  CAST(list_position(scores, list_max(scores)) AS BIGINT) AS win_start,
+           |  CAST(list_max(scores) AS BIGINT) AS n_win_hits,
+           |  array_to_string(w[list_position(scores, list_max(scores)):
+           |                    list_position(scores, list_max(scores)) + ${snipW - 1}],
+           |                  ' ') AS snippet
+           |FROM sc2""".stripMargin),
     "x_search_rm3" ->
       (bm25Ctes("true", s"doc_id % $searchStride = 0") +
         s""",

@@ -153,6 +153,36 @@ class SearchSpec extends SparkSpec {
     }
   }
 
+  test("snippets: the reported window is the best (earliest-max) query-term window") {
+    val W = graft.ops.Search.snipW
+    val out = graft.ops.Search.snippetSearch(spark, sf)
+      .select("query_id", "neighbor_id", "rnk", "win_start", "n_win_hits", "snippet")
+      .collect()
+    assert(out.nonEmpty)
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1)).toMap
+    // terms per query, recomputed through the same public pieces
+    val docs = Tables.documents(spark, sf)
+    val idx = graft.ops.Search.bm25IndexDocs(docs)
+    val qd = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 100 === 0)
+      .select("doc_id", "text")
+    val terms = graft.ops.Search.queryTerms(qd, idx)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getString(1)).toSet }
+    out.foreach { r =>
+      val (q, d, ws, nh) = (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4))
+      val w = texts(d)
+      val qts = terms(q)
+      val hits = w.map(t => if (qts.contains(t)) 1 else 0)
+      val nWin = math.max(w.length - W + 1, 1)
+      val scores = (0 until nWin).map(i => hits.slice(i, i + W).sum)
+      val best = scores.max
+      assert(nh == best.toLong, s"window hit count wrong for ($q, $d)")
+      assert(ws == scores.indexOf(best) + 1L, s"not the earliest max window for ($q, $d)")
+      assert(r.getString(5) == w.slice(ws.toInt - 1, ws.toInt - 1 + W).mkString(" "))
+    }
+  }
+
   test("query terms the corpus never saw retrieve nothing (no crash)") {
     val corpus = docsDf(1L -> "alpha beta", 2L -> "beta gamma")
     val idx = graft.ops.Search.bm25IndexDocs(corpus)
