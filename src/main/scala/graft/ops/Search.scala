@@ -279,15 +279,30 @@ object Search {
   def rm3Search(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val idx = bm25IndexDocs(docs)
-    val qdocs = docs.filter(col("doc_id") % searchStride === 0)
-      .select(col("doc_id"), col("text"))
-    val terms = Lineage.cut(queryTerms(qdocs, idx))
+    rm3Probe(
+      docs.filter(col("doc_id") % searchStride === 0)
+        .select(col("doc_id"), col("text")),
+      idx, forwardIndex(docs))
+  }
+
+  /** Forward index (doc_id, token, tf) for feedback-term mining — the
+    * doc-major access path the impact-PRUNED postings deliberately no
+    * longer provide. */
+  private[graft] def forwardIndex(corpusDocs: DataFrame): DataFrame =
+    tokens(corpusDocs)
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+
+  /** The two-round RM3 probe — ONE definition shared by the member form,
+    * the batch ingest twin and the streamed twin: round-1 probe, feedback
+    * mining against the forward relation, exact-integer expansion-term
+    * ranking, round-2 probe with the widened set. Per-query independent ⇒
+    * batching-invariant. */
+  private[graft] def rm3Probe(
+      queryDocs: DataFrame, idx: Bm25Index, fwd: DataFrame): DataFrame = {
+    val terms = Lineage.cut(queryTerms(queryDocs, idx))
     val fb = probeTerms(terms, idx)
       .filter(col("rnk") <= fbDocs)
       .select(col("query_id"), col("neighbor_id"))
-    // forward index (doc_id, token, tf) for feedback-term mining
-    val fwd = tokens(docs)
-      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
     val expW = Window.partitionBy(col("query_id"))
       .orderBy(col("exp_s").desc, col("token").asc)
     val expansion = fb
@@ -300,6 +315,29 @@ object Search {
       .filter(col("erk") <= fbTerms)
       .select(col("query_id"), col("token"))
     probeTerms(terms.unionByName(expansion), idx)
+  }
+
+  /** The static relations for RM3 serving at ingest: the pruned lexical
+    * index plus the standing corpus's forward relation, all lineage-cut
+    * once. */
+  private[graft] def rm3IngestIndex(
+      s: SparkSession, d: String): (Bm25Index, DataFrame) = {
+    val idx = ingestIndex(s, d)
+    val fwd = Lineage.cut(forwardIndex(Tables.documents(s, d)
+      .filter(col("doc_id") % Similarity.knnBatchMod =!= 7)))
+    (idx, fwd)
+  }
+
+  /** Batch form of RM3 serving at ingest: arriving docs (`% 10 = 7`)
+    * run the two-round expanded search against the standing index and
+    * forward relation. */
+  def rm3IngestSearch(s: SparkSession, d: String): DataFrame = {
+    val (idx, fwd) = rm3IngestIndex(s, d)
+    rm3Probe(
+      Tables.documents(s, d)
+        .filter(col("doc_id") % Similarity.knnBatchMod === 7)
+        .select(col("doc_id"), col("text")),
+      idx, fwd)
   }
 
   /** Hybrid lexical+semantic retrieval: RRF of the BM25 ranking and the
@@ -551,6 +589,7 @@ object Search {
     "x_search_phrase_idx" -> phraseIndexSearch,
     "x_search_bm25" -> bm25TopK,
     "x_search_rm3" -> rm3Search,
+    "x_search_rm3_in" -> rm3IngestSearch,
     "x_search_snippet" -> snippetSearch,
     "x_search_ingest" -> bm25IngestTopK,
     "x_search_hybrid_rrf" -> hybridRrf,
@@ -660,31 +699,10 @@ object Search {
            |                  ' ') AS snippet
            |FROM sc2""".stripMargin),
     "x_search_rm3" ->
-      (bm25Ctes("true", s"doc_id % $searchStride = 0") +
-        s""",
-           |fbk AS (SELECT query_id, neighbor_id FROM rk WHERE rnk <= $fbDocs),
-           |ex0 AS (SELECT f.query_id, tf.token, CAST(sum(tf.tf) AS BIGINT) AS ftf
-           |        FROM fbk f JOIN tf ON tf.doc_id = f.neighbor_id GROUP BY 1, 2),
-           |ex1 AS (SELECT e.query_id, e.token,
-           |          CAST((e.ftf * 1000000) // dfr.df AS BIGINT) AS exp_s
-           |        FROM ex0 e JOIN dfr USING (token)
-           |        WHERE NOT EXISTS (SELECT 1 FROM terms t
-           |                          WHERE t.query_id = e.query_id AND t.token = e.token)),
-           |ex AS (SELECT query_id, token FROM (
-           |         SELECT query_id, token,
-           |           row_number() OVER (PARTITION BY query_id
-           |             ORDER BY exp_s DESC, token ASC) AS erk
-           |         FROM ex1) WHERE erk <= $fbTerms),
-           |t2 AS (SELECT query_id, token FROM terms
-           |       UNION ALL SELECT query_id, token FROM ex),
-           |cand2 AS (SELECT tm.query_id, p.doc_id, p.imp_m
-           |          FROM t2 tm JOIN pr p ON p.token = tm.token AND p.doc_id <> tm.query_id),
-           |qs2 AS (SELECT query_id, doc_id, CAST(sum(imp_m) AS BIGINT) AS score_m,
-           |               CAST(count(*) AS BIGINT) AS n_terms FROM cand2 GROUP BY 1, 2),
-           |rk2 AS (SELECT query_id, doc_id AS neighbor_id, score_m, n_terms,
-           |          CAST(row_number() OVER (PARTITION BY query_id
-           |                 ORDER BY score_m DESC, doc_id ASC) AS BIGINT) AS rnk FROM qs2)
-           |SELECT query_id, neighbor_id, score_m, n_terms, rnk FROM rk2 WHERE rnk <= $topK""".stripMargin),
+      (bm25Ctes("true", s"doc_id % $searchStride = 0") + rm3Tail),
+    "x_search_rm3_in" ->
+      (bm25Ctes(s"doc_id % ${Similarity.knnBatchMod} <> 7",
+        s"doc_id % ${Similarity.knnBatchMod} = 7") + rm3Tail),
     "x_search_hybrid_rrf" ->
       (memberHybridCtes + hybridSelect),
     "x_search_hybrid_in" ->
@@ -736,6 +754,35 @@ object Search {
 
   private def hybridSelect: String =
     s"\nSELECT query_id, neighbor_id, rrf, n_legs, rnk FROM outq WHERE rnk <= $topK"
+
+  /** The RM3 tail appended to [[bm25Ctes]] — its `tf` CTE doubles as the
+    * forward relation (already corpus-scoped by the Ctes' predicate), so
+    * the member and ingest oracles differ ONLY in the two predicates. */
+  private def rm3Tail: String =
+    s""",
+       |fbk AS (SELECT query_id, neighbor_id FROM rk WHERE rnk <= $fbDocs),
+       |ex0 AS (SELECT f.query_id, tf.token, CAST(sum(tf.tf) AS BIGINT) AS ftf
+       |        FROM fbk f JOIN tf ON tf.doc_id = f.neighbor_id GROUP BY 1, 2),
+       |ex1 AS (SELECT e.query_id, e.token,
+       |          CAST((e.ftf * 1000000) // dfr.df AS BIGINT) AS exp_s
+       |        FROM ex0 e JOIN dfr USING (token)
+       |        WHERE NOT EXISTS (SELECT 1 FROM terms t
+       |                          WHERE t.query_id = e.query_id AND t.token = e.token)),
+       |ex AS (SELECT query_id, token FROM (
+       |         SELECT query_id, token,
+       |           row_number() OVER (PARTITION BY query_id
+       |             ORDER BY exp_s DESC, token ASC) AS erk
+       |         FROM ex1) WHERE erk <= $fbTerms),
+       |t2 AS (SELECT query_id, token FROM terms
+       |       UNION ALL SELECT query_id, token FROM ex),
+       |cand2 AS (SELECT tm.query_id, p.doc_id, p.imp_m
+       |          FROM t2 tm JOIN pr p ON p.token = tm.token AND p.doc_id <> tm.query_id),
+       |qs2 AS (SELECT query_id, doc_id, CAST(sum(imp_m) AS BIGINT) AS score_m,
+       |               CAST(count(*) AS BIGINT) AS n_terms FROM cand2 GROUP BY 1, 2),
+       |rk2 AS (SELECT query_id, doc_id AS neighbor_id, score_m, n_terms,
+       |          CAST(row_number() OVER (PARTITION BY query_id
+       |                 ORDER BY score_m DESC, doc_id ASC) AS BIGINT) AS rnk FROM qs2)
+       |SELECT query_id, neighbor_id, score_m, n_terms, rnk FROM rk2 WHERE rnk <= $topK""".stripMargin
 
   /** The [[hybridEval]] diagnostics over the member chain's `tl`/`vl`/
     * `outq` relations. */
