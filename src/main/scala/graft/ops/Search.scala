@@ -572,11 +572,17 @@ object Search {
       .orderBy(col("c").desc, col("w1").asc, col("w2").asc).limit(nPhrases)
       .select(col("w1"), col("w2"))
     // consecutive-position intersection: left word's list ⨝ right word's
-    // list on (doc, pos+1); the broadcast phrase table prunes both scans
+    // list on (doc, pos+1); the broadcast phrase table prunes BOTH scans —
+    // the right side needs its own semi-join (w2 is a per-row column in
+    // the join condition, so Catalyst cannot statically prune that scan
+    // from the condition alone; without this the full index would shuffle)
     val left = postings.join(broadcast(phrases), col("token") === col("w1"))
       .select(col("w1"), col("w2"), col("doc_id"), col("pos"))
-    val right = postings.select(
-      col("token").as("r_token"), col("doc_id").as("r_doc"), col("pos").as("r_pos"))
+    val right = postings
+      .join(broadcast(phrases.select(col("w2").as("pw2"))),
+        col("token") === col("pw2"), "left_semi")
+      .select(
+        col("token").as("r_token"), col("doc_id").as("r_doc"), col("pos").as("r_pos"))
     left.join(right,
         col("r_token") === col("w2") && col("r_doc") === col("doc_id") &&
           col("r_pos") === col("pos") + 1)
