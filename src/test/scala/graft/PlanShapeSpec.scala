@@ -360,4 +360,16 @@ class PlanShapeSpec extends SparkSpec {
       s"every join in the hybrid pipeline must hash/broadcast:\n$p")
     assert(p.contains("Window"), s"the fused cut is a window over ≤2k rows/query:\n$p")
   }
+
+  test("phrase index: BOTH posting scans are phrase-pruned before the intersection") {
+    // The w2-side scan must semi-join the broadcast phrase table — w2 is a
+    // per-row column in the intersection condition, so without its own
+    // prune the full positional index shuffles (the bug this pins out).
+    val p = plan("x_search_phrase_idx")
+    val pruningJoins = p.linesIterator.count(l =>
+      l.contains("BroadcastHashJoin") &&
+        (l.contains("Inner") || l.contains("LeftSemi")))
+    assert(pruningJoins >= 2,
+      s"expected the w1 prune join AND the w2 semi prune, got $pruningJoins:\n$p")
+  }
 }
