@@ -155,7 +155,8 @@ object Search {
     * join drops them). The per-query window runs over ≤ |query vocab|
     * rows — bounded by document length, not corpus size. Emits
     * (query_id, token). */
-  private[graft] def queryTerms(queryDocs: DataFrame, idx: Bm25Index): DataFrame = {
+  private[graft] def queryTerms(
+      queryDocs: DataFrame, idx: Bm25Index, nTerms: Int = qTerms): DataFrame = {
     val qt = queryDocs
       .select(col("doc_id").as("query_id"),
         explode(split(col("text"), " ")).as("token"))
@@ -167,8 +168,59 @@ object Search {
       .crossJoin(broadcast(idx.stats.select(col("n_docs"))))
       .withColumn("sel", expr("CAST(qtf AS DOUBLE) * n_docs / df"))
       .withColumn("trk", row_number().over(selW))
-      .filter(col("trk") <= qTerms)
+      .filter(col("trk") <= nTerms)
       .select(col("query_id"), col("token"))
+  }
+
+  /** Conjunctive term count for the boolean form. */
+  private[graft] val boolTerms = 2
+
+  /** BOOLEAN (conjunctive) retrieval: documents containing ALL of the
+    * query's [[boolTerms]] most characteristic terms — the filter mode a
+    * retrieval stack runs beside ranked BM25 (alerts, compliance scans,
+    * corpus slicing). Membership reads the UNPRUNED forward relation:
+    * impact pruning is a ranked-retrieval trade and would silently drop
+    * conjunctive matches, exactly the kind of semantic coupling an index
+    * design has to keep straight. The matched-term count per (query, doc)
+    * compares against the query's own selected-term count (≤ boolTerms —
+    * short or out-of-vocabulary queries demand only what they have).
+    * Output is the complete match set (a filter, not a top-k). */
+  def booleanSearch(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val idx = bm25IndexDocs(docs)
+    val terms = Lineage.cut(
+      queryTerms(
+        docs.filter(col("doc_id") % searchStride === 0)
+          .select(col("doc_id"), col("text")),
+        idx, boolTerms))
+    val nq = terms.groupBy(col("query_id")).agg(count(lit(1)).as("n_q"))
+    forwardIndex(docs)
+      .join(Hints.broadcastSmall(terms), "token")
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_matched"))
+      .join(Hints.broadcastSmall(nq), "query_id")
+      .filter(col("n_matched") === col("n_q"))
+      .select(col("query_id"), col("doc_id").as("neighbor_id"),
+        col("n_matched"))
+  }
+
+  /** Facet counts over the member BM25 result set: per query, how its
+    * top-k distributes over (lang, source) — the results-page facet
+    * panel, and a quick slice-skew readout. Joins only the k-per-query
+    * hit relation against the document metadata. */
+  def facetSearch(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val hits = bm25Probe(
+      docs.filter(col("doc_id") % searchStride === 0)
+        .select(col("doc_id"), col("text")),
+      bm25IndexDocs(docs))
+      .select(col("query_id"), col("neighbor_id"))
+    hits
+      .join(docs.select(col("doc_id"), col("lang"), col("source")),
+        col("neighbor_id") === col("doc_id"))
+      .groupBy(col("query_id"), col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_hits"))
   }
 
   /** Score a (query_id, token) term set against the pruned index — the
@@ -597,6 +649,8 @@ object Search {
     "x_search_rm3" -> rm3Search,
     "x_search_rm3_in" -> rm3IngestSearch,
     "x_search_snippet" -> snippetSearch,
+    "x_search_boolean" -> booleanSearch,
+    "x_search_facets" -> facetSearch,
     "x_search_ingest" -> bm25IngestTopK,
     "x_search_hybrid_rrf" -> hybridRrf,
     "x_search_hybrid_in" -> hybridIngest,
@@ -704,6 +758,28 @@ object Search {
            |                    list_position(scores, list_max(scores)) + ${snipW - 1}],
            |                  ' ') AS snippet
            |FROM sc2""".stripMargin),
+    "x_search_boolean" ->
+      // reuses the member CTE chain; `qsel` still holds ALL ranked query
+      // terms, so the boolean form applies its own (tighter) cut — and
+      // membership reads `tf` (the unpruned forward relation), NOT `pr`
+      (bm25Ctes("true", s"doc_id % $searchStride = 0") +
+        s""",
+           |bterms AS (SELECT query_id, token FROM qsel WHERE trk <= $boolTerms),
+           |nq AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_q
+           |       FROM bterms GROUP BY 1),
+           |bm AS (SELECT b.query_id, tf.doc_id, CAST(count(*) AS BIGINT) AS n_matched
+           |       FROM bterms b JOIN tf ON tf.token = b.token AND tf.doc_id <> b.query_id
+           |       GROUP BY 1, 2)
+           |SELECT bm.query_id, bm.doc_id AS neighbor_id, bm.n_matched
+           |FROM bm JOIN nq USING (query_id) WHERE bm.n_matched = nq.n_q""".stripMargin),
+    "x_search_facets" ->
+      (bm25Ctes("true", s"doc_id % $searchStride = 0") +
+        s""",
+           |hits AS (SELECT query_id, neighbor_id FROM rk WHERE rnk <= $topK),
+           |fc AS (SELECT h.query_id, dm.lang, dm.source, CAST(count(*) AS BIGINT) AS n_hits
+           |       FROM hits h JOIN documents dm ON dm.doc_id = h.neighbor_id
+           |       GROUP BY 1, 2, 3)
+           |SELECT query_id, lang, source, n_hits FROM fc""".stripMargin),
     "x_search_rm3" ->
       (bm25Ctes("true", s"doc_id % $searchStride = 0") + rm3Tail),
     "x_search_rm3_in" ->

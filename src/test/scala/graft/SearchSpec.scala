@@ -183,6 +183,48 @@ class SearchSpec extends SparkSpec {
     }
   }
 
+  test("boolean retrieval: every reported doc contains ALL selected terms") {
+    val docs = Tables.documents(spark, sf)
+    val idx = graft.ops.Search.bm25IndexDocs(docs)
+    val terms = graft.ops.Search.queryTerms(
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 100 === 0)
+        .select("doc_id", "text"),
+      idx, graft.ops.Search.boolTerms)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getString(1)).toSet }
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSet).toMap
+    val out = graft.ops.Search.booleanSearch(spark, sf)
+      .select("query_id", "neighbor_id", "n_matched").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (q, d) = (r.getLong(0), r.getLong(1))
+      assert(q != d, "self-match leaked")
+      assert(terms(q).subsetOf(texts(d)),
+        s"doc $d reported for query $q but lacks a required term")
+      assert(r.getLong(2) == terms(q).size.toLong)
+    }
+    // completeness: a doc containing all of some query's terms must appear
+    val got = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    terms.foreach { case (q, ts) =>
+      texts.foreach { case (d, toks) =>
+        if (d != q && ts.subsetOf(toks))
+          assert(got.contains((q, d)), s"conjunctive match ($q, $d) missing")
+      }
+    }
+  }
+
+  test("facets: per-query counts sum to that query's hit count") {
+    val hits = graft.ops.Search.bm25TopK(spark, sf)
+      .groupBy("query_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fc = graft.ops.Search.facetSearch(spark, sf)
+      .select("query_id", "n_hits").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).sum }
+    assert(fc.nonEmpty)
+    assert(fc == hits, "facet counts must partition the hit set exactly")
+  }
+
   test("query terms the corpus never saw retrieve nothing (no crash)") {
     val corpus = docsDf(1L -> "alpha beta", 2L -> "beta gamma")
     val idx = graft.ops.Search.bm25IndexDocs(corpus)
