@@ -10,6 +10,28 @@ case class Scored(score: Double, id: Long)
 /** One emitted neighbor with its 1-based rank. */
 case class RankedId(neighbor_id: Long, rnk: Long)
 
+/** One emitted neighbor with its score and 1-based rank — the
+  * score-preserving variant for callers that need the ranked VALUE back
+  * (e.g. the BM25 index build, where the survivor's impact IS the posting
+  * payload and a join-back against the corpus-sized scored relation would
+  * cost a second shuffle). */
+case class RankedScored(neighbor_id: Long, score: Double, rnk: Long)
+
+/** The shared (score DESC, id ASC) total order and bounded-buffer cut used
+  * by both aggregators — Spark SQL double semantics (NaN greatest,
+  * -0.0 == 0.0), identical to
+  * `row_number() OVER (ORDER BY score DESC, id ASC)`. */
+private[functions] object TopKOrder {
+  val desc: Ordering[Scored] = new Ordering[Scored] {
+    private def norm(x: Double): Double = if (x == 0.0) 0.0 else x
+    override def compare(a: Scored, b: Scored): Int = {
+      val c = java.lang.Double.compare(norm(b.score), norm(a.score))
+      if (c != 0) c else java.lang.Long.compare(a.id, b.id)
+    }
+  }
+  def best(buf: Seq[Scored], k: Int): Seq[Scored] = buf.sorted(desc).take(k)
+}
+
 /** Bounded-heap top-k as a typed [[Aggregator]] (registered via `udaf`, so
   * Catalyst plans it as a partial + final ObjectHashAggregate): each map-side
   * partition reduces its candidates to at most k before the exchange, so the
@@ -32,35 +54,54 @@ case class RankedId(neighbor_id: Long, rnk: Long)
   */
 class TopKAgg(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[RankedId]] {
 
-  private val sqlDescOrdering: Ordering[Scored] = new Ordering[Scored] {
-    // Spark SQL double semantics: NaN is greatest, -0.0 == 0.0.
-    private def norm(x: Double): Double = if (x == 0.0) 0.0 else x
-    override def compare(a: Scored, b: Scored): Int = {
-      val c = java.lang.Double.compare(norm(b.score), norm(a.score))
-      if (c != 0) c else java.lang.Long.compare(a.id, b.id)
-    }
-  }
-
-  private def best(buf: Seq[Scored]): Seq[Scored] =
-    buf.sorted(sqlDescOrdering).take(k)
-
   override def zero: Seq[Scored] = Vector.empty
 
   override def reduce(buf: Seq[Scored], in: Scored): Seq[Scored] = {
     val appended = buf :+ in
-    if (appended.length >= 4 * k) best(appended) else appended
+    if (appended.length >= 4 * k) TopKOrder.best(appended, k) else appended
   }
 
-  override def merge(a: Seq[Scored], b: Seq[Scored]): Seq[Scored] = best(a ++ b)
+  override def merge(a: Seq[Scored], b: Seq[Scored]): Seq[Scored] =
+    TopKOrder.best(a ++ b, k)
 
   override def finish(buf: Seq[Scored]): Seq[RankedId] =
-    best(buf).zipWithIndex.map { case (s, i) => RankedId(s.id, i + 1L) }
+    TopKOrder.best(buf, k).zipWithIndex.map { case (s, i) => RankedId(s.id, i + 1L) }
 
   override def bufferEncoder: Encoder[Seq[Scored]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
 
   override def outputEncoder: Encoder[Seq[RankedId]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[RankedId]]()
+}
+
+/** [[TopKAgg]] with the survivor's SCORE kept in the output — same bounded
+  * buffer, same (score DESC, id ASC) order, same partial/final
+  * ObjectHashAggregate planning. Exists so a caller whose ranked value IS
+  * the payload (the BM25 impact-pruned index build) gets the cut AND the
+  * value in one aggregation instead of a window sort or a join-back
+  * shuffle against the full scored relation. */
+class TopKScoredAgg(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[RankedScored]] {
+
+  override def zero: Seq[Scored] = Vector.empty
+
+  override def reduce(buf: Seq[Scored], in: Scored): Seq[Scored] = {
+    val appended = buf :+ in
+    if (appended.length >= 4 * k) TopKOrder.best(appended, k) else appended
+  }
+
+  override def merge(a: Seq[Scored], b: Seq[Scored]): Seq[Scored] =
+    TopKOrder.best(a ++ b, k)
+
+  override def finish(buf: Seq[Scored]): Seq[RankedScored] =
+    TopKOrder.best(buf, k).zipWithIndex.map { case (s, i) =>
+      RankedScored(s.id, s.score, i + 1L)
+    }
+
+  override def bufferEncoder: Encoder[Seq[Scored]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
+
+  override def outputEncoder: Encoder[Seq[RankedScored]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[RankedScored]]()
 }
 
 object TopK {
@@ -75,6 +116,20 @@ object TopK {
       .agg(agg(col(scoreCol), col(idCol)).as("top"))
       .select(col(groupCol), explode(col("top")).as("t"))
       .select(col(groupCol), col("t.neighbor_id").as("neighbor_id"), col("t.rnk").as("rnk"))
+  }
+
+  /** Score-preserving form of [[topK]]: output columns
+    * (groupCol, neighbor_id, score, rnk) — one bounded-heap aggregation,
+    * no join-back needed to recover the ranked value. */
+  def topKScored(scored: DataFrame, groupCol: String, scoreCol: String,
+      idCol: String, k: Int): DataFrame = {
+    val agg = udaf(new TopKScoredAgg(k), Encoders.product[Scored])
+    scored
+      .groupBy(col(groupCol))
+      .agg(agg(col(scoreCol), col(idCol)).as("top"))
+      .select(col(groupCol), explode(col("top")).as("t"))
+      .select(col(groupCol), col("t.neighbor_id").as("neighbor_id"),
+        col("t.score").as("score"), col("t.rnk").as("rnk"))
   }
 
   /** Column form for composition in ad-hoc aggregations. */

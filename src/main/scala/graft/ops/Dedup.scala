@@ -149,7 +149,7 @@ object Dedup {
   // 8 bands of 2 rows: P(candidate) = 1-(1-J²)^8 ≈ 0.90 at J=0.5 (the 4-band
   // variant sat at 0.68 — too thin for a dedup recall target). Signature cost
   // stays O(nSeeds) md5s per shingle, map-side.
-  private val nSeeds = 16
+  private[graft] val nSeeds = 16
   private val bandSize = 2
 
   /** 2^31-1: Mersenne prime for the Kirsch-Mitzenmacher hash family. */
@@ -188,16 +188,20 @@ object Dedup {
   private val sigMemo =
     scala.collection.concurrent.TrieMap.empty[(Long, String), String]
 
-  /** The per-session materialized signature index ([[sigMemo]]). */
-  private def signatures(s: SparkSession, d: String): DataFrame = {
-    val key = (SpillMemo.sessionId(s), d)
-    val path = sigMemo.synchronized(sigMemo.getOrElseUpdate(key, {
-      val out = SpillMemo.scratchDir("graft-minhashsig-")
-      minhashSignatures(s, d).write.mode("overwrite").parquet(out)
-      out
-    }))
-    s.read.parquet(path)
-  }
+  /** The per-session materialized signature index ([[sigMemo]]) — or the
+    * cross-session [[IndexStore]] copy when one is configured (the
+    * "persists beside its corpus" deployment this scaladoc describes,
+    * made real; `IndexPersistSpec` pins mode equality). */
+  private[graft] def signatures(s: SparkSession, d: String): DataFrame =
+    IndexStore.read(s, IndexStore.minhashSignatures).getOrElse {
+      val key = (SpillMemo.sessionId(s), d)
+      val path = sigMemo.synchronized(sigMemo.getOrElseUpdate(key, {
+        val out = SpillMemo.scratchDir("graft-minhashsig-")
+        minhashSignatures(s, d).write.mode("overwrite").parquet(out)
+        out
+      }))
+      s.read.parquet(path)
+    }
 
   /** MinHash + LSH banding: docs sharing any of the 8 band keys become a
     * candidate pair. This is the scale path for near-dedup — signature is

@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Cross-session persistence for the SERVING INDEXES (round-13 verdict #6).
+  *
+  * Every serving index in the library — the pruned BM25 postings +
+  * forward relation ([[Search]]), the navigable neighbor graph
+  * ([[Similarity]]), the MinHash signature table ([[Dedup]]) — is derived
+  * once per session and memoized to scratch parquet ([[SpillMemo]]): right
+  * for a single analytical session, wrong for a deployment, where an index
+  * is built ONCE per corpus snapshot and served across sessions, restarts
+  * and executors for days. This object is the read side of that posture:
+  *
+  *  - `graft.tools.IndexBuild` derives every index for a corpus dir and
+  *    writes them under one store directory (one parquet dataset per
+  *    relation + `INDEX_META.json` recording the build's tunables);
+  *  - a serving session sets `spark.graft.indexDir` to that directory and
+  *    every consumer ([[Search.ingestIndex]], [[Similarity]]'s nav graph,
+  *    [[Dedup]]'s signatures) READS its relation instead of deriving it —
+  *    at 100 TB the difference between opening posting lists and
+  *    re-tokenizing the corpus at session start.
+  *
+  * Partial stores are legal: a consumer whose relation is absent falls
+  * back to its session-memo derivation (so a store built for lexical
+  * serving doesn't force a graph build). A CONFIGURED BUT MISSING store
+  * directory fails loudly — that is a typo, not a choice. Both modes
+  * produce identical answers (`IndexPersistSpec` pins it): the persisted
+  * relations are exactly the memoized ones, and every downstream probe is
+  * deterministic in the relation's row SET, not its layout. */
+object IndexStore {
+
+  /** Conf key: directory of a persisted index store written by
+    * `graft.tools.IndexBuild`. Unset ⇒ session-memo derivation. */
+  val indexDirConf = "spark.graft.indexDir"
+
+  /** Relation names — ONE list shared by the build tool and the readers so
+    * the layout cannot drift. */
+  val bm25Postings = "bm25_postings"
+  val bm25TokenDf = "bm25_token_df"
+  val bm25Stats = "bm25_stats"
+  val bm25Forward = "bm25_forward"
+  val navGraph = "nav_graph"
+  val minhashSignatures = "minhash_signatures"
+
+  private def fs(s: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  /** The configured store root, validated to exist (a configured-but-
+    * missing store is a deployment error, never a silent re-derive). */
+  private def root(s: SparkSession): Option[String] =
+    s.conf.getOption(indexDirConf).filter(_.nonEmpty).map { base =>
+      val p = new org.apache.hadoop.fs.Path(base)
+      require(fs(s, p).exists(p),
+        s"$indexDirConf points at $base, which does not exist — " +
+          "build the store with graft.tools.IndexBuild")
+      base
+    }
+
+  /** Read a persisted relation, or None when no store is configured or
+    * this store does not carry `name` (partial stores are legal). */
+  def read(s: SparkSession, name: String): Option[DataFrame] =
+    root(s).flatMap { base =>
+      val p = new org.apache.hadoop.fs.Path(s"$base/$name")
+      if (fs(s, p).exists(p)) Some(s.read.parquet(p.toString)) else None
+    }
+}

@@ -112,12 +112,21 @@ object Search {
     * OVER tf (already per-(doc, token) distinct / already counted), so the
     * corpus text is scanned once per relation Spark materializes, never
     * re-joined to itself. The per-posting impact is computed HERE (index
-    * build time) and each list pruned to its [[prunePerTerm]] top impacts;
-    * the per-token window is the offline index-build sort — paid once per
-    * corpus snapshot, the `x_zorder_layout` stance, with partitions
-    * bounded by df (at extreme single-token skew the bounded-heap
-    * [[graft.functions.TopKAgg]] plus a merge-join-back gives the same cut
-    * at the same one-shuffle cost). */
+    * build time) and each list pruned to its [[prunePerTerm]] top impacts
+    * through the bounded-heap [[graft.functions.TopKScoredAgg]]: each
+    * map-side partition reduces a token's candidates to ≤ cap BEFORE the
+    * exchange, so a skewed token (this fixture's 31-token vocabulary with
+    * df ≈ 0.87·N is the worst case by construction) costs per-partition
+    * heaps of 256, never a df-sized single-task window sort — a
+    * `row_number` prune here put each token's ENTIRE posting list in one
+    * window partition, capping build parallelism at |vocab| tasks and
+    * making each a multi-GB sort at 100 TB. The survivor's impact rides
+    * through the heap as the exact double of an integer milli-score
+    * (< 2⁵³ — lossless both ways), so no join-back against the
+    * corpus-sized scored relation is needed; the pruned OUTPUT is
+    * bit-identical to the window formulation (same (imp_m DESC, doc_id
+    * ASC) total order — `SearchSpec` pins the equality and the plan
+    * shape). */
   private[graft] def bm25IndexDocs(corpusDocs: DataFrame): Bm25Index = {
     val tf = tokens(corpusDocs)
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
@@ -127,14 +136,14 @@ object Search {
     val stats = dlr.agg(sum(col("dl")).as("dl_sum")).crossJoin(nd)
       .select(col("n_docs"),
         (col("dl_sum").cast("double") / col("n_docs")).as("avgdl"))
-    val pruneW = Window.partitionBy(col("token"))
-      .orderBy(col("imp_m").desc, col("doc_id").asc)
-    val postings = tf.join(dfr, "token").join(dlr, "doc_id")
-      .crossJoin(broadcast(stats))
-      .withColumn("imp_m", expr(scoreSql))
-      .withColumn("prk", row_number().over(pruneW))
-      .filter(col("prk") <= prunePerTerm)
-      .select(col("token"), col("doc_id"), col("imp_m"))
+    val postings = TopK.topKScored(
+      tf.join(dfr, "token").join(dlr, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("imp_m", expr(scoreSql))
+        .select(col("token"), col("imp_m").cast("double").as("score"), col("doc_id")),
+      "token", "score", "doc_id", prunePerTerm)
+      .select(col("token"), col("neighbor_id").as("doc_id"),
+        col("score").cast("bigint").as("imp_m"))
     Bm25Index(postings, dfr, stats)
   }
 
@@ -142,13 +151,22 @@ object Search {
     * (arriving docs are NOT in it — df/avgdl/postings all exclude them,
     * the [[Similarity.ingestGraphIndex]] stance), each relation
     * lineage-cut so the streamed twin's triggers read materialized blocks
-    * instead of re-deriving the index per micro-batch. */
-  private[graft] def ingestIndex(s: SparkSession, d: String): Bm25Index = {
-    val idx = bm25IndexDocs(
-      Tables.documents(s, d).filter(col("doc_id") % Similarity.knnBatchMod =!= 7))
-    Bm25Index(Lineage.cut(idx.postings), Lineage.cut(idx.tokenDf),
-      Lineage.cut(idx.stats))
-  }
+    * instead of re-deriving the index per micro-batch. When an
+    * [[IndexStore]] is configured and carries the trio, it is READ from
+    * the persisted layout instead (already materialized — parquet scans
+    * need no cut): the build-once/serve-many deployment posture,
+    * identical answers pinned by `IndexPersistSpec`. */
+  private[graft] def ingestIndex(s: SparkSession, d: String): Bm25Index =
+    (IndexStore.read(s, IndexStore.bm25Postings),
+      IndexStore.read(s, IndexStore.bm25TokenDf),
+      IndexStore.read(s, IndexStore.bm25Stats)) match {
+      case (Some(p), Some(t), Some(st)) => Bm25Index(p, t, st)
+      case _ =>
+        val idx = bm25IndexDocs(
+          Tables.documents(s, d).filter(col("doc_id") % Similarity.knnBatchMod =!= 7))
+        Bm25Index(Lineage.cut(idx.postings), Lineage.cut(idx.tokenDf),
+          Lineage.cut(idx.stats))
+    }
 
   /** Term selection: tf·N/df over the QUERY's own term frequencies, df
     * from the index (tokens the corpus never saw can't retrieve — inner
@@ -371,12 +389,13 @@ object Search {
 
   /** The static relations for RM3 serving at ingest: the pruned lexical
     * index plus the standing corpus's forward relation, all lineage-cut
-    * once. */
+    * once (or read from the persisted layout under [[indexDirConf]]). */
   private[graft] def rm3IngestIndex(
       s: SparkSession, d: String): (Bm25Index, DataFrame) = {
     val idx = ingestIndex(s, d)
-    val fwd = Lineage.cut(forwardIndex(Tables.documents(s, d)
-      .filter(col("doc_id") % Similarity.knnBatchMod =!= 7)))
+    val fwd = IndexStore.read(s, IndexStore.bm25Forward).getOrElse(
+      Lineage.cut(forwardIndex(Tables.documents(s, d)
+        .filter(col("doc_id") % Similarity.knnBatchMod =!= 7))))
     (idx, fwd)
   }
 
@@ -642,9 +661,94 @@ object Search {
       .agg(count(lit(1)).as("n_occ"), min(col("pos")).as("first_pos"))
   }
 
+  /** Per-length workload width for the N-TOKEN form: the top
+    * [[nPerLen]] bigrams AND top [[nPerLen]] trigrams. */
+  private[graft] val nPerLen = 2
+
+  /** N-token phrase search over the SAME positional inverted index —
+    * round-13 verdict #3: real phrase queries are 2-5 tokens, and
+    * [[phraseIndexSearch]]'s single bigram join generalizes by ITERATING
+    * the consecutive-position intersection, one join per additional
+    * token, over one (token, doc_id, pos) postings relation. The workload
+    * is the corpus's top-[[nPerLen]] bigrams plus top-[[nPerLen]] trigrams
+    * (deterministic cut, ties on the words), so mixed lengths exercise the
+    * iteration without a config knob.
+    *
+    * Plan shape (the 100 TB story): the phrase tables are ≤ [[nPerLen]]-row
+    * broadcasts; EVERY postings scan is double-pruned — the position-1
+    * scan by the broadcast phrase join itself, each position-i scan by a
+    * broadcast semi-join on the tokens occurring at position i of any
+    * phrase (w_i is a per-row column in the equi-join condition, so
+    * Catalyst cannot prune that scan from the condition alone — the
+    * [[phraseIndexSearch]] lesson, applied per position). Each iteration
+    * shuffles only the already-intersected candidate list (monotonically
+    * shrinking) against one pruned posting slice on (doc_id, pos) — never
+    * a corpus text rescan per phrase. Output: one row per (phrase, doc)
+    * with the phrase spelled out, its token count, occurrence count and
+    * first 1-based match position — `SearchSpec` pins set-equality with
+    * the exhaustive in-row scan. */
+  def phraseIndexSearchN(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val postings = base
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("p0", "token")))
+      .filter(length(col("token")) > 0)
+      .select(col("doc_id"), col("token"), (col("p0") + 1).cast("long").as("pos"))
+    // top-nPerLen n-grams for n = 2, 3: one in-row transform each, counted
+    // globally; the cut is deterministic (count desc, then the words)
+    def topNgrams(n: Int): DataFrame = {
+      val structFields = (0 until n)
+        .map(i => s"element_at(w, i + $i) AS w$i").mkString(", ")
+      val nonEmpty = (0 until n)
+        .map(i => col(s"g.w$i")).map(length(_) > 0).reduce(_ && _)
+      base
+        .select(explode(expr(
+          s"transform(CASE WHEN size(w) < $n THEN CAST(array() AS ARRAY<INT>) " +
+            s"ELSE sequence(1, size(w) - ${n - 1}) END, " +
+            s"i -> struct($structFields))")).as("g"))
+        .filter(nonEmpty)
+        .groupBy((0 until n).map(i => col(s"g.w$i").as(s"w$i")): _*)
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc +: (0 until n).map(i => col(s"w$i").asc): _*)
+        .limit(nPerLen)
+        .select((0 until n).map(i => col(s"w$i")) :+
+          lit(n).cast("int").as("n_words"): _*)
+    }
+    // iterated consecutive-position intersection for one phrase length:
+    // seed = position-1 postings ⨝ broadcast phrases; each further position
+    // joins a semi-join-pruned postings slice on (doc, pos + i)
+    def intersect(phrases: DataFrame, n: Int): DataFrame = {
+      var cand = postings
+        .join(broadcast(phrases), col("token") === col("w0"))
+        .select(Seq(col("doc_id"), col("pos")) ++
+          (0 until n).map(i => col(s"w$i")): _*)
+      for (i <- 1 until n) {
+        val slice = postings
+          .join(broadcast(phrases.select(col(s"w$i").as("pw")).distinct()),
+            col("token") === col("pw"), "left_semi")
+          .select(col("token").as(s"t$i"), col("doc_id").as(s"d$i"),
+            col("pos").as(s"p$i"))
+        cand = cand.join(slice,
+          col(s"t$i") === col(s"w$i") && col(s"d$i") === col("doc_id") &&
+            col(s"p$i") === col("pos") + i)
+          .select(Seq(col("doc_id"), col("pos")) ++
+            (0 until n).map(j => col(s"w$j")): _*)
+      }
+      cand
+        .groupBy(col("doc_id") +: (0 until n).map(i => col(s"w$i")): _*)
+        .agg(count(lit(1)).as("n_occ"), min(col("pos")).as("first_pos"))
+        .select(
+          concat_ws(" ", (0 until n).map(i => col(s"w$i")): _*).as("phrase"),
+          lit(n.toLong).as("n_words"), col("doc_id"), col("n_occ"),
+          col("first_pos"))
+    }
+    intersect(topNgrams(2), 2).unionByName(intersect(topNgrams(3), 3))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_search_phrase" -> phraseSearch,
     "x_search_phrase_idx" -> phraseIndexSearch,
+    "x_search_phrase_n" -> phraseIndexSearchN,
     "x_search_bm25" -> bm25TopK,
     "x_search_rm3" -> rm3Search,
     "x_search_rm3_in" -> rm3IngestSearch,
@@ -728,6 +832,47 @@ object Search {
          |SELECT w1, w2, doc_id, CAST(count(*) AS BIGINT) AS n_occ,
          |       CAST(min(pos) AS BIGINT) AS first_pos
          |FROM m GROUP BY 1, 2, 3""".stripMargin,
+    // Mirrors the iterated intersection: postings CTE, per-length top
+    // n-gram cuts (count desc, then the words), one position join per
+    // additional token, unioned across lengths.
+    "x_search_phrase_n" ->
+      s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |pidx AS (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM base),
+         |post AS (SELECT doc_id, w[i] AS token, CAST(i AS BIGINT) AS pos
+         |         FROM pidx WHERE length(w[i]) > 0),
+         |pos2 AS (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM base),
+         |bi AS (SELECT w[i] AS w0, w[i + 1] AS w1 FROM pos2
+         |       WHERE length(w[i]) > 0 AND length(w[i + 1]) > 0),
+         |bc AS (SELECT w0, w1, count(*) AS c FROM bi GROUP BY 1, 2),
+         |ph2 AS (SELECT w0, w1 FROM bc ORDER BY c DESC, w0 ASC, w1 ASC LIMIT $nPerLen),
+         |pos3 AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM base),
+         |tri AS (SELECT w[i] AS w0, w[i + 1] AS w1, w[i + 2] AS w2 FROM pos3
+         |        WHERE length(w[i]) > 0 AND length(w[i + 1]) > 0 AND length(w[i + 2]) > 0),
+         |tc AS (SELECT w0, w1, w2, count(*) AS c FROM tri GROUP BY 1, 2, 3),
+         |ph3 AS (SELECT w0, w1, w2 FROM tc
+         |        ORDER BY c DESC, w0 ASC, w1 ASC, w2 ASC LIMIT $nPerLen),
+         |m2 AS (SELECT p.w0, p.w1, a.doc_id, a.pos
+         |       FROM ph2 p JOIN post a ON a.token = p.w0
+         |       JOIN post b ON b.token = p.w1 AND b.doc_id = a.doc_id
+         |         AND b.pos = a.pos + 1),
+         |m3 AS (SELECT p.w0, p.w1, p.w2, a.doc_id, a.pos
+         |       FROM ph3 p JOIN post a ON a.token = p.w0
+         |       JOIN post b ON b.token = p.w1 AND b.doc_id = a.doc_id
+         |         AND b.pos = a.pos + 1
+         |       JOIN post c3 ON c3.token = p.w2 AND c3.doc_id = a.doc_id
+         |         AND c3.pos = a.pos + 2),
+         |r2 AS (SELECT w0 || ' ' || w1 AS phrase, CAST(2 AS BIGINT) AS n_words,
+         |         doc_id, CAST(count(*) AS BIGINT) AS n_occ,
+         |         CAST(min(pos) AS BIGINT) AS first_pos
+         |       FROM m2 GROUP BY 1, 2, 3),
+         |r3 AS (SELECT w0 || ' ' || w1 || ' ' || w2 AS phrase,
+         |         CAST(3 AS BIGINT) AS n_words, doc_id,
+         |         CAST(count(*) AS BIGINT) AS n_occ,
+         |         CAST(min(pos) AS BIGINT) AS first_pos
+         |       FROM m3 GROUP BY 1, 2, 3)
+         |SELECT phrase, n_words, doc_id, n_occ, first_pos FROM r2
+         |UNION ALL
+         |SELECT phrase, n_words, doc_id, n_occ, first_pos FROM r3""".stripMargin,
     "x_search_bm25" ->
       (bm25Ctes("true", s"doc_id % $searchStride = 0") + bm25Tail),
     "x_search_ingest" ->

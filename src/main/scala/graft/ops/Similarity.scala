@@ -516,7 +516,7 @@ object Similarity {
     * SemDeDup k (SCALE.md §knn). Both graph forms and both oracle SQL
     * builders take it as a parameter defaulting to this value, so retuning
     * is one argument on both sides; KnnBitsSpec runs two widths. */
-  private[ops] val knnBits = 6
+  private[graft] val knnBits = 6
   private[ops] val knnK = 3
   private[ops] val knnQuant = 100
 
@@ -760,15 +760,20 @@ object Similarity {
     * partition on bucket, no corpus broadcast), and the memoized edge list
     * is (n·degree) rows — the index a 100 TB deployment persists next to
     * the corpus snapshot. */
-  private def navGraph(s: SparkSession, d: String): DataFrame = {
-    val key = (SpillMemo.sessionId(s), d)
-    val path = navMemo.synchronized(navMemo.getOrElseUpdate(key, {
-      val out = SpillMemo.scratchDir("graft-navgraph-")
-      computeNavGraph(s, d).write.mode("overwrite").parquet(out)
-      out
-    }))
-    s.read.parquet(path)
-  }
+  private[graft] def navGraph(s: SparkSession, d: String): DataFrame =
+    // a configured IndexStore outranks the session memo: the graph is THE
+    // "index a 100 TB deployment persists next to the corpus snapshot"
+    // this scaladoc has always described — IndexBuild writes it, serving
+    // sessions read it across restarts (IndexPersistSpec pins equality)
+    IndexStore.read(s, IndexStore.navGraph).getOrElse {
+      val key = (SpillMemo.sessionId(s), d)
+      val path = navMemo.synchronized(navMemo.getOrElseUpdate(key, {
+        val out = SpillMemo.scratchDir("graft-navgraph-")
+        computeNavGraph(s, d).write.mode("overwrite").parquet(out)
+        out
+      }))
+      s.read.parquet(path)
+    }
 
   private def computeNavGraph(s: SparkSession, d: String): DataFrame = {
     // Buckets and the degenerate-vector guard come from [[knnRelation]];

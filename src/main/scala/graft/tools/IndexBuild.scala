@@ -1,0 +1,95 @@
+package graft.tools
+
+import graft.ops.{Dedup, IndexStore, Search, Similarity}
+import org.apache.spark.sql.SparkSession
+
+/** Build every serving index for a corpus snapshot and persist it under one
+  * [[graft.ops.IndexStore]] directory — the build half of the
+  * build-once/serve-many posture (round-13 verdict #6):
+  *
+  *  - `bm25_postings` / `bm25_token_df` / `bm25_stats`: the impact-pruned
+  *    lexical index over the STANDING corpus ([[graft.ops.Search.ingestIndex]]
+  *    exactly — arriving docs excluded, so streamed serving reads it as-is);
+  *  - `bm25_forward`: the standing corpus's forward (doc → term) relation
+  *    RM3 feedback mining needs;
+  *  - `nav_graph`: the navigable neighbor graph the beam searches traverse
+  *    (FULL graph — consumers apply their own standing/arriving splits);
+  *  - `minhash_signatures`: the MinHash signature table the LSH dedup
+  *    family bands and probes.
+  *
+  * `INDEX_META.json` records the source dir and the build tunables baked
+  * into the persisted rows (prune depth, bands, graph degree …): a serving
+  * session whose code constants differ from the recorded ones is reading an
+  * index built for a different configuration — the meta makes that
+  * auditable instead of silent.
+  *
+  * Usage: `runMain graft.tools.IndexBuild <sfDir> <storeDir>`
+  * then serve with `spark.graft.indexDir=<storeDir>`. */
+object IndexBuild {
+
+  /** Library form (also what `IndexPersistSpec` drives): derive every
+    * serving index for `sfDir` and write the store at `storeDir`. The
+    * session must NOT have an IndexStore configured — the build derives
+    * from the corpus; reading a store while building one would silently
+    * copy instead of build. */
+  def buildTo(s: SparkSession, sfDir: String, storeDir: String): Unit = {
+    require(s.conf.getOption(IndexStore.indexDirConf).forall(_.isEmpty),
+      s"unset ${IndexStore.indexDirConf} while building — the build must " +
+        "derive from the corpus, not read an existing store")
+    val idx = Search.ingestIndex(s, sfDir)
+    idx.postings.write.mode("overwrite")
+      .parquet(s"$storeDir/${IndexStore.bm25Postings}")
+    idx.tokenDf.write.mode("overwrite")
+      .parquet(s"$storeDir/${IndexStore.bm25TokenDf}")
+    idx.stats.write.mode("overwrite")
+      .parquet(s"$storeDir/${IndexStore.bm25Stats}")
+    val (_, fwd) = Search.rm3IngestIndex(s, sfDir)
+    fwd.write.mode("overwrite").parquet(s"$storeDir/${IndexStore.bm25Forward}")
+    Similarity.navGraph(s, sfDir).write.mode("overwrite")
+      .parquet(s"$storeDir/${IndexStore.navGraph}")
+    Dedup.signatures(s, sfDir).write.mode("overwrite")
+      .parquet(s"$storeDir/${IndexStore.minhashSignatures}")
+    val meta =
+      s"""{
+         |  "version": 1,
+         |  "source": "$sfDir",
+         |  "built_utc": "${java.time.Instant.now()}",
+         |  "tunables": {
+         |    "bm25_prune_per_term": ${Search.prunePerTerm},
+         |    "bm25_standing_mod": ${Similarity.knnBatchMod},
+         |    "knn_bits": ${Similarity.knnBits},
+         |    "graph_degree": ${Similarity.graphDegree},
+         |    "minhash_seeds": ${Dedup.nSeeds}
+         |  }
+         |}
+         |""".stripMargin
+    val p = new org.apache.hadoop.fs.Path(s"$storeDir/INDEX_META.json")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(meta.getBytes("UTF-8")) finally out.close()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0); val storeDir = args(1)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", graft.functions.GraftFunctions.extensionsClass)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.Logs.quietBenignWarnings()
+    try {
+      buildTo(spark, sfDir, storeDir)
+      // a quick inventory line so the operator sees what landed
+      Seq(IndexStore.bm25Postings, IndexStore.bm25TokenDf, IndexStore.bm25Stats,
+        IndexStore.bm25Forward, IndexStore.navGraph, IndexStore.minhashSignatures)
+        .foreach { name =>
+          val n = spark.read.parquet(s"$storeDir/$name").count()
+          println(s"[index-build] $name: $n rows")
+        }
+    } finally spark.stop()
+  }
+}

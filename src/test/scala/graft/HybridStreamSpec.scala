@@ -55,6 +55,33 @@ class HybridStreamSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("checkpoint replay: re-writing the last delta over its own output is a no-op") {
+    // The recovery situation for a foreachBatch sink: after a crash between
+    // the delta write and the commit-log append, the restarted query
+    // re-invokes foreachBatch with the SAME batch id. The probe is
+    // stream-static stateless, so the recomputed delta is identical and the
+    // id-keyed overwrite must leave the resolved table unmoved — the
+    // GraphInsertStreamSpec precedent, applied to the serving tier.
+    val (idx, c, emb) = graft.ops.Search.hybridIngestIndex(spark, sf)
+    val arriving = Tables.documents(spark, sf)
+      .filter($"doc_id" % graft.ops.Similarity.knnBatchMod === 7)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val (c1, c2) = arriving.splitAt(arriving.size / 2)
+    val sink = graft.ops.SpillMemo.scratchDir("graft-shybrid-rp-") + "/sink"
+    def delta(rows: Seq[(Long, String)]) = graft.ops.Search.hybridProbe(
+      spark.createDataset(rows).toDF("doc_id", "text"), idx, c, emb)
+    graft.streaming.UpsertSink.writeBatch(delta(c1), 0, sink)
+    graft.streaming.UpsertSink.writeBatch(delta(c2), 1, sink)
+    val before = answers(graft.streaming.UpsertSink
+      .resolve(spark, sink, Seq("query_id", "rnk")))
+    assert(before == answers(graft.ops.Search.hybridIngest(spark, sf)))
+    graft.streaming.UpsertSink.writeBatch(delta(c2), 1, sink) // the replay
+    val after = answers(graft.streaming.UpsertSink
+      .resolve(spark, sink, Seq("query_id", "rnk")))
+    assert(after == before, "replaying a delta over its own output moved the answers")
+    assert(after.nonEmpty)
+  }
+
   test("the embedding lookup gates service; legs fuse within bounds") {
     val out = graft.ops.Search.hybridIngest(spark, sf).collect()
     assert(out.nonEmpty)

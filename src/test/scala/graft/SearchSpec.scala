@@ -134,6 +134,62 @@ class SearchSpec extends SparkSpec {
     assert(out == truth, "indexed intersection diverged from the exhaustive scan")
   }
 
+  test("n-token phrase search: mixed bigram+trigram workload equals the exhaustive scan") {
+    val out = graft.ops.Search.phraseIndexSearchN(spark, sf)
+      .select("phrase", "n_words", "doc_id", "n_occ", "first_pos").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(out.nonEmpty)
+    val lens = out.map(_._2)
+    assert(lens == Set(2L, 3L), s"workload must mix bigrams and trigrams, got lengths $lens")
+    assert(out.count(t => t._2 == 2L) > 0 && out.count(t => t._2 == 3L) > 0)
+    // phrase token count must match its declared length
+    out.foreach { case (p, n, _, _, _) =>
+      assert(p.split(" ", -1).length.toLong == n, s"phrase '$p' is not $n tokens")
+    }
+
+    // exhaustive in-driver recompute: top-2 n-grams per length, then every
+    // (phrase, doc) occurrence list from the raw token arrays
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1))
+    def topGrams(n: Int): Seq[Seq[String]] = {
+      val grams = texts.flatMap { case (_, w) =>
+        (0 to w.length - n).map(i => w.slice(i, i + n).toSeq)
+          .filter(_.forall(_.nonEmpty))
+      }
+      grams.groupBy(identity).toSeq
+        .map { case (g, xs) => (g, xs.length.toLong) }
+        // token-WISE tie order (count desc, then each word asc) — the
+        // engines compare columns, not a joined string
+        .sortBy { case (g, c) =>
+          (-c, g.head, g(1), if (g.length > 2) g(2) else "")
+        }
+        .take(graft.ops.Search.nPerLen).map(_._1)
+    }
+    val truth = (for {
+      n <- Seq(2, 3)
+      g <- topGrams(n)
+      (id, w) <- texts
+      hits = (0 to w.length - n).filter(i => w.slice(i, i + n).sameElements(g))
+      if hits.nonEmpty
+    } yield (g.mkString(" "), n.toLong, id, hits.length.toLong, hits.head + 1L)).toSet
+    assert(out == truth, "iterated intersection diverged from the exhaustive scan")
+  }
+
+  test("n-token phrase plan: postings scans pruned, phrase tables broadcast") {
+    val plan = graft.ops.Search.phraseIndexSearchN(spark, sf)
+      .queryExecution.executedPlan.toString
+    // every position-i postings slice reaches the join pre-pruned: the
+    // position-1 scan through the broadcast phrase join, the rest through
+    // broadcast LEFT SEMI joins on that position's token set
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"postings slices must be broadcast-semi-pruned:\n$plan")
+    // the corpus-sized intersection joins shuffle postings, never re-scan
+    // text per phrase: no CartesianProduct / BroadcastNestedLoopJoin
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"phrase matching must stay equi-join shaped:\n$plan")
+  }
+
   test("RM3 expands with feedback terms: wider matches, original ranks perturbed") {
     val r1 = graft.ops.Search.bm25TopK(spark, sf)
       .select("query_id", "neighbor_id", "n_terms", "rnk").collect()
@@ -223,6 +279,47 @@ class SearchSpec extends SparkSpec {
       .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).sum }
     assert(fc.nonEmpty)
     assert(fc == hits, "facet counts must partition the hit set exactly")
+  }
+
+  test("index-build prune: bounded heap equals the window formulation where the cut bites; no WindowExec in the postings plan") {
+    // 600 docs sharing one hot token (df ≫ prunePerTerm = 256) with varying
+    // tf, plus a unique token per doc — the prune MUST drop 344 postings of
+    // the hot list and keep every unique-token posting.
+    val corpus = (0L until 600L).map { id =>
+      val reps = 1 + (id % 7).toInt // varied tf ⇒ varied impacts + ties
+      (id, (Seq.fill(reps)("hot") :+ s"u$id").mkString(" "))
+    }.toDF("doc_id", "text")
+    val postings = graft.ops.Search.bm25IndexDocs(corpus).postings
+    val got = postings.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+    // the reference cut, spelled as the row_number window the build replaced
+    val tf = corpus.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfr = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val dlr = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = dlr.agg(sum(col("dl")).as("dl_sum"))
+      .crossJoin(corpus.agg(count(lit(1)).as("n_docs")))
+      .select(col("n_docs"), (col("dl_sum").cast("double") / col("n_docs")).as("avgdl"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("token")).orderBy(col("imp_m").desc, col("doc_id").asc)
+    val expected = tf.join(dfr, "token").join(dlr, "doc_id").crossJoin(stats)
+      .withColumn("imp_m", expr(graft.ops.Search.scoreSql))
+      .withColumn("prk", row_number().over(w))
+      .filter(col("prk") <= 256)
+      .select("token", "doc_id", "imp_m").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(expected.count(_._1 == "hot") == 256, "fixture must make the prune bite")
+    assert(got == expected, "bounded-heap prune diverged from the window formulation")
+
+    // the scale pin: the index build must never plan a window sort over the
+    // postings relation (the df-partitioned single-task sort this replaced)
+    val plan = postings.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"postings build regressed to a window prune:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"),
+      s"postings build must be the partial+final bounded-heap aggregation:\n$plan")
   }
 
   test("query terms the corpus never saw retrieve nothing (no crash)") {

@@ -52,4 +52,45 @@ class SearchStreamSpec extends SparkSpec {
     assert(streamed == batch)
     assert(streamed.nonEmpty)
   }
+
+  test("stop mid-ingest + restart from checkpoint converges to the batch search") {
+    // Round-13 verdict #5: the stateful streams have restart goldens but the
+    // serving streams had none. Half the arrivals exist when the first run
+    // drains; the rest land while the query is down. The restarted query
+    // (SAME checkpoint) must probe only the new file, and the resolved sink
+    // must equal the one-shot batch search — exactly-once serving across a
+    // restart with arrivals in the gap.
+    val scratch = graft.ops.SpillMemo.scratchDir("graft-ssearch-r-")
+    val src = s"$scratch/src"
+    val idx = graft.ops.Search.ingestIndex(spark, sf)
+    val arriving = Tables.documents(spark, sf)
+      .filter($"doc_id" % graft.ops.Similarity.knnBatchMod === 7)
+      .select("doc_id", "text")
+    arriving.filter($"doc_id" % 20 === 7).coalesce(1).write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    def run(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(src).writeStream
+        .option("checkpointLocation", s"$scratch/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: Dataset[Row], id: Long) =>
+          graft.streaming.UpsertSink.writeBatch(
+            graft.ops.Search.bm25Probe(b.toDF(), idx), id, s"$scratch/sink")
+        }
+        .start()
+      q.awaitTermination()
+    }
+    run() // drains the first half, stops
+    val firstHalf = answers(graft.streaming.UpsertSink
+      .resolve(spark, s"$scratch/sink", Seq("query_id", "rnk")))
+    assert(firstHalf.nonEmpty, "first run must have served the early arrivals")
+    arriving.filter($"doc_id" % 20 =!= 7).coalesce(1).write.mode("append").parquet(src)
+    run() // restart: same checkpoint, only the new file is probed
+    val streamed = answers(graft.streaming.UpsertSink
+      .resolve(spark, s"$scratch/sink", Seq("query_id", "rnk")))
+    val batch = answers(graft.ops.Search.bm25IngestTopK(spark, sf))
+    assert(streamed == batch,
+      "restart from checkpoint diverged from the one-shot batch search")
+    assert(firstHalf.subsetOf(streamed), "run-1 answers must persist unchanged")
+    assert(streamed.size > firstHalf.size, "run 2 must have served the late arrivals")
+  }
 }

@@ -40,6 +40,25 @@ class TopKSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("score-preserving TopK ≡ window keeping the score, on randomized inputs") {
+    val prop = Prop.forAll(Gen.choose(1, 120).flatMap(n => Gen.listOfN(n, rowGen))) { rows =>
+      val data = rows.distinctBy(r => (r._1, r._2))
+        .toDF("query_id", "neighbor_id", "score")
+      val got = TopK.topKScored(data, "query_id", "score", "neighbor_id", 10)
+        .select("query_id", "neighbor_id", "score", "rnk")
+        .as[(Long, Long, Double, Long)].collect().toSet
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("neighbor_id").asc)
+      val want = data.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 10)
+        .select("query_id", "neighbor_id", "score", "rnk")
+        .as[(Long, Long, Double, Long)].collect().toSet
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(6), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("groups with fewer than k candidates emit all of them, ranked") {
     val data = Seq((1L, 10L, 0.5), (1L, 11L, 0.9)).toDF("query_id", "neighbor_id", "score")
     val got = TopK.topK(data, "query_id", "score", "neighbor_id", 10)
