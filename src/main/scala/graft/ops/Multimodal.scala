@@ -22,14 +22,16 @@ case class MediaFrame(doc_id: Long, frame_idx: Long, frame_bytes: Long, frame_md
   * batched-UDF decode stage (one iterator per partition, so a real decoder
   * would amortize its codec/model initialization per partition, not per row).
   *
-  * The JDK ships real codecs for two modalities and those paths use them —
-  * PNG via `javax.imageio` ([[MultimodalPipeline.imageStats]]) and WAV/PCM
-  * via `javax.sound.sampled` ([[MultimodalPipeline.audioStats]]); only the
-  * VIDEO path keeps the clearly-marked deterministic stand-in
-  * ([[MultimodalPipeline.decodeStub]]/[[MultimodalPipeline.frameSampleStub]]
-  * — the JDK ships no video codec), and everything around it — binary
-  * column synthesis, metadata struct, encoders, partition-wise batch
-  * shape — is the real plumbing a codec drop-in would use unchanged.
+  * The JDK ships real codecs for three modalities and those paths use
+  * them — PNG via `javax.imageio` ([[MultimodalPipeline.imageStats]]),
+  * WAV/PCM via `javax.sound.sampled`
+  * ([[MultimodalPipeline.audioStats]]), and multi-frame VIDEO via the
+  * animated-GIF reader ([[MultimodalPipeline.videoStats]] — real
+  * container parse, real per-frame LZW decode, uniform keyframe stride).
+  * [[MultimodalPipeline.decodeStub]]/[[MultimodalPipeline.frameSampleStub]]
+  * remain as the CODEC-FREE baseline over opaque payloads (byte-level
+  * features and fixed-width slicing — what a pipeline runs on formats it
+  * has no decoder for), exercising the same binary-column plumbing.
   */
 object MultimodalPipeline {
 
@@ -107,6 +109,117 @@ object MultimodalPipeline {
       .mapPartitions(_.flatMap(frameSampleStub))
       .toDF()
       .select(col("doc_id"), col("frame_idx"), col("frame_bytes"), col("frame_md5"))
+  }
+
+  /** Deterministic GRAY pixel formula for the VIDEO fixtures — pure
+    * integer arithmetic in (doc_id, frame, x, y), the video twin of
+    * [[pix]]: the oracle recomputes the expected per-frame statistics
+    * without any codec, so a decode that misparses the GIF container, the
+    * frame count, or the palette cannot hash-match (GIF's LZW is
+    * lossless and the fixture writes its own 256-gray palette). */
+  private[ops] def vidGray(docId: Long, f: Long, x: Long, y: Long): Int =
+    ((docId * 7 + f * 11 + x * 3 + y * 5) % 256).toInt
+
+  /** Frame count 2..5 — past [[maxFrames]] at 5, so the keyframe stride
+    * actually bites on a quarter of the fixtures. */
+  private[ops] def vidFrames(docId: Long): Int = (2 + docId % 4).toInt
+  private def vidW(docId: Long): Int = (8 + docId % 5).toInt
+  private def vidH(docId: Long): Int = (8 + (docId * 3) % 5).toInt
+
+  /** Real multi-frame VIDEO containers, one per document: an animated GIF
+    * (the one multi-frame video container the JDK ships a real codec for —
+    * round-13 verdict #4) of [[vidFrames]] frames whose gray pixels follow
+    * [[vidGray]], written frame-by-frame through `javax.imageio`'s GIF
+    * sequence writer with an explicit 256-gray palette (palette-exact:
+    * no quantizer in the loop). FIXTURE half only — everything downstream
+    * of the `binary` column is the production path, the [[imageRecords]]
+    * discipline. */
+  def videoRecords(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions { ids =>
+        val grays = Array.tabulate(256)(_.toByte)
+        val cm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+        ids.map { id =>
+          val w = vidW(id); val h = vidH(id)
+          val out = new java.io.ByteArrayOutputStream()
+          val writer = javax.imageio.ImageIO
+            .getImageWritersByFormatName("gif").next()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
+          var f = 0
+          while (f < vidFrames(id)) {
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                img.getRaster.setSample(x, y, 0, vidGray(id, f, x, y))
+                x += 1
+              }
+              y += 1
+            }
+            writer.writeToSequence(
+              new javax.imageio.IIOImage(img, null, null), null)
+            f += 1
+          }
+          writer.endWriteSequence()
+          writer.dispose()
+          ios.close()
+          (id, out.toByteArray)
+        }
+      }
+      .toDF("doc_id", "gif")
+  }
+
+  /** REAL video decode (`x_mm_video_stats`): `javax.imageio`'s GIF reader
+    * parses the animated container — `getNumImages` walks the frame
+    * directory, `read(i)` LZW-decodes actual frame pixels — so the video
+    * modality now holds the same no-stub standard as the PNG and WAV
+    * paths. Keyframe sampling keeps ≤ [[maxFrames]] frames per clip by
+    * uniform stride (the [[frameSampleStub]] semantics, applied to REAL
+    * container frames — only the kept frames are decoded, the skipped
+    * ones cost a directory walk, not an LZW pass); per kept frame it
+    * emits width/height and the exact gray sum — the brightness signal a
+    * video-curation gate thresholds before the per-frame model stages.
+    * Decode runs in `mapPartitions`; output is O(maxFrames) per clip
+    * regardless of resolution or duration. */
+  def videoStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    videoRecords(s, d)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, gif) =>
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(gif))
+        val reader = javax.imageio.ImageIO
+          .getImageReadersByFormatName("gif").next()
+        reader.setInput(iis)
+        val nf = reader.getNumImages(true)
+        val stride = math.max(1, math.ceil(nf.toDouble / maxFrames).toInt)
+        val rows = (0 until nf by stride).map { fi =>
+          val img = reader.read(fi)
+          val w = img.getWidth; val h = img.getHeight
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              sum += (img.getRGB(x, y) & 0xff).toLong // gray: B == G == R
+              x += 1
+            }
+            y += 1
+          }
+          (id, fi.toLong, w.toLong, h.toLong, sum)
+        }.toList
+        reader.dispose()
+        iis.close()
+        rows
+      })
+      .toDF("doc_id", "frame_idx", "width", "height", "gray_sum")
   }
 
   /** Deterministic RGB pixel formula for the PNG fixtures — pure integer
@@ -370,6 +483,7 @@ object MultimodalPipeline {
     "x_mm_features" -> features,
     "x_mm_frames" -> frames,
     "x_mm_image_stats" -> imageStats,
+    "x_mm_video_stats" -> videoStats,
     "x_mm_alignment" -> alignment,
     "x_mm_curation" -> mmCuration,
     "x_mm_audio_stats" -> audioStats)
@@ -405,6 +519,24 @@ object MultimodalPipeline {
         |       CAST(length(substr(text, CAST(frame_idx * 32 + 1 AS BIGINT), 32)) AS BIGINT) AS frame_bytes,
         |       md5(substr(text, CAST(frame_idx * 32 + 1 AS BIGINT), 32)) AS frame_md5
         |FROM i""".stripMargin,
+    // Frame statistics from the GRAY FORMULA — the oracle never sees the
+    // GIF bytes, so a decode that misparses the animated container (frame
+    // count, dimensions, palette, LZW) cannot hash-match; the stride
+    // arithmetic mirrors the engine's uniform ≤4-keyframe rule.
+    "x_mm_video_stats" ->
+      """WITH d AS (SELECT doc_id, 8 + doc_id % 5 AS w, 8 + (doc_id * 3) % 5 AS h,
+        |             2 + doc_id % 4 AS nf
+        |           FROM documents),
+        |s AS (SELECT doc_id, w, h, nf,
+        |        greatest(1, CAST(ceil(CAST(nf AS DOUBLE) / 4) AS BIGINT)) AS stride
+        |      FROM d),
+        |f AS (SELECT doc_id, w, h, unnest(range(0, nf, stride)) AS fi FROM s),
+        |xs AS (SELECT doc_id, w, h, fi, unnest(range(0, w)) AS x FROM f),
+        |ys AS (SELECT doc_id, w, h, fi, x, unnest(range(0, h)) AS y FROM xs)
+        |SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
+        |       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |       CAST(sum((doc_id * 7 + fi * 11 + x * 3 + y * 5) % 256) AS BIGINT) AS gray_sum
+        |FROM ys GROUP BY 1, 2, 3, 4""".stripMargin,
     // The oracle recomputes the channel sums from the PIXEL FORMULA — it
     // never sees the PNG bytes, so a decode that misreads the container or
     // the pixel layout cannot hash-match (PNG is lossless; the engine path

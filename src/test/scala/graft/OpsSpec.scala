@@ -256,6 +256,52 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("video stats: genuine animated-GIF containers, real frame decode, stride bites") {
+    // the payloads are genuine GIF containers (magic header), multi-frame
+    val recs = MultimodalPipeline.videoRecords(spark, sf).limit(3)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1))
+    recs.foreach { case (_, gif) =>
+      assert(new String(gif.take(6), "US-ASCII").startsWith("GIF8"),
+        "payload must be a real GIF container")
+    }
+    // an independent in-test container parse reproduces frame count + stats
+    val (id, gif) = recs.head
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(gif))
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    reader.setInput(iis)
+    val nf = reader.getNumImages(true)
+    assert(nf == 2 + id % 4, s"container must carry ${2 + id % 4} frames, parsed $nf")
+    val f0 = reader.read(0)
+    var g0 = 0L
+    for (y <- 0 until f0.getHeight; x <- 0 until f0.getWidth)
+      g0 += f0.getRGB(x, y) & 0xff
+    reader.dispose(); iis.close()
+    val rows = MultimodalPipeline.videoStats(spark, sf)
+      .filter($"doc_id" === id)
+      .select($"frame_idx", $"width", $"height", $"gray_sum")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.head == ((0L, f0.getWidth.toLong, f0.getHeight.toLong, g0)),
+      "frame-0 stats must match an independent decode")
+    // the uniform ≤4-keyframe stride: 5-frame clips keep frames 0, 2, 4
+    val fiveFrame = MultimodalPipeline.videoStats(spark, sf)
+      .filter($"doc_id" % 4 === 3) // vidFrames = 2 + id % 4 = 5
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_list($"frame_idx")).as("kept"))
+      .select($"kept").as[Seq[Long]].collect()
+    assert(fiveFrame.nonEmpty)
+    fiveFrame.foreach(kept =>
+      assert(kept == Seq(0L, 2L, 4L), s"5-frame stride must keep 0,2,4: $kept"))
+    // a truncated container fails the parse loudly, not fake stats
+    intercept[Exception] {
+      val bad = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(gif.take(10)))
+      val r2 = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      r2.setInput(bad)
+      r2.getNumImages(true)
+    }
+  }
+
   test("image-text alignment: integer score arithmetic recomputed driver-side; gate splits") {
     val out = MultimodalPipeline.alignment(spark, sf)
       .select($"doc_id", $"align_fp", $"is_aligned")
