@@ -68,8 +68,30 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
 
+    // Calibration probe (round-13 verdict #2): the identical tree measured
+    // 152.6 s (r12) and 193.3 s (r13) at similar reported `load` — the
+    // loadavg triple doesn't capture sustained co-tenant pressure, so
+    // round-over-round totals were not comparable. A FIXED reference query
+    // (h_pricing_summary — one lineitem scan + low-cardinality agg, no
+    // memos, no streams) timed at the start, middle and end of the sweep
+    // gives an in-run pressure signal: divide a round's total by its
+    // median cal to compare rounds on the same footing (BASELINE.md
+    // documents the normalization). Kept through EVERY line-degradation
+    // tier, like `load`.
+    def calOnce(): Double = {
+      val t0 = System.nanoTime()
+      try ops.Relational.queries("h_pricing_summary")(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => return -1.0 }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val cal = scala.collection.mutable.ArrayBuffer[Double](calOnce())
+
     val samples = scala.collection.mutable.Map[String, Seq[Double]]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val sortedQueries = SparkEntry.queries.toSeq.sortBy(_._1)
+    val midIdx = sortedQueries.size / 2
+    val results = sortedQueries.zipWithIndex.map { case ((name, fn), qi) =>
+      if (qi == midIdx) cal += calOnce()
       def once(): (Double, Option[String]) = {
         val t0 = System.nanoTime()
         val err =
@@ -123,6 +145,7 @@ object Bench {
       System.gc()
       (name, if (err.isEmpty) sec else -1.0, err)
     }
+    cal += calOnce()
 
     // Full-precision sibling artifact ON DISK: the driver line is budgeted
     // to a 2000-char tail (it carries ≥1 s queries + family subtotals,
@@ -131,7 +154,7 @@ object Bench {
     // round; BASELINE.md points here.
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath),
-      renderFull(results, sfDir, samples.toMap, cpus.toInt))
+      renderFull(results, sfDir, samples.toMap, cpus.toInt, cal.toSeq))
     catch { case e: Throwable => System.err.println(s"bench_full write failed: $e") }
     // 10ms precision, trailing zeros stripped, keeps the single JSON line.
     // Emitted LAST — after every stream is quiesced and the session is
@@ -139,7 +162,7 @@ object Bench {
     // driver's tail (round 11 lost its benchmark to exactly that: a
     // state-store maintenance tick raced spark.stop() and its WARN stack
     // trace displaced the line — see emitLineLast's scaladoc).
-    emitLineLast(renderLine(results, sfDir, samples.toMap), () => {
+    emitLineLast(renderLine(results, sfDir, samples.toMap, cal.toSeq), () => {
       graft.streaming.EventPipeline.releaseStreamState(spark)
       spark.stop()
     })
@@ -167,7 +190,8 @@ object Bench {
     * cannot be (its 2000-char tail forces rounding + omission). Pure so
     * `BenchLineSpec` can check shape without running the benchmark. */
   def renderFull(results: Seq[(String, Double, Option[String])], sfDir: String,
-      samples: Map[String, Seq[Double]], cpus: Int = 32): String = {
+      samples: Map[String, Seq[Double]], cpus: Int = 32,
+      cal: Seq[Double] = Nil): String = {
     def d(v: Double): String = java.math.BigDecimal.valueOf(v)
       .setScale(4, java.math.RoundingMode.HALF_UP).stripTrailingZeros.toPlainString
     val load =
@@ -182,11 +206,14 @@ object Bench {
       s"""    "$k": {"sec": ${d(v)}, "samples": $ss$e}"""
     }
     val sf = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+    val calJson =
+      if (cal.isEmpty) ""
+      else s"""\n  "cal": ${cal.map(d).mkString("[", ",", "]")},"""
     s"""{
        |  "sf": "$sf",
        |  "cpus": $cpus,
        |  "master": "local[$cpus]",
-       |  "load": $load,
+       |  "load": $load,$calJson
        |  "total_sec": ${d(total)},
        |  "note": "min-of-samples per query; see Bench.scala methodology scaladoc",
        |  "queries": {
@@ -249,7 +276,8 @@ object Bench {
     * length budget against the full current query set without running the
     * 8-minute benchmark. */
   def renderLine(results: Seq[(String, Double, Option[String])], sfDir: String,
-      samples: Map[String, Seq[Double]] = Map.empty): String = {
+      samples: Map[String, Seq[Double]] = Map.empty,
+      cal: Seq[Double] = Nil): String = {
     // error messages are sanitized at capture, but renderLine must stay
     // JSON-safe on its own contract; only the first 2 are spelled out —
     // a mass failure must not push the line past the driver's tail buffer
@@ -289,6 +317,15 @@ object Bench {
     // "sf0.1", not the full path: the dir prefix is driver-known, the chars
     // belong to per-query values
     val sfJson = s""","sf":"${sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)}""""
+    // Start/middle/end times of the FIXED calibration query — the in-run
+    // co-tenant-pressure signal that makes cross-round totals comparable
+    // (divide total by median cal). ~25 chars; NEVER degraded away, like
+    // `load`: it is the only field that distinguishes a depressed whole
+    // run (identical-tree r12→r13 drifted 152.6→193.3 s) from a real
+    // regression.
+    val calJson =
+      if (cal.isEmpty) ""
+      else s""","cal":${cal.map(fmt).mkString("[", ",", "]")}"""
     // Family subtotals (prefix before the first '_': c/d/h/s/w/x) — the
     // aggregate record for the sub-second entries the per-query map no
     // longer carries (r7 verdict #7: at 127 queries the driver line omitted
@@ -312,7 +349,7 @@ object Bench {
       // numbers were unattributable until a quiet-host re-profile; the cost
       // of keeping it is at most one more sub-second query omitted.
       val diag = if (withStats) statsJson else ""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$dropJson$errJson$diag$loadJson$sfJson}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$dropJson$errJson$diag$calJson$loadJson$sfJson}"""
     }
     // The per-query map carries queries ≥1 s (where a regression is
     // visible) plus errored ones (-1); sub-second entries are represented

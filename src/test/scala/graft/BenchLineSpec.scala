@@ -52,8 +52,34 @@ class BenchLineSpec extends AnyFunSuite {
   test("worst-case values still fit: budget enforced via degradation/omission") {
     val results = SparkEntry.queries.keys.toSeq.sorted.map(k => (k, 999.99, None))
     val samples = SparkEntry.queries.keys.map(k => k -> Seq(1.0, 99.9, 99.9)).toMap
-    val line = Bench.renderLine(results, sfDir, samples)
+    val line = Bench.renderLine(results, sfDir, samples, cal = Seq(99.99, 99.99, 99.99))
     assert(line.length + 1 <= Bench.lineBudget, s"worst-case line is ${line.length} chars")
+  }
+
+  test("calibration probe: cal survives every tier, absent when not measured") {
+    // realistic round — cal present with 10ms precision
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val results = names.zipWithIndex.map { case (k, i) =>
+      (k, if (i % 10 == 0) 12.34 else 0.42, None)
+    }
+    val samples = names.map(k => k -> Seq(1.0, 1.1)).toMap
+    val line = Bench.renderLine(results, sfDir, samples, cal = Seq(0.81, 0.95, 2.4))
+    assert(line.length + 1 <= Bench.lineBudget, s"cal line is ${line.length} chars")
+    assert(line.contains(""","cal":[0.81,0.95,2.4]"""), s"cal missing: $line")
+    // forced omission fallback — cal must survive like load (it is the
+    // only signal separating a depressed run from a regression)
+    val fast = (1 to 200).map(i => (f"q_fast_with_a_really_long_name_$i%03d", 0.01, None))
+    val fallback = Bench.renderLine(("q_slow", 40.0, None) +: fast, sfDir,
+      cal = Seq(1.2, 1.3, 1.1))
+    assert(fallback.contains(""""queries_omitted":"""), "must be in the fallback tier")
+    assert(fallback.contains(""","cal":["""), s"cal must survive the fallback: $fallback")
+    // absent without measurements (pure re-renders, unit tests)
+    assert(!Bench.renderLine(results, sfDir, samples).contains("\"cal\""))
+    // full artifact carries it at 4-decimal precision
+    val full = Bench.renderFull(Seq(("q_a", 1.0, None)), sfDir,
+      Map("q_a" -> Seq(1.0)), cpus = 32, cal = Seq(0.8123456, 1.25))
+    assert(full.contains(""""cal": [0.8123,1.25],"""), full)
+    assert(full.count(_ == '{') == full.count(_ == '}'))
   }
 
   test("over-budget fallback drops the FASTEST queries and marks the omission") {
