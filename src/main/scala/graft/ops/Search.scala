@@ -661,20 +661,23 @@ object Search {
       .agg(count(lit(1)).as("n_occ"), min(col("pos")).as("first_pos"))
   }
 
-  /** Per-length workload width for the N-TOKEN form: the top
-    * [[nPerLen]] bigrams AND top [[nPerLen]] trigrams. */
-  private[graft] val nPerLen = 2
+  /** Per-length workload widths for the N-TOKEN form: top-2 bigrams and
+    * trigrams (the head of a real phrase workload), top-1 four- and
+    * five-grams (the tail — enough to exercise the iteration at full
+    * depth without bloating the fixture result). */
+  private[graft] val phraseWidths: Seq[(Int, Int)] =
+    Seq(2 -> 2, 3 -> 2, 4 -> 1, 5 -> 1)
 
   /** N-token phrase search over the SAME positional inverted index —
     * round-13 verdict #3: real phrase queries are 2-5 tokens, and
     * [[phraseIndexSearch]]'s single bigram join generalizes by ITERATING
     * the consecutive-position intersection, one join per additional
     * token, over one (token, doc_id, pos) postings relation. The workload
-    * is the corpus's top-[[nPerLen]] bigrams plus top-[[nPerLen]] trigrams
-    * (deterministic cut, ties on the words), so mixed lengths exercise the
-    * iteration without a config knob.
+    * is the corpus's own top n-grams per length 2-5 ([[phraseWidths]];
+    * deterministic cut, ties on the words), so every supported length
+    * exercises the iteration without a config knob.
     *
-    * Plan shape (the 100 TB story): the phrase tables are ≤ [[nPerLen]]-row
+    * Plan shape (the 100 TB story): the phrase tables are 1-2-row
     * broadcasts; EVERY postings scan is double-pruned — the position-1
     * scan by the broadcast phrase join itself, each position-i scan by a
     * broadcast semi-join on the tokens occurring at position i of any
@@ -694,9 +697,9 @@ object Search {
       .select(col("doc_id"), posexplode(col("w")).as(Seq("p0", "token")))
       .filter(length(col("token")) > 0)
       .select(col("doc_id"), col("token"), (col("p0") + 1).cast("long").as("pos"))
-    // top-nPerLen n-grams for n = 2, 3: one in-row transform each, counted
-    // globally; the cut is deterministic (count desc, then the words)
-    def topNgrams(n: Int): DataFrame = {
+    // top n-grams per length: one in-row transform each, counted globally;
+    // the cut is deterministic (count desc, then the words)
+    def topNgrams(n: Int, width: Int): DataFrame = {
       val structFields = (0 until n)
         .map(i => s"element_at(w, i + $i) AS w$i").mkString(", ")
       val nonEmpty = (0 until n)
@@ -710,7 +713,7 @@ object Search {
         .groupBy((0 until n).map(i => col(s"g.w$i").as(s"w$i")): _*)
         .agg(count(lit(1)).as("c"))
         .orderBy(col("c").desc +: (0 until n).map(i => col(s"w$i").asc): _*)
-        .limit(nPerLen)
+        .limit(width)
         .select((0 until n).map(i => col(s"w$i")) :+
           lit(n).cast("int").as("n_words"): _*)
     }
@@ -742,7 +745,9 @@ object Search {
           lit(n.toLong).as("n_words"), col("doc_id"), col("n_occ"),
           col("first_pos"))
     }
-    intersect(topNgrams(2), 2).unionByName(intersect(topNgrams(3), 3))
+    phraseWidths
+      .map { case (n, width) => intersect(topNgrams(n, width), n) }
+      .reduce(_.unionByName(_))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -759,6 +764,47 @@ object Search {
     "x_search_hybrid_rrf" -> hybridRrf,
     "x_search_hybrid_in" -> hybridIngest,
     "x_search_eval" -> hybridEval)
+
+  /** The `x_search_phrase_n` oracle, generated per [[phraseWidths]] entry:
+    * n-gram cut CTEs + an (n−1)-join consecutive-position intersection per
+    * length, unioned. DuckDB's `range(a, b)` is end-exclusive, so n-gram
+    * start positions are `range(1, len(w) - (n - 2))` (empty when the doc
+    * is shorter than the phrase). */
+  private def phraseNOracle: String = {
+    val lenCtes = phraseWidths.map { case (n, width) =>
+      val words = (0 until n).map(i => s"w[i + $i] AS w$i").mkString(", ")
+      val nonEmpty = (0 until n).map(i => s"length(w[i + $i]) > 0").mkString(" AND ")
+      val cols = (0 until n).map(i => s"w$i").mkString(", ")
+      val order = (0 until n).map(i => s"w$i ASC").mkString(", ")
+      val joins = (1 until n).map(i =>
+        s"JOIN post p$i ON p$i.token = ph$n.w$i AND p$i.doc_id = p0.doc_id " +
+          s"AND p$i.pos = p0.pos + $i").mkString("\n       ")
+      val phrase = (0 until n).map(i => s"w$i").mkString(" || ' ' || ")
+      s"""g$n AS (SELECT $words
+         |       FROM (SELECT doc_id, w, unnest(range(1, len(w) - ${n - 2})) AS i
+         |             FROM base)
+         |       WHERE $nonEmpty),
+         |c$n AS (SELECT $cols, count(*) AS c FROM g$n GROUP BY ${(1 to n).mkString(", ")}),
+         |ph$n AS (SELECT $cols FROM c$n ORDER BY c DESC, $order LIMIT $width),
+         |m$n AS (SELECT ${(0 until n).map(i => s"ph$n.w$i").mkString(", ")}, p0.doc_id, p0.pos
+         |       FROM ph$n JOIN post p0 ON p0.token = ph$n.w0
+         |       $joins),
+         |r$n AS (SELECT $phrase AS phrase, CAST($n AS BIGINT) AS n_words, doc_id,
+         |         CAST(count(*) AS BIGINT) AS n_occ,
+         |         CAST(min(pos) AS BIGINT) AS first_pos
+         |       FROM m$n GROUP BY 1, 2, 3)""".stripMargin
+    }
+    val unions = phraseWidths
+      .map { case (n, _) =>
+        s"SELECT phrase, n_words, doc_id, n_occ, first_pos FROM r$n" }
+      .mkString("\nUNION ALL\n")
+    s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |pidx AS (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM base),
+       |post AS (SELECT doc_id, w[i] AS token, CAST(i AS BIGINT) AS pos
+       |         FROM pidx WHERE length(w[i]) > 0),
+       |${lenCtes.mkString(",\n")}
+       |$unions""".stripMargin
+  }
 
   /** CTE chain ending in `rk` (the ranked BM25 result) — shared by the
     * member, ingest and hybrid oracles; the two predicates are the only
@@ -834,45 +880,9 @@ object Search {
          |FROM m GROUP BY 1, 2, 3""".stripMargin,
     // Mirrors the iterated intersection: postings CTE, per-length top
     // n-gram cuts (count desc, then the words), one position join per
-    // additional token, unioned across lengths.
-    "x_search_phrase_n" ->
-      s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         |pidx AS (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM base),
-         |post AS (SELECT doc_id, w[i] AS token, CAST(i AS BIGINT) AS pos
-         |         FROM pidx WHERE length(w[i]) > 0),
-         |pos2 AS (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM base),
-         |bi AS (SELECT w[i] AS w0, w[i + 1] AS w1 FROM pos2
-         |       WHERE length(w[i]) > 0 AND length(w[i + 1]) > 0),
-         |bc AS (SELECT w0, w1, count(*) AS c FROM bi GROUP BY 1, 2),
-         |ph2 AS (SELECT w0, w1 FROM bc ORDER BY c DESC, w0 ASC, w1 ASC LIMIT $nPerLen),
-         |pos3 AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM base),
-         |tri AS (SELECT w[i] AS w0, w[i + 1] AS w1, w[i + 2] AS w2 FROM pos3
-         |        WHERE length(w[i]) > 0 AND length(w[i + 1]) > 0 AND length(w[i + 2]) > 0),
-         |tc AS (SELECT w0, w1, w2, count(*) AS c FROM tri GROUP BY 1, 2, 3),
-         |ph3 AS (SELECT w0, w1, w2 FROM tc
-         |        ORDER BY c DESC, w0 ASC, w1 ASC, w2 ASC LIMIT $nPerLen),
-         |m2 AS (SELECT p.w0, p.w1, a.doc_id, a.pos
-         |       FROM ph2 p JOIN post a ON a.token = p.w0
-         |       JOIN post b ON b.token = p.w1 AND b.doc_id = a.doc_id
-         |         AND b.pos = a.pos + 1),
-         |m3 AS (SELECT p.w0, p.w1, p.w2, a.doc_id, a.pos
-         |       FROM ph3 p JOIN post a ON a.token = p.w0
-         |       JOIN post b ON b.token = p.w1 AND b.doc_id = a.doc_id
-         |         AND b.pos = a.pos + 1
-         |       JOIN post c3 ON c3.token = p.w2 AND c3.doc_id = a.doc_id
-         |         AND c3.pos = a.pos + 2),
-         |r2 AS (SELECT w0 || ' ' || w1 AS phrase, CAST(2 AS BIGINT) AS n_words,
-         |         doc_id, CAST(count(*) AS BIGINT) AS n_occ,
-         |         CAST(min(pos) AS BIGINT) AS first_pos
-         |       FROM m2 GROUP BY 1, 2, 3),
-         |r3 AS (SELECT w0 || ' ' || w1 || ' ' || w2 AS phrase,
-         |         CAST(3 AS BIGINT) AS n_words, doc_id,
-         |         CAST(count(*) AS BIGINT) AS n_occ,
-         |         CAST(min(pos) AS BIGINT) AS first_pos
-         |       FROM m3 GROUP BY 1, 2, 3)
-         |SELECT phrase, n_words, doc_id, n_occ, first_pos FROM r2
-         |UNION ALL
-         |SELECT phrase, n_words, doc_id, n_occ, first_pos FROM r3""".stripMargin,
+    // additional token, unioned across lengths — GENERATED from the same
+    // [[phraseWidths]] the Spark side runs, so the workloads cannot drift.
+    "x_search_phrase_n" -> phraseNOracle,
     "x_search_bm25" ->
       (bm25Ctes("true", s"doc_id % $searchStride = 0") + bm25Tail),
     "x_search_ingest" ->

@@ -134,41 +134,43 @@ class SearchSpec extends SparkSpec {
     assert(out == truth, "indexed intersection diverged from the exhaustive scan")
   }
 
-  test("n-token phrase search: mixed bigram+trigram workload equals the exhaustive scan") {
+  test("n-token phrase search: the 2-5 token workload equals the exhaustive scan") {
+    val widths = graft.ops.Search.phraseWidths
     val out = graft.ops.Search.phraseIndexSearchN(spark, sf)
       .select("phrase", "n_words", "doc_id", "n_occ", "first_pos").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
       .toSet
     assert(out.nonEmpty)
     val lens = out.map(_._2)
-    assert(lens == Set(2L, 3L), s"workload must mix bigrams and trigrams, got lengths $lens")
-    assert(out.count(t => t._2 == 2L) > 0 && out.count(t => t._2 == 3L) > 0)
+    assert(lens == widths.map(_._1.toLong).toSet,
+      s"workload must cover every length in $widths, got lengths $lens")
     // phrase token count must match its declared length
     out.foreach { case (p, n, _, _, _) =>
       assert(p.split(" ", -1).length.toLong == n, s"phrase '$p' is not $n tokens")
     }
 
-    // exhaustive in-driver recompute: top-2 n-grams per length, then every
-    // (phrase, doc) occurrence list from the raw token arrays
+    // exhaustive in-driver recompute: top n-grams per length (count desc,
+    // then token-WISE word order — the engines compare columns, not a
+    // joined string), then every (phrase, doc) occurrence list from the
+    // raw token arrays
     val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1).split(" ", -1))
-    def topGrams(n: Int): Seq[Seq[String]] = {
+    def topGrams(n: Int, width: Int): Seq[Seq[String]] = {
       val grams = texts.flatMap { case (_, w) =>
         (0 to w.length - n).map(i => w.slice(i, i + n).toSeq)
           .filter(_.forall(_.nonEmpty))
       }
+      def pad(g: Seq[String], i: Int): String = if (g.length > i) g(i) else ""
       grams.groupBy(identity).toSeq
         .map { case (g, xs) => (g, xs.length.toLong) }
-        // token-WISE tie order (count desc, then each word asc) — the
-        // engines compare columns, not a joined string
         .sortBy { case (g, c) =>
-          (-c, g.head, g(1), if (g.length > 2) g(2) else "")
+          (-c, g.head, g(1), pad(g, 2), pad(g, 3), pad(g, 4))
         }
-        .take(graft.ops.Search.nPerLen).map(_._1)
+        .take(width).map(_._1)
     }
     val truth = (for {
-      n <- Seq(2, 3)
-      g <- topGrams(n)
+      (n, width) <- widths
+      g <- topGrams(n, width)
       (id, w) <- texts
       hits = (0 to w.length - n).filter(i => w.slice(i, i + n).sameElements(g))
       if hits.nonEmpty
