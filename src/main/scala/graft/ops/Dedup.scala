@@ -193,7 +193,7 @@ object Dedup {
     * "persists beside its corpus" deployment this scaladoc describes,
     * made real; `IndexPersistSpec` pins mode equality). */
   private[graft] def signatures(s: SparkSession, d: String): DataFrame =
-    IndexStore.read(s, IndexStore.minhashSignatures).getOrElse {
+    IndexStore.read(s, IndexStore.minhashSignatures, d).getOrElse {
       val key = (SpillMemo.sessionId(s), d)
       val path = sigMemo.synchronized(sigMemo.getOrElseUpdate(key, {
         val out = SpillMemo.scratchDir("graft-minhashsig-")

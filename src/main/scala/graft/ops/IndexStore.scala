@@ -58,10 +58,36 @@ object IndexStore {
     }
 
   /** Read a persisted relation, or None when no store is configured or
-    * this store does not carry `name` (partial stores are legal). */
-  def read(s: SparkSession, name: String): Option[DataFrame] =
+    * this store does not carry `name` (partial stores are legal).
+    *
+    * `sourceDir` is the corpus dir the CALLER is querying: when the
+    * store's `INDEX_META.json` records a different source, the read
+    * FAILS — an index built over corpus A silently answering queries
+    * about corpus B is the worst failure mode a persisted index has
+    * (wrong results, no error). A hand-assembled store without a meta
+    * file is accepted as-is (the assembler owns the match). */
+  def read(s: SparkSession, name: String, sourceDir: String): Option[DataFrame] =
     root(s).flatMap { base =>
       val p = new org.apache.hadoop.fs.Path(s"$base/$name")
-      if (fs(s, p).exists(p)) Some(s.read.parquet(p.toString)) else None
+      if (!fs(s, p).exists(p)) None
+      else {
+        metaSource(s, base).foreach(src => require(src == sourceDir,
+          s"$indexDirConf store at $base was built for corpus '$src' but " +
+            s"this query reads '$sourceDir' — rebuild with graft.tools.IndexBuild"))
+        Some(s.read.parquet(p.toString))
+      }
     }
+
+  /** The `source` field of the store's INDEX_META.json, if the file
+    * exists (one tiny driver-side read per store per query build). */
+  private def metaSource(s: SparkSession, base: String): Option[String] = {
+    val mp = new org.apache.hadoop.fs.Path(s"$base/INDEX_META.json")
+    val f = fs(s, mp)
+    if (!f.exists(mp)) None
+    else {
+      val in = f.open(mp)
+      val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      """"source":\s*"([^"]*)"""".r.findFirstMatchIn(text).map(_.group(1))
+    }
+  }
 }

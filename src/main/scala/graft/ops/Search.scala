@@ -157,9 +157,9 @@ object Search {
     * need no cut): the build-once/serve-many deployment posture,
     * identical answers pinned by `IndexPersistSpec`. */
   private[graft] def ingestIndex(s: SparkSession, d: String): Bm25Index =
-    (IndexStore.read(s, IndexStore.bm25Postings),
-      IndexStore.read(s, IndexStore.bm25TokenDf),
-      IndexStore.read(s, IndexStore.bm25Stats)) match {
+    (IndexStore.read(s, IndexStore.bm25Postings, d),
+      IndexStore.read(s, IndexStore.bm25TokenDf, d),
+      IndexStore.read(s, IndexStore.bm25Stats, d)) match {
       case (Some(p), Some(t), Some(st)) => Bm25Index(p, t, st)
       case _ =>
         val idx = bm25IndexDocs(
@@ -393,7 +393,7 @@ object Search {
   private[graft] def rm3IngestIndex(
       s: SparkSession, d: String): (Bm25Index, DataFrame) = {
     val idx = ingestIndex(s, d)
-    val fwd = IndexStore.read(s, IndexStore.bm25Forward).getOrElse(
+    val fwd = IndexStore.read(s, IndexStore.bm25Forward, d).getOrElse(
       Lineage.cut(forwardIndex(Tables.documents(s, d)
         .filter(col("doc_id") % Similarity.knnBatchMod =!= 7))))
     (idx, fwd)

@@ -765,7 +765,7 @@ object Similarity {
     // "index a 100 TB deployment persists next to the corpus snapshot"
     // this scaladoc has always described — IndexBuild writes it, serving
     // sessions read it across restarts (IndexPersistSpec pins equality)
-    IndexStore.read(s, IndexStore.navGraph).getOrElse {
+    IndexStore.read(s, IndexStore.navGraph, d).getOrElse {
       val key = (SpillMemo.sessionId(s), d)
       val path = navMemo.synchronized(navMemo.getOrElseUpdate(key, {
         val out = SpillMemo.scratchDir("graft-navgraph-")

@@ -58,6 +58,47 @@ class IndexPersistSpec extends SparkSpec {
     } finally spark.conf.unset(ops.IndexStore.indexDirConf)
   }
 
+  test("the streamed serving twin reads the persisted index: conf propagates to the stream session") {
+    // The deployment path: a serving STREAM against a store built in an
+    // earlier session. EventPipeline.streamingSession copies every
+    // spark.graft.* conf into the child session (and keys its memo on
+    // them), so the store must reach the streamed probe's index reads —
+    // this pins it end to end through the file-source wrapper.
+    val store = ops.SpillMemo.scratchDir("graft-idxstream-")
+    tools.IndexBuild.buildTo(spark, sf, store)
+    val batch = rows(ops.Search.bm25IngestTopK(spark, sf)) // memo mode
+    spark.conf.set(ops.IndexStore.indexDirConf, store)
+    try {
+      val streamed = rows(streaming.SearchStream.streamedSearch(spark, sf))
+      assert(streamed == batch,
+        "store-served streamed search diverged from the memo-mode batch search")
+      assert(streamed.nonEmpty)
+    } finally spark.conf.unset(ops.IndexStore.indexDirConf)
+  }
+
+  test("a store built for another corpus fails loudly instead of serving wrong answers") {
+    // An index over corpus A answering queries about corpus B is the worst
+    // persisted-index failure mode (wrong results, no error) — the meta's
+    // recorded source gates every read.
+    val store = ops.SpillMemo.scratchDir("graft-idxwrong-")
+    tools.IndexBuild.buildTo(spark, sf, store)
+    // rewrite the meta to claim a different source corpus
+    val mp = java.nio.file.Paths.get(s"$store/INDEX_META.json")
+    java.nio.file.Files.writeString(mp,
+      java.nio.file.Files.readString(mp)
+        .replace(s""""source": "$sf"""", """"source": "/some/other/corpus""""))
+    // the out-of-band rewrite invalidates Hadoop's checksum sidecar
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$store/.INDEX_META.json.crc"))
+    spark.conf.set(ops.IndexStore.indexDirConf, store)
+    try {
+      val e = intercept[IllegalArgumentException] {
+        ops.Search.bm25IngestTopK(spark, sf).collect()
+      }
+      assert(e.getMessage.contains("was built for corpus"), e.getMessage)
+    } finally spark.conf.unset(ops.IndexStore.indexDirConf)
+  }
+
   test("a configured-but-missing store fails loudly; a partial store falls back per relation") {
     spark.conf.set(ops.IndexStore.indexDirConf, "/nonexistent/graft-store")
     try {
