@@ -75,9 +75,10 @@ object Bench {
     // (h_pricing_summary — one lineitem scan + low-cardinality agg, no
     // memos, no streams) timed at the start, middle and end of the sweep
     // gives an in-run pressure signal: divide a round's total by its
-    // median cal to compare rounds on the same footing (BASELINE.md
-    // documents the normalization). Kept through EVERY line-degradation
-    // tier, like `load`.
+    // median POSITIVE cal to compare rounds on the same footing
+    // (BASELINE.md documents the normalization; a -1 entry means that
+    // probe itself failed — visible, and excluded from the median). Kept
+    // through EVERY line-degradation tier, like `load`.
     def calOnce(): Double = {
       val t0 = System.nanoTime()
       try ops.Relational.queries("h_pricing_summary")(spark, sfDir)

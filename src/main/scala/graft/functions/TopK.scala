@@ -52,23 +52,36 @@ private[functions] object TopKOrder {
   * whenever it reaches 4k the buffer is sorted and truncated to k, keeping
   * state bounded at 4k entries while averaging O(n) work per partition.
   */
-class TopKAgg(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[RankedId]] {
+/** The shared bounded-buffer machinery: appends are O(1) and the buffer is
+  * compacted to the top k whenever it reaches 4k, so partial state stays
+  * bounded while averaging O(n) work per partition. The two concrete
+  * aggregators differ ONLY in what `finish` emits — the buffer logic is
+  * final here so the pruned-index cut and the top-k path can never
+  * silently diverge. */
+private[functions] abstract class BoundedTopKAgg[OUT](k: Int)
+    extends Aggregator[Scored, Seq[Scored], OUT] {
 
-  override def zero: Seq[Scored] = Vector.empty
+  final override def zero: Seq[Scored] = Vector.empty
 
-  override def reduce(buf: Seq[Scored], in: Scored): Seq[Scored] = {
+  final override def reduce(buf: Seq[Scored], in: Scored): Seq[Scored] = {
     val appended = buf :+ in
     if (appended.length >= 4 * k) TopKOrder.best(appended, k) else appended
   }
 
-  override def merge(a: Seq[Scored], b: Seq[Scored]): Seq[Scored] =
+  final override def merge(a: Seq[Scored], b: Seq[Scored]): Seq[Scored] =
     TopKOrder.best(a ++ b, k)
 
-  override def finish(buf: Seq[Scored]): Seq[RankedId] =
-    TopKOrder.best(buf, k).zipWithIndex.map { case (s, i) => RankedId(s.id, i + 1L) }
-
-  override def bufferEncoder: Encoder[Seq[Scored]] =
+  final override def bufferEncoder: Encoder[Seq[Scored]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
+
+  protected final def ranked(buf: Seq[Scored]): Seq[(Scored, Long)] =
+    TopKOrder.best(buf, k).zipWithIndex.map { case (s, i) => (s, i + 1L) }
+}
+
+class TopKAgg(k: Int) extends BoundedTopKAgg[Seq[RankedId]](k) {
+
+  override def finish(buf: Seq[Scored]): Seq[RankedId] =
+    ranked(buf).map { case (s, r) => RankedId(s.id, r) }
 
   override def outputEncoder: Encoder[Seq[RankedId]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[RankedId]]()
@@ -80,25 +93,10 @@ class TopKAgg(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[RankedId]] {
   * the payload (the BM25 impact-pruned index build) gets the cut AND the
   * value in one aggregation instead of a window sort or a join-back
   * shuffle against the full scored relation. */
-class TopKScoredAgg(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[RankedScored]] {
-
-  override def zero: Seq[Scored] = Vector.empty
-
-  override def reduce(buf: Seq[Scored], in: Scored): Seq[Scored] = {
-    val appended = buf :+ in
-    if (appended.length >= 4 * k) TopKOrder.best(appended, k) else appended
-  }
-
-  override def merge(a: Seq[Scored], b: Seq[Scored]): Seq[Scored] =
-    TopKOrder.best(a ++ b, k)
+class TopKScoredAgg(k: Int) extends BoundedTopKAgg[Seq[RankedScored]](k) {
 
   override def finish(buf: Seq[Scored]): Seq[RankedScored] =
-    TopKOrder.best(buf, k).zipWithIndex.map { case (s, i) =>
-      RankedScored(s.id, s.score, i + 1L)
-    }
-
-  override def bufferEncoder: Encoder[Seq[Scored]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
+    ranked(buf).map { case (s, r) => RankedScored(s.id, s.score, r) }
 
   override def outputEncoder: Encoder[Seq[RankedScored]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[RankedScored]]()

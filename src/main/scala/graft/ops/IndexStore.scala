@@ -71,12 +71,24 @@ object IndexStore {
       val p = new org.apache.hadoop.fs.Path(s"$base/$name")
       if (!fs(s, p).exists(p)) None
       else {
-        metaSource(s, base).foreach(src => require(src == sourceDir,
-          s"$indexDirConf store at $base was built for corpus '$src' but " +
-            s"this query reads '$sourceDir' — rebuild with graft.tools.IndexBuild"))
+        metaSource(s, base).foreach { src =>
+          // fully-qualified comparison: 'data/sf0.1/', './data/sf0.1' and
+          // an absolute spelling of the same dir must all match — a raw
+          // string compare would hard-fail serving on the SAME corpus
+          require(qualified(s, src) == qualified(s, sourceDir),
+            s"$indexDirConf store at $base was built for corpus '$src' but " +
+              s"this query reads '$sourceDir' — rebuild with graft.tools.IndexBuild")
+        }
         Some(s.read.parquet(p.toString))
       }
     }
+
+  /** Scheme-qualified absolute form of a dir spec, for corpus identity
+    * comparison. */
+  private def qualified(s: SparkSession, dir: String): org.apache.hadoop.fs.Path = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    fs(s, p).makeQualified(p)
+  }
 
   /** The `source` field of the store's INDEX_META.json, if the file
     * exists (one tiny driver-side read per store per query build). */

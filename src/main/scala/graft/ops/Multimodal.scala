@@ -148,28 +148,34 @@ object MultimodalPipeline {
           val writer = javax.imageio.ImageIO
             .getImageWritersByFormatName("gif").next()
           val ios = javax.imageio.ImageIO.createImageOutputStream(out)
-          writer.setOutput(ios)
-          writer.prepareWriteSequence(null)
-          var f = 0
-          while (f < vidFrames(id)) {
-            val img = new java.awt.image.BufferedImage(
-              w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                img.getRaster.setSample(x, y, 0, vidGray(id, f, x, y))
-                x += 1
+          // try/finally: ImageOutputStream may hold an on-disk cache file
+          // (ImageIO.useCache default) — a throw must not leak it on a
+          // long-lived executor
+          try {
+            writer.setOutput(ios)
+            writer.prepareWriteSequence(null)
+            var f = 0
+            while (f < vidFrames(id)) {
+              val img = new java.awt.image.BufferedImage(
+                w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  img.getRaster.setSample(x, y, 0, vidGray(id, f, x, y))
+                  x += 1
+                }
+                y += 1
               }
-              y += 1
+              writer.writeToSequence(
+                new javax.imageio.IIOImage(img, null, null), null)
+              f += 1
             }
-            writer.writeToSequence(
-              new javax.imageio.IIOImage(img, null, null), null)
-            f += 1
+            writer.endWriteSequence()
+          } finally {
+            writer.dispose()
+            ios.close()
           }
-          writer.endWriteSequence()
-          writer.dispose()
-          ios.close()
           (id, out.toByteArray)
         }
       }
@@ -197,27 +203,33 @@ object MultimodalPipeline {
           new java.io.ByteArrayInputStream(gif))
         val reader = javax.imageio.ImageIO
           .getImageReadersByFormatName("gif").next()
-        reader.setInput(iis)
-        val nf = reader.getNumImages(true)
-        val stride = math.max(1, math.ceil(nf.toDouble / maxFrames).toInt)
-        val rows = (0 until nf by stride).map { fi =>
-          val img = reader.read(fi)
-          val w = img.getWidth; val h = img.getHeight
-          var sum = 0L
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              sum += (img.getRGB(x, y) & 0xff).toLong // gray: B == G == R
-              x += 1
+        // try/finally: a malformed container throws out of the parse (the
+        // intended fail-loudly path) — the ImageInputStream may back onto
+        // an on-disk cache file (ImageIO.useCache default) and retried
+        // failing tasks on a long-lived executor must not leak it
+        try {
+          reader.setInput(iis)
+          val nf = reader.getNumImages(true)
+          val stride = math.max(1, math.ceil(nf.toDouble / maxFrames).toInt)
+          (0 until nf by stride).map { fi =>
+            val img = reader.read(fi)
+            val w = img.getWidth; val h = img.getHeight
+            var sum = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                sum += (img.getRGB(x, y) & 0xff).toLong // gray: B == G == R
+                x += 1
+              }
+              y += 1
             }
-            y += 1
-          }
-          (id, fi.toLong, w.toLong, h.toLong, sum)
-        }.toList
-        reader.dispose()
-        iis.close()
-        rows
+            (id, fi.toLong, w.toLong, h.toLong, sum)
+          }.toList
+        } finally {
+          reader.dispose()
+          iis.close()
+        }
       })
       .toDF("doc_id", "frame_idx", "width", "height", "gray_sum")
   }

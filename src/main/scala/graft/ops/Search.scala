@@ -387,15 +387,21 @@ object Search {
     probeTerms(terms.unionByName(expansion), idx)
   }
 
+  /** The standing corpus's forward relation, lineage-cut — RM3 feedback
+    * mining's doc-major access path, and the relation
+    * [[graft.tools.IndexBuild]] persists as `bm25_forward`. */
+  private[graft] def standingForward(s: SparkSession, d: String): DataFrame =
+    Lineage.cut(forwardIndex(Tables.documents(s, d)
+      .filter(col("doc_id") % Similarity.knnBatchMod =!= 7)))
+
   /** The static relations for RM3 serving at ingest: the pruned lexical
     * index plus the standing corpus's forward relation, all lineage-cut
-    * once (or read from the persisted layout under [[indexDirConf]]). */
+    * once (or read from the persisted layout under an [[IndexStore]]). */
   private[graft] def rm3IngestIndex(
       s: SparkSession, d: String): (Bm25Index, DataFrame) = {
     val idx = ingestIndex(s, d)
-    val fwd = IndexStore.read(s, IndexStore.bm25Forward, d).getOrElse(
-      Lineage.cut(forwardIndex(Tables.documents(s, d)
-        .filter(col("doc_id") % Similarity.knnBatchMod =!= 7))))
+    val fwd = IndexStore.read(s, IndexStore.bm25Forward, d)
+      .getOrElse(standingForward(s, d))
     (idx, fwd)
   }
 

@@ -43,8 +43,11 @@ object IndexBuild {
       .parquet(s"$storeDir/${IndexStore.bm25TokenDf}")
     idx.stats.write.mode("overwrite")
       .parquet(s"$storeDir/${IndexStore.bm25Stats}")
-    val (_, fwd) = Search.rm3IngestIndex(s, sfDir)
-    fwd.write.mode("overwrite").parquet(s"$storeDir/${IndexStore.bm25Forward}")
+    // the forward relation directly — NOT via rm3IngestIndex, which would
+    // re-derive (and re-materialize) the whole lexical index a second time
+    // only to discard it
+    Search.standingForward(s, sfDir).write.mode("overwrite")
+      .parquet(s"$storeDir/${IndexStore.bm25Forward}")
     Similarity.navGraph(s, sfDir).write.mode("overwrite")
       .parquet(s"$storeDir/${IndexStore.navGraph}")
     Dedup.signatures(s, sfDir).write.mode("overwrite")
@@ -70,6 +73,8 @@ object IndexBuild {
   }
 
   def main(args: Array[String]): Unit = {
+    require(args.length == 2,
+      "usage: runMain graft.tools.IndexBuild <sfDir> <storeDir>")
     val sfDir = args(0); val storeDir = args(1)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
