@@ -102,6 +102,42 @@ class TopKScoredAgg(k: Int) extends BoundedTopKAgg[Seq[RankedScored]](k) {
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[RankedScored]]()
 }
 
+/** One (key, id) candidate entering an ascending bounded cut. */
+case class KeyedId(h: String, id: Long)
+
+/** Bottom-k by (key ASC, id ASC) with the key KEPT in the output — the
+  * ascending string-keyed sibling of [[BoundedTopKAgg]], for hash-ordered
+  * quota draws: the key is an md5 hex string whose full 128-bit order the
+  * DuckDB oracle reproduces, so it cannot be squeezed into a Double
+  * without cosmically-rare-but-real tie drift. Same geometric compaction
+  * (append O(1), sort+cut at 4k), same partial/final ObjectHashAggregate
+  * planning; survivors come back sorted, so a downstream ranking window
+  * over the exploded output touches only k·salts rows per group. */
+class BottomKByKeyAgg(k: Int)
+    extends Aggregator[KeyedId, Seq[KeyedId], Seq[KeyedId]] {
+
+  private val asc: Ordering[KeyedId] = Ordering.by(x => (x.h, x.id))
+  private def best(buf: Seq[KeyedId]): Seq[KeyedId] = buf.sorted(asc).take(k)
+
+  override def zero: Seq[KeyedId] = Vector.empty
+
+  override def reduce(buf: Seq[KeyedId], in: KeyedId): Seq[KeyedId] = {
+    val appended = buf :+ in
+    if (appended.length >= 4 * k) best(appended) else appended
+  }
+
+  override def merge(a: Seq[KeyedId], b: Seq[KeyedId]): Seq[KeyedId] =
+    best(a ++ b)
+
+  override def finish(buf: Seq[KeyedId]): Seq[KeyedId] = best(buf)
+
+  override def bufferEncoder: Encoder[Seq[KeyedId]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[KeyedId]]()
+
+  override def outputEncoder: Encoder[Seq[KeyedId]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[KeyedId]]()
+}
+
 object TopK {
 
   /** Reduce `scored(groupCol, scoreCol, idCol)` to its per-group top-k:

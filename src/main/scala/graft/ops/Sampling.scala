@@ -24,20 +24,52 @@ object Sampling {
 
   private val quotaPerStratum = 5
 
+  /** Sub-shard fan for the quota draw's bounded cut: each stratum's
+    * candidates split across this many hash salts, so the heap cut runs
+    * at strata×salts parallelism and the final exact-rank window touches
+    * ≤ salts×quota rows per stratum. At 100 TB raise it toward the
+    * cluster's task fan-out — output is salt-count-invariant. */
+  private val quotaSalts = 32
+
   /** Per-(lang, source) quota: keep the `quotaPerStratum` docs with the
     * smallest md5(doc_id) in each stratum — a deterministic "random" draw
     * with an exact per-stratum cap. */
   def quotaSample(s: SparkSession, d: String): DataFrame =
     quotaSampleDocs(Tables.documents(s, d), quotaPerStratum)
 
-  /** [[quotaSample]] over any frame with (doc_id, lang, source). */
+  /** [[quotaSample]] over any frame with (doc_id, lang, source).
+    *
+    * Two-level cut (round 14 — the BM25 index-prune lesson applied to the
+    * sampling tier): a single `row_number` window partitioned by
+    * (lang, source) puts each STRATUM's entire candidate set in one
+    * window partition — strata number in the dozens, so at 100 TB that is
+    * a handful of multi-TB single-task sorts. Level 1 instead heap-cuts
+    * each (stratum, hash-salt) slice to its bottom-`quota` by
+    * (md5, doc_id) ([[graft.functions.BottomKByKeyAgg]] — map-side
+    * partials, no sort, exact 128-bit hash order); any stratum-global
+    * bottom-quota row is necessarily in its own salt's bottom-quota, so
+    * the level-2 exact-rank window runs over ≤ [[quotaSalts]]×quota rows
+    * per stratum — bounded at any corpus size. Output is bit-identical to
+    * the one-window formulation (`SamplingPropsSpec` pins it). */
   def quotaSampleDocs(docs: DataFrame, quota: Int): DataFrame = {
+    val agg = org.apache.spark.sql.functions.udaf(
+      new graft.functions.BottomKByKeyAgg(quota),
+      org.apache.spark.sql.Encoders.product[graft.functions.KeyedId])
+    val cut = docs
+      .select(col("doc_id"), col("lang"), col("source"),
+        md5(col("doc_id").cast("string")).as("h"),
+        pmod(hash(col("doc_id")), lit(quotaSalts)).as("salt"))
+      .groupBy(col("lang"), col("source"), col("salt"))
+      .agg(agg(col("h"), col("doc_id")).as("bot"))
+      .select(col("lang"), col("source"), explode(col("bot")).as("t"))
+      .select(col("lang"), col("source"), col("t.h").as("h"),
+        col("t.id").as("doc_id"))
     val w = Window.partitionBy(col("lang"), col("source"))
-      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-    docs
-      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("h"), col("doc_id"))
+    cut
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= quota)
+      .select(col("doc_id"), col("lang"), col("source"), col("rnk"))
   }
 
   /** Fixed sample size for [[bottomkSample]] / `s_sample_stream`. */
@@ -342,8 +374,13 @@ object Sampling {
     *
     * Plan: one shuffle keyed by the stratum for rank + count over the same
     * window partitioning (a single sort serves both), parallel across
-    * |lang|×|source| strata; hot strata sub-shard by hash prefix exactly
-    * like [[quotaSample]]. */
+    * |lang|×|source| strata. Unlike [[quotaSample]] (whose constant-size
+    * cut two-levels through a bounded heap), an exact MEDIAN cut keeps a
+    * fraction of each stratum, so the exact form genuinely needs the
+    * per-stratum rank — at corpus scales where a stratum outgrows one
+    * task's sort, the deployment trade is `approx_percentile` on n_words
+    * per stratum + a map-side filter (approximate boundary, no stratum
+    * sort); the exact formulation here is what the oracle can check. */
   def percentileGate(s: SparkSession, d: String): DataFrame =
     percentileGateDocs(Tables.documents(s, d))
 
