@@ -105,6 +105,21 @@ class TopKScoredAgg(k: Int) extends BoundedTopKAgg[Seq[RankedScored]](k) {
 /** One (key, id) candidate entering an ascending bounded cut. */
 case class KeyedId(h: String, id: Long)
 
+/** One (count, key) candidate entering a descending-count bounded cut. */
+case class CountKeyed(c: Long, key: String)
+
+/** String comparison in Spark SQL's order — UTF-8 BYTE order (UTF8String's
+  * binary comparison), not Java's UTF-16 `compareTo`: the two differ on
+  * supplementary characters, and an aggregator replacing a window sort
+  * must reproduce the sort's exact tie order on ANY input, not just the
+  * ASCII fixtures. */
+private[functions] object Utf8Order {
+  def compare(a: String, b: String): Int =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+}
+
 /** Bottom-k by (key ASC, id ASC) with the key KEPT in the output — the
   * ascending string-keyed sibling of [[BoundedTopKAgg]], for hash-ordered
   * quota draws: the key is an md5 hex string whose full 128-bit order the
@@ -116,7 +131,12 @@ case class KeyedId(h: String, id: Long)
 class BottomKByKeyAgg(k: Int)
     extends Aggregator[KeyedId, Seq[KeyedId], Seq[KeyedId]] {
 
-  private val asc: Ordering[KeyedId] = Ordering.by(x => (x.h, x.id))
+  private val asc: Ordering[KeyedId] = new Ordering[KeyedId] {
+    override def compare(a: KeyedId, b: KeyedId): Int = {
+      val c = Utf8Order.compare(a.h, b.h)
+      if (c != 0) c else java.lang.Long.compare(a.id, b.id)
+    }
+  }
   private def best(buf: Seq[KeyedId]): Seq[KeyedId] = buf.sorted(asc).take(k)
 
   override def zero: Seq[KeyedId] = Vector.empty
@@ -136,6 +156,46 @@ class BottomKByKeyAgg(k: Int)
 
   override def outputEncoder: Encoder[Seq[KeyedId]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[KeyedId]]()
+}
+
+/** Top-k by (count DESC, key ASC), both kept — the descending sibling of
+  * [[BottomKByKeyAgg]] for frequency-table heads (per-language vocab,
+  * n-gram document-frequency ranks): a per-group `row_number` window
+  * caps parallelism at |groups| (a handful of languages) and sorts each
+  * group's ENTIRE aggregated frequency table in one task — at web scale
+  * a language's distinct-shingle table is billions of rows. The
+  * aggregator's map-side partials bound state at k per partition per
+  * group regardless of partitioning (no salting needed), and survivors
+  * come back sorted, so `posexplode` yields the exact 1-based rank with
+  * NO window at all. */
+class TopKByCountAgg(k: Int)
+    extends Aggregator[CountKeyed, Seq[CountKeyed], Seq[CountKeyed]] {
+
+  private val ord: Ordering[CountKeyed] = new Ordering[CountKeyed] {
+    override def compare(a: CountKeyed, b: CountKeyed): Int = {
+      val c = java.lang.Long.compare(b.c, a.c)
+      if (c != 0) c else Utf8Order.compare(a.key, b.key)
+    }
+  }
+  private def best(buf: Seq[CountKeyed]): Seq[CountKeyed] = buf.sorted(ord).take(k)
+
+  override def zero: Seq[CountKeyed] = Vector.empty
+
+  override def reduce(buf: Seq[CountKeyed], in: CountKeyed): Seq[CountKeyed] = {
+    val appended = buf :+ in
+    if (appended.length >= 4 * k) best(appended) else appended
+  }
+
+  override def merge(a: Seq[CountKeyed], b: Seq[CountKeyed]): Seq[CountKeyed] =
+    best(a ++ b)
+
+  override def finish(buf: Seq[CountKeyed]): Seq[CountKeyed] = best(buf)
+
+  override def bufferEncoder: Encoder[Seq[CountKeyed]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[CountKeyed]]()
+
+  override def outputEncoder: Encoder[Seq[CountKeyed]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[CountKeyed]]()
 }
 
 object TopK {

@@ -24,13 +24,6 @@ object Sampling {
 
   private val quotaPerStratum = 5
 
-  /** Sub-shard fan for the quota draw's bounded cut: each stratum's
-    * candidates split across this many hash salts, so the heap cut runs
-    * at strata×salts parallelism and the final exact-rank window touches
-    * ≤ salts×quota rows per stratum. At 100 TB raise it toward the
-    * cluster's task fan-out — output is salt-count-invariant. */
-  private val quotaSalts = 32
-
   /** Per-(lang, source) quota: keep the `quotaPerStratum` docs with the
     * smallest md5(doc_id) in each stratum — a deterministic "random" draw
     * with an exact per-stratum cap. */
@@ -39,37 +32,33 @@ object Sampling {
 
   /** [[quotaSample]] over any frame with (doc_id, lang, source).
     *
-    * Two-level cut (round 14 — the BM25 index-prune lesson applied to the
-    * sampling tier): a single `row_number` window partitioned by
+    * Bounded-heap cut (round 14 — the BM25 index-prune lesson applied to
+    * the sampling tier): a `row_number` window partitioned by
     * (lang, source) puts each STRATUM's entire candidate set in one
     * window partition — strata number in the dozens, so at 100 TB that is
-    * a handful of multi-TB single-task sorts. Level 1 instead heap-cuts
-    * each (stratum, hash-salt) slice to its bottom-`quota` by
-    * (md5, doc_id) ([[graft.functions.BottomKByKeyAgg]] — map-side
-    * partials, no sort, exact 128-bit hash order); any stratum-global
-    * bottom-quota row is necessarily in its own salt's bottom-quota, so
-    * the level-2 exact-rank window runs over ≤ [[quotaSalts]]×quota rows
-    * per stratum — bounded at any corpus size. Output is bit-identical to
-    * the one-window formulation (`SamplingPropsSpec` pins it). */
+    * a handful of multi-TB single-task sorts. The heap aggregation
+    * ([[graft.functions.BottomKByKeyAgg]], bottom-`quota` by
+    * (md5 ASC, doc_id ASC) — exact 128-bit hash order) instead reduces
+    * every map-side partition's candidates to ≤ quota per stratum BEFORE
+    * the exchange, at the source partitioning's full parallelism; the
+    * survivors come back sorted, so `posexplode`'s ordinal IS the exact
+    * rank — no window, no sort, one aggregation exchange. Output is
+    * bit-identical to the window formulation (`SamplingPropsSpec` pins
+    * equality against a driver-side selection, and the plan pin rejects a
+    * window regression). */
   def quotaSampleDocs(docs: DataFrame, quota: Int): DataFrame = {
     val agg = org.apache.spark.sql.functions.udaf(
       new graft.functions.BottomKByKeyAgg(quota),
       org.apache.spark.sql.Encoders.product[graft.functions.KeyedId])
-    val cut = docs
+    docs
       .select(col("doc_id"), col("lang"), col("source"),
-        md5(col("doc_id").cast("string")).as("h"),
-        pmod(hash(col("doc_id")), lit(quotaSalts)).as("salt"))
-      .groupBy(col("lang"), col("source"), col("salt"))
+        md5(col("doc_id").cast("string")).as("h"))
+      .groupBy(col("lang"), col("source"))
       .agg(agg(col("h"), col("doc_id")).as("bot"))
-      .select(col("lang"), col("source"), explode(col("bot")).as("t"))
-      .select(col("lang"), col("source"), col("t.h").as("h"),
-        col("t.id").as("doc_id"))
-    val w = Window.partitionBy(col("lang"), col("source"))
-      .orderBy(col("h"), col("doc_id"))
-    cut
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= quota)
-      .select(col("doc_id"), col("lang"), col("source"), col("rnk"))
+      .select(col("lang"), col("source"),
+        posexplode(col("bot")).as(Seq("p", "t")))
+      .select(col("t.id").as("doc_id"), col("lang"), col("source"),
+        (col("p") + 1).cast("long").as("rnk"))
   }
 
   /** Fixed sample size for [[bottomkSample]] / `s_sample_stream`. */

@@ -108,18 +108,26 @@ object TextAnalysis {
     * counting pass behind tokenizer/vocab construction. Plan: explode →
     * partial count map-side (the heavy reduction happens before the shuffle;
     * only distinct (lang, token) partials move) → final count → per-lang
-    * rank over the aggregated vocab. The rank partitions by `lang` (4
-    * values), but its input is already reduced to |vocab| rows, so the
-    * 4-way parallelism ceiling applies to a tiny relation — same shape as
-    * `Relational.supplierRank`. */
+    * bounded-heap head cut ([[graft.functions.TopKByCountAgg]], round 14):
+    * the earlier per-lang `row_number` window capped parallelism at
+    * |langs| and sorted each language's ENTIRE aggregated vocab in one
+    * task — at web scale a language's distinct-token table is 10⁸+ rows.
+    * The aggregator's map-side partials bound state at 20 per partition
+    * per lang at the tf relation's full parallelism, and `posexplode` of
+    * the sorted survivors IS the rank — no window, no vocab-wide sort. */
   def vocab(s: SparkSession, d: String): DataFrame = {
     val tf = Tables.documents(s, d)
       .select(col("lang"), explode(split(col("text"), " ")).as("token"))
       .filter(length(col("token")) > 0)
       .groupBy(col("lang"), col("token"))
       .agg(count(lit(1)).as("tf"))
-    val w = Window.partitionBy(col("lang")).orderBy(col("tf").desc, col("token").asc)
-    tf.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= 20)
+    val agg = org.apache.spark.sql.functions.udaf(
+      new graft.functions.TopKByCountAgg(20),
+      org.apache.spark.sql.Encoders.product[graft.functions.CountKeyed])
+    tf.groupBy(col("lang")).agg(agg(col("tf"), col("token")).as("top"))
+      .select(col("lang"), posexplode(col("top")).as(Seq("p", "t")))
+      .select(col("lang"), col("t.key").as("token"), col("t.c").as("tf"),
+        (col("p") + 1).cast("long").as("rnk"))
   }
 
   /** Token-rarity scoring: mean corpus frequency of a doc's tokens — low
@@ -438,10 +446,13 @@ object TextAnalysis {
     * so a single repetitive document cannot dominate the corpus statistic.
     *
     * Plan: map-side kernel + explode, one shuffle for the (lang, shingle)
-    * count with map-side partial aggregation, then a per-lang rank over the
-    * ALREADY-AGGREGATED relation — the window sorts |distinct shingles|
-    * rows, not the corpus, same shape as [[vocab]]. Deterministic cut:
-    * (df desc, shingle asc). */
+    * count with map-side partial aggregation, then the per-lang
+    * bounded-heap head cut ([[graft.functions.TopKByCountAgg]], round 14
+    * — the [[vocab]] rewrite applied here too, where it matters MORE: the
+    * distinct-shingle table dwarfs the vocab at any scale, and a per-lang
+    * window sorted all of it in |langs| tasks). Deterministic cut:
+    * (df desc, shingle asc); `posexplode` of the sorted survivors is the
+    * rank. */
   def ngramTopK(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     ngramTopKDocs(Tables.documents(s, d))
@@ -453,9 +464,13 @@ object TextAnalysis {
     val sh = docs
       .select(col("lang"), explode(expr("shingles3(split(text, ' '))")).as("sh"))
     val df = sh.groupBy(col("lang"), col("sh")).agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy(col("lang")).orderBy(col("df").desc, col("sh").asc)
-    df.withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= ngramTopN)
+    val agg = org.apache.spark.sql.functions.udaf(
+      new graft.functions.TopKByCountAgg(ngramTopN),
+      org.apache.spark.sql.Encoders.product[graft.functions.CountKeyed])
+    df.groupBy(col("lang")).agg(agg(col("df"), col("sh")).as("top"))
+      .select(col("lang"), posexplode(col("top")).as(Seq("p", "t")))
+      .select(col("lang"), col("t.key").as("sh"), col("t.c").as("df"),
+        (col("p") + 1).cast("long").as("rnk"))
   }
 
   /** Vocabulary-size checkpoints for [[vocabCoverage]]. */

@@ -41,22 +41,21 @@ class SamplingPropsSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
-  test("quota plan: the stratum window ranks only heap survivors, never the raw relation") {
-    // The round-14 rewrite: level 1 is a bounded-heap cut per
-    // (stratum, salt) — map-side ObjectHashAggregate partials — and the
-    // exact-rank window runs over its ≤ salts×quota-per-stratum survivors.
-    // A regression to the single stratum-partitioned window (each stratum
-    // one multi-TB sort task at 100 TB) fails here.
+  test("quota plan: bounded-heap aggregation, no window sort anywhere") {
+    // The round-14 rewrite: the per-stratum cut is a bounded-heap
+    // aggregation (map-side ObjectHashAggregate partials at full source
+    // parallelism) whose sorted survivors carry their rank as the
+    // posexplode ordinal. A regression to a stratum-partitioned
+    // row_number window (each stratum one multi-TB sort task at 100 TB)
+    // fails here.
     val plan = Sampling.quotaSampleDocs(
       Tables.documents(spark, sf)
         .select($"doc_id", $"lang", $"source"), 5)
       .queryExecution.executedPlan.toString
     assert(plan.contains("ObjectHashAggregate"),
       s"quota cut must be the partial+final bounded-heap aggregation:\n$plan")
-    val winIdx = plan.indexOf("Window")
-    val aggIdx = plan.indexOf("ObjectHashAggregate")
-    assert(winIdx >= 0 && winIdx < aggIdx,
-      s"the exact-rank window must sit ABOVE the heap cut (rank survivors only):\n$plan")
+    assert(!plan.contains("Window"),
+      s"the quota draw must not sort strata in window partitions:\n$plan")
   }
 
   test("globalIndex is a dense 1..n permutation consistent with (shard, pos) order") {
