@@ -638,22 +638,24 @@ object Dedup {
     * Plan: components' labeling — read from the session's spilled memo when
     * `x_dedup_components` (or a prior keepBest) already converged it, the
     * full O(log n)-round iteration otherwise ([[components]]) — then ONE
-    * extra shuffle keyed by cluster for the
-    * argmax window + member count (a single sort serves both). Window
-    * partitions are dedup clusters — bounded by duplicate-group size, never
-    * corpus size — so parallelism holds at 100 TB; the text itself never
+    * aggregation keyed by cluster: the survivor is a struct-MAX over
+    * (n_words, −doc_id) (lexicographic max ⇒ longest doc, ties to the
+    * smallest id — identical to the `row_number` argmax it replaced, at
+    * map-side-partial cost with NO per-cluster sort, so even a
+    * pathological corpus-sized duplicate cluster costs a scan, not a
+    * single-task sort) alongside the member count; the text itself never
     * shuffles (only (doc_id, comp, n_words) triples move). */
   def keepBest(s: SparkSession, d: String): DataFrame = {
     val len = Tables.documents(s, d)
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_words"))
-    val part = Window.partitionBy(col("comp"))
-    val w = part.orderBy(col("n_words").desc, col("doc_id"))
     components(s, d).join(len, "doc_id")
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .withColumn("n_members", count(lit(1)).over(part).cast("long"))
-      .filter(col("rnk") === 1)
-      .select(col("comp"), col("doc_id").as("keep_id"),
-        col("n_words").as("keep_words"), col("n_members"))
+      .groupBy(col("comp"))
+      .agg(
+        max(struct(col("n_words"), (-col("doc_id")).as("neg_id"),
+          col("doc_id"))).as("best"),
+        count(lit(1)).as("n_members"))
+      .select(col("comp"), col("best.doc_id").as("keep_id"),
+        col("best.n_words").as("keep_words"), col("n_members"))
   }
 
   /** Modulus selecting the stand-in "incoming batch" for [[incremental]]
