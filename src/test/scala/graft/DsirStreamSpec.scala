@@ -51,6 +51,50 @@ class DsirStreamSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("stop mid-ingest + restart from checkpoint converges to the batch set") {
+    // Restart golden across the TRIM's merge law: run 1 drains half the
+    // arrivals and its per-batch trim may already evict; the rest land while
+    // the query is down. The restarted query (SAME checkpoint) scores only
+    // the new file against the standing weights, and the resolve-side
+    // re-trim over both deltas must equal the one-shot batch admission set —
+    // top-q(A ∪ B) = top-q(top-q(A) ∪ top-q(B)) holding across a restart.
+    val scratch = graft.ops.SpillMemo.scratchDir("graft-sdsir-r-")
+    val src = s"$scratch/src"
+    val weights = graft.ops.Lineage.cut(graft.ops.Sampling.dsirWeights(
+      Tables.documents(spark, sf).filter(
+        $"doc_id" % graft.ops.Dedup.newMod =!= graft.ops.Dedup.newRem)))
+    val arriving = Tables.documents(spark, sf)
+      .filter($"doc_id" % graft.ops.Dedup.newMod === graft.ops.Dedup.newRem)
+      .select("doc_id", "lang", "text")
+    arriving.filter($"doc_id" % 20 === 7).coalesce(1).write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    def run(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(src).writeStream
+        .option("checkpointLocation", s"$scratch/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: Dataset[Row], id: Long) =>
+          graft.streaming.UpsertSink.writeBatch(
+            graft.ops.Sampling.dsirTrim(
+              graft.ops.Sampling.dsirScore(b.toDF(), weights)),
+            id, s"$scratch/sink")
+        }
+        .start()
+      q.awaitTermination()
+    }
+    run() // drains the first half, stops
+    val firstHalf = rows(graft.ops.Sampling.dsirTrim(
+      graft.streaming.UpsertSink.resolve(spark, s"$scratch/sink", Seq("doc_id"))))
+    assert(firstHalf.nonEmpty, "first run must have admitted early arrivals")
+    arriving.filter($"doc_id" % 20 =!= 7).coalesce(1).write.mode("append").parquet(src)
+    run() // restart: same checkpoint, only the new file is scored
+    val streamed = rows(graft.ops.Sampling.dsirTrim(
+      graft.streaming.UpsertSink.resolve(spark, s"$scratch/sink", Seq("doc_id"))))
+    val batch = rows(graft.ops.Sampling.dsirIngest(spark, sf))
+    assert(streamed == batch,
+      "restart from checkpoint diverged from the one-shot batch admission set")
+    assert(streamed.nonEmpty)
+  }
+
   test("golden: file-source streamed DSIR equals the batch admission set") {
     val streamed = rows(graft.streaming.DsirStream.streamedDsir(spark, sf))
     val batch = rows(graft.ops.Sampling.dsirIngest(spark, sf))

@@ -48,6 +48,46 @@ class Rm3StreamSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("stop mid-ingest + restart from checkpoint converges to the batch search") {
+    // The SearchStreamSpec restart golden applied to the two-round probe:
+    // half the arrivals exist when the first run drains; the rest land while
+    // the query is down. The restarted query (SAME checkpoint) must expand
+    // and probe only the new file — feedback still from the standing corpus
+    // only — and the resolved sink must equal the one-shot batch RM3.
+    val scratch = graft.ops.SpillMemo.scratchDir("graft-srm3-r-")
+    val src = s"$scratch/src"
+    val (idx, fwd) = graft.ops.Search.rm3IngestIndex(spark, sf)
+    val arriving = Tables.documents(spark, sf)
+      .filter($"doc_id" % graft.ops.Similarity.knnBatchMod === 7)
+      .select("doc_id", "text")
+    arriving.filter($"doc_id" % 20 === 7).coalesce(1).write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    def run(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(src).writeStream
+        .option("checkpointLocation", s"$scratch/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: Dataset[Row], id: Long) =>
+          graft.streaming.UpsertSink.writeBatch(
+            graft.ops.Search.rm3Probe(b.toDF(), idx, fwd), id, s"$scratch/sink")
+        }
+        .start()
+      q.awaitTermination()
+    }
+    run() // drains the first half, stops
+    val firstHalf = answers(graft.streaming.UpsertSink
+      .resolve(spark, s"$scratch/sink", Seq("query_id", "rnk")))
+    assert(firstHalf.nonEmpty, "first run must have served the early arrivals")
+    arriving.filter($"doc_id" % 20 =!= 7).coalesce(1).write.mode("append").parquet(src)
+    run() // restart: same checkpoint, only the new file is probed
+    val streamed = answers(graft.streaming.UpsertSink
+      .resolve(spark, s"$scratch/sink", Seq("query_id", "rnk")))
+    val batch = answers(graft.ops.Search.rm3IngestSearch(spark, sf))
+    assert(streamed == batch,
+      "restart from checkpoint diverged from the one-shot batch RM3")
+    assert(firstHalf.subsetOf(streamed), "run-1 answers must persist unchanged")
+    assert(streamed.size > firstHalf.size, "run 2 must have served the late arrivals")
+  }
+
   test("golden: file-source streamed RM3 equals the batch search") {
     val streamed = answers(graft.streaming.Rm3Stream.streamedRm3(spark, sf))
     val batch = answers(graft.ops.Search.rm3IngestSearch(spark, sf))
