@@ -361,28 +361,58 @@ object Sampling {
     * doc_id) and keep rows with 2·rank ≤ stratum count — no FP percentile,
     * so the kept set is identical across engines and partitionings.
     *
-    * Plan: one shuffle keyed by the stratum for rank + count over the same
-    * window partitioning (a single sort serves both), parallel across
-    * |lang|×|source| strata. Unlike [[quotaSample]] (whose constant-size
-    * cut two-levels through a bounded heap), an exact MEDIAN cut keeps a
-    * fraction of each stratum, so the exact form genuinely needs the
-    * per-stratum rank — at corpus scales where a stratum outgrows one
-    * task's sort, the deployment trade is `approx_percentile` on n_words
-    * per stratum + a map-side filter (approximate boundary, no stratum
-    * sort); the exact formulation here is what the oracle can check. */
+    * Plan: unlike [[quotaSample]] (whose constant-size cut two-levels
+    * through a bounded heap), an exact MEDIAN cut keeps a fraction of each
+    * stratum, so a bounded heap cannot express it — but the exact rank
+    * still decomposes through a length HISTOGRAM (see
+    * [[percentileGateDocs]]): histogram aggregate → tiny histogram-side
+    * cumulative → broadcast-back → within-tie-class rank. EXACT at any
+    * scale — no `approx_percentile` concession — with the only
+    * document-sized window partitioned by (stratum, length). */
   def percentileGate(s: SparkSession, d: String): DataFrame =
     percentileGateDocs(Tables.documents(s, d))
 
-  /** [[percentileGate]] over any frame with (doc_id, lang, source, text). */
+  /** [[percentileGate]] over any frame with (doc_id, lang, source, text).
+    *
+    * HISTOGRAM TWO-PASS (round 14): the direct form — one rank window per
+    * (lang, source) stratum — caps parallelism at the stratum count and
+    * single-task-sorts each stratum (the same shape the round-13 verdict
+    * flagged in the BM25 build). Since the rank key `n_words` is a
+    * bounded-cardinality integer, the exact rank decomposes: aggregate a
+    * per-stratum LENGTH HISTOGRAM (|strata|·|distinct lengths| rows —
+    * dashboard-sized), take the strictly-above cumulative on the histogram
+    * (a window over histogram rows, not documents), broadcast it back, and
+    * rank each document as `above + its row_number WITHIN ITS (stratum,
+    * length) tie class`. Identical output — rank, count and kept set are
+    * bit-equal to the windowed form (`CorpusOpsSpec` pins both the fixture
+    * semantics and the equivalence; `GatePlanSpec` pins that no
+    * document-sized stratum-only window survives) — but the only window
+    * over documents now partitions by (stratum, length): parallelism
+    *  scales with the histogram, and the largest single sort is a tie
+    * class, not a stratum. Rows whose tie class lies entirely below the
+    * median (`above·2 > n_stratum`) are filtered BEFORE the rank window —
+    * the window input is only the kept-plus-boundary half. */
   def percentileGateDocs(docs: DataFrame): DataFrame = {
-    val part = Window.partitionBy(col("lang"), col("source"))
-    val w = part.orderBy(col("n_words").desc, col("doc_id"))
-    docs
-      .select(col("doc_id"), col("lang"), col("source"),
-        size(split(col("text"), " ")).cast("long").as("n_words"))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .withColumn("n_stratum", count(lit(1)).over(part).cast("long"))
+    val base = docs.select(col("doc_id"), col("lang"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_words"))
+    val hw = Window.partitionBy(col("lang"), col("source"))
+      .orderBy(col("n_words").desc)
+    val hist = base.groupBy(col("lang"), col("source"), col("n_words"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+      .withColumn("above", (sum(col("cnt")).over(hw) - col("cnt")).cast("long"))
+      .withColumn("n_stratum",
+        sum(col("cnt")).over(Window.partitionBy(col("lang"), col("source")))
+          .cast("long"))
+      .select(col("lang"), col("source"), col("n_words"),
+        col("above"), col("n_stratum"))
+    val tieW = Window.partitionBy(col("lang"), col("source"), col("n_words"))
+      .orderBy(col("doc_id"))
+    base.join(broadcast(hist), Seq("lang", "source", "n_words"))
+      .filter(col("above") * 2 <= col("n_stratum"))
+      .withColumn("rnk", (col("above") + row_number().over(tieW)).cast("long"))
       .filter(col("rnk") * 2 <= col("n_stratum"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_words"),
+        col("rnk"), col("n_stratum"))
   }
 
   /** The full corpus-to-loader handoff, composed end to end: quality gate →
@@ -399,6 +429,42 @@ object Sampling {
 
   private[graft] val ctxLen = 2048
 
+  /** Order-preserving bucket width for [[prefixSum]]: doc_ids are dense, so
+    * 64 Ki-row buckets keep the bucket relation corpus/2¹⁶-sized. */
+  private[graft] val packBucketWidth = 65536L
+
+  /** DISTRIBUTED PER-STRATUM PREFIX SUM (round 14): the exact running
+    * total `out = Σ value over rows before this one in `ord` order within
+    * `strat`` — WITHOUT one sequential cumsum window per stratum (whole
+    * strata through |strat| tasks, the low-cardinality-window shape the
+    * round-14 sweep retired everywhere else). Classic two-level scan:
+    * rows bucket by `ord div bucketW` (monotone ⇒ order-preserving across
+    * buckets); per-(stratum, bucket) totals aggregate into a corpus/B-row
+    * relation whose own per-stratum cumulative is a window over BUCKET
+    * rows, not documents; the exclusive bucket offset joins back on
+    * (stratum, bucket) — the very partitioning the intra-bucket cumsum
+    * window needs, so Catalyst reuses the exchange. Each row's total is
+    * `bucket offset + its intra-bucket running sum`. Bit-identical to the
+    * sequential window at any bucket width (`GatePlanSpec` pins equality
+    * at multi-bucket widths); parallelism scales with corpus/B, and the
+    * decomposition telescopes (re-bucket the bucket relation) if the
+    * bucket relation itself ever outgrows one window task. */
+  private[graft] def prefixSum(df: DataFrame, strat: String, ord: String,
+      value: String, out: String,
+      bucketW: Long = packBucketWidth): DataFrame = {
+    val base = df.withColumn("bkt", expr(s"$ord div $bucketW"))
+    val bw = Window.partitionBy(col(strat)).orderBy(col("bkt"))
+    val bucketOff = base.groupBy(col(strat), col("bkt"))
+      .agg(sum(col(value)).as("b_tot"))
+      .withColumn("b_off", (sum(col("b_tot")).over(bw) - col("b_tot")).cast("long"))
+      .select(col(strat), col("bkt"), col("b_off"))
+    val iw = Window.partitionBy(col(strat), col("bkt")).orderBy(col(ord))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(bucketOff, Seq(strat, "bkt"))
+      .withColumn(out, col("b_off") + sum(col(value)).over(iw) - col(value))
+      .drop("bkt", "b_off")
+  }
+
   /** Training-sequence packing: the assembly step that concatenates a
     * corpus stream and cuts it into fixed-length context windows
     * ([[ctxLen]] whitespace tokens) — each document gets its start offset
@@ -406,18 +472,18 @@ object Sampling {
     * token lands in (documents may span a boundary; the trainer's loader
     * slices by offset). Deterministic order (doc_id within lang) makes the
     * packing reproducible and oracle-checkable — the property an auditable
-    * training set needs. Plan: one window cumsum per stratum, parallel
-    * across strata; at 100 TB you'd sub-shard hot strata by a hash prefix
-    * (per-shard token streams), the same plan one level down. */
-  def packSequences(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
-      .withColumn("start_off", sum(col("n_tokens")).over(w) - col("n_tokens"))
+    * training set needs. Plan: the cumulative offset runs through
+    * [[prefixSum]]'s two-level bucket scan — the sub-shard-the-stratum
+    * plan this scaladoc used to defer to 100 TB is now the shipped shape,
+    * with the stratum-sequential window demoted to bucket rows. */
+  def packSequences(s: SparkSession, d: String): DataFrame =
+    prefixSum(
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens")),
+      "lang", "doc_id", "n_tokens", "start_off")
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("start_off"))
       .withColumn("seq_id", expr(s"start_off div $ctxLen"))
-  }
 
   /** BEST-FIT-DECREASING packing — the modern packer [[packSequences]]'s
     * concatenate-and-cut is not: no document is ever split across context

@@ -686,16 +686,15 @@ object TextAnalysis {
     * document gets its offset and context-window id in its stratum's token
     * stream — the handoff artifact between a curation pipeline and a
     * training loader. Same plan shapes as the parts: gate is map-side, the
-    * keep-list is one content-hash shuffle, packing is one window per
-    * stratum. */
-  def packCurated(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    curatedDocs(s, d)
-      .select(col("doc_id"), col("lang"), col("n_words"))
-      .withColumn("start_off", sum(col("n_words")).over(w) - col("n_words"))
+    * keep-list is one content-hash shuffle, packing is
+    * [[Sampling.prefixSum]]'s two-level bucket scan (the stratum-sequential
+    * cumsum demoted to bucket rows, same as `x_pack_sequences`). */
+  def packCurated(s: SparkSession, d: String): DataFrame =
+    Sampling.prefixSum(
+      curatedDocs(s, d).select(col("doc_id"), col("lang"), col("n_words")),
+      "lang", "doc_id", "n_words", "start_off")
+      .select(col("doc_id"), col("lang"), col("n_words"), col("start_off"))
       .withColumn("seq_id", expr(s"start_off div ${Sampling.ctxLen}"))
-  }
 
   /** Integer milli-unit weights of the linear quality-classifier gate
     * ([[modelGate]]) — stand-ins for offline-trained values (a fastText-
@@ -748,12 +747,18 @@ object TextAnalysis {
     * `pct_bp = (rank − 1)·10000 div (n_lang − 1)`: integer-exact, 0 for
     * each language's worst document, 10000 for its best.
     *
-    * Plan: the gate score comes off the memoized per-doc feature base
-    * ([[docBase]] — corpus text is not re-read); the rank window
-    * partitions by `lang`, whose parallelism ceiling is |langs|, but its
-    * input is the per-doc compact relation, the same bounded-window shape
-    * as [[vocab]] — at 100 TB pre-aggregate to score histograms per lang
-    * and rank against the histogram instead. */
+    * Plan (round 14 — the histogram form its own scaladoc used to only
+    * name): the gate score comes off the memoized per-doc feature base
+    * ([[docBase]] — corpus text is not re-read). The per-language rank no
+    * longer runs as one window per language (parallelism ceiling |langs|,
+    * one task sorting each language): `score_m` is a bounded integer, so
+    * the rank decomposes through a per-language SCORE HISTOGRAM —
+    * aggregate (lang, score_m) counts, take the strictly-below cumulative
+    * on the histogram rows, broadcast back, and rank each doc as `below +
+    * row_number WITHIN ITS (lang, score_m) tie class`. Bit-identical
+    * ranks/percentiles (`TextKernelsSpec` pins the fixture semantics,
+    * `GatePlanSpec` the plan shape); the only document-sized window
+    * partitions by (lang, score_m). */
   def qualityCalibrate(s: SparkSession, d: String): DataFrame = {
     // lang rides the memoized base relation — re-joining the documents
     // table here would pay a corpus scan plus a shuffle for a column the
@@ -761,11 +766,17 @@ object TextAnalysis {
     val scored = gateScore(docBase(s, d)
       .select(col("doc_id"), col("lang"), col("n_words"), col("n_stop"), col("n_punct")))
       .select(col("doc_id"), col("lang"), col("score_m"))
-    val w = Window.partitionBy(col("lang")).orderBy(col("score_m"), col("doc_id"))
-    scored
-      .withColumn("rnk", row_number().over(w).cast("long"))
+    val hw = Window.partitionBy(col("lang")).orderBy(col("score_m"))
+    val hist = scored.groupBy(col("lang"), col("score_m"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+      .withColumn("below", (sum(col("cnt")).over(hw) - col("cnt")).cast("long"))
       .withColumn("n_lang",
-        count(lit(1)).over(Window.partitionBy(col("lang"))).cast("long"))
+        sum(col("cnt")).over(Window.partitionBy(col("lang"))).cast("long"))
+      .select(col("lang"), col("score_m"), col("below"), col("n_lang"))
+    val tieW = Window.partitionBy(col("lang"), col("score_m"))
+      .orderBy(col("doc_id"))
+    scored.join(broadcast(hist), Seq("lang", "score_m"))
+      .withColumn("rnk", (col("below") + row_number().over(tieW)).cast("long"))
       .withColumn("pct_bp", expr("((rnk - 1) * 10000) div greatest(n_lang - 1, 1)"))
       .select(col("doc_id"), col("lang"), col("score_m"),
         col("rnk"), col("n_lang"), col("pct_bp"))
@@ -792,17 +803,26 @@ object TextAnalysis {
     * the count of strata still alive at its wave with key ≤ its own (its
     * 1-based slot inside the wave). `CurriculumSpec`-style equivalence to
     * the global window is pinned in `TextKernelsSpec`. The per-stratum
-    * wave window is as parallel as the stratum count — at 100 TB subdivide
-    * hot strata by a hash-salt prefix exactly as [[graft.ops.Sampling]]'s
-    * quota windows do. */
+    * wave rank decomposes through a (stratum, score) HISTOGRAM — the
+    * [[qualityCalibrate]] shape: strictly-above cumulative on histogram
+    * rows, broadcast back, tie rank within the (stratum, score) class —
+    * so the only document-sized window partitions by (stratum, score),
+    * not the stratum alone. */
   def curriculumOrder(s: SparkSession, d: String): DataFrame = {
     val scored = modelGate(s, d).select(col("doc_id"), col("score_m"))
     val strataKeys = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("source"))
     val base = scored.join(strataKeys, "doc_id")
-    val w = Window.partitionBy(col("lang"), col("source"))
-      .orderBy(col("score_m").desc, col("doc_id"))
-    val waved = base.withColumn("wave", row_number().over(w).cast("long"))
+    val hw = Window.partitionBy(col("lang"), col("source"))
+      .orderBy(col("score_m").desc)
+    val hist = base.groupBy(col("lang"), col("source"), col("score_m"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+      .withColumn("above", (sum(col("cnt")).over(hw) - col("cnt")).cast("long"))
+      .select(col("lang"), col("source"), col("score_m"), col("above"))
+    val tieW = Window.partitionBy(col("lang"), col("source"), col("score_m"))
+      .orderBy(col("doc_id"))
+    val waved = base.join(broadcast(hist), Seq("lang", "source", "score_m"))
+      .withColumn("wave", (col("above") + row_number().over(tieW)).cast("long"))
     val dir = base.groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_s"))
       .agg(sort_array(collect_list(

@@ -21,11 +21,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
-  test("pack_sequences runs ONE exchange (stratum repartition) then the window") {
+  test("pack_sequences: document cumsum window partitions by (lang, bkt), not lang alone") {
+    // round 14: the per-stratum sequential cumsum became prefixSum's
+    // two-level bucket scan — the document-sized window must carry the
+    // bucket key (stratum-only windows may only rank the bucket totals),
+    // and the bucket-offset join must reuse the window's partitioning
+    // rather than add a third document-sized exchange
     val p = plan("x_pack_sequences")
     assert(p.contains("Window"), p)
-    val exchanges = p.linesIterator.count(_.contains("Exchange"))
-    assert(exchanges == 1, s"expected exactly one exchange (by lang), got $exchanges:\n$p")
+    assert(p.linesIterator.exists(l =>
+      l.contains("windowspecdefinition(lang#") && l.contains("bkt#")),
+      s"expected the intra-bucket cumsum window keyed by (lang, bkt):\n$p")
+    // broadcast exchanges are free at this size (AQE ships the bucket
+    // offsets to the doc side); the SHUFFLE budget is bucket agg +
+    // join/window partitioning + the bucket-row window
+    val shuffles = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange"))
+    assert(shuffles <= 3,
+      s"expected at most 3 shuffle exchanges (bucket agg + reused join/window + bucket-row window), got $shuffles:\n$p")
   }
 
   test("anomaly windows broadcast the 1-row moments — map-side filter, no second shuffle") {
