@@ -45,6 +45,7 @@ object SparkEntry {
     (streaming.HybridStream.queries, streaming.HybridStream.oracle),
     (streaming.DsirStream.queries, streaming.DsirStream.oracle),
     (streaming.Rm3Stream.queries, streaming.Rm3Stream.oracle),
+    (streaming.MaxsimStream.queries, streaming.MaxsimStream.oracle),
     (streaming.SampleStream.queries, streaming.SampleStream.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

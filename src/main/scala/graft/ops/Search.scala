@@ -502,6 +502,93 @@ object Search {
       "query_id", "score", "neighbor_id", topK)
       .select(col("query_id"), col("neighbor_id"), col("rnk"))
 
+  /** Late-interaction token-vector dimensionality ([[simSql]]). */
+  private[graft] val maxsimDims = 8
+
+  /** One (query-token, doc-token) similarity — IDENTICAL text in the
+    * Spark plan and the DuckDB twin (the [[scoreSql]] stance): the dot
+    * product of two [[maxsimDims]]-dim DETERMINISTIC hash-projection
+    * token vectors (the centered ascii codes of the token's md5 head —
+    * both engines emit the same 32-char lowercase hex, the same parity
+    * every hash-ordered draw in this repo already rests on). The vector
+    * function is the swappable stand-in (a deployment plugs its model's
+    * token embeddings — the multimodal-codec stance); what the operator
+    * builds and prices is the MaxSim CONTRACT: per-token vectors,
+    * max-over-doc-tokens per query term, sum over query terms. Integer
+    * throughout — 8 products of values in [-32, 47] — so the score is
+    * oracle-exact. */
+  private[graft] def simSql(a: String, b: String): String =
+    "CAST(" + (1 to maxsimDims).map(i =>
+      s"(ascii(substring(md5($a), $i, 1)) - 80) * " +
+        s"(ascii(substring(md5($b), $i, 1)) - 80)").mkString(" + ") +
+      " AS BIGINT)"
+
+  /** LATE-INTERACTION RERANK (`x_search_maxsim`) — the ColBERT-shape
+    * second stage a modern retrieval stack runs over its first-stage
+    * candidates: score(q, d) = Σ_{t ∈ q} max_{u ∈ d} sim(t, u), computed
+    * ONLY for the BM25 top-[[topK]] candidates of each query (first
+    * stage recalls, late interaction re-orders — the published two-stage
+    * contract, and what bounds the cost). Completes the ladder: sparse
+    * BM25 → dense cosine → RRF hybrid → late interaction.
+    *
+    * Plan: the (candidate × query-term) relation is dashboard-sized
+    * (queries · k · [[qTerms]]) and BROADCASTS onto the doc-major forward
+    * relation, so the corpus-sized side is never shuffled and only
+    * candidate documents' tokens survive the hash join; the max/sum
+    * aggregations then work ≤ queries · k · qTerms · |doc tokens| rows,
+    * and the rerank window partitions per query over ≤ k rows. At 100 TB
+    * the forward relation is the persisted [[forwardIndex]] artifact
+    * ([[graft.ops.IndexStore]] serves it), and everything after the scan
+    * is candidate-bounded. */
+  private[graft] def maxsimProbe(
+      queryDocs: DataFrame, idx: Bm25Index, fwd: DataFrame): DataFrame = {
+    val qterms = Lineage.cut(queryTerms(queryDocs, idx))
+    val cands = Lineage.cut(probeTerms(qterms, idx)
+      .select(col("query_id"), col("neighbor_id"), col("rnk")))
+    val qside = cands.join(
+      qterms.withColumnRenamed("token", "qtok"), "query_id")
+    val pairs = fwd
+      .select(col("doc_id"), col("token").as("dtok"))
+      .join(Hints.broadcastSmall(qside), col("doc_id") === col("neighbor_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("maxsim_score").desc, col("neighbor_id").asc)
+    pairs
+      .withColumn("s", expr(simSql("qtok", "dtok")))
+      .groupBy(col("query_id"), col("neighbor_id"), col("rnk"), col("qtok"))
+      .agg(max(col("s")).as("ms"))
+      .groupBy(col("query_id"), col("neighbor_id"), col("rnk"))
+      .agg(sum(col("ms")).cast("long").as("maxsim_score"))
+      .select(col("query_id"), col("neighbor_id"), col("rnk").as("bm25_rnk"),
+        col("maxsim_score"))
+      .withColumn("mrnk", row_number().over(w).cast("long"))
+  }
+
+  /** Member form: strided query docs rerank against the full-corpus index
+    * and forward relation. */
+  def maxsimRerank(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    maxsimProbe(
+      docs.filter(col("doc_id") % searchStride === 0)
+        .select(col("doc_id"), col("text")),
+      bm25IndexDocs(docs), forwardIndex(docs))
+  }
+
+  /** Ingest form: arriving docs (`% 10 = 7`) recall against the standing
+    * pruned index and late-interaction-rerank against the standing
+    * forward relation — the same static pair RM3 serving reads
+    * ([[rm3IngestIndex]]: lineage-cut once, or the persisted
+    * [[IndexStore]] layout). The streamed twin
+    * ([[graft.streaming.MaxsimStream]]) runs THIS probe per micro-batch;
+    * per-arrival cost is candidate-bounded, state is zero. */
+  def maxsimIngest(s: SparkSession, d: String): DataFrame = {
+    val (idx, fwd) = rm3IngestIndex(s, d)
+    maxsimProbe(
+      Tables.documents(s, d)
+        .filter(col("doc_id") % Similarity.knnBatchMod === 7)
+        .select(col("doc_id"), col("text")),
+      idx, fwd)
+  }
+
   /** RRF fusion of two (query_id, neighbor_id, rnk) legs — ONE definition
     * for every hybrid form. Exact integer contributions; the input legs
     * are already top-k-reduced, so the window works dashboard-sized
@@ -767,6 +854,8 @@ object Search {
     "x_search_boolean" -> booleanSearch,
     "x_search_facets" -> facetSearch,
     "x_search_ingest" -> bm25IngestTopK,
+    "x_search_maxsim" -> maxsimRerank,
+    "x_search_maxsim_in" -> maxsimIngest,
     "x_search_hybrid_rrf" -> hybridRrf,
     "x_search_hybrid_in" -> hybridIngest,
     "x_search_eval" -> hybridEval)
@@ -852,6 +941,30 @@ object Search {
   private val bm25Tail =
     s"\nSELECT query_id, neighbor_id, score_m, n_terms, rnk FROM rk WHERE rnk <= $topK"
 
+  /** MaxSim continuation of [[bm25Ctes]]: late-interaction rerank of the
+    * `rk` candidates against the `tf` forward relation — shared by the
+    * member and ingest oracles; [[simSql]] is the SAME text the Spark
+    * plan compiles. */
+  private def maxsimTail: String =
+    s""",
+       |cnd AS (SELECT query_id, neighbor_id, rnk FROM rk WHERE rnk <= $topK),
+       |dt AS (SELECT tf.doc_id, tf.token AS dtok FROM tf
+       |       JOIN (SELECT DISTINCT neighbor_id FROM cnd) c
+       |         ON tf.doc_id = c.neighbor_id),
+       |prs AS (SELECT c.query_id, c.neighbor_id, c.rnk, q.token AS qtok, d.dtok
+       |        FROM cnd c JOIN terms q USING (query_id)
+       |        JOIN dt d ON d.doc_id = c.neighbor_id),
+       |msr AS (SELECT query_id, neighbor_id, rnk, qtok,
+       |         max(${simSql("qtok", "dtok")}) AS ms
+       |       FROM prs GROUP BY 1, 2, 3, 4),
+       |sc AS (SELECT query_id, neighbor_id, rnk AS bm25_rnk,
+       |         CAST(sum(ms) AS BIGINT) AS maxsim_score
+       |       FROM msr GROUP BY 1, 2, 3)
+       |SELECT query_id, neighbor_id, bm25_rnk, maxsim_score,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |         ORDER BY maxsim_score DESC, neighbor_id ASC) AS BIGINT) AS mrnk
+       |FROM sc""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "x_search_phrase" ->
       """WITH base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -894,6 +1007,11 @@ object Search {
     "x_search_ingest" ->
       (bm25Ctes(s"doc_id % ${Similarity.knnBatchMod} <> 7",
         s"doc_id % ${Similarity.knnBatchMod} = 7") + bm25Tail),
+    "x_search_maxsim" ->
+      (bm25Ctes("true", s"doc_id % $searchStride = 0") + maxsimTail),
+    "x_search_maxsim_in" ->
+      (bm25Ctes(s"doc_id % ${Similarity.knnBatchMod} <> 7",
+        s"doc_id % ${Similarity.knnBatchMod} = 7") + maxsimTail),
     "x_search_snippet" ->
       (bm25Ctes("true", s"doc_id % $searchStride = 0") +
         s""",

@@ -324,6 +324,54 @@ class SearchSpec extends SparkSpec {
       s"postings build must be the partial+final bounded-heap aggregation:\n$plan")
   }
 
+  test("maxsim rerank: scores equal an independent MessageDigest reference; plan broadcast-only") {
+    // independent reference: JDK MessageDigest md5 (not Spark's), the same
+    // centered-ascii hash projection, max-over-doc-tokens then
+    // sum-over-query-terms — recomputed per output row from raw text
+    val md5hex: String => String = { s =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    def vec(tok: String): Seq[Int] =
+      md5hex(tok).take(graft.ops.Search.maxsimDims).map(_.toInt - 80)
+    def sim(a: String, b: String): Long =
+      vec(a).zip(vec(b)).map { case (x, y) => x.toLong * y }.sum
+
+    val docs = Tables.documents(spark, sf)
+    val docToks = docs.select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.split(" ").filter(_.nonEmpty).distinct.toSeq }
+      .toMap
+    val idx = graft.ops.Search.bm25IndexDocs(docs)
+    val qterms = graft.ops.Search.queryTerms(
+      docs.filter($"doc_id" % graft.ops.Search.searchStride === 0)
+        .select($"doc_id", $"text"), idx)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSeq }
+
+    val outDf = graft.ops.Search.maxsimRerank(spark, sf)
+    val out = outDf
+      .select("query_id", "neighbor_id", "bm25_rnk", "maxsim_score", "mrnk")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.nonEmpty)
+    out.foreach { case (q, n, _, score, _) =>
+      val expected = qterms(q).map(qt => docToks(n).map(dt => sim(qt, dt)).max).sum
+      assert(score == expected,
+        s"maxsim($q, $n) = $score, reference says $expected")
+    }
+    out.groupBy(_._1).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_._5)
+      assert(byRank.map(_._5).toSeq == (1L to rs.size).toSeq, "mrnk not dense from 1")
+      assert(byRank.map(r => (-r._4, r._2)).toSeq ==
+        byRank.map(r => (-r._4, r._2)).sortBy(identity).toSeq,
+        "mrnk disagrees with (score desc, neighbor asc)")
+    }
+    val p = outDf.queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin"),
+      s"the candidate side must broadcast onto the forward relation:\n$p")
+  }
+
   test("query terms the corpus never saw retrieve nothing (no crash)") {
     val corpus = docsDf(1L -> "alpha beta", 2L -> "beta gamma")
     val idx = graft.ops.Search.bm25IndexDocs(corpus)
