@@ -111,6 +111,51 @@ object Relational {
     Tables.customer(s, d).select(col("c_custkey").as("custkey"))
       .except(Tables.orders(s, d).select(col("o_custkey").as("custkey")))
 
+  /** Q13-SHAPE ORDER-COUNT DISTRIBUTION: how many customers placed
+    * exactly n orders, INCLUDING the zero bucket — the left-outer-join +
+    * two-level aggregation TPC-H Q13 exercises (the outer join is the
+    * point: an inner join silently drops the no-order customers that
+    * `h_customers_without_orders` proves exist). Plan: one shuffle keyed
+    * by custkey for the outer join + per-customer count (orders' custkey
+    * exchange is reused by the first agg), then the second aggregation
+    * collapses to |distinct n| rows — at any corpus size the output is
+    * histogram-sized. */
+  def orderCountDist(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(col("c_custkey"))
+      .join(Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .groupBy(col("n_orders"))
+      .agg(count(lit(1)).as("n_custs"))
+
+  /** Q17-SHAPE SMALL-QUANTITY REVENUE: per brand, the revenue of
+    * lineitems below 20% of their part's average quantity — the classic
+    * correlated scalar subquery (TPC-H Q17's `l_quantity < 0.2 *
+    * (SELECT avg(l_quantity) ...)`), DECORRELATED into a per-part
+    * aggregate joined back to the same fact relation. The predicate is
+    * EXACT integer arithmetic — qty < sum/(5·n) ⟺ 5·qty·n < sum with
+    * integral quantities — so no FP average crosses the engine boundary.
+    * Plan: the per-part aggregate and the join-back both key on
+    * l_partkey, so the fact table shuffles ONCE and the aggregated side
+    * reuses that exchange (AQE broadcasts it while |parts| stays small —
+    * either way no second fact-sized exchange); the brand dimension
+    * broadcasts; the final agg is |brands|-sized. */
+  def smallQtyRevenue(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+        cents(col("l_extendedprice")).as("price_cents"))
+    val perPart = li.groupBy(col("l_partkey"))
+      .agg(sum(col("qty")).as("sum_qty"), count(lit(1)).as("n_li"))
+    li.join(perPart, "l_partkey")
+      .filter(col("qty") * 5 * col("n_li") < col("sum_qty"))
+      .join(broadcast(Tables.part(s, d).select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(sum(col("price_cents")).as("revenue_cents"),
+        count(lit(1)).as("n_small"))
+  }
+
   /** Exact percentiles per group (median + p95) — the sort-based aggregate
     * the dashboards' "distribution" panels need. Spark's `percentile` is the
     * exact type-7 (linear interpolation) quantile, same definition as
@@ -358,7 +403,9 @@ object Relational {
     "h_supplier_rank" -> supplierRank,
     "h_rollup_summary" -> rollupSummary,
     "h_distinct_agg" -> distinctAgg,
-    "h_customers_without_orders" -> customersWithoutOrders)
+    "h_customers_without_orders" -> customersWithoutOrders,
+    "h_small_qty_revenue" -> smallQtyRevenue,
+    "h_order_count_dist" -> orderCountDist)
 
   private val centsSql = (c: String) => s"CAST(round($c * 100) AS BIGINT)"
 
@@ -501,5 +548,25 @@ object Relational {
     "h_customers_without_orders" ->
       """SELECT c_custkey AS custkey FROM customer
         |EXCEPT
-        |SELECT o_custkey AS custkey FROM orders""".stripMargin)
+        |SELECT o_custkey AS custkey FROM orders""".stripMargin,
+    "h_small_qty_revenue" ->
+      s"""WITH li AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+         |              ${centsSql("l_extendedprice")} AS price_cents
+         |            FROM lineitem),
+         |pp AS (SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS sum_qty,
+         |         count(*) AS n_li
+         |       FROM li GROUP BY 1)
+         |SELECT p_brand,
+         |  CAST(sum(price_cents) AS BIGINT) AS revenue_cents,
+         |  count(*) AS n_small
+         |FROM li JOIN pp USING (l_partkey)
+         |JOIN part ON l_partkey = p_partkey
+         |WHERE qty * 5 * n_li < sum_qty
+         |GROUP BY 1""".stripMargin,
+    "h_order_count_dist" ->
+      """SELECT n_orders, count(*) AS n_custs
+        |FROM (SELECT c_custkey, count(o_orderkey) AS n_orders
+        |      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |      GROUP BY 1)
+        |GROUP BY 1""".stripMargin)
 }

@@ -47,6 +47,45 @@ class MaxsimStreamSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("stop mid-ingest + restart from checkpoint converges to the batch rerank") {
+    // the SearchStreamSpec/Rm3StreamSpec restart golden applied to the
+    // two-stage probe: arrivals land in the gap; the restarted query (SAME
+    // checkpoint) recalls and reranks only the new file, and the resolved
+    // sink must equal the one-shot batch rerank
+    val scratch = graft.ops.SpillMemo.scratchDir("graft-smaxsim-r-")
+    val src = s"$scratch/src"
+    val (idx, fwd) = graft.ops.Search.rm3IngestIndex(spark, sf)
+    val arriving = Tables.documents(spark, sf)
+      .filter($"doc_id" % graft.ops.Similarity.knnBatchMod === 7)
+      .select("doc_id", "text")
+    arriving.filter($"doc_id" % 20 === 7).coalesce(1).write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    def run(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(src).writeStream
+        .option("checkpointLocation", s"$scratch/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: Dataset[Row], id: Long) =>
+          graft.streaming.UpsertSink.writeBatch(
+            graft.ops.Search.maxsimProbe(b.toDF(), idx, fwd), id, s"$scratch/sink")
+        }
+        .start()
+      q.awaitTermination()
+    }
+    run()
+    val firstHalf = answers(graft.streaming.UpsertSink
+      .resolve(spark, s"$scratch/sink", Seq("query_id", "mrnk")))
+    assert(firstHalf.nonEmpty, "first run must have served the early arrivals")
+    arriving.filter($"doc_id" % 20 =!= 7).coalesce(1).write.mode("append").parquet(src)
+    run()
+    val streamed = answers(graft.streaming.UpsertSink
+      .resolve(spark, s"$scratch/sink", Seq("query_id", "mrnk")))
+    val batch = answers(graft.ops.Search.maxsimIngest(spark, sf))
+    assert(streamed == batch,
+      "restart from checkpoint diverged from the one-shot batch rerank")
+    assert(firstHalf.subsetOf(streamed), "run-1 answers must persist unchanged")
+    assert(streamed.size > firstHalf.size, "run 2 must have served the late arrivals")
+  }
+
   test("golden: file-source streamed MaxSim equals the batch rerank") {
     val streamed = answers(graft.streaming.MaxsimStream.streamedMaxsim(spark, sf))
     val batch = answers(graft.ops.Search.maxsimIngest(spark, sf))
