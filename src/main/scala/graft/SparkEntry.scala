@@ -25,6 +25,7 @@ object SparkEntry {
     (ops.TextAnalysis.queries, ops.TextAnalysis.oracle),
     (ops.Bpe.queries, ops.Bpe.oracle),
     (ops.Temporal.queries, ops.Temporal.oracle),
+    (ops.MatView.queries, ops.MatView.oracle),
     (ops.Funnel.queries, ops.Funnel.oracle),
     (ops.Sampling.queries, ops.Sampling.oracle),
     (ops.Sessionize.queries, ops.Sessionize.oracle),
