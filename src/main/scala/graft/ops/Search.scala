@@ -843,7 +843,84 @@ object Search {
       .reduce(_.unionByName(_))
   }
 
+  /** One pair-proximity contribution in integer micro-points — IDENTICAL
+    * text in the Spark plan and the DuckDB twin (the [[scoreSql]] stance):
+    * the inverse-square gap of an adjacent occurrence pair, quantized
+    * BEFORE the per-document sum so the sum commutes. `2e6 = 2⁷·5⁶` has no
+    * odd square quotient, so the double `1.0e6 / gap²` can never land on an
+    * exact .5 tie — the round is engine-stable for every integer gap. */
+  private[graft] val proxSql: String =
+    "CAST(round(1.0e6 / ((npos - pos) * (npos - pos))) AS BIGINT)"
+
+  /** PROXIMITY rerank of the member BM25 top-k — the term-position feature
+    * a lexical ranker adds on top of bag-of-words BM25 (Büttcher, Clarke &
+    * Lushman, SIGIR'06: accumulate inverse-square gaps over ADJACENT
+    * occurrence pairs of DISTINCT query terms; documents where the query's
+    * terms cluster beat documents where they scatter, at equal BM25).
+    * For each hit: `prox_m` (the quantized pair accumulator), `min_gap`
+    * (tightest distinct-term gap — the debuggable readout), `final_m =
+    * score_m + prox_m`, and the re-rank `prnk`. Hits whose matched
+    * occurrences are all one term keep `prox_m = 0` (no cross-term pair —
+    * BM25 order preserved among them).
+    *
+    * Plan / 100 TB story: positions come from ONE positional pass over the
+    * corpus (posexplode — the [[phraseIndexSearch]] postings shape), pruned
+    * to the hit documents' query terms by a broadcast of the (query, hit,
+    * term) probe relation (≤ queries·k·[[qTerms]] rows — dashboard-sized at
+    * any corpus size, though corpus-DERIVED: the [[Dedup.incremental]]
+    * broadcast caveat applies). The pair walk is a `lead` window over
+    * (query, hit doc) — partitions bounded by document length, never df or
+    * corpus size — and the re-rank window holds ≤ [[topK]] rows per query.
+    * Nothing rescans text per query; the expensive relation (positions ×
+    * probes) lives and dies inside one exchange. */
+  def proximityRerank(s: SparkSession, d: String): DataFrame =
+    proximityOn(Tables.documents(s, d))
+
+  /** [[proximityRerank]]'s core over an arbitrary (doc_id, text) corpus
+    * (exposed for the hand-checked spec). */
+  private[graft] def proximityOn(docs: DataFrame): DataFrame = {
+    val idx = bm25IndexDocs(docs)
+    val terms = Lineage.cut(queryTerms(
+      docs.filter(col("doc_id") % searchStride === 0)
+        .select(col("doc_id"), col("text")), idx))
+    val hits = probeTerms(terms, idx)
+      .select(col("query_id"), col("neighbor_id"), col("score_m"),
+        col("rnk").as("bm25_rnk"))
+    // (query, hit doc, term) probe triples: which positions matter
+    val probe = hits.select(col("query_id"), col("neighbor_id"))
+      .join(terms, "query_id")
+      .select(col("query_id"), col("neighbor_id"), col("token").as("term"))
+    val pos = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p0", "token")))
+      .filter(length(col("token")) > 0)
+      .select(col("doc_id"), col("token"), (col("p0") + 1).cast("long").as("pos"))
+      .join(Hints.broadcastSmall(probe),
+        col("doc_id") === col("neighbor_id") && col("token") === col("term"))
+      .select(col("query_id"), col("neighbor_id"), col("token"), col("pos"))
+    val byPos = Window.partitionBy(col("query_id"), col("neighbor_id"))
+      .orderBy(col("pos"))
+    val prox = pos
+      .select(col("query_id"), col("neighbor_id"), col("token"), col("pos"),
+        lead(col("pos"), 1).over(byPos).as("npos"),
+        lead(col("token"), 1).over(byPos).as("nterm"))
+      .filter(col("nterm").isNotNull && col("nterm") =!= col("token"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(
+        min(col("npos") - col("pos")).as("min_gap"),
+        sum(expr(proxSql)).as("prox_m"))
+    val rerank = Window.partitionBy(col("query_id"))
+      .orderBy(col("final_m").desc, col("neighbor_id").asc)
+    hits.join(Hints.broadcastSmall(prox), Seq("query_id", "neighbor_id"), "left")
+      .select(col("query_id"), col("neighbor_id"), col("bm25_rnk"),
+        col("score_m"),
+        coalesce(col("min_gap"), lit(0L)).as("min_gap"),
+        coalesce(col("prox_m"), lit(0L)).as("prox_m"),
+        (col("score_m") + coalesce(col("prox_m"), lit(0L))).as("final_m"))
+      .withColumn("prnk", row_number().over(rerank).cast("long"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_search_proximity" -> proximityRerank,
     "x_search_phrase" -> phraseSearch,
     "x_search_phrase_idx" -> phraseIndexSearch,
     "x_search_phrase_n" -> phraseIndexSearchN,
@@ -1004,6 +1081,39 @@ object Search {
     "x_search_phrase_n" -> phraseNOracle,
     "x_search_bm25" ->
       (bm25Ctes("true", s"doc_id % $searchStride = 0") + bm25Tail),
+    // Proximity tail over the shared member chain: positional postings of
+    // the hit documents' query terms, one lead() pair walk per (query,
+    // hit), [[proxSql]] verbatim, BM25 order preserved where no cross-term
+    // pair exists (prox_m = 0).
+    "x_search_proximity" ->
+      (bm25Ctes("true", s"doc_id % $searchStride = 0") +
+        s""",
+           |hits AS (SELECT query_id, neighbor_id, score_m, rnk AS bm25_rnk
+           |         FROM rk WHERE rnk <= $topK),
+           |pb AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           |px AS (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM pb),
+           |post AS (SELECT doc_id, w[i] AS token, CAST(i AS BIGINT) AS pos
+           |         FROM px WHERE length(w[i]) > 0),
+           |pp AS (SELECT h.query_id, h.neighbor_id, p.token, p.pos
+           |       FROM hits h JOIN terms t USING (query_id)
+           |       JOIN post p ON p.doc_id = h.neighbor_id AND p.token = t.token),
+           |gp AS (SELECT query_id, neighbor_id, token, pos,
+           |         lead(pos) OVER w2 AS npos, lead(token) OVER w2 AS nterm
+           |       FROM pp
+           |       WINDOW w2 AS (PARTITION BY query_id, neighbor_id ORDER BY pos)),
+           |pr2 AS (SELECT query_id, neighbor_id,
+           |          CAST(min(npos - pos) AS BIGINT) AS min_gap,
+           |          CAST(sum($proxSql) AS BIGINT) AS prox_m
+           |        FROM gp WHERE nterm IS NOT NULL AND nterm <> token
+           |        GROUP BY 1, 2)
+           |SELECT h.query_id, h.neighbor_id, h.bm25_rnk, h.score_m,
+           |  coalesce(pr2.min_gap, 0) AS min_gap,
+           |  coalesce(pr2.prox_m, 0) AS prox_m,
+           |  h.score_m + coalesce(pr2.prox_m, 0) AS final_m,
+           |  CAST(row_number() OVER (PARTITION BY h.query_id
+           |         ORDER BY h.score_m + coalesce(pr2.prox_m, 0) DESC,
+           |                  h.neighbor_id ASC) AS BIGINT) AS prnk
+           |FROM hits h LEFT JOIN pr2 USING (query_id, neighbor_id)""".stripMargin),
     "x_search_ingest" ->
       (bm25Ctes(s"doc_id % ${Similarity.knnBatchMod} <> 7",
         s"doc_id % ${Similarity.knnBatchMod} = 7") + bm25Tail),

@@ -41,6 +41,14 @@ class PlanShapeSpec extends SparkSpec {
       s"expected at most 3 shuffle exchanges (bucket agg + reused join/window + bucket-row window), got $shuffles:\n$p")
   }
 
+  test("proximity rerank: positional scan pruned by a BROADCAST probe relation") {
+    val p = plan("x_search_proximity")
+    // the (query, hit, term) probe triples broadcast onto the posexplode
+    // pass; the corpus-sized positions relation must never sort-merge
+    assert(p.contains("BroadcastHashJoin"), s"probe triples must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"positions must not sort-merge:\n$p")
+  }
+
   test("anomaly windows broadcast the 1-row moments — map-side filter, no second shuffle") {
     val p = plan("d_anomaly")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),

@@ -378,4 +378,45 @@ class SearchSpec extends SparkSpec {
     val q = docsDf(9L -> "zzz qqq")
     assert(graft.ops.Search.bm25Probe(q, idx).count() == 0L)
   }
+
+  test("proximity rerank: hand-checked inverse-square pair gaps") {
+    // Query d0 (doc_id % 100 == 0) selects terms {apple, banana}. Gaps:
+    //  d1 "apple x banana":      apple@1, banana@3   → pair gap 2 → 250000
+    //  d2 "banana apple":        banana@1, apple@2   → pair gap 1 → 1000000
+    //  d3 "apple x x banana apple": pairs (1,4) gap 3 → 111111, (4,5) gap 1
+    //                            → 1000000; sum 1111111, min_gap 1
+    // (the 'x' filler is a corpus term but not a query term — its
+    // positions must not interrupt the query-term pair walk)
+    val corpus = docsDf(
+      0L -> "apple banana", 1L -> "apple x banana",
+      2L -> "banana apple", 3L -> "apple x x banana apple")
+    val out = graft.ops.Search.proximityOn(corpus)
+      .select("neighbor_id", "min_gap", "prox_m", "score_m", "final_m", "prnk")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L)._1 == 2L && out(1L)._2 == 250000L)
+    assert(out(2L)._1 == 1L && out(2L)._2 == 1000000L)
+    assert(out(3L)._1 == 1L && out(3L)._2 == 1111111L)
+    // final = score + prox; prnk is the dense re-rank over final desc
+    out.values.foreach { case (_, prox, score, fin, _) =>
+      assert(fin == score + prox) }
+    val byRank = out.toSeq.sortBy(_._2._5).map(_._2._4)
+    assert(byRank == byRank.sortBy(-_), "prnk does not follow final_m desc")
+  }
+
+  test("proximity rerank on the fixture: ranks contiguous, prox/min_gap consistent") {
+    val rows = graft.ops.Search.proximityRerank(spark, sf)
+      .select("query_id", "score_m", "min_gap", "prox_m", "final_m", "prnk")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(4) == r.getLong(1) + r.getLong(3), "final != score + prox")
+      assert((r.getLong(2) == 0L) == (r.getLong(3) == 0L),
+        "min_gap and prox_m must be zero together") }
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val rnks = rs.map(_.getLong(5)).sorted.toSeq
+      assert(rnks == (1L to rs.length).toSeq, "prnk not contiguous from 1") }
+  }
 }
