@@ -47,6 +47,7 @@ object SparkEntry {
     (streaming.DsirStream.queries, streaming.DsirStream.oracle),
     (streaming.Rm3Stream.queries, streaming.Rm3Stream.oracle),
     (streaming.MaxsimStream.queries, streaming.MaxsimStream.oracle),
+    (streaming.MvStream.queries, streaming.MvStream.oracle),
     (streaming.SampleStream.queries, streaming.SampleStream.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

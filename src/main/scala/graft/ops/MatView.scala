@@ -55,6 +55,11 @@ object MatView {
   private val deltaMod = 5
   private val deltaRem = 3
 
+  /** The increment predicate — shared with the streamed twin
+    * ([[graft.streaming.MvStream]]) so batch and stream slice identically. */
+  private[graft] def isDelta: org.apache.spark.sql.Column =
+    col("event_id") % deltaMod === deltaRem
+
   /** Datasketches HLL lgConfigK (4096 registers, rsd ≈ 1.6%). */
   private val hllLgK = 12
 
@@ -91,11 +96,11 @@ object MatView {
     * parquet (HLL registers ride as a BINARY column), read back columnar on
     * every refresh — the deployment shape where the view lives on the lake
     * and refresh jobs never see base rows. */
-  private def baseView(s: SparkSession, d: String): DataFrame = {
+  private[graft] def baseView(s: SparkSession, d: String): DataFrame = {
     val key = (SpillMemo.sessionId(s), d)
     val path = mvMemo.synchronized(mvMemo.getOrElseUpdate(key, {
       val out = SpillMemo.scratchDir("graft-matview-")
-      state(Tables.events(s, d).filter(col("event_id") % deltaMod =!= deltaRem))
+      state(Tables.events(s, d).filter(!isDelta))
         .write.mode("overwrite").parquet(out)
       out
     }))
@@ -120,14 +125,19 @@ object MatView {
     * against a from-scratch recompute — `n/sum/min/max/avg` pinned exactly
     * by the oracle's full-recompute twin, the merged HLL estimate pinned
     * within [[hllMargin]] of the exact distinct (`hll_ok`). */
-  def mvRefresh(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d)
-    val merged = mergeStates(
-      baseView(s, d),
-      state(ev.filter(col("event_id") % deltaMod === deltaRem)))
-    // Differential leg only: exact distinct users per group over the full
-    // corpus (the one aggregation incremental maintenance exists to avoid).
-    val exact = ev
+  def mvRefresh(s: SparkSession, d: String): DataFrame =
+    differential(s, d,
+      mergeStates(baseView(s, d),
+        state(Tables.events(s, d).filter(isDelta))))
+
+  /** The differential tail shared by the batch form and the streamed twin
+    * (one definition — batch and stream cannot drift): exact distinct
+    * users per group over the full corpus (the one aggregation incremental
+    * maintenance exists to avoid — differential form only), joined onto
+    * the merged states, `avg` derived post-merge. */
+  private[graft] def differential(
+      s: SparkSession, d: String, merged: DataFrame): DataFrame = {
+    val exact = Tables.events(s, d)
       .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
       .groupBy(col("event_type"), col("day"))
       .agg(countDistinct(col("user_id")).as("n_users"))

@@ -66,6 +66,26 @@ object UpsertSink {
       .drop("_rn", "_batch_id")
   }
 
+  /** Read-side merge for ADDITIVE deltas: every row of every batch delta,
+    * batch ids dropped — for sinks whose per-batch rows are mergeable
+    * partial STATES (each source row lands in exactly one batch, so the
+    * union of per-batch aggregates is a partition of the whole —
+    * [[graft.streaming.MvStream]] folds them with the same monoid merge a
+    * compaction job would run). Last-write-wins [[resolve]] would be WRONG
+    * here: two batches touching the same key both contribute. Same
+    * explicit delta enumeration and empty-sink contract as [[resolve]];
+    * the same `mode("overwrite")` per-batch write keeps replay idempotent. */
+  def readAll(s: SparkSession, dir: String): DataFrame = {
+    val base = new java.io.File(dir)
+    val deltas = Option(base.listFiles())
+      .map(_.filter(f => f.isDirectory && f.getName.startsWith("b"))
+        .map(_.getAbsolutePath).sorted)
+      .getOrElse(Array.empty[String])
+    require(deltas.nonEmpty,
+      s"UpsertSink.readAll: no delta directories under $dir — the streaming query produced no batches")
+    s.read.parquet(deltas.toIndexedSeq: _*).drop("_batch_id")
+  }
+
   /** Compaction: materialize the resolved view at `outDir` (what a periodic
     * maintenance job would do to bound the delta count at 100 TB). */
   def compact(s: SparkSession, dir: String, keys: Seq[String], outDir: String): Unit =

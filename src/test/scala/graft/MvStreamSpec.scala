@@ -1,0 +1,75 @@
+package graft
+
+import graft.ops.MatView
+import graft.streaming.{MvStream, UpsertSink}
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+
+/** The streamed MV maintenance (`s_mv_refresh_stream`): per-batch partial
+  * states must merge to the whole-corpus state under any batching, the
+  * resolved differential must equal the batch `x_mv_refresh` verbatim, and
+  * the per-batch overwrite must make replay a no-op. */
+class MvStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def table(df: DataFrame): Set[(String, String, Long, Long, Long, Long, Long, Long, Boolean)] =
+    df.select(col("event_type"), col("day").cast("string"), col("n"),
+      col("sum_vc"), col("min_vc"), col("max_vc"), col("avg_vc"),
+      col("n_users"), col("hll_ok"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7), r.getBoolean(8))).toSet
+
+  private def flat(states: DataFrame): Set[(String, String, Long, Long, Long, Long, Long)] =
+    states.select(
+      col("event_type"), col("day").cast("string"), col("n"), col("sum_vc"),
+      col("min_vc"), col("max_vc"),
+      expr("CAST(round(hll_sketch_estimate(users_hll)) AS BIGINT)"))
+      .as[(String, String, Long, Long, Long, Long, Long)].collect().toSet
+
+  test("golden: file-source streamed MV refresh equals the batch refresh") {
+    val streamed = table(MvStream.streamedMvRefresh(spark, sf))
+    val batch = table(MatView.mvRefresh(spark, sf))
+    assert(streamed == batch, "streamed MV diverged from the batch refresh")
+    assert(streamed.nonEmpty)
+  }
+
+  test("two-batch delivery: appended per-batch states fold to the full-corpus state; replay is a no-op") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val delta = Tables.events(spark, sf).filter(MatView.isDelta)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[(Long, java.sql.Timestamp, Long, String, Double)].collect().toSeq
+    assert(delta.size >= 2, "need at least two increment rows to split")
+    val (c1, c2) = delta.splitAt(delta.size / 2)
+    val sink = graft.ops.SpillMemo.scratchDir("graft-smv-t-")
+    val in = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val q = in.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$sink/ckpt")
+      .foreachBatch { (b: Dataset[Row], id: Long) =>
+        UpsertSink.writeBatch(MatView.state(b), id, s"$sink/sink")
+      }
+      .start()
+    try {
+      in.addData(c1: _*)
+      q.processAllAvailable()
+      in.addData(c2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val folded = flat(MatView.mergeStates(
+      MatView.baseView(spark, sf), UpsertSink.readAll(spark, s"$sink/sink")))
+    val whole = flat(MatView.state(Tables.events(spark, sf)))
+    assert(folded == whole, "two-batch fold diverged from the full-corpus state")
+    // replay: rewriting batch 0's delta (same deterministic content) must
+    // leave the additive read unchanged — the mode("overwrite") contract
+    val before = UpsertSink.readAll(spark, s"$sink/sink").count()
+    UpsertSink.writeBatch(
+      MatView.state(c1.toDF("event_id", "ts", "user_id", "event_type", "value")),
+      0L, s"$sink/sink")
+    val after = flat(MatView.mergeStates(
+      MatView.baseView(spark, sf), UpsertSink.readAll(spark, s"$sink/sink")))
+    assert(UpsertSink.readAll(spark, s"$sink/sink").count() == before)
+    assert(after == whole, "batch replay changed the resolved view")
+  }
+}
