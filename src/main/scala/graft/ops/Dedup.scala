@@ -1060,6 +1060,23 @@ object Dedup {
   private def minhashSqlMins =
     (0 until nSeeds).map(i => s"min((h1 + $i * h2) % $kmPrime) AS m$i").mkString(", ")
 
+  /** Full recursive CTE chain ending in `comp (doc_id, comp)` — the DuckDB
+    * twin of [[components]] (min reachable id per node == the
+    * min-label-propagation fixpoint; UNION set semantics bound the
+    * recursion). Shared by the components/keep-best oracles and
+    * [[Sampling]]'s leak-proof split twin. */
+  private[graft] def componentSqlChain: String =
+    s"""${shingleSqlCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+       |$minhashPairsSqlCtes,
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION SELECT doc_b AS src, doc_a AS dst FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+       |comp AS (SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS comp
+       |         FROM reach GROUP BY 1)""".stripMargin
+
   /** CTE chain `hv, m, bands, pairs` reproducing [[minhashLsh]] in DuckDB —
     * appended after [[shingleSqlCtes]] by the LSH and components oracles. */
   private def minhashPairsSqlCtes: String = {
@@ -1241,26 +1258,10 @@ object Dedup {
     "x_dedup_components" ->
       // min reachable id per node == the min-label-propagation fixpoint;
       // UNION (set semantics) bounds the recursion.
-      s"""${shingleSqlCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")},
-         |$minhashPairsSqlCtes,
-         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |          UNION SELECT doc_b AS src, doc_a AS dst FROM pairs),
-         |reach(a, b) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
-         |SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS comp FROM reach GROUP BY 1""".stripMargin,
+      s"""$componentSqlChain
+         |SELECT doc_id, comp FROM comp""".stripMargin,
     "x_dedup_keep_best" ->
-      s"""${shingleSqlCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")},
-         |$minhashPairsSqlCtes,
-         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |          UNION SELECT doc_b AS src, doc_a AS dst FROM pairs),
-         |reach(a, b) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
-         |comp AS (SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS comp
-         |         FROM reach GROUP BY 1),
+      s"""$componentSqlChain,
          |len AS (SELECT doc_id,
          |          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
          |        FROM documents),

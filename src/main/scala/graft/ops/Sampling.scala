@@ -285,6 +285,50 @@ object Sampling {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_tokens"))
   }
 
+  /** The 12/2/2-sixteenths hex-bucket split of a stable key — shared by
+    * [[splitAssign]] (keyed by doc_id) and [[splitLeakproof]] (keyed by
+    * the near-duplicate component label). */
+  private def splitOf(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val hx = substring(md5(key.cast("string")), 1, 1)
+    when(hx.isin("c", "d"), lit("val"))
+      .when(hx.isin("e", "f"), lit("test"))
+      .otherwise(lit("train"))
+  }
+
+  /** Per-document LEAK-PROOF split assignment (exposed for the purity
+    * spec): [[splitOf]] keyed by the document's near-duplicate COMPONENT
+    * label ([[Dedup.components]] — the LSH min-label fixpoint), so every
+    * member of a near-dup cluster lands in the same split by construction. */
+  private[graft] def splitLeakproofDocs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_words"))
+      .join(Dedup.components(s, d), "doc_id")
+      .withColumn("split", splitOf(col("comp")))
+
+  /** Leak-proof train/val/test split: [[splitAssign]]'s hash bucketing,
+    * keyed by the NEAR-DUPLICATE COMPONENT instead of the document — the
+    * fix for the classic eval leak where a test document's near-copy sits
+    * in train and the held-out loss silently measures memorization.
+    * Hashing the component label keeps every property [[splitAssign]]
+    * has (pure function of a stable key — reproducible across runs,
+    * engines, partitionings) and adds the group guarantee: a component
+    * CANNOT straddle splits, because all its members share the key
+    * (`SamplingPropsSpec` pins purity on the live fixture). Rolls up doc,
+    * token and component counts per (split, lang).
+    *
+    * Plan / 100 TB story: the component labels are the memoized
+    * [[Dedup.components]] fixpoint (edge-labeled docs only, read back
+    * columnar; the corpus-wide dedup job a pipeline runs ONCE and every
+    * downstream consumer reuses); the join is doc_id-keyed on both sides —
+    * co-located for free on a lake bucketed by doc_id — and everything
+    * after it is map-side hash + the ≤3×|lang| rollup exchange. */
+  def splitLeakproof(s: SparkSession, d: String): DataFrame =
+    splitLeakproofDocs(s, d)
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_tokens"),
+        countDistinct(col("comp")).as("n_comps"))
+
   /** Shard fan-out for [[shuffleShard]] — a TUNABLE shared with the oracle;
     * a real training run sets it to the loader's file parallelism. */
   private val nShards = 8
@@ -696,6 +740,7 @@ object Sampling {
     "x_length_buckets" -> lengthBuckets,
     "x_ingest_drift" -> ingestDrift,
     "x_split_assign" -> splitAssign,
+    "x_split_leakproof" -> splitLeakproof,
     "x_pack_sequences" -> packSequences,
     "x_pack_bfd" -> packBfd,
     "x_shuffle_shard" -> shuffleShard,
@@ -897,6 +942,22 @@ object Sampling {
         |            ELSE 'train' END AS split,
         |       lang, count(*) AS n_docs, CAST(sum(n_words) AS BIGINT) AS n_tokens
         |FROM b GROUP BY 1, 2""".stripMargin,
+    // the component chain is [[Dedup.componentSqlChain]] verbatim (the
+    // same fixpoint the components oracle pins); the split tail is
+    // [[splitAssign]]'s bucketing keyed by comp instead of doc_id
+    "x_split_leakproof" ->
+      s"""${Dedup.componentSqlChain},
+         |b AS (SELECT d.doc_id, d.lang,
+         |        CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_words,
+         |        c.comp,
+         |        substr(md5(CAST(c.comp AS VARCHAR)), 1, 1) AS hx
+         |      FROM documents d JOIN comp c USING (doc_id))
+         |SELECT CASE WHEN hx IN ('c', 'd') THEN 'val'
+         |            WHEN hx IN ('e', 'f') THEN 'test'
+         |            ELSE 'train' END AS split,
+         |       lang, count(*) AS n_docs, CAST(sum(n_words) AS BIGINT) AS n_tokens,
+         |       count(DISTINCT comp) AS n_comps
+         |FROM b GROUP BY 1, 2""".stripMargin,
     "x_pack_sequences" ->
       s"""WITH t AS (SELECT doc_id, lang,
          |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens

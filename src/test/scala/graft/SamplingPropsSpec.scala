@@ -58,6 +58,22 @@ class SamplingPropsSpec extends SparkSpec {
       s"the quota draw must not sort strata in window partitions:\n$plan")
   }
 
+  test("leak-proof split: no near-dup component straddles splits; coverage total") {
+    val docs = Sampling.splitLeakproofDocs(spark, sf)
+    // purity: every component maps to exactly one split
+    val impure = docs.groupBy($"comp")
+      .agg(org.apache.spark.sql.functions.countDistinct($"split").as("n_splits"))
+      .filter($"n_splits" > 1).count()
+    assert(impure == 0L, s"$impure components straddle splits")
+    // coverage: every document is assigned exactly once
+    assert(docs.count() == Tables.documents(spark, sf).count())
+    // the rollup's component counts sum to >= the distinct component total
+    // (a component spanning languages is counted once per (split, lang))
+    val rolled = Sampling.splitLeakproof(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum($"n_comps")).as[Long].head()
+    assert(rolled >= docs.select($"comp").distinct().count())
+  }
+
   test("globalIndex is a dense 1..n permutation consistent with (shard, pos) order") {
     val corpusGen = Gen.choose(1, 80).flatMap(n =>
       Gen.listOfN(n, Gen.zip(Gen.choose(0L, 500L), Gen.oneOf("en", "de")))).map(_.distinctBy(_._1))
