@@ -127,13 +127,21 @@ object Search {
     * bit-identical to the window formulation (same (imp_m DESC, doc_id
     * ASC) total order — `SearchSpec` pins the equality and the plan
     * shape). */
-  private[graft] def bm25IndexDocs(corpusDocs: DataFrame): Bm25Index = {
-    val tf = tokens(corpusDocs)
-      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+  private[graft] def bm25IndexDocs(corpusDocs: DataFrame): Bm25Index =
+    indexFromState(
+      tokens(corpusDocs)
+        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf")),
+      corpusDocs.agg(count(lit(1)).as("n_docs")))
+
+  /** Index derivation from the raw TF STATE — the (doc_id, token, tf)
+    * relation plus a 1-row doc count. Everything downstream of
+    * tokenization lives here so [[bm25IndexDocs]] (one corpus) and
+    * [[indexMerge]] (stored base state ∪ delta state) derive THE SAME
+    * df/dl/stats/impacts/prune from their tf by construction. */
+  private[graft] def indexFromState(tf: DataFrame, nd: DataFrame): Bm25Index = {
     val dfr = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val dlr = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    val nd = corpusDocs.agg(count(lit(1)).as("n_docs"))
-    val stats = dlr.agg(sum(col("dl")).as("dl_sum")).crossJoin(nd)
+    val stats = dlr.agg(sum(col("dl")).as("dl_sum")).crossJoin(broadcast(nd))
       .select(col("n_docs"),
         (col("dl_sum").cast("double") / col("n_docs")).as("avgdl"))
     val postings = TopK.topKScored(
@@ -286,6 +294,52 @@ object Search {
         .filter(col("doc_id") % Similarity.knnBatchMod === 7)
         .select(col("doc_id"), col("text")),
       ingestIndex(s, d))
+
+  /** Session memo for [[indexMerge]]'s spilled base TF state. */
+  private val tfMemo =
+    scala.collection.concurrent.TrieMap.empty[(Long, String), String]
+
+  /** INCREMENTAL INDEX MERGE — fold an arriving slice into a stored index
+    * WITHOUT re-tokenizing the standing corpus, the maintenance job that
+    * keeps a 100 TB index current: a full rebuild re-reads and re-tokenizes
+    * every byte ever ingested (the dominant cost — the raw text is orders
+    * of magnitude larger than the index), while the fold below touches the
+    * base corpus only through its stored TF STATE.
+    *
+    * The state algebra: with DISJOINT doc sets (standing `% 10 ≠ 7` vs
+    * arriving `% 10 = 7`, the ingest convention), the raw (doc_id, token,
+    * tf) relation of the union is literally the UNION of the slices' tf
+    * relations — no combine step at all — and every derived quantity
+    * (df = per-token row count, dl = per-doc sum, avgdl, n_docs) is an
+    * aggregation OVER tf, so deriving them from the merged state is
+    * postings-sized work, never corpus-text work. Impacts and the
+    * [[prunePerTerm]] cut are then recomputed through the SAME
+    * [[indexFromState]] the from-scratch build uses — necessarily so,
+    * because a new document shifts df/avgdl and therefore EVERY term score
+    * (an index merge that kept stale base impacts would serve subtly wrong
+    * rankings; this one cannot, `SearchSpec` pins postings-set equality
+    * with the full rebuild). Emits the merged pruned postings.
+    *
+    * The base TF state is spilled once per session ([[SpillMemo]]
+    * read-back semantics — in production it IS the stored index layout,
+    * [[IndexStore]]-shaped); the full-corpus doc count is a parquet
+    * metadata read, not a scan. */
+  def indexMerge(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val key = (SpillMemo.sessionId(s), d)
+    val basePath = tfMemo.synchronized(tfMemo.getOrElseUpdate(key, {
+      val out = SpillMemo.scratchDir("graft-basetf-")
+      tokens(docs.filter(col("doc_id") % Similarity.knnBatchMod =!= 7))
+        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+        .write.mode("overwrite").parquet(out)
+      out
+    }))
+    val tfDelta = tokens(docs.filter(col("doc_id") % Similarity.knnBatchMod === 7))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val tf = s.read.parquet(basePath).unionAll(tfDelta)
+    indexFromState(tf, docs.agg(count(lit(1)).as("n_docs"))).postings
+      .select(col("token"), col("doc_id"), col("imp_m"))
+  }
 
   /** Snippet window width (tokens). */
   private[graft] val snipW = 8
@@ -920,6 +974,7 @@ object Search {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_search_index_merge" -> indexMerge,
     "x_search_proximity" -> proximityRerank,
     "x_search_phrase" -> phraseSearch,
     "x_search_phrase_idx" -> phraseIndexSearch,
@@ -1081,6 +1136,12 @@ object Search {
     "x_search_phrase_n" -> phraseNOracle,
     "x_search_bm25" ->
       (bm25Ctes("true", s"doc_id % $searchStride = 0") + bm25Tail),
+    // the merged index must equal the from-scratch full-corpus build: the
+    // twin is the member chain's pruned-postings CTE verbatim (the query
+    // legs go unreferenced and unevaluated under the `false` predicate)
+    "x_search_index_merge" ->
+      (bm25Ctes("true", "false") +
+        "\nSELECT token, doc_id, imp_m FROM pr"),
     // Proximity tail over the shared member chain: positional postings of
     // the hit documents' query terms, one lead() pair walk per (query,
     // hit), [[proxSql]] verbatim, BM25 order preserved where no cross-term

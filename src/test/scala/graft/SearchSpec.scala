@@ -379,6 +379,17 @@ class SearchSpec extends SparkSpec {
     assert(graft.ops.Search.bm25Probe(q, idx).count() == 0L)
   }
 
+  test("index merge: stored-base-state fold equals the from-scratch full rebuild") {
+    val merged = graft.ops.Search.indexMerge(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val full = graft.ops.Search
+      .bm25IndexDocs(Tables.documents(spark, sf)).postings
+      .select("token", "doc_id", "imp_m")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(merged == full, "merged index diverged from the full rebuild")
+    assert(merged.nonEmpty)
+  }
+
   test("proximity rerank: hand-checked inverse-square pair gaps") {
     // Query d0 (doc_id % 100 == 0) selects terms {apple, banana}. Gaps:
     //  d1 "apple x banana":      apple@1, banana@3   → pair gap 2 → 250000
