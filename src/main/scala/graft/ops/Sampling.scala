@@ -636,7 +636,7 @@ object Sampling {
     s"((length(bin($x)) - 1) * 1024 + (($x) * 1024) div " +
       s"shiftleft(CAST(1 AS BIGINT), length(bin($x)) - 1) - 1024)"
 
-  private def log2fpDuck(x: String): String =
+  private[graft] def log2fpDuck(x: String): String =
     s"((length(printf('%b', $x)) - 1) * 1024 + (($x) * 1024) // " +
       s"(1::BIGINT << (length(printf('%b', $x)) - 1)) - 1024)"
 

@@ -473,6 +473,65 @@ object TextAnalysis {
         (col("p") + 1).cast("long").as("rnk"))
   }
 
+  /** PMI workload tunables — shared with the oracle. */
+  private[graft] val pmiMinCount = 2L
+  private[graft] val pmiTopN = 20
+
+  /** POINTWISE MUTUAL INFORMATION over adjacent word pairs (Church &
+    * Hanks, CL'90) — the association statistic that separates collocations
+    * ("new york") from frequency accidents ("of the"): pmi = log₂ of the
+    * observed pair rate over the rate independence predicts. Complements
+    * [[ngramTopK]] (raw frequency head) with association STRENGTH — the
+    * signal phrase-vocabulary induction and tokenizer-merge audits read.
+    * Emits the [[pmiTopN]] strongest pairs at support ≥ [[pmiMinCount]].
+    *
+    * Engine-exactness: the score is a SUM OF FIXED-POINT LOGS
+    * ([[Sampling.log2fpSpark]] — the DSIR 1/1024-bit device): log₂fp(c12)
+    * + 2·log₂fp(N_uni) − log₂fp(c1) − log₂fp(c2) − log₂fp(N_bi), pure
+    * integer arithmetic, identical in both engines; the log-of-ratio is
+    * DEFINED as this sum (each term ≤0.086 bit off true log₂), so no
+    * product can overflow at any corpus size.
+    *
+    * Plan / 100 TB story: ONE tokenization feeds both the unigram and the
+    * in-row bigram aggregation (type-sized outputs — distinct tokens and
+    * distinct pairs move, never occurrences); the support filter cuts the
+    * pair table BEFORE the two marginal joins (token-keyed, co-partitioned
+    * on a lake bucketed by token); totals are 1-row broadcasts and the
+    * final cut is TakeOrderedAndProject. */
+  def pmiPairs(s: SparkSession, d: String): DataFrame =
+    pmiDocs(Tables.documents(s, d))
+
+  /** [[pmiPairs]] over any frame with `text` (exposed for the spec). */
+  private[graft] def pmiDocs(docs: DataFrame): DataFrame = {
+    val base = docs.select(split(col("text"), " ").as("w"))
+    val uni = base.select(explode(col("w")).as("t"))
+      .filter(length(col("t")) > 0)
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val nUni = uni.agg(sum(col("c")).as("n_uni"))
+    val bi = base
+      .select(explode(expr(
+        "transform(CASE WHEN size(w) < 2 THEN CAST(array() AS ARRAY<INT>) " +
+          "ELSE sequence(1, size(w) - 1) END, " +
+          "i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .filter(length(col("w1")) > 0 && length(col("w2")) > 0)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val nBi = bi.agg(sum(col("c12")).as("n_bi"))
+    import graft.ops.Sampling.log2fpSpark
+    bi.filter(col("c12") >= pmiMinCount)
+      .join(uni.select(col("t").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("t").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBi))
+      .withColumn("pmi_fp", expr(
+        s"${log2fpSpark("c12")} + 2 * ${log2fpSpark("n_uni")} " +
+          s"- ${log2fpSpark("c1")} - ${log2fpSpark("c2")} " +
+          s"- ${log2fpSpark("n_bi")}").cast("long"))
+      .orderBy(col("pmi_fp").desc, col("w1").asc, col("w2").asc)
+      .limit(pmiTopN)
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+        col("pmi_fp"))
+  }
+
   /** Vocabulary-size checkpoints for [[vocabCoverage]]. */
   private[graft] val coverageNs = Seq(10L, 20L, 50L, 100L, 200L)
 
@@ -997,6 +1056,7 @@ object TextAnalysis {
     "x_dataset_card" -> datasetCard,
     "x_text_chunks" -> chunks,
     "x_ngram_topk" -> ngramTopK,
+    "x_text_pmi" -> pmiPairs,
     "x_bpe_pairs" -> ((s: SparkSession, d: String) => bpePairs(s, d)),
     "x_text_boilerplate" -> boilerplate,
     "x_text_normalize" -> normalize,
@@ -1209,6 +1269,31 @@ object TextAnalysis {
            |         CAST(row_number() OVER (PARTITION BY lang
            |                ORDER BY df DESC, sh ASC) AS BIGINT) AS rnk
            |  FROM df) WHERE rnk <= $ngramTopN""".stripMargin,
+      // same sum-of-fixed-point-logs the Spark plan compiles
+      // ([[Sampling.log2fpDuck]] is the engine twin of log2fpSpark)
+      "x_text_pmi" -> {
+        import graft.ops.Sampling.log2fpDuck
+        s"""WITH base AS (SELECT string_split(text, ' ') AS w FROM documents),
+           |u0 AS (SELECT unnest(w) AS t FROM base),
+           |uni AS (SELECT t, CAST(count(*) AS BIGINT) AS c
+           |        FROM u0 WHERE length(t) > 0 GROUP BY 1),
+           |nu AS (SELECT CAST(sum(c) AS BIGINT) AS n_uni FROM uni),
+           |b0 AS (SELECT w[i] AS w1, w[i + 1] AS w2
+           |       FROM (SELECT w, unnest(range(1, len(w))) AS i FROM base)),
+           |bi AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM b0
+           |       WHERE length(w1) > 0 AND length(w2) > 0 GROUP BY 1, 2),
+           |nb AS (SELECT CAST(sum(c12) AS BIGINT) AS n_bi FROM bi),
+           |sc AS (SELECT b.w1, b.w2, b.c12, u1.c AS c1, u2.c AS c2,
+           |         CAST(${log2fpDuck("b.c12")} + 2 * ${log2fpDuck("n_uni")}
+           |           - ${log2fpDuck("u1.c")} - ${log2fpDuck("u2.c")}
+           |           - ${log2fpDuck("n_bi")} AS BIGINT) AS pmi_fp
+           |       FROM bi b JOIN uni u1 ON u1.t = b.w1
+           |       JOIN uni u2 ON u2.t = b.w2
+           |       CROSS JOIN nu CROSS JOIN nb
+           |       WHERE b.c12 >= $pmiMinCount)
+           |SELECT w1, w2, c12, c1, c2, pmi_fp FROM sc
+           |ORDER BY pmi_fp DESC, w1 ASC, w2 ASC LIMIT $pmiTopN""".stripMargin
+      },
       "x_bpe_pairs" ->
         s"""WITH w AS (SELECT string_split(text, ' ') AS words FROM documents),
            |p AS (SELECT array_to_string(words[i:i+1], ' ') AS pair

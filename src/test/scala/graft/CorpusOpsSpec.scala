@@ -67,6 +67,33 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out("x y z") == 2L && out("p q r") == 1L)
   }
 
+  test("PMI ranks the exclusive collocation above the promiscuous pair") {
+    // "a b" co-occurs 3× and both words appear ONLY together (perfect
+    // collocation); "c d" co-occurs 2× but c and d also roam (c: 4, d: 4).
+    // PMI must rank (a,b) first even though raw counts favor neither;
+    // the support filter (>= 2) must drop the singletons (c,x)/(d,y)/(y,d).
+    val d = docs(
+      (1L, "en", "s", "a b a b a b"),
+      (2L, "en", "s", "c d c d c x"),
+      (3L, "en", "s", "d y d c"))
+    val out = TextAnalysis.pmiDocs(d)
+      .select($"w1", $"w2", $"c12", $"c1", $"c2", $"pmi_fp")
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    val byPair = out.map(r => (r._1, r._2) -> r).toMap
+    assert(byPair.contains(("a", "b")) && byPair(("a", "b"))._3 == 3L)
+    assert(byPair(("a", "b"))._4 == 3L && byPair(("a", "b"))._5 == 3L)
+    assert(byPair.contains(("c", "d")) && byPair(("c", "d"))._3 == 2L)
+    assert(!byPair.contains(("c", "x")) && !byPair.contains(("d", "y")),
+      "support-1 pairs must be cut")
+    assert(byPair(("a", "b"))._6 > byPair(("c", "d"))._6,
+      "exclusive collocation must out-PMI the promiscuous pair")
+    // fixed-point spot check: pmi(a,b) defined as the log2fp sum; with
+    // c12=3, c1=c2=3, N_uni=16, N_bi=13: log2fp(3)+2*log2fp(16)
+    // -log2fp(3)-log2fp(3)-log2fp(13) = 1536+8192-1536-1536-3712 = 2944
+    assert(byPair(("a", "b"))._6 == 2944L,
+      s"got ${byPair(("a", "b"))._6}")
+  }
+
   test("segmentDedup drops the short tail and attributes cross-doc dups") {
     // segLen = 4: doc 1 = segments [a b c d][e f g h] + dropped tail "t";
     // doc 2 shares [a b c d] exactly; doc 3 is too short to segment.
