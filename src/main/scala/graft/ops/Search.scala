@@ -341,6 +341,42 @@ object Search {
       .select(col("token"), col("doc_id"), col("imp_m"))
   }
 
+  /** RANK CHURN between index versions — the serving diff an index
+    * deployment reads before promoting a rebuild/merge: for each member
+    * query, how its top-[[topK]] under the NEW index (full corpus — what
+    * [[indexMerge]] produces, postings-equality pinned by `SearchSpec`)
+    * differs from the top-k under the STANDING index ([[ingestIndex]] —
+    * the lineage-cut/store-backed serving index the ingest twins probe).
+    * Per query: hits in both (`n_common`), dropped (`n_lost`), newly
+    * surfaced (`n_gained`), and the largest rank move among survivors
+    * (`max_shift`). Term selection runs per index version (df shifts move
+    * the tf·N/df cut too — a churn tool that froze terms would understate
+    * the diff). Zero-churn queries report (k, 0, 0, 0) — the promote
+    * signal.
+    *
+    * Plan: two probes over two indexes (the differential cost IS the
+    * operator; the standing side reuses the session's cut/store-backed
+    * relations), then a full-outer join of two k-per-query relations —
+    * dashboard-sized at any corpus scale — and one ≤k-row-per-query
+    * aggregation. */
+  def rankChurn(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val q = docs.filter(col("doc_id") % searchStride === 0)
+      .select(col("doc_id"), col("text"))
+    val old = bm25Probe(q, ingestIndex(s, d))
+      .select(col("query_id"), col("neighbor_id"), col("rnk"))
+    val neu = bm25Probe(q, bm25IndexDocs(docs))
+      .select(col("query_id"), col("neighbor_id"), col("rnk").as("rnk2"))
+    old.join(neu, Seq("query_id", "neighbor_id"), "full_outer")
+      .groupBy(col("query_id"))
+      .agg(
+        count(when(col("rnk").isNotNull && col("rnk2").isNotNull, 1)).as("n_common"),
+        count(when(col("rnk2").isNull, 1)).as("n_lost"),
+        count(when(col("rnk").isNull, 1)).as("n_gained"),
+        coalesce(max(when(col("rnk").isNotNull && col("rnk2").isNotNull,
+          abs(col("rnk") - col("rnk2")))), lit(0L)).as("max_shift"))
+  }
+
   /** Snippet window width (tokens). */
   private[graft] val snipW = 8
 
@@ -975,6 +1011,7 @@ object Search {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_search_index_merge" -> indexMerge,
+    "x_search_rank_churn" -> rankChurn,
     "x_search_proximity" -> proximityRerank,
     "x_search_phrase" -> phraseSearch,
     "x_search_phrase_idx" -> phraseIndexSearch,
@@ -1033,42 +1070,46 @@ object Search {
        |$unions""".stripMargin
   }
 
-  /** CTE chain ending in `rk` (the ranked BM25 result) — shared by the
+  /** CTE chain ending in `rk$x` (the ranked BM25 result) — shared by the
     * member, ingest and hybrid oracles; the two predicates are the only
-    * difference between the forms. */
-  private def bm25Ctes(corpusPred: String, queryPred: String): String =
-    s"""WITH cd AS (SELECT doc_id, text FROM documents WHERE $corpusPred),
-       |t0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM cd),
-       |tk AS (SELECT doc_id, token FROM t0 WHERE length(token) > 0),
-       |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tk GROUP BY 1, 2),
-       |dfr AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-       |dlr AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
-       |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM cd),
-       |st AS (SELECT n_docs, CAST(sum(dl) AS DOUBLE) / n_docs AS avgdl
-       |       FROM dlr CROSS JOIN nd GROUP BY n_docs),
-       |qd AS (SELECT doc_id AS query_id, text FROM documents WHERE $queryPred),
-       |qt0 AS (SELECT query_id, unnest(string_split(text, ' ')) AS token FROM qd),
-       |qt AS (SELECT query_id, token, CAST(count(*) AS BIGINT) AS qtf
-       |       FROM qt0 WHERE length(token) > 0 GROUP BY 1, 2),
-       |qsel AS (SELECT query_id, token,
+    * difference between the forms. The suffix `x` (default empty — the
+    * default text is byte-identical to the historical chain) renames every
+    * CTE so TWO index versions can coexist in one oracle
+    * (`x_search_rank_churn`); inner column qualifiers keep the bare names
+    * via `AS` table aliases. */
+  private def bm25Ctes(corpusPred: String, queryPred: String, x: String = ""): String =
+    s"""WITH cd$x AS (SELECT doc_id, text FROM documents WHERE $corpusPred),
+       |t0$x AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM cd$x),
+       |tk$x AS (SELECT doc_id, token FROM t0$x WHERE length(token) > 0),
+       |tf$x AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tk$x GROUP BY 1, 2),
+       |dfr$x AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf$x GROUP BY 1),
+       |dlr$x AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf$x GROUP BY 1),
+       |nd$x AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM cd$x),
+       |st$x AS (SELECT n_docs, CAST(sum(dl) AS DOUBLE) / n_docs AS avgdl
+       |       FROM dlr$x CROSS JOIN nd$x GROUP BY n_docs),
+       |qd$x AS (SELECT doc_id AS query_id, text FROM documents WHERE $queryPred),
+       |qt0$x AS (SELECT query_id, unnest(string_split(text, ' ')) AS token FROM qd$x),
+       |qt$x AS (SELECT query_id, token, CAST(count(*) AS BIGINT) AS qtf
+       |       FROM qt0$x WHERE length(token) > 0 GROUP BY 1, 2),
+       |qsel$x AS (SELECT query_id, token,
        |           row_number() OVER (PARTITION BY query_id
        |             ORDER BY CAST(qtf AS DOUBLE) * n_docs / df DESC, token ASC) AS trk
-       |         FROM qt JOIN dfr USING (token) CROSS JOIN nd),
-       |terms AS (SELECT query_id, token FROM qsel WHERE trk <= $qTerms),
-       |imp AS (SELECT tf.token, tf.doc_id, $scoreSql AS imp_m
-       |        FROM tf JOIN dfr USING (token) JOIN dlr USING (doc_id) CROSS JOIN st),
-       |pr AS (SELECT token, doc_id, imp_m FROM (
+       |         FROM qt$x JOIN dfr$x USING (token) CROSS JOIN nd$x),
+       |terms$x AS (SELECT query_id, token FROM qsel$x WHERE trk <= $qTerms),
+       |imp$x AS (SELECT tf.token, tf.doc_id, $scoreSql AS imp_m
+       |        FROM tf$x AS tf JOIN dfr$x AS dfr USING (token) JOIN dlr$x AS dlr USING (doc_id) CROSS JOIN st$x AS st),
+       |pr$x AS (SELECT token, doc_id, imp_m FROM (
        |         SELECT token, doc_id, imp_m,
        |           row_number() OVER (PARTITION BY token
-       |             ORDER BY imp_m DESC, doc_id ASC) AS prk FROM imp)
+       |             ORDER BY imp_m DESC, doc_id ASC) AS prk FROM imp$x)
        |       WHERE prk <= $prunePerTerm),
-       |cand AS (SELECT tm.query_id, p.doc_id, p.imp_m
-       |         FROM terms tm JOIN pr p ON p.token = tm.token AND p.doc_id <> tm.query_id),
-       |qs AS (SELECT query_id, doc_id, CAST(sum(imp_m) AS BIGINT) AS score_m,
-       |              CAST(count(*) AS BIGINT) AS n_terms FROM cand GROUP BY 1, 2),
-       |rk AS (SELECT query_id, doc_id AS neighbor_id, score_m, n_terms,
+       |cand$x AS (SELECT tm.query_id, p.doc_id, p.imp_m
+       |         FROM terms$x AS tm JOIN pr$x AS p ON p.token = tm.token AND p.doc_id <> tm.query_id),
+       |qs$x AS (SELECT query_id, doc_id, CAST(sum(imp_m) AS BIGINT) AS score_m,
+       |              CAST(count(*) AS BIGINT) AS n_terms FROM cand$x GROUP BY 1, 2),
+       |rk$x AS (SELECT query_id, doc_id AS neighbor_id, score_m, n_terms,
        |         CAST(row_number() OVER (PARTITION BY query_id
-       |                ORDER BY score_m DESC, doc_id ASC) AS BIGINT) AS rnk FROM qs)""".stripMargin
+       |                ORDER BY score_m DESC, doc_id ASC) AS BIGINT) AS rnk FROM qs$x)""".stripMargin
 
   private val bm25Tail =
     s"\nSELECT query_id, neighbor_id, score_m, n_terms, rnk FROM rk WHERE rnk <= $topK"
@@ -1136,6 +1177,24 @@ object Search {
     "x_search_phrase_n" -> phraseNOracle,
     "x_search_bm25" ->
       (bm25Ctes("true", s"doc_id % $searchStride = 0") + bm25Tail),
+    // two suffixed instantiations of the SAME chain (standing index = the
+    // ingest corpus predicate, new index = full corpus), full-outer over
+    // the two top-k relations, per-query churn rollup
+    "x_search_rank_churn" ->
+      (bm25Ctes(s"doc_id % ${Similarity.knnBatchMod} <> 7",
+        s"doc_id % $searchStride = 0") + ",\n" +
+        bm25Ctes("true", s"doc_id % $searchStride = 0", "2")
+          .replaceFirst("^WITH ", "") +
+        s""",
+           |a AS (SELECT query_id, neighbor_id, rnk FROM rk WHERE rnk <= $topK),
+           |b AS (SELECT query_id, neighbor_id, rnk AS rnk2 FROM rk2 WHERE rnk <= $topK),
+           |j AS (SELECT * FROM a FULL OUTER JOIN b USING (query_id, neighbor_id))
+           |SELECT query_id,
+           |  CAST(count(*) FILTER (rnk IS NOT NULL AND rnk2 IS NOT NULL) AS BIGINT) AS n_common,
+           |  CAST(count(*) FILTER (rnk2 IS NULL) AS BIGINT) AS n_lost,
+           |  CAST(count(*) FILTER (rnk IS NULL) AS BIGINT) AS n_gained,
+           |  CAST(coalesce(max(abs(rnk - rnk2)), 0) AS BIGINT) AS max_shift
+           |FROM j GROUP BY 1""".stripMargin),
     // the merged index must equal the from-scratch full-corpus build: the
     // twin is the member chain's pruned-postings CTE verbatim (the query
     // legs go unreferenced and unevaluated under the `false` predicate)

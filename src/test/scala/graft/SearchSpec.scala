@@ -390,6 +390,26 @@ class SearchSpec extends SparkSpec {
     assert(merged.nonEmpty)
   }
 
+  test("rank churn: identities against independently recomputed probes") {
+    val docs = Tables.documents(spark, sf)
+    val q = docs.filter($"doc_id" % 100 === 0).select($"doc_id", $"text")
+    def perQuery(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.groupBy($"query_id").count()
+        .as[(Long, Long)].collect().toMap
+    val oldN = perQuery(graft.ops.Search.bm25Probe(q, graft.ops.Search.ingestIndex(spark, sf)))
+    val newN = perQuery(graft.ops.Search.bm25Probe(q, graft.ops.Search.bm25IndexDocs(docs)))
+    val churn = graft.ops.Search.rankChurn(spark, sf)
+      .select("query_id", "n_common", "n_lost", "n_gained", "max_shift")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(churn.nonEmpty)
+    churn.foreach { case (qid, common, lost, gained, shift) =>
+      assert(common + lost == oldN.getOrElse(qid, 0L), s"old-side identity broke for $qid")
+      assert(common + gained == newN.getOrElse(qid, 0L), s"new-side identity broke for $qid")
+      assert(shift >= 0L && shift < graft.ops.Search.topK)
+      if (common == 0L) assert(shift == 0L, s"shift without survivors for $qid")
+    }
+  }
+
   test("proximity rerank: hand-checked inverse-square pair gaps") {
     // Query d0 (doc_id % 100 == 0) selects terms {apple, banana}. Gaps:
     //  d1 "apple x banana":      apple@1, banana@3   → pair gap 2 → 250000
