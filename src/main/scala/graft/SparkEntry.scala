@@ -48,6 +48,7 @@ object SparkEntry {
     (streaming.Rm3Stream.queries, streaming.Rm3Stream.oracle),
     (streaming.MaxsimStream.queries, streaming.MaxsimStream.oracle),
     (streaming.MvStream.queries, streaming.MvStream.oracle),
+    (streaming.IndexMergeStream.queries, streaming.IndexMergeStream.oracle),
     (streaming.SampleStream.queries, streaming.SampleStream.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
