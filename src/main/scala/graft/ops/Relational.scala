@@ -111,6 +111,59 @@ object Relational {
     Tables.customer(s, d).select(col("c_custkey").as("custkey"))
       .except(Tables.orders(s, d).select(col("o_custkey").as("custkey")))
 
+  /** Late-shipment threshold for [[waitingSuppliers]] — TUNABLE shared
+    * with the oracle (this schema has no commit/receipt dates, so "late"
+    * is ship lag over order date). */
+  private val lateDays = 75
+
+  /** Result width for [[waitingSuppliers]] (Q21 uses 100; the fixture has
+    * 100 suppliers, so a tighter head keeps the result selective). */
+  private val waitTopN = 25
+
+  /** Q21-SHAPE "SUPPLIERS WHO KEPT ORDERS WAITING": suppliers whose
+    * shipment was the ONLY late one in a finished multi-supplier order —
+    * TPC-H's hardest correlation nest (an EXISTS and a NOT EXISTS, both
+    * correlated on the same order, over the same fact table). The oracle
+    * states that nest literally; this plan DECORRELATES both quantifiers
+    * into per-order aggregates joined back on the same key:
+    * EXISTS(another supplier in O)      ⇒ n_supp ≥ 2 over distinct
+    *                                      (order, supplier) pairs;
+    * NOT EXISTS(another LATE supplier)  ⇒ n_late_supp = 1 — and the late
+    *                                      pair at hand is necessarily
+    *                                      that one.
+    * Per supplier: how many such orders (`numwait`), top [[waitTopN]] by
+    * (numwait desc, name) with a full tiebreak.
+    *
+    * Plan / 100 TB story: everything is keyed by l_orderkey — the late
+    * pairs, the distinct-supplier census and the late-supplier census all
+    * come off the same fact exchange (no per-row correlated re-scans, the
+    * decorrelation's whole point); the final per-supplier rollup is
+    * |suppliers|-sized, the supplier join broadcastable, and the head cut
+    * TakeOrderedAndProject. */
+  def waitingSuppliers(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val o = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    // distinct late (order, supplier) pairs within finished orders
+    val late = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $lateDays DAY"))
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val nSupp = l.select(col("l_orderkey"), col("l_suppkey")).distinct()
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_supp"))
+    val nLate = late.groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_late_supp"))
+    late
+      .join(nSupp.filter(col("n_supp") >= 2), "l_orderkey")
+      .join(nLate.filter(col("n_late_supp") === 1), "l_orderkey")
+      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("numwait"))
+      .join(broadcast(Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name").asc, col("s_suppkey").asc)
+      .limit(waitTopN)
+  }
+
   /** Q13-SHAPE ORDER-COUNT DISTRIBUTION: how many customers placed
     * exactly n orders, INCLUDING the zero bucket — the left-outer-join +
     * two-level aggregation TPC-H Q13 exercises (the outer join is the
@@ -404,6 +457,7 @@ object Relational {
     "h_rollup_summary" -> rollupSummary,
     "h_distinct_agg" -> distinctAgg,
     "h_customers_without_orders" -> customersWithoutOrders,
+    "h_waiting_suppliers" -> waitingSuppliers,
     "h_small_qty_revenue" -> smallQtyRevenue,
     "h_order_count_dist" -> orderCountDist)
 
@@ -549,6 +603,28 @@ object Relational {
       """SELECT c_custkey AS custkey FROM customer
         |EXCEPT
         |SELECT o_custkey AS custkey FROM orders""".stripMargin,
+    // stated in Q21's ORIGINAL correlated form — the spec the Spark
+    // plan's aggregate decorrelation must reproduce
+    "h_waiting_suppliers" ->
+      s"""WITH late AS (
+         |  SELECT DISTINCT l.l_orderkey, l.l_suppkey
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  WHERE o.o_orderstatus = 'F'
+         |    AND l.l_shipdate > o.o_orderdate + INTERVAL $lateDays DAY),
+         |sole AS (
+         |  SELECT la.l_orderkey, la.l_suppkey FROM late la
+         |  WHERE EXISTS (SELECT 1 FROM lineitem l2
+         |                WHERE l2.l_orderkey = la.l_orderkey
+         |                  AND l2.l_suppkey <> la.l_suppkey)
+         |    AND NOT EXISTS (SELECT 1 FROM late lb
+         |                    WHERE lb.l_orderkey = la.l_orderkey
+         |                      AND lb.l_suppkey <> la.l_suppkey)),
+         |w AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS numwait
+         |      FROM sole GROUP BY 1)
+         |SELECT s.s_suppkey, s.s_name, w.numwait
+         |FROM w JOIN supplier s ON s.s_suppkey = w.l_suppkey
+         |ORDER BY w.numwait DESC, s.s_name ASC, s.s_suppkey ASC
+         |LIMIT $waitTopN""".stripMargin,
     "h_small_qty_revenue" ->
       s"""WITH li AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
          |              ${centsSql("l_extendedprice")} AS price_cents
