@@ -151,8 +151,81 @@ object MatView {
           lit(hllMargin) * col("n_users")).as("hll_ok"))
   }
 
+  /** Histogram geometry for [[mvQuantile]] — TUNABLEs shared with the
+    * oracle: [[histB]] equi-width buckets of [[histW]] value units (the
+    * fixture's `value` lives in (0, ~500), so the grid covers it with a
+    * clamped top bucket; a production deployment sizes the grid from the
+    * column's profile). */
+  private[graft] val histW = 8
+  private[graft] val histB = 64
+
+  /** Per-slice HISTOGRAM state — the quantile member of the view's
+    * mergeable-state family (counts/sums/extrema: monoids; distinct: HLL
+    * registers; rank: THIS). A t-digest is the richer sketch but its merge
+    * is order-sensitive (engine-dependent centroids); an equi-width
+    * integer histogram merges by plain addition, bit-identically in any
+    * engine, at fixed size |types|×[[histB]] regardless of data volume. */
+  private[graft] def histState(slice: DataFrame): DataFrame =
+    slice
+      .select(col("event_type"),
+        least(floor(col("value") / histW), lit(histB - 1))
+          .cast("long").as("bucket"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Merge = bucket-wise addition (exposed for the algebra spec). */
+  private[graft] def mergeHist(view: DataFrame, delta: DataFrame): DataFrame =
+    view.unionAll(delta)
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Median estimate off a histogram: the bucket where the cumulative
+    * count first reaches the lower-median rank, reported as its midpoint
+    * in integer cents — a deterministic pure-integer function of the
+    * histogram, so the oracle pins the ESTIMATE exactly (the
+    * [[Sketches]] count-min stance; accuracy vs the true median — within
+    * one bucket width of the lower median by construction — is pinned in
+    * the spec, where engine-specific percentile definitions can't drift
+    * the gate). The cumulative window runs over ≤[[histB]] rows per type. */
+  private[graft] def histMedian(hist: DataFrame): DataFrame = {
+    val byBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("bucket"))
+    val tot = hist.groupBy(col("event_type")).agg(sum(col("cnt")).as("n"))
+    hist
+      .withColumn("cum", sum(col("cnt")).over(byBucket))
+      .join(Hints.broadcastSmall(tot), "event_type")
+      .filter(col("cum") >= expr("(n + 1) div 2"))
+      .groupBy(col("event_type"), col("n"))
+      .agg(min(col("bucket")).as("b"))
+      .select(col("event_type"), col("n"),
+        (col("b") * (histW * 100L) + histW * 50L).as("p50_est_c"))
+  }
+
+  /** Session memo for the spilled base histogram. */
+  private val histMemo =
+    scala.collection.concurrent.TrieMap.empty[(Long, String), String]
+
+  /** Incremental QUANTILE maintenance: fold the increment's histogram into
+    * the materialized base histogram (plain bucket addition — the merge a
+    * stored average can never have), then read the median estimate off the
+    * merged grid. Refresh cost: one delta scan + a |types|×[[histB]]-row
+    * fold; the full-corpus value column is never re-scanned. */
+  def mvQuantile(s: SparkSession, d: String): DataFrame = {
+    val key = (SpillMemo.sessionId(s), d)
+    val path = histMemo.synchronized(histMemo.getOrElseUpdate(key, {
+      val out = SpillMemo.scratchDir("graft-matviewq-")
+      histState(Tables.events(s, d).filter(!isDelta))
+        .write.mode("overwrite").parquet(out)
+      out
+    }))
+    histMedian(mergeHist(
+      s.read.parquet(path),
+      histState(Tables.events(s, d).filter(isDelta))))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x_mv_refresh" -> mvRefresh)
+    "x_mv_refresh" -> mvRefresh,
+    "x_mv_quantile" -> mvQuantile)
 
   /** Full-recompute twin: what the merged view MUST equal. DuckDB computes
     * every mergeable measure from scratch over all events and pins `hll_ok`
@@ -172,5 +245,23 @@ object MatView {
         |       count(DISTINCT user_id) AS n_users,
         |       true AS hll_ok
         |FROM events
-        |GROUP BY 1, 2""".stripMargin)
+        |GROUP BY 1, 2""".stripMargin,
+    // the merged histogram must equal the full-corpus histogram, so the
+    // twin recomputes grid + cumulative + midpoint from scratch — the
+    // estimate itself hash-matches (pure integer function of the grid)
+    "x_mv_quantile" ->
+      s"""WITH st AS (SELECT event_type,
+         |              least(CAST(floor(value / $histW) AS BIGINT), ${histB - 1}) AS bucket,
+         |              CAST(count(*) AS BIGINT) AS cnt
+         |            FROM events GROUP BY 1, 2),
+         |tot AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n FROM st GROUP BY 1),
+         |cum AS (SELECT event_type, bucket, cnt,
+         |          sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS cum
+         |        FROM st),
+         |sel AS (SELECT c.event_type, t.n, min(c.bucket) AS b
+         |        FROM cum c JOIN tot t USING (event_type)
+         |        WHERE c.cum >= (t.n + 1) // 2 GROUP BY 1, 2)
+         |SELECT event_type, n,
+         |       CAST(b * ${histW * 100L} + ${histW * 50L} AS BIGINT) AS p50_est_c
+         |FROM sel""".stripMargin)
 }

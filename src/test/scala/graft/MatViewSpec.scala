@@ -45,6 +45,35 @@ class MatViewSpec extends SparkSpec {
     }
   }
 
+  test("histogram quantile: merge == recompute; estimate within one bucket of the true median") {
+    val whole = MatView.histState(ev)
+    val wholeSet = whole.as[(String, Long, Long)].collect().toSet
+    Seq(col("event_id") % 2 === 0, lit(false), col("event_id") === 17)
+      .foreach { isDelta =>
+        val merged = MatView.mergeHist(
+          MatView.histState(ev.filter(!isDelta)),
+          MatView.histState(ev.filter(isDelta)))
+          .as[(String, Long, Long)].collect().toSet
+        assert(merged == wholeSet, s"hist merge != recompute for $isDelta")
+      }
+    // accuracy: the midpoint estimate sits within one bucket width (x100
+    // cents) of the interpolated true median, per type
+    val est = MatView.histMedian(whole)
+      .select(col("event_type"), col("p50_est_c"))
+      .as[(String, Long)].collect().toMap
+    val exact = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5) * 100").as("p50_c"))
+      .as[(String, Double)].collect().toMap
+    exact.foreach { case (t, p50c) =>
+      assert(math.abs(est(t) - p50c) <= MatView.histW * 100L,
+        s"estimate ${est(t)} vs exact $p50c for $t") }
+    // fixture run: oracle-shaped output is non-empty and n totals match
+    val out = MatView.mvQuantile(spark, sf)
+      .select(col("event_type"), col("n")).as[(String, Long)].collect()
+    assert(out.nonEmpty)
+    assert(out.map(_._2).sum == Tables.events(spark, sf).count())
+  }
+
   test("fixture refresh matches the full recompute and holds hll_ok") {
     val out = MatView.mvRefresh(spark, sf)
     val got = out.select(col("event_type"), col("day").cast("string"),
