@@ -593,8 +593,38 @@ object Dedup {
     s.read.parquet(path)
   }
 
-  private def computeComponentLabels(s: SparkSession, d: String): DataFrame = {
-    val edges = minhashLsh(s, d)
+  private def computeComponentLabels(s: SparkSession, d: String): DataFrame =
+    labelsFromEdges(minhashLsh(s, d))
+
+  /** Memo for [[standingComponentLabels]] — same keying discipline as
+    * [[labelsMemo]]. */
+  private val standingLabelsMemo =
+    scala.collection.concurrent.TrieMap.empty[(Long, String, Boolean), String]
+
+  /** Component labels of the STANDING corpus only (`doc_id % newMod !=
+    * newRem` on both edge endpoints): the persisted label table an ingest
+    * probe inherits split/cluster identity from
+    * ([[Sampling.splitLeakproofIngest]]). Covers edge-incident standing
+    * docs; a standing doc with no near-dup edge is its own singleton
+    * component (callers coalesce to the doc id — the [[components]]
+    * convention). */
+  private[graft] def standingComponentLabels(s: SparkSession, d: String): DataFrame = {
+    val key = (SpillMemo.sessionId(s), d,
+      s.conf.getOption(Lineage.reliableConf).exists(_.toBoolean))
+    val path = standingLabelsMemo.synchronized(standingLabelsMemo.getOrElseUpdate(key, {
+      val out = SpillMemo.scratchDir("graft-scomplabels-")
+      val standing = minhashLsh(s, d)
+        .filter(col("doc_a") % newMod =!= newRem && col("doc_b") % newMod =!= newRem)
+      labelsFromEdges(standing).write.mode("overwrite").parquet(out)
+      out
+    }))
+    s.read.parquet(path)
+  }
+
+  /** The min-label fixpoint over an arbitrary (doc_a, doc_b) edge set —
+    * [[computeComponentLabels]]'s loop, shared with the standing-only
+    * variant. */
+  private def labelsFromEdges(edges: DataFrame): DataFrame = {
     val adj = Lineage.cut(
       edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
@@ -1076,6 +1106,46 @@ object Dedup {
        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
        |comp AS (SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS comp
        |         FROM reach GROUP BY 1)""".stripMargin
+
+  /** Oracle CTE chain for the leak-proof INGEST split
+    * ([[Sampling.splitLeakproofIngest]]), ending in
+    * `asg (doc_id, inherited, split_key)`: standing-only components
+    * (both edge endpoints standing), the [[incremental]] band-match +
+    * signature-Jaccard verdict for arrivals, and key inheritance — a
+    * matched arrival takes its match's standing component label, an
+    * unmatched one keys by its own id. */
+  private[graft] def leakproofIngestSqlCtes: String = {
+    val nMatch = (0 until nSeeds)
+      .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
+    val standing = s"% $newMod <> $newRem"
+    s"""${shingleSqlCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+       |$minhashPairsSqlCtes,
+       |sedges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |           WHERE doc_a $standing AND doc_b $standing
+       |           UNION SELECT doc_b AS src, doc_a AS dst FROM pairs
+       |           WHERE doc_a $standing AND doc_b $standing),
+       |sreach(a, b) AS (
+       |  SELECT doc_id, doc_id FROM documents WHERE doc_id $standing
+       |  UNION
+       |  SELECT r.a, e.dst FROM sreach r JOIN sedges e ON r.b = e.src),
+       |scomp AS (SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS comp
+       |          FROM sreach GROUP BY 1),
+       |cand AS (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+       |         FROM bands n JOIN bands o
+       |           ON n.band = o.band AND n.bkey = o.bkey
+       |         WHERE n.doc_id % $newMod = $newRem AND o.doc_id $standing),
+       |est AS (SELECT c.new_id, c.old_id, CAST($nMatch AS BIGINT) AS n_match
+       |        FROM cand c JOIN m a ON c.new_id = a.doc_id
+       |                    JOIN m b ON c.old_id = b.doc_id),
+       |hit AS (SELECT new_id, CAST(min(old_id) AS BIGINT) AS dup_of
+       |        FROM est WHERE n_match * 2 >= $nSeeds GROUP BY 1),
+       |asg AS (SELECT d.doc_id, h.dup_of IS NOT NULL AS inherited,
+       |          CAST(CASE WHEN h.dup_of IS NOT NULL THEN sc.comp
+       |               ELSE d.doc_id END AS BIGINT) AS split_key
+       |        FROM documents d LEFT JOIN hit h ON d.doc_id = h.new_id
+       |        LEFT JOIN scomp sc ON sc.doc_id = h.dup_of
+       |        WHERE d.doc_id % $newMod = $newRem)""".stripMargin
+  }
 
   /** CTE chain `hv, m, bands, pairs` reproducing [[minhashLsh]] in DuckDB —
     * appended after [[shingleSqlCtes]] by the LSH and components oracles. */

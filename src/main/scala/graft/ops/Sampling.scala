@@ -329,6 +329,44 @@ object Sampling {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_tokens"),
         countDistinct(col("comp")).as("n_comps"))
 
+  /** INGEST-TIME leak-proof split assignment — [[splitLeakproof]]'s
+    * serving twin: an arriving document must land in the SAME split as
+    * its standing near-duplicates, decided at ingest without recomputing
+    * any corpus-wide fixpoint. The arrival probes the standing MinHash
+    * index ([[Dedup.incrementalProbe]] — band match + signature-Jaccard
+    * verify, the `x_dedup_incremental` machinery verbatim); a matched
+    * arrival inherits its smallest-id match's STANDING component label as
+    * its split key, an unmatched one keys by its own id (indistinguishable
+    * from [[splitAssign]] for genuinely novel content). Emits per arrival:
+    * whether the key was inherited, the key, and the split.
+    *
+    * Approximation, stated: assignment-time inheritance cannot merge two
+    * standing components an arrival newly bridges (a full recompute
+    * would); the arrival lands deterministically in ONE of them — the
+    * standard trade of online assignment, and the reason the offline
+    * [[splitLeakproof]] table remains the periodic ground truth.
+    *
+    * Plan / 100 TB story: the standing component labels and the standing
+    * signature/band index are both persisted session state (read-back
+    * scans); the arrival batch pays map-side hashing plus the broadcast
+    * band probe, and the label join is keyed by the matched doc —
+    * per-arrival work independent of corpus size. */
+  def splitLeakproofIngest(s: SparkSession, d: String): DataFrame = {
+    val isNew = col("doc_id") % Dedup.newMod === Dedup.newRem
+    val (corpusSig, corpusBands) = Dedup.corpusSigIndex(s, d)
+    val verdicts = Dedup.incrementalProbe(
+      Tables.documents(s, d).filter(isNew).select(col("doc_id"), col("text")),
+      corpusSig, corpusBands)
+    val comps = Dedup.standingComponentLabels(s, d)
+      .select(col("doc_id").as("dup_of"), col("comp"))
+    verdicts
+      .join(comps, Seq("dup_of"), "left")
+      .select(col("new_id").as("doc_id"), col("is_dup").as("inherited"),
+        when(col("is_dup"), coalesce(col("comp"), col("dup_of")))
+          .otherwise(col("new_id")).as("split_key"))
+      .withColumn("split", splitOf(col("split_key")))
+  }
+
   /** Shard fan-out for [[shuffleShard]] — a TUNABLE shared with the oracle;
     * a real training run sets it to the loader's file parallelism. */
   private val nShards = 8
@@ -741,6 +779,7 @@ object Sampling {
     "x_ingest_drift" -> ingestDrift,
     "x_split_assign" -> splitAssign,
     "x_split_leakproof" -> splitLeakproof,
+    "x_split_leakproof_in" -> splitLeakproofIngest,
     "x_pack_sequences" -> packSequences,
     "x_pack_bfd" -> packBfd,
     "x_shuffle_shard" -> shuffleShard,
@@ -942,6 +981,16 @@ object Sampling {
         |            ELSE 'train' END AS split,
         |       lang, count(*) AS n_docs, CAST(sum(n_words) AS BIGINT) AS n_tokens
         |FROM b GROUP BY 1, 2""".stripMargin,
+    // standing components + incremental band-match verdict
+    // ([[Dedup.leakproofIngestSqlCtes]]) + the [[splitAssign]] bucketing
+    // keyed by the inherited key
+    "x_split_leakproof_in" ->
+      s"""${Dedup.leakproofIngestSqlCtes}
+         |SELECT doc_id, inherited, split_key,
+         |       CASE WHEN substr(md5(CAST(split_key AS VARCHAR)), 1, 1) IN ('c', 'd') THEN 'val'
+         |            WHEN substr(md5(CAST(split_key AS VARCHAR)), 1, 1) IN ('e', 'f') THEN 'test'
+         |            ELSE 'train' END AS split
+         |FROM asg""".stripMargin,
     // the component chain is [[Dedup.componentSqlChain]] verbatim (the
     // same fixpoint the components oracle pins); the split tail is
     // [[splitAssign]]'s bucketing keyed by comp instead of doc_id

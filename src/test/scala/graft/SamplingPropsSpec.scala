@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.Sampling
+import graft.ops.{Dedup, Sampling}
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 
 /** ScalaCheck invariants for the deterministic sampling family: the
@@ -72,6 +72,30 @@ class SamplingPropsSpec extends SparkSpec {
     val rolled = Sampling.splitLeakproof(spark, sf)
       .agg(org.apache.spark.sql.functions.sum($"n_comps")).as[Long].head()
     assert(rolled >= docs.select($"comp").distinct().count())
+  }
+
+  test("ingest split inherits the standing near-dup's key; novel docs hash their own id") {
+    val out = Sampling.splitLeakproofIngest(spark, sf)
+      .select($"doc_id", $"inherited", $"split_key")
+      .as[(Long, Boolean, Long)].collect()
+    assert(out.nonEmpty)
+    val verdicts = Dedup.incremental(spark, sf)
+      .select($"new_id", $"dup_of", $"is_dup")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val comps = Dedup.standingComponentLabels(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    assert(out.exists(_._2), "fixture should produce at least one inherited arrival")
+    out.foreach { case (id, inherited, key) =>
+      verdicts(id) match {
+        case Some(dupOf) =>
+          assert(inherited)
+          assert(key == comps.getOrElse(dupOf, dupOf),
+            s"arrival $id should inherit $dupOf's standing component")
+        case None =>
+          assert(!inherited && key == id, s"novel arrival $id must key by itself")
+      }
+    }
   }
 
   test("globalIndex is a dense 1..n permutation consistent with (shard, pos) order") {
