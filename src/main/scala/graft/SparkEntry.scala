@@ -49,6 +49,7 @@ object SparkEntry {
     (streaming.MaxsimStream.queries, streaming.MaxsimStream.oracle),
     (streaming.MvStream.queries, streaming.MvStream.oracle),
     (streaming.IndexMergeStream.queries, streaming.IndexMergeStream.oracle),
+    (streaming.SplitGateStream.queries, streaming.SplitGateStream.oracle),
     (streaming.SampleStream.queries, streaming.SampleStream.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

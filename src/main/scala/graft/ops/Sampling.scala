@@ -354,18 +354,26 @@ object Sampling {
   def splitLeakproofIngest(s: SparkSession, d: String): DataFrame = {
     val isNew = col("doc_id") % Dedup.newMod === Dedup.newRem
     val (corpusSig, corpusBands) = Dedup.corpusSigIndex(s, d)
-    val verdicts = Dedup.incrementalProbe(
+    splitLeakproofProbe(
       Tables.documents(s, d).filter(isNew).select(col("doc_id"), col("text")),
-      corpusSig, corpusBands)
-    val comps = Dedup.standingComponentLabels(s, d)
-      .select(col("doc_id").as("dup_of"), col("comp"))
-    verdicts
-      .join(comps, Seq("dup_of"), "left")
+      corpusSig, corpusBands, Dedup.standingComponentLabels(s, d))
+  }
+
+  /** The per-arrival assignment core — ONE definition shared by the batch
+    * form and the streamed twin ([[graft.streaming.SplitGateStream]]), so
+    * the two cannot drift. Each arrival's row depends only on its own text
+    * plus the static index + label relations, so the probe is
+    * batching-invariant. */
+  private[graft] def splitLeakproofProbe(
+      batch: DataFrame, corpusSig: DataFrame, corpusBands: DataFrame,
+      labels: DataFrame): DataFrame =
+    Dedup.incrementalProbe(batch, corpusSig, corpusBands)
+      .join(labels.select(col("doc_id").as("dup_of"), col("comp")),
+        Seq("dup_of"), "left")
       .select(col("new_id").as("doc_id"), col("is_dup").as("inherited"),
         when(col("is_dup"), coalesce(col("comp"), col("dup_of")))
           .otherwise(col("new_id")).as("split_key"))
       .withColumn("split", splitOf(col("split_key")))
-  }
 
   /** Shard fan-out for [[shuffleShard]] — a TUNABLE shared with the oracle;
     * a real training run sets it to the loader's file parallelism. */
