@@ -145,8 +145,62 @@ object Sketches {
     cmProbe(counters, ev)
   }
 
+  /** KMV size (k smallest hashes kept) and hash width: 12 hex chars =
+    * 48 bits, chosen so `(k-1)·2⁴⁸` stays far inside BIGINT in both
+    * engines (a 60-bit hash would overflow the numerator). The width
+    * bounds hash collisions — a negligible estimator bias at any
+    * realistic cardinality, and the SAME bias in both engines. */
+  private[graft] val kmvK = 64
+  private val kmvSpace = 1L << 48
+
+  /** KMV (k-minimum-values) distinct estimator — the fourth distinct-count
+    * option beside exact, HLL++ ([[hllDistinct]]) and the Datasketches
+    * registers ([[MatView]]): keep the [[kmvK]] smallest 48-bit hashes of
+    * the key per group; with fewer than k distinct keys the sketch IS the
+    * key set (estimate exact), otherwise est = (k−1)·2⁴⁸ ÷ h_k (Bar-Yossef
+    * et al., the classic bottom-k estimator). What KMV buys over HLL here:
+    * the estimate is a PURE INTEGER FUNCTION of the data (order- and
+    * engine-independent — no internal register layout), so the DuckDB twin
+    * reproduces the ESTIMATE itself and the whole differential
+    * hash-matches, the [[cmHeavyHitters]] stance. The k-set is also
+    * trivially mergeable (union, keep k smallest — the
+    * [[graft.ops.Sampling.bottomkSample]] property).
+    *
+    * Plan: one distinct-pair aggregation (the exact side needs it anyway —
+    * differential form), then the bounded-heap
+    * [[graft.functions.BottomKByKeyAgg]] reduces each partition to ≤ k
+    * candidates before the exchange (md5 hex substrings are fixed-length
+    * lowercase, so the agg's UTF-8 string order IS the numeric hash
+    * order); n_exact rides the same grouped relation. Production form
+    * drops n_exact and keeps per-group state of k longs. */
+  def kmvDistinct(s: SparkSession, d: String): DataFrame =
+    kmvOf(Tables.events(s, d)
+      .filter(col("user_id").isNotNull)
+      .select(col("event_type"), col("user_id")).distinct())
+
+  /** [[kmvDistinct]]'s core over any distinct (event_type, user_id) pair
+    * relation (exposed for the accuracy spec). */
+  private[graft] def kmvOf(du: DataFrame): DataFrame = {
+    val agg = org.apache.spark.sql.functions.udaf(
+      new graft.functions.BottomKByKeyAgg(kmvK),
+      org.apache.spark.sql.Encoders.product[graft.functions.KeyedId])
+    du
+      .select(col("event_type"),
+        substring(md5(col("user_id").cast("string")), 1, 12).as("h"),
+        col("user_id").as("id"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_exact"), agg(col("h"), col("id")).as("bot"))
+      .select(col("event_type"), col("n_exact"),
+        when(col("n_exact") < kmvK, col("n_exact"))
+          .otherwise(expr(
+            s"CAST(${kmvK - 1}L * $kmvSpace AS BIGINT) div " +
+              s"CAST(conv(element_at(bot, $kmvK).h, 16, 10) AS BIGINT)"))
+          .as("n_kmv"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_sketch_distinct" -> hllDistinct,
+    "x_sketch_kmv_distinct" -> kmvDistinct,
     "x_sketch_quantile" -> tdigestQuantile,
     "x_sketch_heavy_hitters" -> cmHeavyHitters)
 
@@ -167,6 +221,26 @@ object Sketches {
     "x_sketch_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_exact, true AS hll_ok
         |FROM events WHERE user_id IS NOT NULL GROUP BY 1""".stripMargin,
+    // KMV is hash-deterministic, so the twin recomputes the ESTIMATE
+    // exactly — rank the 48-bit hashes, read the k-th, same integer
+    // division
+    "x_sketch_kmv_distinct" ->
+      s"""WITH du AS (SELECT DISTINCT event_type, user_id FROM events
+         |           WHERE user_id IS NOT NULL),
+         |h AS (SELECT event_type,
+         |        CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::UBIGINT AS BIGINT) AS hv
+         |      FROM du),
+         |r AS (SELECT event_type, hv,
+         |        row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+         |        count(*) OVER (PARTITION BY event_type) AS nd
+         |      FROM h),
+         |sel AS (SELECT event_type, CAST(max(nd) AS BIGINT) AS n_exact,
+         |          max(CASE WHEN rn = $kmvK THEN hv END) AS hk
+         |        FROM r GROUP BY 1)
+         |SELECT event_type, n_exact,
+         |       CAST(CASE WHEN n_exact < $kmvK THEN n_exact
+         |            ELSE (${kmvK - 1} * ${1L << 48}) // hk END AS BIGINT) AS n_kmv
+         |FROM sel""".stripMargin,
     "x_sketch_quantile" ->
       """SELECT l_returnflag,
         |       CAST(round(quantile_cont(l_quantity, 0.5) * 100) AS BIGINT) AS p50_qty_c,

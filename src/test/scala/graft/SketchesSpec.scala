@@ -18,6 +18,28 @@ class SketchesSpec extends SparkSpec {
     assert(td.filter(!col("td_ok")).count() == 0)
   }
 
+  test("KMV: exact below k, within 3/sqrt(k) above it, deterministic across repartitions") {
+    // fixture differential: groups under k distinct must report exactly
+    val fix = Sketches.kmvDistinct(spark, sf)
+      .select($"n_exact", $"n_kmv").as[(Long, Long)].collect()
+    assert(fix.nonEmpty)
+    fix.foreach { case (exact, est) =>
+      if (exact < 64) assert(est == exact, s"sub-k group must be exact: $est vs $exact")
+      else assert(math.abs(est - exact).toDouble / exact <= 3.0 / math.sqrt(64),
+        s"KMV $est vs exact $exact out of bound") }
+    // synthetic: 50k distinct keys, one group — and the estimate must be
+    // byte-stable under repartitioning (pure function of the key set)
+    val n = 50000L
+    def pairs(parts: Int) = spark.range(n)
+      .select(lit("g").as("event_type"), $"id".as("user_id"))
+      .repartition(parts)
+    val a = Sketches.kmvOf(pairs(3)).select($"n_kmv").as[Long].head()
+    val b = Sketches.kmvOf(pairs(7)).select($"n_kmv").as[Long].head()
+    assert(a == b, "KMV estimate must not depend on partitioning")
+    assert(math.abs(a - n).toDouble / n <= 3.0 / math.sqrt(64),
+      s"KMV $a vs exact $n out of bound")
+  }
+
   test("HLL++ stays within 3×rsd on 200k distinct keys (dense-mode territory)") {
     val n = 200000L
     val est = spark.range(n)
