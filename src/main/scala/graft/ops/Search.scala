@@ -377,6 +377,49 @@ object Search {
           abs(col("rnk") - col("rnk2")))), lit(0L)).as("max_shift"))
   }
 
+  /** Autocomplete workload: prefixes up to [[acMaxPrefix]] chars, top
+    * [[acTopN]] completions each — TUNABLEs shared with the oracle. */
+  private[graft] val acMaxPrefix = 4
+  private[graft] val acTopN = 3
+
+  /** SEARCH AUTOCOMPLETION INDEX — the type-ahead table a search box
+    * serves from: for every token prefix (1..[[acMaxPrefix]] chars), the
+    * [[acTopN]] most frequent completions with their corpus occurrence
+    * counts and ranks. Completion popularity is occurrence (not document)
+    * frequency — the signal a suggest box actually ranks by.
+    *
+    * Plan / 100 TB story: one tokenization collapses to the vocab-sized
+    * tf relation FIRST (occurrences never fan out — the ×[[acMaxPrefix]]
+    * prefix explode runs over distinct tokens, not the corpus); the
+    * per-prefix head is the bounded-heap
+    * [[graft.functions.TopKByCountAgg]] (count desc, token asc — map-side
+    * heaps of [[acTopN]], never a per-prefix window sort: a popular
+    * 1-char prefix's completion list is vocabulary-sized, the same
+    * skewed-key trap the vocab/ngram heads retired in round 14). Serving
+    * reads the result as a static broadcast table. */
+  def autocomplete(s: SparkSession, d: String): DataFrame =
+    autocompleteDocs(Tables.documents(s, d))
+
+  /** [[autocomplete]]'s core over any (doc_id, text) frame (exposed for
+    * the hand-checked spec). */
+  private[graft] def autocompleteDocs(docs: DataFrame): DataFrame = {
+    val tf = tokens(docs)
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+    val agg = org.apache.spark.sql.functions.udaf(
+      new graft.functions.TopKByCountAgg(acTopN),
+      org.apache.spark.sql.Encoders.product[graft.functions.CountKeyed])
+    tf
+      .select(explode(expr(
+        s"transform(sequence(1, least(length(token), $acMaxPrefix)), " +
+          "p -> substring(token, 1, p))")).as("prefix"),
+        col("token"), col("n"))
+      .groupBy(col("prefix"))
+      .agg(agg(col("n"), col("token")).as("top"))
+      .select(col("prefix"), posexplode(col("top")).as(Seq("p", "t")))
+      .select(col("prefix"), col("t.key").as("token"), col("t.c").as("n"),
+        (col("p") + 1).cast("long").as("rnk"))
+  }
+
   /** Snippet window width (tokens). */
   private[graft] val snipW = 8
 
@@ -1011,6 +1054,7 @@ object Search {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_search_index_merge" -> indexMerge,
+    "x_search_autocomplete" -> autocomplete,
     "x_search_rank_churn" -> rankChurn,
     "x_search_proximity" -> proximityRerank,
     "x_search_phrase" -> phraseSearch,
@@ -1177,6 +1221,17 @@ object Search {
     "x_search_phrase_n" -> phraseNOracle,
     "x_search_bm25" ->
       (bm25Ctes("true", s"doc_id % $searchStride = 0") + bm25Tail),
+    "x_search_autocomplete" ->
+      s"""WITH t0 AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+         |tf AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM t0
+         |       WHERE length(token) > 0 GROUP BY 1),
+         |pre AS (SELECT substr(token, 1, p) AS prefix, token, n
+         |        FROM tf, unnest(range(1, least(length(token), $acMaxPrefix) + 1)) AS u(p)),
+         |r AS (SELECT prefix, token, n,
+         |        CAST(row_number() OVER (PARTITION BY prefix
+         |               ORDER BY n DESC, token ASC) AS BIGINT) AS rnk
+         |      FROM pre)
+         |SELECT prefix, token, n, rnk FROM r WHERE rnk <= $acTopN""".stripMargin,
     // two suffixed instantiations of the SAME chain (standing index = the
     // ingest corpus predicate, new index = full corpus), full-outer over
     // the two top-k relations, per-query churn rollup

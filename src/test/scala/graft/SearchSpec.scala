@@ -390,6 +390,23 @@ class SearchSpec extends SparkSpec {
     assert(merged.nonEmpty)
   }
 
+  test("autocomplete: occurrence-ranked completions per prefix, heap cut — no window") {
+    // tf: apple=3, ant=2, app=1, b=1. Prefix 'a' ranks by occurrences
+    // (apple, ant, app); 'ap' drops ant; 'appl' sees only apple.
+    val corpus = docsDf(1L -> "app apple apple ant", 2L -> "apple ant b")
+    val df = graft.ops.Search.autocompleteDocs(corpus)
+    val out = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val byPrefix = out.groupBy(_._1).view.mapValues(
+      _.sortBy(_._4).map(t => (t._2, t._3)).toSeq).toMap
+    assert(byPrefix("a") == Seq(("apple", 3L), ("ant", 2L), ("app", 1L)))
+    assert(byPrefix("ap") == Seq(("apple", 3L), ("app", 1L)))
+    assert(byPrefix("appl") == Seq(("apple", 3L)))
+    assert(byPrefix("b") == Seq(("b", 1L)))
+    assert(!df.queryExecution.executedPlan.toString.contains("WindowExec"),
+      "per-prefix head must be the bounded-heap aggregation, not a window")
+  }
+
   test("rank churn: identities against independently recomputed probes") {
     val docs = Tables.documents(spark, sf)
     val q = docs.filter($"doc_id" % 100 === 0).select($"doc_id", $"text")
