@@ -377,6 +377,62 @@ object Search {
           abs(col("rnk") - col("rnk2")))), lit(0L)).as("max_shift"))
   }
 
+  /** Spellfix workload width and suggestion depth. */
+  private[graft] val sfProbes = 5
+  private[graft] val sfTopN = 3
+
+  /** SPELLING CORRECTION for search ("did you mean") — SymSpell's
+    * deletion-neighborhood scheme (Garbe's symmetric delete; the design
+    * behind production spell indexes): two terms within edit distance 1
+    * necessarily share a single-deletion variant (or one IS a variant of
+    * the other), so candidate generation is an EQUI-JOIN on deletion
+    * variants — never a probe × vocabulary cross product with a distance
+    * UDF, the thing that cannot scale past toy vocabularies. Candidates
+    * are then verified with the exact `levenshtein` (built into BOTH
+    * engines — deterministic integers) and ranked (distance asc,
+    * popularity desc, term asc), top [[sfTopN]] per probe.
+    *
+    * The probe workload is derived (the house deterministic-workload
+    * convention): the [[sfProbes]] most frequent ≥3-char tokens, each
+    * mutated by dropping its second character — realistic typos with a
+    * known intended target.
+    *
+    * Plan: the variant fan-out is an in-row transform over the
+    * VOCAB-SIZED tf relation (≤ |term|+1 variants each); probe variants
+    * are a ≤ [[sfProbes]]·(|term|+1)-row broadcast; the verify filter
+    * touches only equi-join survivors (bounded by alphabet·length per
+    * probe, corpus-size-independent); the final rank window holds that
+    * bounded set per probe. */
+  def spellfix(s: SparkSession, d: String): DataFrame =
+    spellfixDocs(Tables.documents(s, d))
+
+  /** [[spellfix]]'s core over any (doc_id, text) frame (exposed for the
+    * hand-checked spec). */
+  private[graft] def spellfixDocs(docs: DataFrame): DataFrame = {
+    val tf = tokens(docs).groupBy(col("token")).agg(count(lit(1)).as("n"))
+    def variants(t: String) = expr(
+      s"array_append(transform(sequence(1, length($t)), " +
+        s"i -> concat(substring($t, 1, i - 1), substring($t, i + 1))), $t)")
+    val probes = tf.filter(length(col("token")) >= 3)
+      .orderBy(col("n").desc, col("token").asc).limit(sfProbes)
+      .select(concat(substring(col("token"), 1, 1), expr("substring(token, 3)"))
+        .as("probe"))
+    val pv = probes
+      .select(col("probe"), explode(variants("probe")).as("v"))
+    val vv = tf
+      .select(col("token"), col("n"), explode(variants("token")).as("v"))
+    val cand = vv.join(broadcast(pv), "v")
+      .select(col("probe"), col("token"), col("n")).distinct()
+      .withColumn("dist", expr("levenshtein(probe, token)").cast("long"))
+      .filter(col("dist") <= 1)
+    val rank = Window.partitionBy(col("probe"))
+      .orderBy(col("dist").asc, col("n").desc, col("token").asc)
+    cand.withColumn("rnk", row_number().over(rank).cast("long"))
+      .filter(col("rnk") <= sfTopN)
+      .select(col("probe"), col("token").as("suggestion"), col("dist"),
+        col("n"), col("rnk"))
+  }
+
   /** Autocomplete workload: prefixes up to [[acMaxPrefix]] chars, top
     * [[acTopN]] completions each — TUNABLEs shared with the oracle. */
   private[graft] val acMaxPrefix = 4
@@ -1055,6 +1111,7 @@ object Search {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_search_index_merge" -> indexMerge,
     "x_search_autocomplete" -> autocomplete,
+    "x_search_spellfix" -> spellfix,
     "x_search_rank_churn" -> rankChurn,
     "x_search_proximity" -> proximityRerank,
     "x_search_phrase" -> phraseSearch,
@@ -1221,6 +1278,36 @@ object Search {
     "x_search_phrase_n" -> phraseNOracle,
     "x_search_bm25" ->
       (bm25Ctes("true", s"doc_id % $searchStride = 0") + bm25Tail),
+    // same deletion-variant equi-join + exact levenshtein verify; DuckDB's
+    // range is end-exclusive, so variant positions are range(1, len + 1)
+    "x_search_spellfix" ->
+      s"""WITH t0 AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+         |tf AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM t0
+         |       WHERE length(token) > 0 GROUP BY 1),
+         |pr AS (SELECT substr(token, 1, 1) || substr(token, 3) AS probe
+         |       FROM tf WHERE length(token) >= 3
+         |       ORDER BY n DESC, token ASC LIMIT $sfProbes),
+         |pv AS (SELECT probe, v FROM (
+         |         SELECT probe,
+         |           unnest(list_append([substr(probe, 1, i - 1) || substr(probe, i + 1)
+         |                               FOR i IN range(1, length(probe) + 1)],
+         |                              probe)) AS v
+         |         FROM pr)),
+         |vv AS (SELECT token, n, v FROM (
+         |         SELECT token, n,
+         |           unnest(list_append([substr(token, 1, i - 1) || substr(token, i + 1)
+         |                               FOR i IN range(1, length(token) + 1)],
+         |                              token)) AS v
+         |         FROM tf)),
+         |cand AS (SELECT DISTINCT p.probe, t.token, t.n
+         |         FROM vv t JOIN pv p USING (v)),
+         |ver AS (SELECT probe, token, CAST(levenshtein(probe, token) AS BIGINT) AS dist, n
+         |        FROM cand WHERE levenshtein(probe, token) <= 1),
+         |r AS (SELECT probe, token AS suggestion, dist, n,
+         |        CAST(row_number() OVER (PARTITION BY probe
+         |               ORDER BY dist ASC, n DESC, token ASC) AS BIGINT) AS rnk
+         |      FROM ver)
+         |SELECT probe, suggestion, dist, n, rnk FROM r WHERE rnk <= $sfTopN""".stripMargin,
     "x_search_autocomplete" ->
       s"""WITH t0 AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
          |tf AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM t0

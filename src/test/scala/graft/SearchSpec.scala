@@ -407,6 +407,25 @@ class SearchSpec extends SparkSpec {
       "per-prefix head must be the bounded-heap aggregation, not a window")
   }
 
+  test("spellfix: deletion-neighborhood candidates, exact distance-1 suggestions") {
+    // tf: cat=3, car/bat/ca/cart/hello=1. Probes (top-5 >=3-char tokens,
+    // 2nd char dropped): ct, bt, cr, crt, hllo. Hand-derived dist-1 sets:
+    //   ct  -> cat(3), ca(1)        crt -> cat(3), cart(1)
+    //   bt  -> bat                  hllo -> hello
+    //   cr  -> ca, car (both n=1; token asc breaks the tie)
+    val corpus = docsDf(1L -> "cat cat cat car bat ca cart hello")
+    val out = graft.ops.Search.spellfixDocs(corpus)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(4)))
+    val byProbe = out.groupBy(_._1).view
+      .mapValues(_.sortBy(_._4).map(t => (t._2, t._3)).toSeq).toMap
+    assert(byProbe("ct") == Seq(("cat", 1L), ("ca", 1L)))
+    assert(byProbe("bt") == Seq(("bat", 1L)))
+    assert(byProbe("cr") == Seq(("ca", 1L), ("car", 1L)))
+    assert(byProbe("crt") == Seq(("cat", 1L), ("cart", 1L)))
+    assert(byProbe("hllo") == Seq(("hello", 1L)))
+    assert(out.forall(_._3 <= 1L), "distance-1 contract violated")
+  }
+
   test("rank churn: identities against independently recomputed probes") {
     val docs = Tables.documents(spark, sf)
     val q = docs.filter($"doc_id" % 100 === 0).select($"doc_id", $"text")
