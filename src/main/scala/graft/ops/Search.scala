@@ -377,6 +377,52 @@ object Search {
           abs(col("rnk") - col("rnk2")))), lit(0L)).as("max_shift"))
   }
 
+  /** nDCG@k over the member BM25 ranking — the GRADED ranking metric an
+    * IR deployment tracks per release (the [[hybridEval]] diagnostics
+    * count overlaps; this scores ORDER quality). Relevance labels are
+    * deterministic metadata agreement (the house derived-workload
+    * convention, standing in for human judgments): a hit sharing the
+    * query document's lang AND source grades 2, lang alone 1, else 0.
+    * DCG's 1/log₂(rank+1) discount is the fixed-point
+    * [[Sampling.log2fpSpark]] device — each position contributes
+    * `rel·10⁶ div log2fp(rank+1)`, an exact integer in both engines — and
+    * nDCG is the basis-point ratio against the ideal (re-sorted) ordering
+    * of the SAME graded hits. Per query: dcg_fp, idcg_fp, ndcg_bp
+    * (10000 = perfect order; 0 when nothing relevant retrieved).
+    *
+    * Plan: metadata joins carry the k-per-query hit relation; the ideal
+    * re-rank window holds ≤ [[topK]] rows per query. */
+  def ndcgEval(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val meta = docs.select(col("doc_id"), col("lang"), col("source"))
+    val hits = bm25Probe(
+      docs.filter(col("doc_id") % searchStride === 0)
+        .select(col("doc_id"), col("text")),
+      bm25IndexDocs(docs))
+      .select(col("query_id"), col("neighbor_id"), col("rnk"))
+    val graded = hits
+      .join(meta.select(col("doc_id").as("query_id"),
+        col("lang").as("q_lang"), col("source").as("q_source")), "query_id")
+      .join(meta.select(col("doc_id").as("neighbor_id"),
+        col("lang").as("n_lang"), col("source").as("n_source")), "neighbor_id")
+      .select(col("query_id"), col("rnk"),
+        when(col("n_lang") === col("q_lang") && col("n_source") === col("q_source"), 2L)
+          .when(col("n_lang") === col("q_lang"), 1L)
+          .otherwise(0L).as("rel"))
+    import graft.ops.Sampling.log2fpSpark
+    val ideal = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("rnk").asc)
+    graded
+      .withColumn("irnk", row_number().over(ideal).cast("long"))
+      .groupBy(col("query_id"))
+      .agg(
+        sum(expr(s"rel * 1000000 div ${log2fpSpark("rnk + 1")}")).as("dcg_fp"),
+        sum(expr(s"rel * 1000000 div ${log2fpSpark("irnk + 1")}")).as("idcg_fp"))
+      .select(col("query_id"), col("dcg_fp"), col("idcg_fp"),
+        when(col("idcg_fp") === 0L, 0L)
+          .otherwise(expr("dcg_fp * 10000 div idcg_fp")).as("ndcg_bp"))
+  }
+
   /** Spellfix workload width and suggestion depth. */
   private[graft] val sfProbes = 5
   private[graft] val sfTopN = 3
@@ -1112,6 +1158,7 @@ object Search {
     "x_search_index_merge" -> indexMerge,
     "x_search_autocomplete" -> autocomplete,
     "x_search_spellfix" -> spellfix,
+    "x_search_ndcg" -> ndcgEval,
     "x_search_rank_churn" -> rankChurn,
     "x_search_proximity" -> proximityRerank,
     "x_search_phrase" -> phraseSearch,
@@ -1278,6 +1325,32 @@ object Search {
     "x_search_phrase_n" -> phraseNOracle,
     "x_search_bm25" ->
       (bm25Ctes("true", s"doc_id % $searchStride = 0") + bm25Tail),
+    // graded-relevance tail over the shared member chain; the discount is
+    // the same fixed-point log2 text the Spark plan compiles
+    "x_search_ndcg" -> {
+      import graft.ops.Sampling.log2fpDuck
+      bm25Ctes("true", s"doc_id % $searchStride = 0") +
+        s""",
+           |hits AS (SELECT query_id, neighbor_id, rnk FROM rk WHERE rnk <= $topK),
+           |gr AS (SELECT h.query_id, h.rnk,
+           |         CAST(CASE WHEN nm.lang = qm.lang AND nm.source = qm.source THEN 2
+           |              WHEN nm.lang = qm.lang THEN 1 ELSE 0 END AS BIGINT) AS rel
+           |       FROM hits h
+           |       JOIN documents qm ON qm.doc_id = h.query_id
+           |       JOIN documents nm ON nm.doc_id = h.neighbor_id),
+           |ir AS (SELECT query_id, rnk, rel,
+           |         CAST(row_number() OVER (PARTITION BY query_id
+           |                ORDER BY rel DESC, rnk ASC) AS BIGINT) AS irnk
+           |       FROM gr),
+           |ag AS (SELECT query_id,
+           |         CAST(sum(rel * 1000000 // ${log2fpDuck("rnk + 1")}) AS BIGINT) AS dcg_fp,
+           |         CAST(sum(rel * 1000000 // ${log2fpDuck("irnk + 1")}) AS BIGINT) AS idcg_fp
+           |       FROM ir GROUP BY 1)
+           |SELECT query_id, dcg_fp, idcg_fp,
+           |       CAST(CASE WHEN idcg_fp = 0 THEN 0
+           |            ELSE dcg_fp * 10000 // idcg_fp END AS BIGINT) AS ndcg_bp
+           |FROM ag""".stripMargin
+    },
     // same deletion-variant equi-join + exact levenshtein verify; DuckDB's
     // range is end-exclusive, so variant positions are range(1, len + 1)
     "x_search_spellfix" ->

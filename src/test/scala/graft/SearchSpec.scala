@@ -426,6 +426,19 @@ class SearchSpec extends SparkSpec {
     assert(out.forall(_._3 <= 1L), "distance-1 contract violated")
   }
 
+  test("nDCG: ideal ordering dominates, basis points bounded and consistent") {
+    val rows = graft.ops.Search.ndcgEval(spark, sf)
+      .select("dcg_fp", "idcg_fp", "ndcg_bp")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (dcg, idcg, bp) =>
+      assert(dcg <= idcg, "served order cannot beat the ideal order")
+      assert(bp >= 0L && bp <= 10000L)
+      if (idcg == 0L) assert(bp == 0L && dcg == 0L)
+      else assert(bp == dcg * 10000 / idcg)
+    }
+  }
+
   test("rank churn: identities against independently recomputed probes") {
     val docs = Tables.documents(spark, sf)
     val q = docs.filter($"doc_id" % 100 === 0).select($"doc_id", $"text")
