@@ -23,6 +23,42 @@ class IndexMergeStreamSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("stop mid-ingest + restart from checkpoint converges to the full rebuild") {
+    val scratch = graft.ops.SpillMemo.scratchDir("graft-simerge-r-")
+    val src = s"$scratch/src"
+    val mod = graft.ops.Similarity.knnBatchMod
+    val docs = Tables.documents(spark, sf)
+    val arriving = docs.filter($"doc_id" % mod === 7).select("doc_id", "text")
+    // arrivals are doc_id % 10 == 7, so % 20 splits them into {7} and {17}
+    arriving.filter($"doc_id" % 20 === 7).coalesce(1).write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    def run(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(src).writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$scratch/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: Dataset[Row], id: Long) =>
+          UpsertSink.writeBatch(IndexMergeStream.tfState(b), id, s"$scratch/sink")
+        }
+        .start()
+      q.awaitTermination()
+    }
+    run()
+    val baseTf = IndexMergeStream.tfState(docs.filter($"doc_id" % mod =!= 7))
+    def folded(nd: org.apache.spark.sql.DataFrame): Set[(String, Long, Long)] =
+      postings(graft.ops.Search.indexFromState(
+        baseTf.unionAll(UpsertSink.readAll(spark, s"$scratch/sink")), nd).postings)
+    val half = docs.filter($"doc_id" % mod =!= 7 || $"doc_id" % 20 === 7)
+    assert(folded(half.agg(count(lit(1)).as("n_docs"))) ==
+      postings(graft.ops.Search.bm25IndexDocs(half).postings),
+      "run 1 must index base + early arrivals exactly")
+    arriving.filter($"doc_id" % 20 =!= 7).coalesce(1).write.mode("append").parquet(src)
+    run()
+    assert(folded(docs.agg(count(lit(1)).as("n_docs"))) ==
+      postings(graft.ops.Search.bm25IndexDocs(docs).postings),
+      "restart from checkpoint diverged from the full rebuild")
+  }
+
   test("two-batch delivery folds to the full rebuild; replay is a no-op") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -34,6 +34,44 @@ class MvStreamSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("stop mid-ingest + restart from checkpoint: the fold converges to the full-corpus state") {
+    // the MaxsimStreamSpec restart golden applied to sink-as-state MV
+    // maintenance: half the increment lands, the query stops, the rest
+    // lands, a NEW query on the SAME checkpoint processes only the new
+    // file — and the additive fold must land exactly the full state,
+    // with run-1's deltas untouched
+    val scratch = graft.ops.SpillMemo.scratchDir("graft-smv-r-")
+    val src = s"$scratch/src"
+    val delta = Tables.events(spark, sf).filter(MatView.isDelta)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    // isDelta is event_id % 5 == 3, so % 10 splits it into {3} and {8}
+    delta.filter(col("event_id") % 10 === 3).coalesce(1).write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    def run(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(src).writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$scratch/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: Dataset[Row], id: Long) =>
+          UpsertSink.writeBatch(MatView.state(b), id, s"$scratch/sink")
+        }
+        .start()
+      q.awaitTermination()
+    }
+    run()
+    def folded: Set[(String, String, Long, Long, Long, Long, Long)] =
+      flat(MatView.mergeStates(
+        MatView.baseView(spark, sf), UpsertSink.readAll(spark, s"$scratch/sink")))
+    val ev = Tables.events(spark, sf)
+    val firstHalf = flat(MatView.state(
+      ev.filter(!MatView.isDelta || col("event_id") % 10 === 3)))
+    assert(folded == firstHalf, "run 1 must fold base + early increment exactly")
+    delta.filter(col("event_id") % 10 === 8).coalesce(1).write.mode("append").parquet(src)
+    run()
+    assert(folded == flat(MatView.state(ev)),
+      "restart from checkpoint diverged from the full-corpus state")
+  }
+
   test("two-batch delivery: appended per-batch states fold to the full-corpus state; replay is a no-op") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
