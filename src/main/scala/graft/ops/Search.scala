@@ -182,7 +182,15 @@ object Search {
     * rows — bounded by document length, not corpus size. Emits
     * (query_id, token). */
   private[graft] def queryTerms(
-      queryDocs: DataFrame, idx: Bm25Index, nTerms: Int = qTerms): DataFrame = {
+      queryDocs: DataFrame, idx: Bm25Index, nTerms: Int = qTerms): DataFrame =
+    queryTermsOn(queryDocs, idx.tokenDf, idx.stats.select(col("n_docs")), nTerms)
+
+  /** [[queryTerms]] against bare (token, df) + 1-row n_docs relations —
+    * the form scorers that never build BM25 impacts ([[lmqlTopK]]) share,
+    * so every retrieval family selects the SAME terms per query. */
+  private[graft] def queryTermsOn(
+      queryDocs: DataFrame, tokenDf: DataFrame, nDocs: DataFrame,
+      nTerms: Int): DataFrame = {
     val qt = queryDocs
       .select(col("doc_id").as("query_id"),
         explode(split(col("text"), " ")).as("token"))
@@ -190,8 +198,8 @@ object Search {
       .groupBy(col("query_id"), col("token")).agg(count(lit(1)).as("qtf"))
     val selW = Window.partitionBy(col("query_id"))
       .orderBy(col("sel").desc, col("token").asc)
-    idx.tokenDf.join(Hints.broadcastSmall(qt), "token")
-      .crossJoin(broadcast(idx.stats.select(col("n_docs"))))
+    tokenDf.join(Hints.broadcastSmall(qt), "token")
+      .crossJoin(broadcast(nDocs))
       .withColumn("sel", expr("CAST(qtf AS DOUBLE) * n_docs / df"))
       .withColumn("trk", row_number().over(selW))
       .filter(col("trk") <= nTerms)
@@ -295,6 +303,193 @@ object Search {
         .select(col("doc_id"), col("text")),
       ingestIndex(s, d))
 
+  /** Dirichlet prior μ for [[lmqlTopK]] — an integer so every fixed-point
+    * log₂ argument stays integral (engine-exact). 300 suits the fixture's
+    * short documents; the plan is μ-independent. */
+  private[graft] val lmMu = 300L
+
+  /** QUERY-LIKELIHOOD retrieval with Dirichlet smoothing (Ponte & Croft,
+    * SIGIR'98; Zhai & Lafferty, SIGIR'01) — the language-model scoring
+    * family a retrieval stack runs beside BM25 (the classic lexical
+    * triad: probabilistic BM25, LM query likelihood, positional
+    * proximity). Full QL scores every query term against every document;
+    * the standard rank-equivalent decomposition makes it index-servable:
+    * dropping the doc-independent Σ_t log(μ·P(t|C)) term,
+    *
+    *   score(q,d) ≍ Σ_{t∈q∩d} log((tf·C + μ·cf) / (μ·cf))
+    *                − |q| · log((dl + μ) / μ)
+    *
+    * with C the collection token count and cf the collection frequency —
+    * only MATCHED postings plus the candidate's length are touched. Both
+    * logs are the exact 1/1024-bit [[Sampling.log2fpSpark]] integers, so
+    * the per-term sum commutes and both engines agree bit-for-bit
+    * (arguments stay < 2⁶³/1024 up to tf·C ≈ 5·10¹⁴ — petabyte corpora).
+    *
+    * The index analog of BM25's impact prune: each token's posting list
+    * keeps its [[prunePerTerm]] highest-tf postings (the matched
+    * contribution is monotone in tf, so tf-ordering IS impact-ordering
+    * here), cut by the bounded-heap [[graft.functions.TopKScoredAgg]] —
+    * map-side ≤cap heaps, never a df-sized window sort. cf rides on the
+    * PRUNED lists (an index-sized token join at build), the collection
+    * total is a 1-row broadcast, and the candidate relation — bounded by
+    * queries·terms·cap — broadcasts onto the corpus-sized length relation
+    * rather than shuffling it. Emits (query_id, neighbor_id, score_fp,
+    * n_terms, rnk ≤ k); score_fp is negative when the length penalty
+    * outweighs the matches — ranks, not probabilities. */
+  def lmqlTopK(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    lmqlProbe(
+      docs.filter(col("doc_id") % searchStride === 0)
+        .select(col("doc_id"), col("text")),
+      lmIndexDocs(docs))
+  }
+
+  /** The Dirichlet-LM serving index — the [[Bm25Index]] analog: tf-pruned
+    * postings carrying their collection frequencies (token, doc_id, tf,
+    * cf), document lengths (the per-candidate penalty input), term df
+    * (term selection only), and the two 1-row broadcast stats. */
+  private[graft] case class LmIndex(postings: DataFrame, dlr: DataFrame,
+      dfr: DataFrame, ct: DataFrame, nDocs: DataFrame)
+
+  /** Build the LM index over a corpus frame — one tokenization feeding
+    * every relation; the posting prune is the bounded-heap cut (tf-order
+    * IS impact-order for the matched contribution). */
+  private[graft] def lmIndexDocs(docs: DataFrame): LmIndex = {
+    val tf = Lineage.cut(
+      tokens(docs).groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf")))
+    val cfr = tf.groupBy(col("token")).agg(sum(col("tf")).as("cf"))
+    val dlr = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val lmPost = TopK.topKScored(
+      tf.select(col("token"), col("tf").cast("double").as("score"), col("doc_id")),
+      "token", "score", "doc_id", prunePerTerm)
+      .select(col("token"), col("neighbor_id").as("doc_id"),
+        col("score").cast("bigint").as("tf"))
+      .join(cfr, "token")
+    LmIndex(lmPost, dlr,
+      tf.groupBy(col("token")).agg(count(lit(1)).as("df")),
+      dlr.agg(sum(col("dl")).as("c_tot")),
+      docs.agg(count(lit(1)).as("n_docs")))
+  }
+
+  /** Score query docs against an LM index — ONE definition shared by the
+    * member search, the batch ingest twin and the streamed twin (the
+    * [[bm25Probe]] stance). The member form's self-match exclusion is a
+    * no-op for ingest queries, whose ids aren't indexed. */
+  private[graft] def lmqlProbe(queryDocs: DataFrame, idx: LmIndex): DataFrame = {
+    import graft.ops.Sampling.log2fpSpark
+    val terms = Lineage.cut(queryTermsOn(queryDocs, idx.dfr, idx.nDocs, qTerms))
+    val cand = idx.postings.join(Hints.broadcastSmall(terms), "token")
+      .filter(col("doc_id") =!= col("query_id"))
+      .crossJoin(broadcast(idx.ct))
+      .withColumn("c_fp", expr(
+        s"${log2fpSpark(s"tf * c_tot + $lmMu * cf")} - ${log2fpSpark(s"$lmMu * cf")}"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("c_fp")).as("m_fp"), count(lit(1)).as("n_terms"))
+    val nq = terms.groupBy(col("query_id")).agg(count(lit(1)).as("n_q"))
+    val scored = Lineage.cut(
+      Hints.broadcastSmall(cand.join(Hints.broadcastSmall(nq), "query_id"))
+        .join(idx.dlr, "doc_id")
+        .withColumn("score_fp", col("m_fp") - col("n_q") *
+          expr(s"${log2fpSpark(s"dl + $lmMu")} - ${log2fpSpark(lmMu.toString)}"))
+        .select(col("query_id"), col("doc_id"), col("score_fp"), col("n_terms")))
+    val top = TopK.topK(
+      scored.select(col("query_id"),
+        col("score_fp").cast("double").as("score"), col("doc_id")),
+      "query_id", "score", "doc_id", topK)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rnk"))
+    scored.join(broadcast(top), Seq("query_id", "doc_id"))
+      .select(col("query_id"), col("doc_id").as("neighbor_id"),
+        col("score_fp"), col("n_terms"), col("rnk"))
+  }
+
+  /** [[lmqlTopK]]'s core over arbitrary (corpus, query) frames — exposed
+    * for the hand-checked spec. */
+  private[graft] def lmqlDocs(docs: DataFrame, queryDocs: DataFrame): DataFrame =
+    lmqlProbe(queryDocs, lmIndexDocs(docs))
+
+  /** The LM ingest-serving index: standing corpus only (arrivals are NOT
+    * in it — cf/dl/df/c_tot all exclude them, the [[ingestIndex]] stance),
+    * every relation lineage-cut so the streamed twin's triggers read
+    * materialized blocks instead of re-deriving the index per micro-batch. */
+  private[graft] def lmIngestIndex(s: SparkSession, d: String): LmIndex = {
+    val idx = lmIndexDocs(
+      Tables.documents(s, d).filter(col("doc_id") % Similarity.knnBatchMod =!= 7))
+    LmIndex(Lineage.cut(idx.postings), Lineage.cut(idx.dlr),
+      Lineage.cut(idx.dfr), Lineage.cut(idx.ct), Lineage.cut(idx.nDocs))
+  }
+
+  /** Batch form of LM ingest serving: arriving docs (`% 10 = 7`) probe the
+    * standing-corpus LM index. The streamed twin
+    * ([[graft.streaming.LmqlStream]]) runs THIS probe per micro-batch. */
+  def lmqlIngestTopK(s: SparkSession, d: String): DataFrame =
+    lmqlProbe(
+      Tables.documents(s, d)
+        .filter(col("doc_id") % Similarity.knnBatchMod === 7)
+        .select(col("doc_id"), col("text")),
+      lmIngestIndex(s, d))
+
+  /** LEARNING-TO-RANK training-example emission — the dataset a reranker
+    * (LambdaMART, a cross-encoder distillation target) trains on, and the
+    * step that turns this retrieval stack into a TRAINING-DATA pipeline:
+    * candidate generation by the production BM25 probe, one feature row
+    * per (query, candidate) joining every lexical signal plus the graded
+    * label ([[ndcgEval]]'s deterministic metadata-agreement convention —
+    * the stand-in for human judgments, swappable without touching the
+    * feature plumbing).
+    *
+    * Features: `score_m`/`n_terms`/`rnk` ride FROM the candidate
+    * generator; `lm_fp`/`lm_terms` are the Dirichlet-LM score of the SAME
+    * pair under the SAME term selection and pruned postings as
+    * [[lmqlTopK]] (pairs with no matched LM posting keep the pure length
+    * penalty — the Σ-over-empty-set reading, left-join + coalesce 0);
+    * `dl`/`n_q` are the length normalizers a trainer wants raw.
+    *
+    * Plan: candidates are k-per-query — every join broadcasts them onto
+    * the corpus-sized side (lengths, metadata) or onto index-sized
+    * postings; nothing corpus-sized shuffles. The LM leg costs one
+    * pair-restricted matched-postings sum, NOT a second retrieval.
+    * `SearchSpec` pins lm_fp equality with [[lmqlTopK]] on shared pairs. */
+  def ltrFeatures(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.Sampling.log2fpSpark
+    val docs = Tables.documents(s, d)
+    val queryDocs = docs.filter(col("doc_id") % searchStride === 0)
+      .select(col("doc_id"), col("text"))
+    val hits = Lineage.cut(bm25Probe(queryDocs, bm25IndexDocs(docs)))
+    val lmIdx = lmIndexDocs(docs)
+    val terms = Lineage.cut(queryTermsOn(queryDocs, lmIdx.dfr, lmIdx.nDocs, qTerms))
+    val nq = terms.groupBy(col("query_id")).agg(count(lit(1)).as("n_q"))
+    val pairs = hits.select(col("query_id"), col("neighbor_id").as("doc_id"))
+    val lmPairs = lmIdx.postings.join(Hints.broadcastSmall(terms), "token")
+      .join(Hints.broadcastSmall(pairs), Seq("query_id", "doc_id"))
+      .crossJoin(broadcast(lmIdx.ct))
+      .withColumn("c_fp", expr(
+        s"${log2fpSpark(s"tf * c_tot + $lmMu * cf")} - ${log2fpSpark(s"$lmMu * cf")}"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("c_fp")).as("m_fp"), count(lit(1)).as("lm_terms"))
+    val meta = docs.select(col("doc_id"), col("lang"), col("source"))
+    Hints.broadcastSmall(hits)
+      .join(lmIdx.dlr.select(col("doc_id").as("neighbor_id"), col("dl")), "neighbor_id")
+      .join(Hints.broadcastSmall(nq), "query_id")
+      .join(Hints.broadcastSmall(lmPairs.select(col("query_id"),
+          col("doc_id").as("neighbor_id"), col("m_fp"), col("lm_terms"))),
+        Seq("query_id", "neighbor_id"), "left")
+      .join(meta.select(col("doc_id").as("query_id"),
+        col("lang").as("q_lang"), col("source").as("q_source")), "query_id")
+      .join(meta.select(col("doc_id").as("neighbor_id"),
+        col("lang").as("n_lang"), col("source").as("n_source")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        col("score_m"), col("n_terms"),
+        (coalesce(col("m_fp"), lit(0L)) - col("n_q") *
+          expr(s"${log2fpSpark(s"dl + $lmMu")} - ${log2fpSpark(lmMu.toString)}"))
+          .as("lm_fp"),
+        coalesce(col("lm_terms"), lit(0L)).as("lm_terms"),
+        col("dl"), col("n_q"),
+        when(col("n_lang") === col("q_lang") && col("n_source") === col("q_source"), 2L)
+          .when(col("n_lang") === col("q_lang"), 1L)
+          .otherwise(0L).as("rel"))
+  }
+
   /** Session memo for [[indexMerge]]'s spilled base TF state. */
   private val tfMemo =
     scala.collection.concurrent.TrieMap.empty[(Long, String), String]
@@ -393,22 +588,7 @@ object Search {
     * Plan: metadata joins carry the k-per-query hit relation; the ideal
     * re-rank window holds ≤ [[topK]] rows per query. */
   def ndcgEval(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    val meta = docs.select(col("doc_id"), col("lang"), col("source"))
-    val hits = bm25Probe(
-      docs.filter(col("doc_id") % searchStride === 0)
-        .select(col("doc_id"), col("text")),
-      bm25IndexDocs(docs))
-      .select(col("query_id"), col("neighbor_id"), col("rnk"))
-    val graded = hits
-      .join(meta.select(col("doc_id").as("query_id"),
-        col("lang").as("q_lang"), col("source").as("q_source")), "query_id")
-      .join(meta.select(col("doc_id").as("neighbor_id"),
-        col("lang").as("n_lang"), col("source").as("n_source")), "neighbor_id")
-      .select(col("query_id"), col("rnk"),
-        when(col("n_lang") === col("q_lang") && col("n_source") === col("q_source"), 2L)
-          .when(col("n_lang") === col("q_lang"), 1L)
-          .otherwise(0L).as("rel"))
+    val graded = gradedMemberHits(s, d)
     import graft.ops.Sampling.log2fpSpark
     val ideal = Window.partitionBy(col("query_id"))
       .orderBy(col("rel").desc, col("rnk").asc)
@@ -422,6 +602,51 @@ object Search {
         when(col("idcg_fp") === 0L, 0L)
           .otherwise(expr("dcg_fp * 10000 div idcg_fp")).as("ndcg_bp"))
   }
+
+  /** The member BM25 top-k graded by the deterministic metadata-agreement
+    * labels ([[ndcgEval]]'s convention) — (query_id, rnk, rel), shared by
+    * the graded (nDCG) and binary (MRR/P@k) metric queries so both score
+    * the SAME ranking under the SAME labels. */
+  private def gradedMemberHits(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val meta = docs.select(col("doc_id"), col("lang"), col("source"))
+    val hits = bm25Probe(
+      docs.filter(col("doc_id") % searchStride === 0)
+        .select(col("doc_id"), col("text")),
+      bm25IndexDocs(docs))
+      .select(col("query_id"), col("neighbor_id"), col("rnk"))
+    hits
+      .join(meta.select(col("doc_id").as("query_id"),
+        col("lang").as("q_lang"), col("source").as("q_source")), "query_id")
+      .join(meta.select(col("doc_id").as("neighbor_id"),
+        col("lang").as("n_lang"), col("source").as("n_source")), "neighbor_id")
+      .select(col("query_id"), col("rnk"),
+        when(col("n_lang") === col("q_lang") && col("n_source") === col("q_source"), 2L)
+          .when(col("n_lang") === col("q_lang"), 1L)
+          .otherwise(0L).as("rel"))
+  }
+
+  /** MRR + P@k over the member BM25 ranking — the BINARY companion of
+    * [[ndcgEval]] (first-relevant position and hit density, the two
+    * numbers a search dashboard reads next to order quality). A hit is
+    * relevant when its graded label ≥ 1 (lang agreement). Per query:
+    * first_rel_rnk (0 when nothing relevant), rr_fp = 10⁶ div
+    * first_rel_rnk (fixed-point reciprocal rank — exact integers, the
+    * [[rrfK]] device), n_rel, and p_at_k_bp = n_rel·10⁴ div [[topK]]
+    * (P@k against the FULL cutoff k, the standard convention — short
+    * result lists score honestly low). One aggregation over the
+    * k-per-query graded relation; corpus-sized work is the shared probe. */
+  def mrrEval(s: SparkSession, d: String): DataFrame =
+    gradedMemberHits(s, d)
+      .groupBy(col("query_id"))
+      .agg(
+        coalesce(min(when(col("rel") >= 1L, col("rnk"))), lit(0L)).as("first_rel_rnk"),
+        count(when(col("rel") >= 1L, 1)).as("n_rel"))
+      .select(col("query_id"), col("first_rel_rnk"),
+        when(col("first_rel_rnk") === 0L, 0L)
+          .otherwise(expr("1000000 div first_rel_rnk")).as("rr_fp"),
+        col("n_rel"),
+        expr(s"n_rel * 10000 div $topK").as("p_at_k_bp"))
 
   /** Spellfix workload width and suggestion depth. */
   private[graft] val sfProbes = 5
@@ -1159,6 +1384,10 @@ object Search {
     "x_search_autocomplete" -> autocomplete,
     "x_search_spellfix" -> spellfix,
     "x_search_ndcg" -> ndcgEval,
+    "x_search_mrr" -> mrrEval,
+    "x_search_lmql" -> lmqlTopK,
+    "x_search_lmql_in" -> lmqlIngestTopK,
+    "x_search_ltr" -> ltrFeatures,
     "x_search_rank_churn" -> rankChurn,
     "x_search_proximity" -> proximityRerank,
     "x_search_phrase" -> phraseSearch,
@@ -1262,6 +1491,48 @@ object Search {
   private val bm25Tail =
     s"\nSELECT query_id, neighbor_id, score_m, n_terms, rnk FROM rk WHERE rnk <= $topK"
 
+  /** The LM-index CTEs ([[lmIndexDocs]]'s relations in SQL: collection
+    * frequencies, collection total, tf-pruned postings) — shared by the
+    * LM retrieval tails and the LTR feature oracle. */
+  private lazy val lmCoreCtes: String =
+    s""",
+       |cfr AS (SELECT token, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY 1),
+       |ctot AS (SELECT CAST(sum(dl) AS BIGINT) AS c_tot FROM dlr),
+       |lmp AS (SELECT token, doc_id, tf FROM (
+       |         SELECT token, doc_id, tf,
+       |           row_number() OVER (PARTITION BY token
+       |             ORDER BY tf DESC, doc_id ASC) AS prk FROM tf)
+       |       WHERE prk <= $prunePerTerm)""".stripMargin
+
+  /** Dirichlet-LM continuation of [[bm25Ctes]] — ONE text shared by the
+    * member and ingest oracles (and the streamed twin: stateless
+    * stream-static ⇒ the batch ingest oracle verbatim), exactly as one
+    * [[lmqlProbe]] serves all three Spark forms. */
+  private lazy val lmqlSqlTail: String = {
+    import graft.ops.Sampling.log2fpDuck
+    lmCoreCtes + s""",
+       |lc AS (SELECT tm.query_id, p.doc_id, p.tf, c.cf
+       |       FROM terms tm
+       |       JOIN lmp p ON p.token = tm.token AND p.doc_id <> tm.query_id
+       |       JOIN cfr c ON c.token = tm.token),
+       |lm AS (SELECT query_id, doc_id,
+       |         CAST(sum(${log2fpDuck(s"tf * c_tot + $lmMu * cf")}
+       |               - ${log2fpDuck(s"$lmMu * cf")}) AS BIGINT) AS m_fp,
+       |         CAST(count(*) AS BIGINT) AS n_terms
+       |       FROM lc CROSS JOIN ctot GROUP BY 1, 2),
+       |nq AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_q FROM terms GROUP BY 1),
+       |ls AS (SELECT lm.query_id, lm.doc_id,
+       |         CAST(lm.m_fp - nq.n_q * (${log2fpDuck(s"dl + $lmMu")}
+       |               - ${log2fpDuck(lmMu.toString)}) AS BIGINT) AS score_fp,
+       |         lm.n_terms
+       |       FROM lm JOIN nq USING (query_id) JOIN dlr USING (doc_id)),
+       |lrk AS (SELECT query_id, doc_id AS neighbor_id, score_fp, n_terms,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |                ORDER BY score_fp DESC, doc_id ASC) AS BIGINT) AS rnk FROM ls)
+       |SELECT query_id, neighbor_id, score_fp, n_terms, rnk
+       |FROM lrk WHERE rnk <= $topK""".stripMargin
+  }
+
   /** MaxSim continuation of [[bm25Ctes]]: late-interaction rerank of the
     * `rk` candidates against the `tf` forward relation — shared by the
     * member and ingest oracles; [[simSql]] is the SAME text the Spark
@@ -1350,6 +1621,73 @@ object Search {
            |       CAST(CASE WHEN idcg_fp = 0 THEN 0
            |            ELSE dcg_fp * 10000 // idcg_fp END AS BIGINT) AS ndcg_bp
            |FROM ag""".stripMargin
+    },
+    // binary metrics over the same member chain + graded labels as the
+    // nDCG oracle; // is DuckDB's integer division (Spark's div)
+    "x_search_mrr" ->
+      (bm25Ctes("true", s"doc_id % $searchStride = 0") +
+        s""",
+           |hits AS (SELECT query_id, neighbor_id, rnk FROM rk WHERE rnk <= $topK),
+           |gr AS (SELECT h.query_id, h.rnk,
+           |         CAST(CASE WHEN nm.lang = qm.lang AND nm.source = qm.source THEN 2
+           |              WHEN nm.lang = qm.lang THEN 1 ELSE 0 END AS BIGINT) AS rel
+           |       FROM hits h
+           |       JOIN documents qm ON qm.doc_id = h.query_id
+           |       JOIN documents nm ON nm.doc_id = h.neighbor_id),
+           |ag AS (SELECT query_id,
+           |         CAST(coalesce(min(CASE WHEN rel >= 1 THEN rnk END), 0) AS BIGINT) AS first_rel_rnk,
+           |         CAST(count(CASE WHEN rel >= 1 THEN 1 END) AS BIGINT) AS n_rel
+           |       FROM gr GROUP BY 1)
+           |SELECT query_id, first_rel_rnk,
+           |       CAST(CASE WHEN first_rel_rnk = 0 THEN 0
+           |            ELSE 1000000 // first_rel_rnk END AS BIGINT) AS rr_fp,
+           |       n_rel,
+           |       CAST(n_rel * 10000 // $topK AS BIGINT) AS p_at_k_bp
+           |FROM ag""".stripMargin),
+    // Dirichlet query likelihood: tf/dlr/terms from the shared chain (the
+    // unused BM25 impact CTEs prune away); tf-ordered per-token prune, the
+    // rank-equivalent matched-plus-length decomposition in exact 1/1024-bit
+    // fixed-point logs — the same text the Spark plan compiles
+    "x_search_lmql" ->
+      (bm25Ctes("true", s"doc_id % $searchStride = 0") + lmqlSqlTail),
+    // LM ingest serving: the SAME continuation over the standing-corpus /
+    // arrival split — index relations exclude arrivals by construction
+    "x_search_lmql_in" ->
+      (bm25Ctes(s"doc_id % ${Similarity.knnBatchMod} <> 7",
+        s"doc_id % ${Similarity.knnBatchMod} = 7") + lmqlSqlTail),
+    // LTR features: BM25 candidates from the shared chain, the LM leg
+    // pair-restricted over the same pruned postings/terms, labels from the
+    // metadata-agreement convention — every formula text shared verbatim
+    "x_search_ltr" -> {
+      import graft.ops.Sampling.log2fpDuck
+      bm25Ctes("true", s"doc_id % $searchStride = 0") + lmCoreCtes +
+        s""",
+           |hits AS (SELECT query_id, neighbor_id, score_m, n_terms, rnk
+           |         FROM rk WHERE rnk <= $topK),
+           |nq AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_q FROM terms GROUP BY 1),
+           |lmx AS (SELECT tm.query_id, p.doc_id,
+           |          CAST(sum(${log2fpDuck(s"p.tf * c_tot + $lmMu * cf")}
+           |                - ${log2fpDuck(s"$lmMu * cf")}) AS BIGINT) AS m_fp,
+           |          CAST(count(*) AS BIGINT) AS lm_terms
+           |        FROM terms tm
+           |        JOIN lmp p ON p.token = tm.token
+           |        JOIN cfr c ON c.token = tm.token
+           |        JOIN hits h ON h.query_id = tm.query_id AND h.neighbor_id = p.doc_id
+           |        CROSS JOIN ctot
+           |        GROUP BY 1, 2)
+           |SELECT h.query_id, h.neighbor_id, h.rnk, h.score_m, h.n_terms,
+           |       CAST(coalesce(x.m_fp, 0) - nq.n_q * (${log2fpDuck(s"d.dl + $lmMu")}
+           |             - ${log2fpDuck(lmMu.toString)}) AS BIGINT) AS lm_fp,
+           |       CAST(coalesce(x.lm_terms, 0) AS BIGINT) AS lm_terms,
+           |       d.dl, nq.n_q,
+           |       CAST(CASE WHEN nm.lang = qm.lang AND nm.source = qm.source THEN 2
+           |            WHEN nm.lang = qm.lang THEN 1 ELSE 0 END AS BIGINT) AS rel
+           |FROM hits h
+           |JOIN nq ON nq.query_id = h.query_id
+           |JOIN dlr d ON d.doc_id = h.neighbor_id
+           |LEFT JOIN lmx x ON x.query_id = h.query_id AND x.doc_id = h.neighbor_id
+           |JOIN documents qm ON qm.doc_id = h.query_id
+           |JOIN documents nm ON nm.doc_id = h.neighbor_id""".stripMargin
     },
     // same deletion-variant equi-join + exact levenshtein verify; DuckDB's
     // range is end-exclusive, so variant positions are range(1, len + 1)

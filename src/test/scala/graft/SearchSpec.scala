@@ -439,6 +439,108 @@ class SearchSpec extends SparkSpec {
     }
   }
 
+  test("MRR/P@k: identities per query, consistent with the graded nDCG view") {
+    val mrr = graft.ops.Search.mrrEval(spark, sf)
+      .select("query_id", "first_rel_rnk", "rr_fp", "n_rel", "p_at_k_bp")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(mrr.nonEmpty)
+    mrr.foreach { case (_, first, rr, nRel, pk) =>
+      assert((first == 0L) == (nRel == 0L), "first-rank/hit-count disagree")
+      assert(rr == (if (first == 0L) 0L else 1000000L / first))
+      assert(nRel <= graft.ops.Search.topK)
+      assert(pk == nRel * 10000 / graft.ops.Search.topK)
+      if (first > 0L) assert(first <= graft.ops.Search.topK)
+    }
+    // a query has a relevant hit (n_rel > 0) exactly when its ideal DCG > 0
+    val idcg = graft.ops.Search.ndcgEval(spark, sf)
+      .select("query_id", "idcg_fp").as[(Long, Long)].collect().toMap
+    mrr.foreach { case (qid, _, _, nRel, _) =>
+      assert((nRel > 0L) == (idcg(qid) > 0L), s"binary/graded views disagree for $qid")
+    }
+  }
+
+  test("hand-checked Dirichlet QL fixed-point scores on a 4-doc corpus") {
+    // tf/cf/dl as in the BM25 hand test: C = 12; cf apple 2, banana 5,
+    // cherry 3, date 2; dl = 3 everywhere. Query d0 selects {apple, banana}
+    // (its only distinct tokens), n_q = 2. Matched contributions
+    // log2fp(tf·C + 300·cf) − log2fp(300·cf), length penalty
+    // 2·(log2fp(303) − log2fp(300)) — recomputed here with an independent
+    // Long-arithmetic log2fp.
+    def log2fp(x: Long): Long = {
+      val bl = 64 - java.lang.Long.numberOfLeadingZeros(x)
+      (bl - 1) * 1024L + x * 1024L / (1L << (bl - 1)) - 1024L
+    }
+    val corpus = docsDf(
+      0L -> "apple banana banana", 1L -> "apple cherry cherry",
+      2L -> "banana date date", 3L -> "banana banana cherry")
+    val lenPen = 2L * (log2fp(303) - log2fp(300))
+    val exp = Map(
+      1L -> ((log2fp(1 * 12 + 300 * 2) - log2fp(300 * 2)) - lenPen),  // apple tf=1
+      2L -> ((log2fp(1 * 12 + 300 * 5) - log2fp(300 * 5)) - lenPen),  // banana tf=1
+      3L -> ((log2fp(2 * 12 + 300 * 5) - log2fp(300 * 5)) - lenPen))  // banana tf=2
+    val got = graft.ops.Search.lmqlDocs(corpus, corpus.filter($"doc_id" === 0L))
+      .select("neighbor_id", "score_fp", "n_terms")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet == exp.keySet)
+    exp.foreach { case (id, s) =>
+      assert(got(id) == ((s, 1L)), s"score mismatch for doc $id: got ${got(id)}, want $s")
+    }
+  }
+
+  test("LMQL ingest twin: neighbors only from the standing corpus") {
+    val out = graft.ops.Search.lmqlIngestTopK(spark, sf)
+      .select("query_id", "neighbor_id", "rnk").collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getLong(0) % graft.ops.Similarity.knnBatchMod == 7),
+      "ingest queries must be the arrivals")
+    assert(out.forall(_.getLong(1) % graft.ops.Similarity.knnBatchMod != 7),
+      "an arrival leaked into the standing index")
+    out.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val rnks = rs.map(_.getLong(2)).sorted.toSeq
+      assert(rnks == (1L to rnks.length).toSeq)
+    }
+  }
+
+  test("LTR features: candidate set is the BM25 top-k; LM leg equals lmqlTopK on shared pairs") {
+    val ltr = graft.ops.Search.ltrFeatures(spark, sf)
+      .select("query_id", "neighbor_id", "rnk", "score_m", "lm_fp", "lm_terms", "n_q", "rel")
+      .collect()
+    assert(ltr.nonEmpty)
+    // candidate identity: exactly the member BM25 top-k, same ranks/scores
+    val bm = graft.ops.Search.bm25TopK(spark, sf)
+      .select("query_id", "neighbor_id", "rnk", "score_m").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(ltr.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet == bm)
+    // feature sanity: label domain, matched-term bound
+    ltr.foreach { r =>
+      assert(Set(0L, 1L, 2L).contains(r.getLong(7)))
+      assert(r.getLong(5) <= r.getLong(6), "lm_terms must be bounded by n_q")
+    }
+    // cross-scorer exactness: where a candidate also appears in the LM
+    // top-k, the LTR lm_fp must BE that query's lmql score
+    val lm = graft.ops.Search.lmqlTopK(spark, sf)
+      .select("query_id", "neighbor_id", "score_fp").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val shared = ltr.flatMap { r =>
+      lm.get((r.getLong(0), r.getLong(1))).map(s => (r.getLong(4), s))
+    }
+    assert(shared.nonEmpty, "expected overlap between BM25 and LM top-k")
+    shared.foreach { case (ltrFp, lmFp) => assert(ltrFp == lmFp) }
+  }
+
+  test("LMQL member search: no self-matches, ranks contiguous, k-bounded") {
+    val out = graft.ops.Search.lmqlTopK(spark, sf)
+      .select("query_id", "neighbor_id", "rnk", "n_terms").collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getLong(0) != r.getLong(1)), "self-match leaked")
+    assert(out.forall(r => r.getLong(3) >= 1L && r.getLong(3) <= graft.ops.Search.qTerms))
+    out.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val rnks = rs.map(_.getLong(2)).sorted.toSeq
+      assert(rnks == (1L to rnks.length).toSeq && rnks.length <= graft.ops.Search.topK)
+    }
+  }
+
   test("rank churn: identities against independently recomputed probes") {
     val docs = Tables.documents(spark, sf)
     val q = docs.filter($"doc_id" % 100 === 0).select($"doc_id", $"text")
