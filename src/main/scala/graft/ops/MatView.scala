@@ -223,9 +223,52 @@ object MatView {
       histState(Tables.events(s, d).filter(isDelta))))
   }
 
+  /** Fold one grain's states into the next-coarser grain: bucket division
+    * + monoid merge — the SAME algebra as [[mergeStates]], applied across
+    * GRAINS instead of across slices (exposed for the algebra spec). */
+  private[graft] def rollGrain(st: DataFrame, factor: Int): DataFrame =
+    st.groupBy(col("event_type"), expr(s"bucket div $factor").as("bucket"))
+      .agg(sum(col("n")).as("n"), sum(col("sum_vc")).as("sum_vc"),
+        min(col("min_vc")).as("min_vc"), max(col("max_vc")).as("max_vc"))
+
+  /** MULTI-GRAIN ROLLUP CHAIN — the OLAP pyramid posture: hour → day →
+    * week KPI views where each coarser grain derives from the FINER
+    * grain's stored states, never from raw events. The monoid algebra
+    * ([[mergeStates]]) is what makes the chain lawful: summing hourly
+    * sums IS the daily sum, so only the hourly aggregation ever scans the
+    * fact table; the day fold reads |hours|-sized state and the week fold
+    * |days|-sized — at 100 TB the coarser grains are free. Buckets are
+    * integer epoch divisions (hour = μs div 3600·10⁶, day = hour div 24,
+    * week = day div 7) so grain arithmetic is engine-exact; `avg_vc` is
+    * derived post-fold at every grain, never stored (the
+    * derived-not-stored rule). Emits all three grains unioned under a
+    * `grain` tag — the relation a dashboard grain-picker pages. */
+  def mvRollupChain(s: SparkSession, d: String): DataFrame =
+    rollupChainEvents(Tables.events(s, d))
+
+  /** [[mvRollupChain]] over any events frame — exposed for the grain-law
+    * spec. */
+  private[graft] def rollupChainEvents(events: DataFrame): DataFrame = {
+    val hourly = Lineage.cut(
+      events
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 3600000000").as("bucket"), vc.as("vc"))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("vc")).as("sum_vc"),
+          min(col("vc")).as("min_vc"), max(col("vc")).as("max_vc")))
+    val daily = Lineage.cut(rollGrain(hourly, 24))
+    val weekly = rollGrain(daily, 7)
+    def tag(st: DataFrame, g: String): DataFrame =
+      st.select(lit(g).as("grain"), col("event_type"), col("bucket"),
+        col("n"), col("sum_vc"), col("min_vc"), col("max_vc"),
+        floor(col("sum_vc").cast("double") / col("n")).cast("bigint").as("avg_vc"))
+    tag(hourly, "hour").unionAll(tag(daily, "day")).unionAll(tag(weekly, "week"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_mv_refresh" -> mvRefresh,
-    "x_mv_quantile" -> mvQuantile)
+    "x_mv_quantile" -> mvQuantile,
+    "x_mv_rollup_chain" -> mvRollupChain)
 
   /** Full-recompute twin: what the merged view MUST equal. DuckDB computes
     * every mergeable measure from scratch over all events and pins `hll_ok`
@@ -263,5 +306,23 @@ object MatView {
          |        WHERE c.cum >= (t.n + 1) // 2 GROUP BY 1, 2)
          |SELECT event_type, n,
          |       CAST(b * ${histW * 100L} + ${histW * 50L} AS BIGINT) AS p50_est_c
-         |FROM sel""".stripMargin)
+         |FROM sel""".stripMargin,
+    // every grain recomputed from raw events: the chain's fold-of-folds
+    // must equal the direct aggregation at each grain (the monoid law)
+    "x_mv_rollup_chain" ->
+      """WITH base AS (SELECT event_type,
+        |                epoch_us(ts) // 3600000000 AS hour_b,
+        |                CAST(round(value * 100) AS BIGINT) AS vc
+        |              FROM events),
+        |g AS (SELECT 'hour' AS grain, event_type, hour_b AS bucket, vc FROM base
+        |      UNION ALL
+        |      SELECT 'day', event_type, hour_b // 24, vc FROM base
+        |      UNION ALL
+        |      SELECT 'week', event_type, hour_b // 24 // 7, vc FROM base)
+        |SELECT grain, event_type, CAST(bucket AS BIGINT) AS bucket,
+        |       count(*) AS n,
+        |       CAST(sum(vc) AS BIGINT) AS sum_vc,
+        |       min(vc) AS min_vc, max(vc) AS max_vc,
+        |       CAST(floor(sum(vc) / count(*)) AS BIGINT) AS avg_vc
+        |FROM g GROUP BY 1, 2, 3""".stripMargin)
 }

@@ -164,6 +164,45 @@ object Relational {
       .limit(waitTopN)
   }
 
+  /** Q2-SHAPE CHEAPEST SUPPLIER (groupwise argmin across a join): for
+    * each part of one brand, the supplier offering the minimum discounted
+    * line price, tie-broken by lowest supplier key, with supplier and
+    * nation names. The oracle states it as TPC-H Q2's correlated scalar
+    * (`WHERE price = (SELECT min(price) ... WHERE same part)`); the plan
+    * DECORRELATES to a single exchange via lexicographic struct-min —
+    * `min(struct(price, suppkey))` IS "argmin with deterministic
+    * tie-break" as one partial-aggregable aggregate, so the fact relation
+    * shuffles once on l_partkey and there is NO self-join (the correlated
+    * form rescans the fact per row). The brand's part keys broadcast-
+    * semi-join the fact BEFORE the aggregation — at 100 TB the scan keeps
+    * only the brand's ~1/25 of parts; supplier/nation dims broadcast onto
+    * the |brand parts|-sized result. */
+  def cheapestSupplier(s: SparkSession, d: String): DataFrame = {
+    val parts = Tables.part(s, d).filter(col("p_brand") === cheapBrand)
+      .select(col("p_partkey"), col("p_name"))
+    Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_suppkey"),
+        cents(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("price_cents"))
+      .join(broadcast(parts.select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_partkey"))
+      .agg(min(struct(col("price_cents"), col("l_suppkey"))).as("best"))
+      .select(col("l_partkey").as("p_partkey"),
+        col("best.price_cents").as("min_price_cents"),
+        col("best.l_suppkey").as("s_suppkey"))
+      .join(broadcast(parts), "p_partkey")
+      .join(broadcast(Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))), "s_suppkey")
+      .join(broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("p_partkey"), col("p_name"), col("min_price_cents"),
+        col("s_suppkey"), col("s_name"), col("n_name"))
+  }
+
+  /** The one-brand slice [[cheapestSupplier]] prices. */
+  private[graft] val cheapBrand = "Brand#1"
+
   /** Q13-SHAPE ORDER-COUNT DISTRIBUTION: how many customers placed
     * exactly n orders, INCLUDING the zero bucket — the left-outer-join +
     * two-level aggregation TPC-H Q13 exercises (the outer join is the
@@ -458,6 +497,7 @@ object Relational {
     "h_distinct_agg" -> distinctAgg,
     "h_customers_without_orders" -> customersWithoutOrders,
     "h_waiting_suppliers" -> waitingSuppliers,
+    "h_cheapest_supplier" -> cheapestSupplier,
     "h_small_qty_revenue" -> smallQtyRevenue,
     "h_order_count_dist" -> orderCountDist)
 
@@ -625,6 +665,25 @@ object Relational {
          |FROM w JOIN supplier s ON s.s_suppkey = w.l_suppkey
          |ORDER BY w.numwait DESC, s.s_name ASC, s.s_suppkey ASC
          |LIMIT $waitTopN""".stripMargin,
+    // correlated Q2 form on purpose: the Spark plan decorrelates to one
+    // lexicographic struct-min aggregate; the oracle prices the naive shape
+    "h_cheapest_supplier" ->
+      s"""WITH pr AS (SELECT l_partkey, l_suppkey,
+         |              ${centsSql("l_extendedprice * (1 - l_discount)")} AS price_cents
+         |            FROM lineitem),
+         |best AS (SELECT p1.l_partkey,
+         |           p1.price_cents AS min_price_cents,
+         |           CAST(min(p1.l_suppkey) AS BIGINT) AS s_suppkey
+         |         FROM pr p1
+         |         WHERE p1.price_cents = (SELECT min(p2.price_cents) FROM pr p2
+         |                                 WHERE p2.l_partkey = p1.l_partkey)
+         |         GROUP BY 1, 2)
+         |SELECT p.p_partkey, p.p_name, b.min_price_cents, b.s_suppkey,
+         |       s.s_name, n.n_name
+         |FROM best b
+         |JOIN part p ON p.p_partkey = b.l_partkey AND p.p_brand = '$cheapBrand'
+         |JOIN supplier s ON s.s_suppkey = b.s_suppkey
+         |JOIN nation n ON n.n_nationkey = s.s_nationkey""".stripMargin,
     "h_small_qty_revenue" ->
       s"""WITH li AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
          |              ${centsSql("l_extendedprice")} AS price_cents

@@ -490,6 +490,55 @@ object Search {
           .otherwise(0L).as("rel"))
   }
 
+  /** INDEX-BUILD DIAGNOSTICS — the posting-mass profile an operator reads
+    * before promoting an index: per df-band (band = ⌊log₂ df⌋, the exact
+    * fixed-point-log₂ integer both engines compute bit-for-bit), the vocab
+    * count, the raw posting mass Σdf, the mass the [[prunePerTerm]] impact
+    * cut actually keeps (Σ min(df, cap) — the head bands are where pruning
+    * pays; the long df-1 tail is untouched), and the band's max df. Runs
+    * entirely on the vocab-sized df relation — index-sized, never
+    * corpus-sized, output ≤ 64 rows at any scale. */
+  def indexStats(s: SparkSession, d: String): DataFrame =
+    indexStatsDocs(Tables.documents(s, d))
+
+  /** [[indexStats]] over any (doc_id, text) frame — exposed for the
+    * hand-checked spec. */
+  private[graft] def indexStatsDocs(docs: DataFrame): DataFrame = {
+    import graft.ops.Sampling.log2fpSpark
+    bm25IndexDocs(docs).tokenDf
+      .withColumn("band", expr(s"(${log2fpSpark("df")}) div 1024"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("df")).as("total_postings"),
+        sum(least(col("df"), lit(prunePerTerm.toLong))).as("kept_postings"),
+        max(col("df")).as("max_df"))
+  }
+
+  /** PAIRWISE PREFERENCE PAIRS from the [[ltrFeatures]] relation — the
+    * RankNet/LambdaRank training input: per query, every (better, worse)
+    * candidate pair under the graded labels, carrying the signal deltas a
+    * pairwise objective consumes. The self-join runs on the k-per-query
+    * feature relation (cut once, both sides read the same blocks), so the
+    * output is ≤ k² rows per query no matter the corpus size — training-
+    * pair emission is priced by the candidate budget, never by the
+    * collection. */
+  def ltrPairs(s: SparkSession, d: String): DataFrame = {
+    val f = Lineage.cut(ltrFeatures(s, d))
+    val a = f.select(col("query_id"), col("neighbor_id").as("pos_id"),
+      col("rel").as("pos_rel"), col("score_m").as("a_score"),
+      col("lm_fp").as("a_lm"), col("rnk").as("a_rnk"))
+    val b = f.select(col("query_id"), col("neighbor_id").as("neg_id"),
+      col("rel").as("neg_rel"), col("score_m").as("b_score"),
+      col("lm_fp").as("b_lm"), col("rnk").as("b_rnk"))
+    a.join(Hints.broadcastSmall(b), "query_id")
+      .filter(col("pos_rel") > col("neg_rel"))
+      .select(col("query_id"), col("pos_id"), col("neg_id"),
+        col("pos_rel"), col("neg_rel"),
+        (col("a_score") - col("b_score")).as("d_score_m"),
+        (col("a_lm") - col("b_lm")).as("d_lm_fp"),
+        (col("a_rnk") - col("b_rnk")).as("d_rnk"))
+  }
+
   /** Session memo for [[indexMerge]]'s spilled base TF state. */
   private val tfMemo =
     scala.collection.concurrent.TrieMap.empty[(Long, String), String]
@@ -1388,6 +1437,8 @@ object Search {
     "x_search_lmql" -> lmqlTopK,
     "x_search_lmql_in" -> lmqlIngestTopK,
     "x_search_ltr" -> ltrFeatures,
+    "x_search_ltr_pairs" -> ltrPairs,
+    "x_search_index_stats" -> indexStats,
     "x_search_rank_churn" -> rankChurn,
     "x_search_proximity" -> proximityRerank,
     "x_search_phrase" -> phraseSearch,
@@ -1503,6 +1554,42 @@ object Search {
        |           row_number() OVER (PARTITION BY token
        |             ORDER BY tf DESC, doc_id ASC) AS prk FROM tf)
        |       WHERE prk <= $prunePerTerm)""".stripMargin
+
+  /** [[ltrFeatures]]'s relation as a CTE chain (member BM25 candidates +
+    * pair-restricted LM leg + labels) — shared by the pointwise feature
+    * oracle and the pairwise-preference oracle, exactly as the Spark
+    * pairs derive from the one feature relation. */
+  private lazy val ltrFeatCtes: String = {
+    import graft.ops.Sampling.log2fpDuck
+    bm25Ctes("true", s"doc_id % $searchStride = 0") + lmCoreCtes +
+      s""",
+         |hits AS (SELECT query_id, neighbor_id, score_m, n_terms, rnk
+         |         FROM rk WHERE rnk <= $topK),
+         |nq AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_q FROM terms GROUP BY 1),
+         |lmx AS (SELECT tm.query_id, p.doc_id,
+         |          CAST(sum(${log2fpDuck(s"p.tf * c_tot + $lmMu * cf")}
+         |                - ${log2fpDuck(s"$lmMu * cf")}) AS BIGINT) AS m_fp,
+         |          CAST(count(*) AS BIGINT) AS lm_terms
+         |        FROM terms tm
+         |        JOIN lmp p ON p.token = tm.token
+         |        JOIN cfr c ON c.token = tm.token
+         |        JOIN hits h ON h.query_id = tm.query_id AND h.neighbor_id = p.doc_id
+         |        CROSS JOIN ctot
+         |        GROUP BY 1, 2),
+         |feat AS (SELECT h.query_id, h.neighbor_id, h.rnk, h.score_m, h.n_terms,
+         |           CAST(coalesce(x.m_fp, 0) - nq.n_q * (${log2fpDuck(s"d.dl + $lmMu")}
+         |                 - ${log2fpDuck(lmMu.toString)}) AS BIGINT) AS lm_fp,
+         |           CAST(coalesce(x.lm_terms, 0) AS BIGINT) AS lm_terms,
+         |           d.dl, nq.n_q,
+         |           CAST(CASE WHEN nm.lang = qm.lang AND nm.source = qm.source THEN 2
+         |                WHEN nm.lang = qm.lang THEN 1 ELSE 0 END AS BIGINT) AS rel
+         |         FROM hits h
+         |         JOIN nq ON nq.query_id = h.query_id
+         |         JOIN dlr d ON d.doc_id = h.neighbor_id
+         |         LEFT JOIN lmx x ON x.query_id = h.query_id AND x.doc_id = h.neighbor_id
+         |         JOIN documents qm ON qm.doc_id = h.query_id
+         |         JOIN documents nm ON nm.doc_id = h.neighbor_id)""".stripMargin
+  }
 
   /** Dirichlet-LM continuation of [[bm25Ctes]] — ONE text shared by the
     * member and ingest oracles (and the streamed twin: stateless
@@ -1658,37 +1745,37 @@ object Search {
     // LTR features: BM25 candidates from the shared chain, the LM leg
     // pair-restricted over the same pruned postings/terms, labels from the
     // metadata-agreement convention — every formula text shared verbatim
-    "x_search_ltr" -> {
+    "x_search_ltr" ->
+      (ltrFeatCtes +
+        "\nSELECT query_id, neighbor_id, rnk, score_m, n_terms, lm_fp," +
+        "\n       lm_terms, dl, n_q, rel\nFROM feat"),
+    // df-band posting-mass profile off the vocab-sized df relation; band
+    // is the exact fixed-point floor(log2) both engines share
+    "x_search_index_stats" -> {
       import graft.ops.Sampling.log2fpDuck
-      bm25Ctes("true", s"doc_id % $searchStride = 0") + lmCoreCtes +
-        s""",
-           |hits AS (SELECT query_id, neighbor_id, score_m, n_terms, rnk
-           |         FROM rk WHERE rnk <= $topK),
-           |nq AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_q FROM terms GROUP BY 1),
-           |lmx AS (SELECT tm.query_id, p.doc_id,
-           |          CAST(sum(${log2fpDuck(s"p.tf * c_tot + $lmMu * cf")}
-           |                - ${log2fpDuck(s"$lmMu * cf")}) AS BIGINT) AS m_fp,
-           |          CAST(count(*) AS BIGINT) AS lm_terms
-           |        FROM terms tm
-           |        JOIN lmp p ON p.token = tm.token
-           |        JOIN cfr c ON c.token = tm.token
-           |        JOIN hits h ON h.query_id = tm.query_id AND h.neighbor_id = p.doc_id
-           |        CROSS JOIN ctot
-           |        GROUP BY 1, 2)
-           |SELECT h.query_id, h.neighbor_id, h.rnk, h.score_m, h.n_terms,
-           |       CAST(coalesce(x.m_fp, 0) - nq.n_q * (${log2fpDuck(s"d.dl + $lmMu")}
-           |             - ${log2fpDuck(lmMu.toString)}) AS BIGINT) AS lm_fp,
-           |       CAST(coalesce(x.lm_terms, 0) AS BIGINT) AS lm_terms,
-           |       d.dl, nq.n_q,
-           |       CAST(CASE WHEN nm.lang = qm.lang AND nm.source = qm.source THEN 2
-           |            WHEN nm.lang = qm.lang THEN 1 ELSE 0 END AS BIGINT) AS rel
-           |FROM hits h
-           |JOIN nq ON nq.query_id = h.query_id
-           |JOIN dlr d ON d.doc_id = h.neighbor_id
-           |LEFT JOIN lmx x ON x.query_id = h.query_id AND x.doc_id = h.neighbor_id
-           |JOIN documents qm ON qm.doc_id = h.query_id
-           |JOIN documents nm ON nm.doc_id = h.neighbor_id""".stripMargin
+      bm25Ctes("true", "false") +
+        s"""
+           |SELECT CAST((${log2fpDuck("df")}) // 1024 AS BIGINT) AS band,
+           |       CAST(count(*) AS BIGINT) AS n_tokens,
+           |       CAST(sum(df) AS BIGINT) AS total_postings,
+           |       CAST(sum(least(df, $prunePerTerm)) AS BIGINT) AS kept_postings,
+           |       CAST(max(df) AS BIGINT) AS max_df
+           |FROM dfr GROUP BY 1""".stripMargin
     },
+    // pairwise preference pairs from the SAME feature relation: every
+    // (better, worse) candidate pair per query with the signal deltas —
+    // the k-per-query self-join stays dashboard-sized (≤ k² per query)
+    "x_search_ltr_pairs" ->
+      (ltrFeatCtes +
+        s"""
+           |SELECT a.query_id,
+           |       a.neighbor_id AS pos_id, b.neighbor_id AS neg_id,
+           |       a.rel AS pos_rel, b.rel AS neg_rel,
+           |       CAST(a.score_m - b.score_m AS BIGINT) AS d_score_m,
+           |       CAST(a.lm_fp - b.lm_fp AS BIGINT) AS d_lm_fp,
+           |       CAST(a.rnk - b.rnk AS BIGINT) AS d_rnk
+           |FROM feat a
+           |JOIN feat b ON b.query_id = a.query_id AND a.rel > b.rel""".stripMargin),
     // same deletion-variant equi-join + exact levenshtein verify; DuckDB's
     // range is end-exclusive, so variant positions are range(1, len + 1)
     "x_search_spellfix" ->

@@ -94,4 +94,40 @@ class MatViewSpec extends SparkSpec {
     assert(out.filter(!col("hll_ok")).count() == 0)
     assert(out.filter(col("n_users") <= 0).count() == 0)
   }
+
+  test("rollup chain: every grain equals the direct aggregation from raw events") {
+    // the monoid law across grains: folding hourly states to day/week must
+    // be indistinguishable from aggregating raw events at that grain
+    // ((x div a) div b == x div (a*b) for the positive epoch buckets);
+    // the local fixture spans 2 weeks / 9 days / ~150 hours so every fold
+    // combines multiple finer buckets
+    val evG = spark.range(600).select(
+      expr("timestamp '2024-03-01 00:00:00' + make_interval(0, 0, 0, " +
+        "CAST(id % 9 AS INT), CAST(id % 17 AS INT), 0, id)").as("ts"),
+      concat(lit("t"), col("id") % 3).as("event_type"),
+      (col("id") % 101 * 0.37 + 0.01).as("value"))
+    val chain = MatView.rollupChainEvents(evG)
+      .select(col("grain"), col("event_type"), col("bucket"), col("n"),
+        col("sum_vc"), col("min_vc"), col("max_vc"), col("avg_vc"))
+      .as[(String, String, Long, Long, Long, Long, Long, Long)]
+      .collect().toSet
+    def direct(grain: String, usPerBucket: Long) = evG
+      .select(col("event_type"),
+        expr(s"unix_micros(ts) div $usPerBucket").as("bucket"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("vc")).as("sum_vc"),
+        min(col("vc")).as("min_vc"), max(col("vc")).as("max_vc"))
+      .select(lit(grain).as("grain"), col("event_type"), col("bucket"),
+        col("n"), col("sum_vc"), col("min_vc"), col("max_vc"),
+        floor(col("sum_vc").cast("double") / col("n")).cast("bigint"))
+      .as[(String, String, Long, Long, Long, Long, Long, Long)]
+      .collect().toSet
+    val want = direct("hour", 3600000000L) ++
+      direct("day", 86400000000L) ++ direct("week", 604800000000L)
+    assert(chain == want)
+    // the fixture must actually exercise multi-row folds at the top grain
+    assert(chain.count(_._1 == "week") < chain.count(_._1 == "day"))
+    assert(chain.count(_._1 == "day") < chain.count(_._1 == "hour"))
+  }
 }

@@ -168,6 +168,28 @@ class OpsSpec extends SparkSpec {
     assert(salted == direct)
   }
 
+  test("cheapest supplier: struct-argmin equals a driver-side brute force over the brand") {
+    val got = Relational.cheapestSupplier(spark, sf)
+      .select($"p_partkey", $"min_price_cents", $"s_suppkey")
+      .as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    val brandParts = Tables.part(spark, sf)
+      .filter($"p_brand" === Relational.cheapBrand)
+      .select($"p_partkey").as[Long].collect().toSet
+    assert(brandParts.nonEmpty)
+    val li = Tables.lineitem(spark, sf)
+      .select($"l_partkey", $"l_suppkey",
+        expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
+      .as[(Long, Long, Long)].collect()
+    val want = li.filter(t => brandParts(t._1)).groupBy(_._1).map {
+      case (pk, rows) =>
+        val minP = rows.map(_._3).min
+        pk -> ((minP, rows.filter(_._3 == minP).map(_._2).min))
+    }
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   // ---------------------------------------------------------- TextAnalysis
 
   test("map-side winnow ≡ the explode+window formulation it replaced") {

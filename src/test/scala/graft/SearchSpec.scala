@@ -529,6 +529,41 @@ class SearchSpec extends SparkSpec {
     shared.foreach { case (ltrFp, lmFp) => assert(ltrFp == lmFp) }
   }
 
+  test("LTR pairs: exactly the (better, worse) pairs of the feature relation") {
+    val f = graft.ops.Search.ltrFeatures(spark, sf)
+      .select("query_id", "neighbor_id", "rel", "score_m", "lm_fp", "rnk")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val want = f.groupBy(_._1).values.flatMap { g =>
+      val rows = g.toSeq
+      for (a <- rows; b <- rows if a._3 > b._3)
+        yield (a._1, a._2, b._2, a._3, b._3, a._4 - b._4, a._5 - b._5, a._6 - b._6)
+    }.toSet
+    val got = graft.ops.Search.ltrPairs(spark, sf)
+      .select("query_id", "pos_id", "neg_id", "pos_rel", "neg_rel",
+        "d_score_m", "d_lm_fp", "d_rnk")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSet
+    assert(got == want)
+    assert(got.nonEmpty, "fixture must produce at least one preference pair")
+  }
+
+  test("index stats: hand-checked df bands on a 4-doc corpus") {
+    // df: apple 2 (docs 0,1), banana 3 (0,2,3), cherry 2 (1,3), date 1 (2)
+    // bands = floor(log2 df): date → 0; apple/cherry (2) and banana (3) → 1
+    val corpus = docsDf(
+      0L -> "apple banana banana", 1L -> "apple cherry cherry",
+      2L -> "banana date date", 3L -> "banana banana cherry")
+    val got = graft.ops.Search.indexStatsDocs(corpus)
+      .select("band", "n_tokens", "total_postings", "kept_postings", "max_df")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == Set((0L, 1L, 1L, 1L, 1L), (1L, 3L, 7L, 7L, 3L)))
+  }
+
   test("LMQL member search: no self-matches, ranks contiguous, k-bounded") {
     val out = graft.ops.Search.lmqlTopK(spark, sf)
       .select("query_id", "neighbor_id", "rnk", "n_terms").collect()
