@@ -40,6 +40,10 @@ object IndexStore {
   val bm25TokenDf = "bm25_token_df"
   val bm25Stats = "bm25_stats"
   val bm25Forward = "bm25_forward"
+  val lmPostings = "lm_postings"
+  val lmDocLen = "lm_doc_len"
+  val lmTokenDf = "lm_token_df"
+  val lmStats = "lm_stats"
   val navGraph = "nav_graph"
   val minhashSignatures = "minhash_signatures"
 

@@ -203,6 +203,28 @@ object Relational {
   /** The one-brand slice [[cheapestSupplier]] prices. */
   private[graft] val cheapBrand = "Brand#1"
 
+  /** JOIN-SKEW PROFILE — the pre-flight a planner runs BEFORE committing
+    * to a big key-equi join: per key-multiplicity band (band = ⌊log₂ cnt⌋,
+    * the exact fixed-point-log₂ integer), how many join keys live there,
+    * how many fact rows they carry, the join size those keys would
+    * produce against an equal-multiplicity side (Σ cnt² — the EXACT
+    * self-join cardinality, priced from counts without materializing a
+    * single joined row), and the band's heaviest key. This is the number
+    * that decides between a plain shuffle join, AQE skew splitting, and
+    * salting ([[saltedCounts]]): a fat top band with few keys is the
+    * skew signature. Plan: one exchange on the join key (the count), then
+    * a ≤64-row band aggregation — output size is corpus-independent. */
+  def joinSkewProfile(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.Sampling.log2fpSpark
+    Tables.lineitem(s, d)
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+      .withColumn("band", expr(s"(${log2fpSpark("cnt")}) div 1024"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),
+        sum(col("cnt") * col("cnt")).as("self_join_rows"),
+        max(col("cnt")).as("max_cnt"))
+  }
+
   /** Q13-SHAPE ORDER-COUNT DISTRIBUTION: how many customers placed
     * exactly n orders, INCLUDING the zero bucket — the left-outer-join +
     * two-level aggregation TPC-H Q13 exercises (the outer join is the
@@ -498,6 +520,7 @@ object Relational {
     "h_customers_without_orders" -> customersWithoutOrders,
     "h_waiting_suppliers" -> waitingSuppliers,
     "h_cheapest_supplier" -> cheapestSupplier,
+    "h_join_skew_profile" -> joinSkewProfile,
     "h_small_qty_revenue" -> smallQtyRevenue,
     "h_order_count_dist" -> orderCountDist)
 
@@ -684,6 +707,19 @@ object Relational {
          |JOIN part p ON p.p_partkey = b.l_partkey AND p.p_brand = '$cheapBrand'
          |JOIN supplier s ON s.s_suppkey = b.s_suppkey
          |JOIN nation n ON n.n_nationkey = s.s_nationkey""".stripMargin,
+    // key-multiplicity bands over the exact fixed-point floor(log2);
+    // sum(cnt*cnt) is the exact self-join cardinality priced from counts
+    "h_join_skew_profile" -> {
+      import graft.ops.Sampling.log2fpDuck
+      s"""WITH kc AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt
+         |            FROM lineitem GROUP BY 1)
+         |SELECT CAST((${log2fpDuck("cnt")}) // 1024 AS BIGINT) AS band,
+         |       CAST(count(*) AS BIGINT) AS n_keys,
+         |       CAST(sum(cnt) AS BIGINT) AS n_rows,
+         |       CAST(sum(cnt * cnt) AS BIGINT) AS self_join_rows,
+         |       CAST(max(cnt) AS BIGINT) AS max_cnt
+         |FROM kc GROUP BY 1""".stripMargin
+    },
     "h_small_qty_revenue" ->
       s"""WITH li AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
          |              ${centsSql("l_extendedprice")} AS price_cents

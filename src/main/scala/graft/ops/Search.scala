@@ -411,13 +411,24 @@ object Search {
   /** The LM ingest-serving index: standing corpus only (arrivals are NOT
     * in it — cf/dl/df/c_tot all exclude them, the [[ingestIndex]] stance),
     * every relation lineage-cut so the streamed twin's triggers read
-    * materialized blocks instead of re-deriving the index per micro-batch. */
-  private[graft] def lmIngestIndex(s: SparkSession, d: String): LmIndex = {
-    val idx = lmIndexDocs(
-      Tables.documents(s, d).filter(col("doc_id") % Similarity.knnBatchMod =!= 7))
-    LmIndex(Lineage.cut(idx.postings), Lineage.cut(idx.dlr),
-      Lineage.cut(idx.dfr), Lineage.cut(idx.ct), Lineage.cut(idx.nDocs))
-  }
+    * materialized blocks instead of re-deriving the index per micro-batch.
+    * When an [[IndexStore]] carries the LM quartet, it is READ from the
+    * persisted layout instead (the 1-row stats relation splits back into
+    * the c_tot / n_docs broadcasts) — identical answers pinned by
+    * `IndexPersistSpec`. */
+  private[graft] def lmIngestIndex(s: SparkSession, d: String): LmIndex =
+    (IndexStore.read(s, IndexStore.lmPostings, d),
+      IndexStore.read(s, IndexStore.lmDocLen, d),
+      IndexStore.read(s, IndexStore.lmTokenDf, d),
+      IndexStore.read(s, IndexStore.lmStats, d)) match {
+      case (Some(p), Some(dl), Some(df), Some(st)) =>
+        LmIndex(p, dl, df, st.select(col("c_tot")), st.select(col("n_docs")))
+      case _ =>
+        val idx = lmIndexDocs(
+          Tables.documents(s, d).filter(col("doc_id") % Similarity.knnBatchMod =!= 7))
+        LmIndex(Lineage.cut(idx.postings), Lineage.cut(idx.dlr),
+          Lineage.cut(idx.dfr), Lineage.cut(idx.ct), Lineage.cut(idx.nDocs))
+    }
 
   /** Batch form of LM ingest serving: arriving docs (`% 10 = 7`) probe the
     * standing-corpus LM index. The streamed twin

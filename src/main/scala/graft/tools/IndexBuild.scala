@@ -12,6 +12,9 @@ import org.apache.spark.sql.SparkSession
   *    exactly — arriving docs excluded, so streamed serving reads it as-is);
   *  - `bm25_forward`: the standing corpus's forward (doc → term) relation
   *    RM3 feedback mining needs;
+  *  - `lm_postings` / `lm_doc_len` / `lm_token_df` / `lm_stats`: the
+  *    Dirichlet-LM serving quartet ([[graft.ops.Search.lmIngestIndex]]) —
+  *    the second lexical scorer A/B-served off the same snapshot;
   *  - `nav_graph`: the navigable neighbor graph the beam searches traverse
   *    (FULL graph — consumers apply their own standing/arriving splits);
   *  - `minhash_signatures`: the MinHash signature table the LSH dedup
@@ -48,6 +51,18 @@ object IndexBuild {
     // only to discard it
     Search.standingForward(s, sfDir).write.mode("overwrite")
       .parquet(s"$storeDir/${IndexStore.bm25Forward}")
+    // the Dirichlet-LM serving quartet (x_search_lmql_in / s_lmql_stream):
+    // pruned tf postings with collection frequencies, doc lengths, term df,
+    // and the two 1-row broadcasts folded into one stats relation
+    val lm = Search.lmIngestIndex(s, sfDir)
+    lm.postings.write.mode("overwrite")
+      .parquet(s"$storeDir/${IndexStore.lmPostings}")
+    lm.dlr.write.mode("overwrite")
+      .parquet(s"$storeDir/${IndexStore.lmDocLen}")
+    lm.dfr.write.mode("overwrite")
+      .parquet(s"$storeDir/${IndexStore.lmTokenDf}")
+    lm.ct.crossJoin(lm.nDocs).write.mode("overwrite")
+      .parquet(s"$storeDir/${IndexStore.lmStats}")
     Similarity.navGraph(s, sfDir).write.mode("overwrite")
       .parquet(s"$storeDir/${IndexStore.navGraph}")
     Dedup.signatures(s, sfDir).write.mode("overwrite")
@@ -59,6 +74,7 @@ object IndexBuild {
          |  "built_utc": "${java.time.Instant.now()}",
          |  "tunables": {
          |    "bm25_prune_per_term": ${Search.prunePerTerm},
+         |    "lm_mu": ${Search.lmMu},
          |    "bm25_standing_mod": ${Similarity.knnBatchMod},
          |    "knn_bits": ${Similarity.knnBits},
          |    "graph_degree": ${Similarity.graphDegree},
@@ -90,7 +106,9 @@ object IndexBuild {
       buildTo(spark, sfDir, storeDir)
       // a quick inventory line so the operator sees what landed
       Seq(IndexStore.bm25Postings, IndexStore.bm25TokenDf, IndexStore.bm25Stats,
-        IndexStore.bm25Forward, IndexStore.navGraph, IndexStore.minhashSignatures)
+        IndexStore.bm25Forward, IndexStore.lmPostings, IndexStore.lmDocLen,
+        IndexStore.lmTokenDf, IndexStore.lmStats,
+        IndexStore.navGraph, IndexStore.minhashSignatures)
         .foreach { name =>
           val n = spark.read.parquet(s"$storeDir/$name").count()
           println(s"[index-build] $name: $n rows")

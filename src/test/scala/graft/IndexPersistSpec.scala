@@ -22,9 +22,10 @@ class IndexPersistSpec extends SparkSpec {
     // the two *search* answers have no result memo and are compared whole).
     val memoSearch = rows(ops.Search.bm25IngestTopK(spark, sf))
     val memoRm3 = rows(ops.Search.rm3IngestSearch(spark, sf))
+    val memoLm = rows(ops.Search.lmqlIngestTopK(spark, sf))
     val memoGraph = rows(ops.Similarity.navGraph(spark, sf))
     val memoSigs = rows(ops.Dedup.signatures(spark, sf))
-    assert(memoSearch.nonEmpty && memoRm3.nonEmpty &&
+    assert(memoSearch.nonEmpty && memoRm3.nonEmpty && memoLm.nonEmpty &&
       memoGraph.nonEmpty && memoSigs.nonEmpty)
 
     val store = ops.SpillMemo.scratchDir("graft-idxstore-")
@@ -51,6 +52,12 @@ class IndexPersistSpec extends SparkSpec {
         "BM25 ingest answers diverged between memo and persisted mode")
       assert(rows(ops.Search.rm3IngestSearch(spark, sf)) == memoRm3,
         "RM3 ingest answers diverged between memo and persisted mode")
+      val lmPlan = ops.Search.lmIngestIndex(spark, sf)
+        .postings.queryExecution.executedPlan.toString
+      assert(lmPlan.contains("lm_postings"),
+        s"persisted mode must scan the store's LM postings:\n$lmPlan")
+      assert(rows(ops.Search.lmqlIngestTopK(spark, sf)) == memoLm,
+        "LM ingest answers diverged between memo and persisted mode")
       assert(rows(ops.Similarity.navGraph(spark, sf)) == memoGraph,
         "persisted nav graph diverged from the memoized one")
       assert(rows(ops.Dedup.signatures(spark, sf)) == memoSigs,

@@ -190,6 +190,24 @@ class OpsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("join-skew profile equals a driver-side recompute; totals reconcile") {
+    def log2fp(x: Long): Long = {
+      val bl = 64 - java.lang.Long.numberOfLeadingZeros(x)
+      (bl - 1) * 1024L + x * 1024L / (1L << (bl - 1)) - 1024L
+    }
+    val counts = Tables.lineitem(spark, sf)
+      .groupBy($"l_partkey").agg(count(lit(1)).as("cnt"))
+      .select($"cnt").as[Long].collect()
+    val want = counts.groupBy(c => log2fp(c) / 1024L).map { case (band, cs) =>
+      (band, cs.length.toLong, cs.sum, cs.map(c => c * c).sum, cs.max)
+    }.toSet
+    val got = Relational.joinSkewProfile(spark, sf)
+      .select($"band", $"n_keys", $"n_rows", $"self_join_rows", $"max_cnt")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == want)
+    assert(got.map(_._3).sum == counts.sum, "band row totals must cover the fact table")
+  }
+
   // ---------------------------------------------------------- TextAnalysis
 
   test("map-side winnow ≡ the explode+window formulation it replaced") {
