@@ -201,6 +201,41 @@ object MatView {
         (col("b") * (histW * 100L) + histW * 50L).as("p50_est_c"))
   }
 
+  /** Quantile cuts (basis points) [[valueBands]] reads off the grid —
+    * the dashboard triple. */
+  private[graft] val bandCuts = Seq(5000, 9500, 9900)
+
+  /** P50/P95/P99 VALUE BANDS per event type — the latency-dashboard
+    * staple, read off the SAME mergeable histogram state as
+    * [[mvQuantile]] (generalized readout: rank_q = ⌈n·q/10⁴⌉, so the
+    * q=5000 row IS [[histMedian]]'s lower median). The estimate is a
+    * deterministic pure-integer function of the grid — the oracle pins it
+    * exactly; accuracy (within one bucket width) is the spec's job. Plan:
+    * one corpus scan builds the |types|×[[histB]] grid; the readout
+    * explodes ≤64 rows per type by 3 cuts and windows over them —
+    * dashboard-sized at any corpus size, and at 100 TB the grid itself
+    * would be the maintained view ([[mergeHist]]) so the tick pays no
+    * scan at all. */
+  def valueBands(s: SparkSession, d: String): DataFrame =
+    valueBandsEvents(Tables.events(s, d))
+
+  /** [[valueBands]] over any events frame — exposed for the spec. */
+  private[graft] def valueBandsEvents(events: DataFrame): DataFrame = {
+    val hist = histState(events)
+    val byBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("bucket"))
+    val tot = hist.groupBy(col("event_type")).agg(sum(col("cnt")).as("n"))
+    hist
+      .withColumn("cum", sum(col("cnt")).over(byBucket))
+      .join(Hints.broadcastSmall(tot), "event_type")
+      .withColumn("q_bp", explode(array(bandCuts.map(c => lit(c.toLong)): _*)))
+      .filter(col("cum") >= expr("(n * q_bp + 9999) div 10000"))
+      .groupBy(col("event_type"), col("n"), col("q_bp"))
+      .agg(min(col("bucket")).as("b"))
+      .select(col("event_type"), col("n"), col("q_bp"),
+        (col("b") * (histW * 100L) + histW * 50L).as("est_c"))
+  }
+
   /** Session memo for the spilled base histogram. */
   private val histMemo =
     scala.collection.concurrent.TrieMap.empty[(Long, String), String]
@@ -268,7 +303,8 @@ object MatView {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_mv_refresh" -> mvRefresh,
     "x_mv_quantile" -> mvQuantile,
-    "x_mv_rollup_chain" -> mvRollupChain)
+    "x_mv_rollup_chain" -> mvRollupChain,
+    "d_value_bands" -> valueBands)
 
   /** Full-recompute twin: what the merged view MUST equal. DuckDB computes
     * every mergeable measure from scratch over all events and pins `hll_ok`
@@ -324,5 +360,23 @@ object MatView {
         |       CAST(sum(vc) AS BIGINT) AS sum_vc,
         |       min(vc) AS min_vc, max(vc) AS max_vc,
         |       CAST(floor(sum(vc) / count(*)) AS BIGINT) AS avg_vc
-        |FROM g GROUP BY 1, 2, 3""".stripMargin)
+        |FROM g GROUP BY 1, 2, 3""".stripMargin,
+    // generalized grid readout at the dashboard cuts; rank = ceil(n*q/1e4)
+    "d_value_bands" ->
+      s"""WITH st AS (SELECT event_type,
+         |              least(CAST(floor(value / $histW) AS BIGINT), ${histB - 1}) AS bucket,
+         |              CAST(count(*) AS BIGINT) AS cnt
+         |            FROM events GROUP BY 1, 2),
+         |tot AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n FROM st GROUP BY 1),
+         |cum AS (SELECT event_type, bucket,
+         |          sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS cum
+         |        FROM st),
+         |q AS (SELECT CAST(unnest(ARRAY[${bandCuts.mkString(", ")}]) AS BIGINT) AS q_bp),
+         |sel AS (SELECT c.event_type, t.n, q.q_bp, min(c.bucket) AS b
+         |        FROM cum c JOIN tot t USING (event_type) CROSS JOIN q
+         |        WHERE c.cum >= (t.n * q.q_bp + 9999) // 10000
+         |        GROUP BY 1, 2, 3)
+         |SELECT event_type, n, q_bp,
+         |       CAST(b * ${histW * 100L} + ${histW * 50L} AS BIGINT) AS est_c
+         |FROM sel""".stripMargin)
 }

@@ -95,6 +95,35 @@ class MatViewSpec extends SparkSpec {
     assert(out.filter(col("n_users") <= 0).count() == 0)
   }
 
+  test("value bands: p50 row IS histMedian; cuts monotone; within a bucket of the truth") {
+    val bands = MatView.valueBandsEvents(ev)
+      .select(col("event_type"), col("n"), col("q_bp"), col("est_c"))
+      .as[(String, Long, Long, Long)].collect()
+    assert(bands.nonEmpty)
+    // the q=5000 readout must BE the single-quantile view's lower median
+    val p50 = MatView.histMedian(MatView.histState(ev))
+      .select(col("event_type"), col("p50_est_c")).as[(String, Long)].collect().toMap
+    bands.filter(_._3 == 5000L).foreach { case (t, _, _, est) =>
+      assert(est == p50(t), s"band p50 diverged from histMedian for $t") }
+    // estimates are monotone in the cut and within one bucket width of the
+    // exact lower quantile, per type
+    bands.groupBy(_._1).foreach { case (t, rows) =>
+      val byCut = rows.sortBy(_._3).map(_._4).toSeq
+      assert(byCut == byCut.sorted, s"band estimates not monotone for $t")
+    }
+    val values = ev.select(col("event_type"), col("value"))
+      .as[(String, Double)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).sorted).toMap
+    bands.foreach { case (t, n, q, est) =>
+      val vs = values(t)
+      assert(n == vs.length)
+      val rank = ((n * q + 9999) / 10000).toInt // ceil(n*q/1e4), 1-based
+      val truthC = vs(rank - 1) * 100
+      assert(math.abs(est - truthC) <= MatView.histW * 100L,
+        s"band estimate $est vs exact $truthC for ($t, q=$q)")
+    }
+  }
+
   test("rollup chain: every grain equals the direct aggregation from raw events") {
     // the monoid law across grains: folding hourly states to day/week must
     // be indistinguishable from aggregating raw events at that grain

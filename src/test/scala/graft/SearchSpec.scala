@@ -322,6 +322,14 @@ class SearchSpec extends SparkSpec {
       s"postings build regressed to a window prune:\n$plan")
     assert(plan.contains("ObjectHashAggregate"),
       s"postings build must be the partial+final bounded-heap aggregation:\n$plan")
+    // the LM index build shares the pin: its tf-ordered prune must be the
+    // same bounded heap, never a df-partitioned window sort
+    val lmPlan = graft.ops.Search.lmIndexDocs(corpus)
+      .postings.queryExecution.executedPlan.toString
+    assert(!lmPlan.contains("Window"),
+      s"LM postings build regressed to a window prune:\n$lmPlan")
+    assert(lmPlan.contains("ObjectHashAggregate"),
+      s"LM postings build must be the bounded-heap aggregation:\n$lmPlan")
   }
 
   test("maxsim rerank: scores equal an independent MessageDigest reference; plan broadcast-only") {
