@@ -550,6 +550,40 @@ object Search {
         (col("a_rnk") - col("b_rnk")).as("d_rnk"))
   }
 
+  /** SCORER A/B DIFF — the number an operator reads when the two lexical
+    * families ([[bm25TopK]] vs [[lmqlTopK]]) serve off one snapshot
+    * build: per query, the top-k overlap, each side's exclusive hits, the
+    * max rank displacement among shared hits, and whether the two agree
+    * on the #1 answer. The [[rankChurn]] shape applied across SCORERS
+    * instead of index versions. Both rankings are k-per-query relations;
+    * the full-outer join and the aggregation run on ≤2k rows per query —
+    * the probes are the only corpus-touching work, and both read the one
+    * shared tokenization convention (same term selection, same pruned-
+    * posting discipline). */
+  def scorerDiff(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val q = docs.filter(col("doc_id") % searchStride === 0)
+      .select(col("doc_id"), col("text"))
+    val bm = bm25Probe(q, bm25IndexDocs(docs))
+      .select(col("query_id"), col("neighbor_id"), col("rnk").as("bm_rnk"))
+    val lm = lmqlProbe(q, lmIndexDocs(docs))
+      .select(col("query_id"), col("neighbor_id"), col("rnk").as("lm_rnk"))
+    val both = col("bm_rnk").isNotNull && col("lm_rnk").isNotNull
+    bm.join(lm, Seq("query_id", "neighbor_id"), "full_outer")
+      .groupBy(col("query_id"))
+      .agg(
+        count(when(both, 1)).as("n_common"),
+        count(when(col("bm_rnk").isNotNull && col("lm_rnk").isNull, 1)).as("n_bm_only"),
+        count(when(col("lm_rnk").isNotNull && col("bm_rnk").isNull, 1)).as("n_lm_only"),
+        coalesce(max(when(both, abs(col("bm_rnk") - col("lm_rnk")))), lit(0L))
+          .as("max_shift"),
+        max(when(col("bm_rnk") === 1, col("neighbor_id"))).as("bm_top1"),
+        max(when(col("lm_rnk") === 1, col("neighbor_id"))).as("lm_top1"))
+      .select(col("query_id"), col("n_common"), col("n_bm_only"),
+        col("n_lm_only"), col("max_shift"),
+        when(col("bm_top1") === col("lm_top1"), 1L).otherwise(0L).as("top1_agree"))
+  }
+
   /** Session memo for [[indexMerge]]'s spilled base TF state. */
   private val tfMemo =
     scala.collection.concurrent.TrieMap.empty[(Long, String), String]
@@ -1450,6 +1484,7 @@ object Search {
     "x_search_ltr" -> ltrFeatures,
     "x_search_ltr_pairs" -> ltrPairs,
     "x_search_index_stats" -> indexStats,
+    "x_search_scorer_diff" -> scorerDiff,
     "x_search_rank_churn" -> rankChurn,
     "x_search_proximity" -> proximityRerank,
     "x_search_phrase" -> phraseSearch,
@@ -1602,11 +1637,10 @@ object Search {
          |         JOIN documents nm ON nm.doc_id = h.neighbor_id)""".stripMargin
   }
 
-  /** Dirichlet-LM continuation of [[bm25Ctes]] — ONE text shared by the
-    * member and ingest oracles (and the streamed twin: stateless
-    * stream-static ⇒ the batch ingest oracle verbatim), exactly as one
-    * [[lmqlProbe]] serves all three Spark forms. */
-  private lazy val lmqlSqlTail: String = {
+  /** Dirichlet-LM ranking CTEs (continuation of [[bm25Ctes]], ending in
+    * the ranked `lrk` relation) — shared by the retrieval tails and the
+    * scorer-diff oracle. */
+  private lazy val lmqlRankCtes: String = {
     import graft.ops.Sampling.log2fpDuck
     lmCoreCtes + s""",
        |lc AS (SELECT tm.query_id, p.doc_id, p.tf, c.cf
@@ -1626,10 +1660,17 @@ object Search {
        |       FROM lm JOIN nq USING (query_id) JOIN dlr USING (doc_id)),
        |lrk AS (SELECT query_id, doc_id AS neighbor_id, score_fp, n_terms,
        |         CAST(row_number() OVER (PARTITION BY query_id
-       |                ORDER BY score_fp DESC, doc_id ASC) AS BIGINT) AS rnk FROM ls)
-       |SELECT query_id, neighbor_id, score_fp, n_terms, rnk
-       |FROM lrk WHERE rnk <= $topK""".stripMargin
+       |                ORDER BY score_fp DESC, doc_id ASC) AS BIGINT) AS rnk FROM ls)""".stripMargin
   }
+
+  /** Dirichlet-LM continuation of [[bm25Ctes]] — ONE text shared by the
+    * member and ingest oracles (and the streamed twin: stateless
+    * stream-static ⇒ the batch ingest oracle verbatim), exactly as one
+    * [[lmqlProbe]] serves all three Spark forms. */
+  private lazy val lmqlSqlTail: String =
+    lmqlRankCtes +
+      s"\nSELECT query_id, neighbor_id, score_fp, n_terms, rnk" +
+      s"\nFROM lrk WHERE rnk <= $topK"
 
   /** MaxSim continuation of [[bm25Ctes]]: late-interaction rerank of the
     * `rk` candidates against the `tf` forward relation — shared by the
@@ -1760,6 +1801,31 @@ object Search {
       (ltrFeatCtes +
         "\nSELECT query_id, neighbor_id, rnk, score_m, n_terms, lm_fp," +
         "\n       lm_terms, dl, n_q, rel\nFROM feat"),
+    // scorer A/B diff: both ranked chains instantiated once, full-outer
+    // join on the two k-per-query hit sets, rankChurn's shape across
+    // scorers; NULL top-1 comparisons land in ELSE 0 in both engines
+    "x_search_scorer_diff" ->
+      (bm25Ctes("true", s"doc_id % $searchStride = 0") + lmqlRankCtes +
+        s""",
+           |bmh AS (SELECT query_id, neighbor_id, rnk AS bm_rnk
+           |        FROM rk WHERE rnk <= $topK),
+           |lmh AS (SELECT query_id, neighbor_id, rnk AS lm_rnk
+           |        FROM lrk WHERE rnk <= $topK),
+           |fj AS (SELECT coalesce(b.query_id, l.query_id) AS query_id,
+           |         coalesce(b.neighbor_id, l.neighbor_id) AS neighbor_id,
+           |         b.bm_rnk, l.lm_rnk
+           |       FROM bmh b FULL OUTER JOIN lmh l
+           |         ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id)
+           |SELECT query_id,
+           |  CAST(count(CASE WHEN bm_rnk IS NOT NULL AND lm_rnk IS NOT NULL THEN 1 END) AS BIGINT) AS n_common,
+           |  CAST(count(CASE WHEN bm_rnk IS NOT NULL AND lm_rnk IS NULL THEN 1 END) AS BIGINT) AS n_bm_only,
+           |  CAST(count(CASE WHEN lm_rnk IS NOT NULL AND bm_rnk IS NULL THEN 1 END) AS BIGINT) AS n_lm_only,
+           |  CAST(coalesce(max(CASE WHEN bm_rnk IS NOT NULL AND lm_rnk IS NOT NULL
+           |        THEN abs(bm_rnk - lm_rnk) END), 0) AS BIGINT) AS max_shift,
+           |  CAST(CASE WHEN max(CASE WHEN bm_rnk = 1 THEN neighbor_id END)
+           |             = max(CASE WHEN lm_rnk = 1 THEN neighbor_id END)
+           |       THEN 1 ELSE 0 END AS BIGINT) AS top1_agree
+           |FROM fj GROUP BY 1""".stripMargin),
     // df-band posting-mass profile off the vocab-sized df relation; band
     // is the exact fixed-point floor(log2) both engines share
     "x_search_index_stats" -> {

@@ -558,6 +558,35 @@ class SearchSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture must produce at least one preference pair")
   }
 
+  test("scorer diff: identities against independently collected rankings") {
+    def ranks(df: org.apache.spark.sql.DataFrame): Map[Long, Map[Long, Long]] =
+      df.select("query_id", "neighbor_id", "rnk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+    val bm = ranks(graft.ops.Search.bm25TopK(spark, sf))
+    val lm = ranks(graft.ops.Search.lmqlTopK(spark, sf))
+    val got = graft.ops.Search.scorerDiff(spark, sf)
+      .select("query_id", "n_common", "n_bm_only", "n_lm_only", "max_shift", "top1_agree")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    val qids = bm.keySet ++ lm.keySet
+    assert(got.keySet == qids && qids.nonEmpty)
+    qids.foreach { q =>
+      val b = bm.getOrElse(q, Map.empty)
+      val l = lm.getOrElse(q, Map.empty)
+      val common = b.keySet.intersect(l.keySet)
+      val shift = if (common.isEmpty) 0L
+        else common.map(n => math.abs(b(n) - l(n))).max
+      val top1 = (for {
+        bt <- b.find(_._2 == 1L).map(_._1)
+        lt <- l.find(_._2 == 1L).map(_._1)
+      } yield if (bt == lt) 1L else 0L).getOrElse(0L)
+      assert(got(q) == ((common.size.toLong, (b.keySet -- l.keySet).size.toLong,
+        (l.keySet -- b.keySet).size.toLong, shift, top1)), s"diff mismatch for $q")
+    }
+  }
+
   test("index stats: hand-checked df bands on a 4-doc corpus") {
     // df: apple 2 (docs 0,1), banana 3 (0,2,3), cherry 2 (1,3), date 1 (2)
     // bands = floor(log2 df): date → 0; apple/cherry (2) and banana (3) → 1
