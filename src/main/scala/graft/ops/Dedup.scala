@@ -688,6 +688,33 @@ object Dedup {
         col("best.n_words").as("keep_words"), col("n_members"))
   }
 
+  /** DEDUP SAVINGS REPORT — the ROI readout a pipeline owner reads after a
+    * near-dup pass: per component SIZE, how many clusters exist, the docs
+    * they hold, the docs a keep-one policy drops, and the characters those
+    * dropped docs carry (the survivor keeps the longest text —
+    * [[keepBest]]'s measure; tied survivors have equal length, so the
+    * char accounting is tie-break-independent). Plan: the memoized
+    * component labels join the length projection once (a comp-keyed
+    * aggregation — no per-component window), then a |distinct sizes|-row
+    * rollup; singleton components
+    * ride through as the size-1 row with zero savings, so the report's doc
+    * total reconciles against the corpus count at any scale. */
+  def dedupSavings(s: SparkSession, d: String): DataFrame = {
+    val chars = Tables.documents(s, d)
+      .select(col("doc_id"), length(col("text")).cast("long").as("chars"))
+    components(s, d).join(chars, "doc_id")
+      .groupBy(col("comp"))
+      .agg(count(lit(1)).as("sz"), sum(col("chars")).as("tot_chars"),
+        max(col("chars")).as("keep_chars"))
+      .select(col("sz"), col("tot_chars"),
+        (col("tot_chars") - col("keep_chars")).as("red_chars"))
+      .groupBy(col("sz").as("comp_size"))
+      .agg(count(lit(1)).as("n_components"),
+        sum(col("sz")).as("n_docs"),
+        sum(col("sz") - 1).as("n_redundant"),
+        sum(col("red_chars")).as("redundant_chars"))
+  }
+
   /** Modulus selecting the stand-in "incoming batch" for [[incremental]]
     * (doc_id % [[newMod]] == [[newRem]], ~10% of the corpus) — a real
     * pipeline passes the actual new partition. Shared with the streaming
@@ -1072,6 +1099,7 @@ object Dedup {
     "x_dedup_semantic" -> ((s, d) => semanticDedup(s, d)),
     "x_dedup_components" -> components,
     "x_dedup_keep_best" -> keepBest,
+    "x_dedup_savings" -> dedupSavings,
     "x_dedup_incremental" -> incremental,
     "x_dedup_spans" -> dupSpans,
     "x_dedup_span_strip" -> dupSpanStrip,
@@ -1343,6 +1371,23 @@ object Dedup {
          |SELECT comp, doc_id AS keep_id, n_words AS keep_words,
          |       CAST(n_members AS BIGINT) AS n_members
          |FROM r WHERE rnk = 1""".stripMargin,
+    // per-size rollup of the same components; the survivor is the longest
+    // text (ties to lowest id), so redundant chars = total - survivor
+    "x_dedup_savings" ->
+      s"""$componentSqlChain,
+         |ch AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS chars
+         |       FROM documents),
+         |pc AS (SELECT c.comp, CAST(count(*) AS BIGINT) AS sz,
+         |         CAST(sum(ch.chars) AS BIGINT) AS tot_chars,
+         |         CAST(max(ch.chars) AS BIGINT) AS keep_chars
+         |       FROM comp c JOIN ch ON ch.doc_id = c.doc_id
+         |       GROUP BY 1)
+         |SELECT sz AS comp_size,
+         |       CAST(count(*) AS BIGINT) AS n_components,
+         |       CAST(sum(sz) AS BIGINT) AS n_docs,
+         |       CAST(sum(sz - 1) AS BIGINT) AS n_redundant,
+         |       CAST(sum(tot_chars - keep_chars) AS BIGINT) AS redundant_chars
+         |FROM pc GROUP BY 1""".stripMargin,
     "x_dedup_incremental" -> {
       val nMatch = (0 until nSeeds)
         .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")

@@ -117,6 +117,28 @@ class OpsSpec extends SparkSpec {
     pairs.foreach { case (a, b) => assert(comp(a) == comp(b)) }
   }
 
+  test("dedup savings reconcile with a driver-side recompute over the components") {
+    val comp = Dedup.components(spark, sf).as[(Long, Long)].collect()
+    val chars = Tables.documents(spark, sf)
+      .select($"doc_id", length($"text").cast("long")).as[(Long, Long)]
+      .collect().toMap
+    val want = comp.groupBy(_._2).values.map { members =>
+      val cs = members.map(m => chars(m._1))
+      (members.length.toLong, cs.sum - cs.max)
+    }.toSeq.groupBy(_._1).map { case (sz, comps) =>
+      (sz, comps.length.toLong, sz * comps.length, (sz - 1) * comps.length,
+        comps.map(_._2).sum)
+    }.toSet
+    val got = Dedup.dedupSavings(spark, sf)
+      .select($"comp_size", $"n_components", $"n_docs", $"n_redundant",
+        $"redundant_chars")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == want)
+    assert(got.map(_._3).sum == comp.length, "doc totals must cover the corpus")
+    assert(got.exists(r => r._1 > 1L && r._5 > 0L),
+      "fixture must contain a real multi-doc cluster with savings")
+  }
+
   test("simhash emits one 32-bit signature per eligible doc") {
     val sh = Dedup.simhash(spark, sf)
     val eligible = Tables.documents(spark, sf)
