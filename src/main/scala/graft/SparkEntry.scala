@@ -49,6 +49,7 @@ object SparkEntry {
     (streaming.Rm3Stream.queries, streaming.Rm3Stream.oracle),
     (streaming.MaxsimStream.queries, streaming.MaxsimStream.oracle),
     (streaming.MvStream.queries, streaming.MvStream.oracle),
+    (streaming.BandsStream.queries, streaming.BandsStream.oracle),
     (streaming.IndexMergeStream.queries, streaming.IndexMergeStream.oracle),
     (streaming.SplitGateStream.queries, streaming.SplitGateStream.oracle),
     (streaming.SampleStream.queries, streaming.SampleStream.oracle))

@@ -220,8 +220,15 @@ object MatView {
     valueBandsEvents(Tables.events(s, d))
 
   /** [[valueBands]] over any events frame — exposed for the spec. */
-  private[graft] def valueBandsEvents(events: DataFrame): DataFrame = {
-    val hist = histState(events)
+  private[graft] def valueBandsEvents(events: DataFrame): DataFrame =
+    bandsReadout(histState(events))
+
+  /** The multi-cut readout off any histogram grid — shared by the batch
+    * form and the streamed maintained-grid twin
+    * ([[graft.streaming.BandsStream]]): one readout definition, so a
+    * dashboard served from merged deltas cannot drift from the
+    * full-recompute form. */
+  private[graft] def bandsReadout(hist: DataFrame): DataFrame = {
     val byBucket = org.apache.spark.sql.expressions.Window
       .partitionBy(col("event_type")).orderBy(col("bucket"))
     val tot = hist.groupBy(col("event_type")).agg(sum(col("cnt")).as("n"))
@@ -245,7 +252,15 @@ object MatView {
     * stored average can never have), then read the median estimate off the
     * merged grid. Refresh cost: one delta scan + a |types|×[[histB]]-row
     * fold; the full-corpus value column is never re-scanned. */
-  def mvQuantile(s: SparkSession, d: String): DataFrame = {
+  def mvQuantile(s: SparkSession, d: String): DataFrame =
+    histMedian(mergeHist(
+      baseHist(s, d),
+      histState(Tables.events(s, d).filter(isDelta))))
+
+  /** The materialized base histogram (non-delta slice), built once per
+    * (session, dir) and spilled — shared by [[mvQuantile]] and the
+    * streamed bands twin ([[graft.streaming.BandsStream]]). */
+  private[graft] def baseHist(s: SparkSession, d: String): DataFrame = {
     val key = (SpillMemo.sessionId(s), d)
     val path = histMemo.synchronized(histMemo.getOrElseUpdate(key, {
       val out = SpillMemo.scratchDir("graft-matviewq-")
@@ -253,9 +268,7 @@ object MatView {
         .write.mode("overwrite").parquet(out)
       out
     }))
-    histMedian(mergeHist(
-      s.read.parquet(path),
-      histState(Tables.events(s, d).filter(isDelta))))
+    s.read.parquet(path)
   }
 
   /** Fold one grain's states into the next-coarser grain: bucket division

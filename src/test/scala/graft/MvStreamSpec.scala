@@ -110,4 +110,27 @@ class MvStreamSpec extends SparkSpec {
     assert(UpsertSink.readAll(spark, s"$sink/sink").count() == before)
     assert(after == whole, "batch replay changed the resolved view")
   }
+
+  test("golden: streamed maintained-grid bands equal the batch d_value_bands") {
+    val bands = (df: DataFrame) =>
+      df.select(col("event_type"), col("n"), col("q_bp"), col("est_c"))
+        .as[(String, Long, Long, Long)].collect().toSet
+    val streamed = bands(graft.streaming.BandsStream.streamedBands(spark, sf))
+    val batch = bands(MatView.valueBands(spark, sf))
+    assert(streamed == batch,
+      "grid maintained from per-batch deltas diverged from the full recompute")
+    assert(streamed.nonEmpty)
+    // two-batch grid fold: histogram deltas partition the increment, so the
+    // merged grid must equal the full-corpus grid under an arbitrary split
+    val delta = Tables.events(spark, sf).filter(MatView.isDelta)
+    val merged = MatView.mergeHist(
+      MatView.mergeHist(
+        MatView.baseHist(spark, sf),
+        MatView.histState(delta.filter(col("event_id") % 2 === 0))),
+      MatView.histState(delta.filter(col("event_id") % 2 =!= 0)))
+      .as[(String, Long, Long)].collect().toSet
+    val whole = MatView.histState(Tables.events(spark, sf))
+      .as[(String, Long, Long)].collect().toSet
+    assert(merged == whole, "split grid fold diverged from the full grid")
+  }
 }
