@@ -44,6 +44,7 @@ object SparkEntry {
     (streaming.AlignStream.queries, streaming.AlignStream.oracle),
     (streaming.SearchStream.queries, streaming.SearchStream.oracle),
     (streaming.LmqlStream.queries, streaming.LmqlStream.oracle),
+    (streaming.LtrStream.queries, streaming.LtrStream.oracle),
     (streaming.HybridStream.queries, streaming.HybridStream.oracle),
     (streaming.DsirStream.queries, streaming.DsirStream.oracle),
     (streaming.Rm3Stream.queries, streaming.Rm3Stream.oracle),

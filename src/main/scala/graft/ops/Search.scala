@@ -462,12 +462,36 @@ object Search {
     * pair-restricted matched-postings sum, NOT a second retrieval.
     * `SearchSpec` pins lm_fp equality with [[lmqlTopK]] on shared pairs. */
   def ltrFeatures(s: SparkSession, d: String): DataFrame = {
-    import graft.ops.Sampling.log2fpSpark
     val docs = Tables.documents(s, d)
-    val queryDocs = docs.filter(col("doc_id") % searchStride === 0)
-      .select(col("doc_id"), col("text"))
-    val hits = Lineage.cut(bm25Probe(queryDocs, bm25IndexDocs(docs)))
-    val lmIdx = lmIndexDocs(docs)
+    ltrFeaturesOn(
+      docs.filter(col("doc_id") % searchStride === 0)
+        .select(col("doc_id"), col("text")),
+      bm25IndexDocs(docs), lmIndexDocs(docs),
+      docs.select(col("doc_id"), col("lang"), col("source")))
+  }
+
+  /** Batch form of INGEST-TIME FEATURE LOGGING: arriving docs probe the
+    * standing indexes and their feature rows are emitted by the SAME
+    * [[ltrFeaturesOn]] definition the training emission uses — the
+    * training/serving-skew guard (features logged at serving time are
+    * byte-identical to features computed at training-set build time,
+    * because they are one definition). The streamed twin
+    * ([[graft.streaming.LtrStream]]) runs THIS per micro-batch. */
+  def ltrIngestFeatures(s: SparkSession, d: String): DataFrame =
+    ltrFeaturesOn(
+      Tables.documents(s, d)
+        .filter(col("doc_id") % Similarity.knnBatchMod === 7)
+        .select(col("doc_id"), col("text")),
+      ingestIndex(s, d), lmIngestIndex(s, d),
+      Tables.documents(s, d).select(col("doc_id"), col("lang"), col("source")))
+
+  /** [[ltrFeatures]]'s core over arbitrary query docs / indexes / label
+    * metadata — ONE definition across the member emission, the batch
+    * ingest twin and the streamed logger. */
+  private[graft] def ltrFeaturesOn(queryDocs: DataFrame, bmIdx: Bm25Index,
+      lmIdx: LmIndex, meta: DataFrame): DataFrame = {
+    import graft.ops.Sampling.log2fpSpark
+    val hits = Lineage.cut(bm25Probe(queryDocs, bmIdx))
     val terms = Lineage.cut(queryTermsOn(queryDocs, lmIdx.dfr, lmIdx.nDocs, qTerms))
     val nq = terms.groupBy(col("query_id")).agg(count(lit(1)).as("n_q"))
     val pairs = hits.select(col("query_id"), col("neighbor_id").as("doc_id"))
@@ -478,7 +502,6 @@ object Search {
         s"${log2fpSpark(s"tf * c_tot + $lmMu * cf")} - ${log2fpSpark(s"$lmMu * cf")}"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("c_fp")).as("m_fp"), count(lit(1)).as("lm_terms"))
-    val meta = docs.select(col("doc_id"), col("lang"), col("source"))
     Hints.broadcastSmall(hits)
       .join(lmIdx.dlr.select(col("doc_id").as("neighbor_id"), col("dl")), "neighbor_id")
       .join(Hints.broadcastSmall(nq), "query_id")
@@ -681,8 +704,28 @@ object Search {
     *
     * Plan: metadata joins carry the k-per-query hit relation; the ideal
     * re-rank window holds ≤ [[topK]] rows per query. */
-  def ndcgEval(s: SparkSession, d: String): DataFrame = {
-    val graded = gradedMemberHits(s, d)
+  def ndcgEval(s: SparkSession, d: String): DataFrame =
+    ndcgOf(gradedMemberHits(s, d))
+
+  /** nDCG of the LM ranking under the SAME graded labels — the QUALITY
+    * half of the scorer A/B ([[scorerDiff]] measures where the two
+    * rankings disagree; this measures which side of the disagreement is
+    * better): per-query ndcg_bp directly comparable row-for-row with
+    * `x_search_ndcg`, because workload, labels, discount table and
+    * cutoff are all shared — only the ranking differs. */
+  def lmNdcgEval(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    ndcgOf(gradedHitsOf(docs,
+      lmqlProbe(
+        docs.filter(col("doc_id") % searchStride === 0)
+          .select(col("doc_id"), col("text")),
+        lmIndexDocs(docs))
+        .select(col("query_id"), col("neighbor_id"), col("rnk"))))
+  }
+
+  /** The nDCG aggregation over any graded (query_id, rnk, rel) relation —
+    * one discount/ideal definition across every evaluated ranking. */
+  private def ndcgOf(graded: DataFrame): DataFrame = {
     import graft.ops.Sampling.log2fpSpark
     val ideal = Window.partitionBy(col("query_id"))
       .orderBy(col("rel").desc, col("rnk").asc)
@@ -703,12 +746,19 @@ object Search {
     * the SAME ranking under the SAME labels. */
   private def gradedMemberHits(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
+    gradedHitsOf(docs,
+      bm25Probe(
+        docs.filter(col("doc_id") % searchStride === 0)
+          .select(col("doc_id"), col("text")),
+        bm25IndexDocs(docs))
+        .select(col("query_id"), col("neighbor_id"), col("rnk")))
+  }
+
+  /** Grade any (query_id, neighbor_id, rnk) hit relation by the
+    * metadata-agreement labels — ONE labeling across every evaluated
+    * ranking. */
+  private def gradedHitsOf(docs: DataFrame, hits: DataFrame): DataFrame = {
     val meta = docs.select(col("doc_id"), col("lang"), col("source"))
-    val hits = bm25Probe(
-      docs.filter(col("doc_id") % searchStride === 0)
-        .select(col("doc_id"), col("text")),
-      bm25IndexDocs(docs))
-      .select(col("query_id"), col("neighbor_id"), col("rnk"))
     hits
       .join(meta.select(col("doc_id").as("query_id"),
         col("lang").as("q_lang"), col("source").as("q_source")), "query_id")
@@ -1478,10 +1528,12 @@ object Search {
     "x_search_autocomplete" -> autocomplete,
     "x_search_spellfix" -> spellfix,
     "x_search_ndcg" -> ndcgEval,
+    "x_search_ndcg_lm" -> lmNdcgEval,
     "x_search_mrr" -> mrrEval,
     "x_search_lmql" -> lmqlTopK,
     "x_search_lmql_in" -> lmqlIngestTopK,
     "x_search_ltr" -> ltrFeatures,
+    "x_search_ltr_in" -> ltrIngestFeatures,
     "x_search_ltr_pairs" -> ltrPairs,
     "x_search_index_stats" -> indexStats,
     "x_search_scorer_diff" -> scorerDiff,
@@ -1605,9 +1657,9 @@ object Search {
     * pair-restricted LM leg + labels) — shared by the pointwise feature
     * oracle and the pairwise-preference oracle, exactly as the Spark
     * pairs derive from the one feature relation. */
-  private lazy val ltrFeatCtes: String = {
+  private def ltrFeatCtes(corpusPred: String, queryPred: String): String = {
     import graft.ops.Sampling.log2fpDuck
-    bm25Ctes("true", s"doc_id % $searchStride = 0") + lmCoreCtes +
+    bm25Ctes(corpusPred, queryPred) + lmCoreCtes +
       s""",
          |hits AS (SELECT query_id, neighbor_id, score_m, n_terms, rnk
          |         FROM rk WHERE rnk <= $topK),
@@ -1661,6 +1713,33 @@ object Search {
        |lrk AS (SELECT query_id, doc_id AS neighbor_id, score_fp, n_terms,
        |         CAST(row_number() OVER (PARTITION BY query_id
        |                ORDER BY score_fp DESC, doc_id ASC) AS BIGINT) AS rnk FROM ls)""".stripMargin
+  }
+
+  /** The nDCG metric tail over any ranked source relation (`rk` for BM25,
+    * `lrk` for the LM ranking) — one labels/discounts/cutoff text across
+    * every evaluated ranking, the SQL twin of [[ndcgOf]]/[[gradedHitsOf]]. */
+  private def ndcgSqlTail(src: String): String = {
+    import graft.ops.Sampling.log2fpDuck
+    s""",
+       |hits$src AS (SELECT query_id, neighbor_id, rnk FROM $src WHERE rnk <= $topK),
+       |gr$src AS (SELECT h.query_id, h.rnk,
+       |         CAST(CASE WHEN nm.lang = qm.lang AND nm.source = qm.source THEN 2
+       |              WHEN nm.lang = qm.lang THEN 1 ELSE 0 END AS BIGINT) AS rel
+       |       FROM hits$src h
+       |       JOIN documents qm ON qm.doc_id = h.query_id
+       |       JOIN documents nm ON nm.doc_id = h.neighbor_id),
+       |ir$src AS (SELECT query_id, rnk, rel,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |                ORDER BY rel DESC, rnk ASC) AS BIGINT) AS irnk
+       |       FROM gr$src),
+       |ag$src AS (SELECT query_id,
+       |         CAST(sum(rel * 1000000 // ${log2fpDuck("rnk + 1")}) AS BIGINT) AS dcg_fp,
+       |         CAST(sum(rel * 1000000 // ${log2fpDuck("irnk + 1")}) AS BIGINT) AS idcg_fp
+       |       FROM ir$src GROUP BY 1)
+       |SELECT query_id, dcg_fp, idcg_fp,
+       |       CAST(CASE WHEN idcg_fp = 0 THEN 0
+       |            ELSE dcg_fp * 10000 // idcg_fp END AS BIGINT) AS ndcg_bp
+       |FROM ag$src""".stripMargin
   }
 
   /** Dirichlet-LM continuation of [[bm25Ctes]] — ONE text shared by the
@@ -1737,30 +1816,13 @@ object Search {
       (bm25Ctes("true", s"doc_id % $searchStride = 0") + bm25Tail),
     // graded-relevance tail over the shared member chain; the discount is
     // the same fixed-point log2 text the Spark plan compiles
-    "x_search_ndcg" -> {
-      import graft.ops.Sampling.log2fpDuck
-      bm25Ctes("true", s"doc_id % $searchStride = 0") +
-        s""",
-           |hits AS (SELECT query_id, neighbor_id, rnk FROM rk WHERE rnk <= $topK),
-           |gr AS (SELECT h.query_id, h.rnk,
-           |         CAST(CASE WHEN nm.lang = qm.lang AND nm.source = qm.source THEN 2
-           |              WHEN nm.lang = qm.lang THEN 1 ELSE 0 END AS BIGINT) AS rel
-           |       FROM hits h
-           |       JOIN documents qm ON qm.doc_id = h.query_id
-           |       JOIN documents nm ON nm.doc_id = h.neighbor_id),
-           |ir AS (SELECT query_id, rnk, rel,
-           |         CAST(row_number() OVER (PARTITION BY query_id
-           |                ORDER BY rel DESC, rnk ASC) AS BIGINT) AS irnk
-           |       FROM gr),
-           |ag AS (SELECT query_id,
-           |         CAST(sum(rel * 1000000 // ${log2fpDuck("rnk + 1")}) AS BIGINT) AS dcg_fp,
-           |         CAST(sum(rel * 1000000 // ${log2fpDuck("irnk + 1")}) AS BIGINT) AS idcg_fp
-           |       FROM ir GROUP BY 1)
-           |SELECT query_id, dcg_fp, idcg_fp,
-           |       CAST(CASE WHEN idcg_fp = 0 THEN 0
-           |            ELSE dcg_fp * 10000 // idcg_fp END AS BIGINT) AS ndcg_bp
-           |FROM ag""".stripMargin
-    },
+    "x_search_ndcg" ->
+      (bm25Ctes("true", s"doc_id % $searchStride = 0") + ndcgSqlTail("rk")),
+    // the LM ranking through the SAME labels/discounts/cutoff — only the
+    // source relation differs, exactly as ndcgOf is shared on the Spark side
+    "x_search_ndcg_lm" ->
+      (bm25Ctes("true", s"doc_id % $searchStride = 0") + lmqlRankCtes +
+        ndcgSqlTail("lrk")),
     // binary metrics over the same member chain + graded labels as the
     // nDCG oracle; // is DuckDB's integer division (Spark's div)
     "x_search_mrr" ->
@@ -1798,7 +1860,14 @@ object Search {
     // pair-restricted over the same pruned postings/terms, labels from the
     // metadata-agreement convention — every formula text shared verbatim
     "x_search_ltr" ->
-      (ltrFeatCtes +
+      (ltrFeatCtes("true", s"doc_id % $searchStride = 0") +
+        "\nSELECT query_id, neighbor_id, rnk, score_m, n_terms, lm_fp," +
+        "\n       lm_terms, dl, n_q, rel\nFROM feat"),
+    // ingest-time feature logging: the SAME feature chain over the
+    // standing/arrival split — the training/serving-skew guard in SQL
+    "x_search_ltr_in" ->
+      (ltrFeatCtes(s"doc_id % ${Similarity.knnBatchMod} <> 7",
+        s"doc_id % ${Similarity.knnBatchMod} = 7") +
         "\nSELECT query_id, neighbor_id, rnk, score_m, n_terms, lm_fp," +
         "\n       lm_terms, dl, n_q, rel\nFROM feat"),
     // scorer A/B diff: both ranked chains instantiated once, full-outer
@@ -1843,7 +1912,7 @@ object Search {
     // (better, worse) candidate pair per query with the signal deltas —
     // the k-per-query self-join stays dashboard-sized (≤ k² per query)
     "x_search_ltr_pairs" ->
-      (ltrFeatCtes +
+      (ltrFeatCtes("true", s"doc_id % $searchStride = 0") +
         s"""
            |SELECT a.query_id,
            |       a.neighbor_id AS pos_id, b.neighbor_id AS neg_id,

@@ -558,6 +558,28 @@ class SearchSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture must produce at least one preference pair")
   }
 
+  test("LM nDCG: bounds hold; equals the BM25 eval exactly where the rankings agree") {
+    val bm = graft.ops.Search.ndcgEval(spark, sf)
+      .select("query_id", "ndcg_bp").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lm = graft.ops.Search.lmNdcgEval(spark, sf)
+      .select("query_id", "ndcg_bp").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lm.nonEmpty)
+    lm.values.foreach(v => assert(v >= 0L && v <= 10000L))
+    // where the scorer diff reports IDENTICAL rankings (full overlap, zero
+    // shift), the two quality numbers must coincide — same labels, same
+    // discounts, same cutoff
+    val identical = graft.ops.Search.scorerDiff(spark, sf)
+      .select("query_id", "n_common", "n_bm_only", "n_lm_only", "max_shift")
+      .collect()
+      .filter(r => r.getLong(2) == 0L && r.getLong(3) == 0L && r.getLong(4) == 0L)
+      .map(_.getLong(0))
+    identical.foreach { q =>
+      assert(bm(q) == lm(q), s"identical rankings scored differently for $q")
+    }
+  }
+
   test("scorer diff: identities against independently collected rankings") {
     def ranks(df: org.apache.spark.sql.DataFrame): Map[Long, Map[Long, Long]] =
       df.select("query_id", "neighbor_id", "rnk").collect()
