@@ -203,6 +203,51 @@ object Relational {
   /** The one-brand slice [[cheapestSupplier]] prices. */
   private[graft] val cheapBrand = "Brand#1"
 
+  /** Q18-SHAPE LARGE-VOLUME CUSTOMERS: orders whose total lineitem
+    * quantity exceeds [[bigQtyThreshold]], with the customer and order
+    * detail, top-[[bigTopN]] by volume. The GROUP-BY-HAVING-THEN-REJOIN
+    * pattern: the per-order quantity census keys on l_orderkey (one fact
+    * exchange), the HAVING cut shrinks it to the qualifying set, and only
+    * THAT set joins back to orders/customer — the detail join never sees
+    * disqualified orders. The final top-N is `TakeOrderedAndProject`
+    * (per-partition heaps), with a full tie-breaking order so the row SET
+    * is deterministic under any partitioning. */
+  def bigOrders(s: SparkSession, d: String): DataFrame = {
+    val qty = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).cast("long").as("total_qty"))
+      .filter(col("total_qty") > bigQtyThreshold)
+    qty
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate"), cents(col("o_totalprice")).as("total_cents")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d).select(col("c_custkey"), col("c_name"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("total_cents"), col("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey").asc)
+      .limit(bigTopN)
+  }
+
+  /** [[bigOrders]] tunables — shared with the oracle. */
+  private[graft] val bigQtyThreshold = 160L
+  private[graft] val bigTopN = 100
+
+  /** Q6-SHAPE FILTERED REVENUE: one scan, three pushable predicates, two
+    * global aggregates — the query that exists to prove the scan path.
+    * At 100 TB everything is decided before the first byte leaves the
+    * reader: the date range prunes partitions, discount/quantity reach
+    * parquet as `PushedFilters`, and only three columns are read
+    * (`ReadSchema`); the aggregation is map-side to a 1-row partial per
+    * task. Revenue is the exact integer-cent product sum. */
+  def filteredRevenue(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("date") &&
+        col("l_shipdate") < lit("1998-01-01").cast("date") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(sum(cents(col("l_extendedprice") * col("l_discount"))).as("revenue_cents"),
+        count(lit(1)).as("n_lines"))
+
   /** JOIN-SKEW PROFILE — the pre-flight a planner runs BEFORE committing
     * to a big key-equi join: per key-multiplicity band (band = ⌊log₂ cnt⌋,
     * the exact fixed-point-log₂ integer), how many join keys live there,
@@ -521,6 +566,8 @@ object Relational {
     "h_waiting_suppliers" -> waitingSuppliers,
     "h_cheapest_supplier" -> cheapestSupplier,
     "h_join_skew_profile" -> joinSkewProfile,
+    "h_big_orders" -> bigOrders,
+    "h_filtered_revenue" -> filteredRevenue,
     "h_small_qty_revenue" -> smallQtyRevenue,
     "h_order_count_dist" -> orderCountDist)
 
@@ -707,6 +754,24 @@ object Relational {
          |JOIN part p ON p.p_partkey = b.l_partkey AND p.p_brand = '$cheapBrand'
          |JOIN supplier s ON s.s_suppkey = b.s_suppkey
          |JOIN nation n ON n.n_nationkey = s.s_nationkey""".stripMargin,
+    "h_big_orders" ->
+      s"""WITH q AS (SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS total_qty
+         |           FROM lineitem GROUP BY 1
+         |           HAVING sum(l_quantity) > $bigQtyThreshold)
+         |SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+         |       ${centsSql("o.o_totalprice")} AS total_cents, q.total_qty
+         |FROM q
+         |JOIN orders o ON o.o_orderkey = q.l_orderkey
+         |JOIN customer c ON c.c_custkey = o.o_custkey
+         |ORDER BY q.total_qty DESC, o.o_orderkey ASC
+         |LIMIT $bigTopN""".stripMargin,
+    "h_filtered_revenue" ->
+      s"""SELECT CAST(sum(${centsSql("l_extendedprice * l_discount")}) AS BIGINT)
+         |         AS revenue_cents,
+         |       count(*) AS n_lines
+         |FROM lineitem
+         |WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
     // key-multiplicity bands over the exact fixed-point floor(log2);
     // sum(cnt*cnt) is the exact self-join cardinality priced from counts
     "h_join_skew_profile" -> {

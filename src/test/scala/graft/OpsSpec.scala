@@ -212,6 +212,30 @@ class OpsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("big orders and filtered revenue equal driver-side recomputes") {
+    // Q18 shape: census + HAVING + rejoin, top-N with full tie-break
+    val li = Tables.lineitem(spark, sf)
+      .select($"l_orderkey", $"l_quantity".cast("long")).as[(Long, Long)].collect()
+    val qual = li.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+      .filter(_._2 > Relational.bigQtyThreshold).toMap
+    val got = Relational.bigOrders(spark, sf)
+      .select($"o_orderkey", $"total_qty").as[(Long, Long)].collect()
+    assert(got.length == math.min(Relational.bigTopN, qual.size))
+    val wantTop = qual.toSeq.sortBy(t => (-t._2, t._1)).take(Relational.bigTopN)
+    assert(got.toSeq.sortBy(t => (-t._2, t._1)) == wantTop)
+    // Q6 shape: one-scan predicate revenue
+    val rev = Relational.filteredRevenue(spark, sf)
+      .select($"revenue_cents", $"n_lines").as[(Long, Long)].collect().head
+    val want = Tables.lineitem(spark, sf)
+      .filter($"l_shipdate" >= lit("1997-01-01").cast("date") &&
+        $"l_shipdate" < lit("1998-01-01").cast("date") &&
+        $"l_discount".between(0.05, 0.07) && $"l_quantity" < 24)
+      .select(expr("CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)"))
+      .as[Long].collect()
+    assert(rev == ((want.sum, want.length.toLong)))
+    assert(rev._2 > 0L, "fixture must select at least one line")
+  }
+
   test("join-skew profile equals a driver-side recompute; totals reconcile") {
     def log2fp(x: Long): Long = {
       val bl = 64 - java.lang.Long.numberOfLeadingZeros(x)
