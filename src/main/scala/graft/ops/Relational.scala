@@ -248,6 +248,35 @@ object Relational {
       .agg(sum(cents(col("l_extendedprice") * col("l_discount"))).as("revenue_cents"),
         count(lit(1)).as("n_lines"))
 
+  /** Q19-SHAPE DISJUNCTIVE-PREDICATE REVENUE: revenue of lineitems whose
+    * part matches one of two brand/size/quantity blocks — the OR-of-ANDs
+    * predicate TPC-H Q19 exists for. Each block references BOTH sides of
+    * the join, so no block pushes whole; what DOES push is the derivable
+    * single-side envelope (brand ∈ {…} prunes the dim before broadcast,
+    * and Catalyst's constraint propagation can seed the fact scan with
+    * the quantity hull). Plan: the brand-pruned part dim broadcasts, the
+    * fact table scans once, the disjunction evaluates inside the join's
+    * codegen — never a fact-sized intermediate per block (the UNION-of-
+    * three-joins formulation scans the fact once per block; this scans
+    * it once, full stop). */
+  def disjunctiveRevenue(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d)
+      .filter(col("p_brand").isin("Brand#1", "Brand#2"))
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val blocks =
+      (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(1, 20)) ||
+      (col("p_brand") === "Brand#2" && col("p_size").between(5, 20) &&
+        col("l_quantity").between(5, 30))
+    Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_quantity"),
+        cents(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev_cents"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(blocks)
+      .groupBy(col("p_brand"))
+      .agg(sum(col("rev_cents")).as("revenue_cents"), count(lit(1)).as("n_lines"))
+  }
+
   /** JOIN-SKEW PROFILE — the pre-flight a planner runs BEFORE committing
     * to a big key-equi join: per key-multiplicity band (band = ⌊log₂ cnt⌋,
     * the exact fixed-point-log₂ integer), how many join keys live there,
@@ -568,6 +597,7 @@ object Relational {
     "h_join_skew_profile" -> joinSkewProfile,
     "h_big_orders" -> bigOrders,
     "h_filtered_revenue" -> filteredRevenue,
+    "h_disjunctive_revenue" -> disjunctiveRevenue,
     "h_small_qty_revenue" -> smallQtyRevenue,
     "h_order_count_dist" -> orderCountDist)
 
@@ -772,6 +802,17 @@ object Relational {
          |FROM lineitem
          |WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
          |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "h_disjunctive_revenue" ->
+      s"""SELECT p.p_brand,
+         |       CAST(sum(${centsSql("l.l_extendedprice * (1 - l.l_discount)")}) AS BIGINT)
+         |         AS revenue_cents,
+         |       count(*) AS n_lines
+         |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+         |WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+         |        AND l.l_quantity BETWEEN 1 AND 20)
+         |   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 5 AND 20
+         |        AND l.l_quantity BETWEEN 5 AND 30)
+         |GROUP BY 1""".stripMargin,
     // key-multiplicity bands over the exact fixed-point floor(log2);
     // sum(cnt*cnt) is the exact self-join cardinality priced from counts
     "h_join_skew_profile" -> {

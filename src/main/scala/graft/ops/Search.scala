@@ -715,12 +715,7 @@ object Search {
     * cutoff are all shared — only the ranking differs. */
   def lmNdcgEval(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    ndcgOf(gradedHitsOf(docs,
-      lmqlProbe(
-        docs.filter(col("doc_id") % searchStride === 0)
-          .select(col("doc_id"), col("text")),
-        lmIndexDocs(docs))
-        .select(col("query_id"), col("neighbor_id"), col("rnk"))))
+    ndcgOf(gradedHitsOf(docs, lmMemberHits(s, d)))
   }
 
   /** The nDCG aggregation over any graded (query_id, rnk, rel) relation —
@@ -781,7 +776,20 @@ object Search {
     * result lists score honestly low). One aggregation over the
     * k-per-query graded relation; corpus-sized work is the shared probe. */
   def mrrEval(s: SparkSession, d: String): DataFrame =
-    gradedMemberHits(s, d)
+    mrrOf(gradedMemberHits(s, d))
+
+  /** MRR/P@k of the LM ranking — completes the eval MATRIX (two scorers ×
+    * graded/binary metrics), every cell through one labeling
+    * ([[gradedHitsOf]]) and one aggregation per metric family. */
+  def lmMrrEval(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    mrrOf(gradedHitsOf(docs, lmMemberHits(s, d)))
+  }
+
+  /** The binary-metric aggregation over any graded (query_id, rnk, rel)
+    * relation — the MRR twin of [[ndcgOf]]. */
+  private def mrrOf(graded: DataFrame): DataFrame =
+    graded
       .groupBy(col("query_id"))
       .agg(
         coalesce(min(when(col("rel") >= 1L, col("rnk"))), lit(0L)).as("first_rel_rnk"),
@@ -791,6 +799,17 @@ object Search {
           .otherwise(expr("1000000 div first_rel_rnk")).as("rr_fp"),
         col("n_rel"),
         expr(s"n_rel * 10000 div $topK").as("p_at_k_bp"))
+
+  /** The member LM top-k hit relation — shared by the graded and binary
+    * LM eval queries exactly as the BM25 member probe backs theirs. */
+  private def lmMemberHits(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    lmqlProbe(
+      docs.filter(col("doc_id") % searchStride === 0)
+        .select(col("doc_id"), col("text")),
+      lmIndexDocs(docs))
+      .select(col("query_id"), col("neighbor_id"), col("rnk"))
+  }
 
   /** Spellfix workload width and suggestion depth. */
   private[graft] val sfProbes = 5
@@ -1530,6 +1549,7 @@ object Search {
     "x_search_ndcg" -> ndcgEval,
     "x_search_ndcg_lm" -> lmNdcgEval,
     "x_search_mrr" -> mrrEval,
+    "x_search_mrr_lm" -> lmMrrEval,
     "x_search_lmql" -> lmqlTopK,
     "x_search_lmql_in" -> lmqlIngestTopK,
     "x_search_ltr" -> ltrFeatures,
@@ -1742,6 +1762,28 @@ object Search {
        |FROM ag$src""".stripMargin
   }
 
+  /** The MRR/P@k metric tail over any ranked source relation — the binary
+    * twin of [[ndcgSqlTail]], the SQL side of [[mrrOf]]. */
+  private def mrrSqlTail(src: String): String =
+    s""",
+       |mh$src AS (SELECT query_id, neighbor_id, rnk FROM $src WHERE rnk <= $topK),
+       |mg$src AS (SELECT h.query_id, h.rnk,
+       |         CAST(CASE WHEN nm.lang = qm.lang AND nm.source = qm.source THEN 2
+       |              WHEN nm.lang = qm.lang THEN 1 ELSE 0 END AS BIGINT) AS rel
+       |       FROM mh$src h
+       |       JOIN documents qm ON qm.doc_id = h.query_id
+       |       JOIN documents nm ON nm.doc_id = h.neighbor_id),
+       |ma$src AS (SELECT query_id,
+       |         CAST(coalesce(min(CASE WHEN rel >= 1 THEN rnk END), 0) AS BIGINT) AS first_rel_rnk,
+       |         CAST(count(CASE WHEN rel >= 1 THEN 1 END) AS BIGINT) AS n_rel
+       |       FROM mg$src GROUP BY 1)
+       |SELECT query_id, first_rel_rnk,
+       |       CAST(CASE WHEN first_rel_rnk = 0 THEN 0
+       |            ELSE 1000000 // first_rel_rnk END AS BIGINT) AS rr_fp,
+       |       n_rel,
+       |       CAST(n_rel * 10000 // $topK AS BIGINT) AS p_at_k_bp
+       |FROM ma$src""".stripMargin
+
   /** Dirichlet-LM continuation of [[bm25Ctes]] — ONE text shared by the
     * member and ingest oracles (and the streamed twin: stateless
     * stream-static ⇒ the batch ingest oracle verbatim), exactly as one
@@ -1826,25 +1868,11 @@ object Search {
     // binary metrics over the same member chain + graded labels as the
     // nDCG oracle; // is DuckDB's integer division (Spark's div)
     "x_search_mrr" ->
-      (bm25Ctes("true", s"doc_id % $searchStride = 0") +
-        s""",
-           |hits AS (SELECT query_id, neighbor_id, rnk FROM rk WHERE rnk <= $topK),
-           |gr AS (SELECT h.query_id, h.rnk,
-           |         CAST(CASE WHEN nm.lang = qm.lang AND nm.source = qm.source THEN 2
-           |              WHEN nm.lang = qm.lang THEN 1 ELSE 0 END AS BIGINT) AS rel
-           |       FROM hits h
-           |       JOIN documents qm ON qm.doc_id = h.query_id
-           |       JOIN documents nm ON nm.doc_id = h.neighbor_id),
-           |ag AS (SELECT query_id,
-           |         CAST(coalesce(min(CASE WHEN rel >= 1 THEN rnk END), 0) AS BIGINT) AS first_rel_rnk,
-           |         CAST(count(CASE WHEN rel >= 1 THEN 1 END) AS BIGINT) AS n_rel
-           |       FROM gr GROUP BY 1)
-           |SELECT query_id, first_rel_rnk,
-           |       CAST(CASE WHEN first_rel_rnk = 0 THEN 0
-           |            ELSE 1000000 // first_rel_rnk END AS BIGINT) AS rr_fp,
-           |       n_rel,
-           |       CAST(n_rel * 10000 // $topK AS BIGINT) AS p_at_k_bp
-           |FROM ag""".stripMargin),
+      (bm25Ctes("true", s"doc_id % $searchStride = 0") + mrrSqlTail("rk")),
+    // the LM ranking's binary metrics — the eval matrix's fourth cell
+    "x_search_mrr_lm" ->
+      (bm25Ctes("true", s"doc_id % $searchStride = 0") + lmqlRankCtes +
+        mrrSqlTail("lrk")),
     // Dirichlet query likelihood: tf/dlr/terms from the shared chain (the
     // unused BM25 impact CTEs prune away); tf-ordered per-token prune, the
     // rank-equivalent matched-plus-length decomposition in exact 1/1024-bit

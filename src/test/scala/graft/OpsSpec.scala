@@ -236,6 +236,30 @@ class OpsSpec extends SparkSpec {
     assert(rev._2 > 0L, "fixture must select at least one line")
   }
 
+  test("disjunctive revenue equals a driver-side recompute of the OR blocks") {
+    val parts = Tables.part(spark, sf)
+      .select($"p_partkey", $"p_brand", $"p_size")
+      .as[(Long, String, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    val li = Tables.lineitem(spark, sf)
+      .select($"l_partkey", $"l_quantity".cast("long"),
+        expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
+      .as[(Long, Long, Long)].collect()
+    val want = li.flatMap { case (pk, qty, rev) =>
+      parts.get(pk).collect {
+        case (b, sz)
+          if (b == "Brand#1" && sz >= 1 && sz <= 10 && qty >= 1 && qty <= 20) ||
+             (b == "Brand#2" && sz >= 5 && sz <= 20 && qty >= 5 && qty <= 30) =>
+          (b, rev)
+      }
+    }.groupBy(_._1).map { case (b, rs) => (b, rs.map(_._2).sum, rs.length.toLong) }.toSet
+    val got = Relational.disjunctiveRevenue(spark, sf)
+      .select($"p_brand", $"revenue_cents", $"n_lines")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == want)
+    assert(got.nonEmpty, "fixture must match at least one block")
+  }
+
   test("join-skew profile equals a driver-side recompute; totals reconcile") {
     def log2fp(x: Long): Long = {
       val bl = 64 - java.lang.Long.numberOfLeadingZeros(x)

@@ -558,6 +558,25 @@ class SearchSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture must produce at least one preference pair")
   }
 
+  test("LM MRR: identities per query, consistent with the LM graded view") {
+    val mrr = graft.ops.Search.lmMrrEval(spark, sf)
+      .select("query_id", "first_rel_rnk", "rr_fp", "n_rel", "p_at_k_bp")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(mrr.nonEmpty)
+    mrr.foreach { case (_, first, rr, nRel, pk) =>
+      assert((first == 0L) == (nRel == 0L))
+      assert(rr == (if (first == 0L) 0L else 1000000L / first))
+      assert(nRel <= graft.ops.Search.topK)
+      assert(pk == nRel * 10000 / graft.ops.Search.topK)
+    }
+    val idcg = graft.ops.Search.lmNdcgEval(spark, sf)
+      .select("query_id", "idcg_fp").as[(Long, Long)].collect().toMap
+    mrr.foreach { case (qid, _, _, nRel, _) =>
+      assert((nRel > 0L) == (idcg(qid) > 0L), s"binary/graded LM views disagree for $qid")
+    }
+  }
+
   test("LM nDCG: bounds hold; equals the BM25 eval exactly where the rankings agree") {
     val bm = graft.ops.Search.ndcgEval(spark, sf)
       .select("query_id", "ndcg_bp").collect()
