@@ -537,6 +537,15 @@ class SearchSpec extends SparkSpec {
     shared.foreach { case (ltrFp, lmFp) => assert(ltrFp == lmFp) }
   }
 
+  test("LTR feature plan: candidates broadcast onto every corpus-sized side") {
+    // the scale pin: k-per-query candidates must never shuffle the length,
+    // posting or metadata relations into a sort-merge join
+    val p = graft.ops.Search.ltrFeatures(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin"),
+      s"LTR feature joins must be broadcast-only:\n$p")
+  }
+
   test("LTR pairs: exactly the (better, worse) pairs of the feature relation") {
     val f = graft.ops.Search.ltrFeatures(spark, sf)
       .select("query_id", "neighbor_id", "rel", "score_m", "lm_fp", "rnk")
