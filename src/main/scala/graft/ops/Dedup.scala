@@ -691,9 +691,13 @@ object Dedup {
   /** DEDUP SAVINGS REPORT — the ROI readout a pipeline owner reads after a
     * near-dup pass: per component SIZE, how many clusters exist, the docs
     * they hold, the docs a keep-one policy drops, and the characters those
-    * dropped docs carry (the survivor keeps the longest text —
-    * [[keepBest]]'s measure; tied survivors have equal length, so the
-    * char accounting is tie-break-independent). Plan: the memoized
+    * dropped docs carry. The survivor is [[keepBest]]'s survivor — the
+    * SAME (n_words DESC, doc_id ASC) argmax, its `chars` carried through
+    * the struct-MAX — so the char accounting describes the keep-one policy
+    * the engine actually applies (ADVICE r14: a chars-argmax here could
+    * name a different survivor than keepBest when the longest-by-words
+    * member isn't longest-by-chars, making the ROI numbers describe a
+    * policy nobody runs). Plan: the memoized
     * component labels join the length projection once (a comp-keyed
     * aggregation — no per-component window), then a |distinct sizes|-row
     * rollup; singleton components
@@ -701,11 +705,14 @@ object Dedup {
     * total reconciles against the corpus count at any scale. */
   def dedupSavings(s: SparkSession, d: String): DataFrame = {
     val chars = Tables.documents(s, d)
-      .select(col("doc_id"), length(col("text")).cast("long").as("chars"))
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_words"),
+        length(col("text")).cast("long").as("chars"))
     components(s, d).join(chars, "doc_id")
       .groupBy(col("comp"))
       .agg(count(lit(1)).as("sz"), sum(col("chars")).as("tot_chars"),
-        max(col("chars")).as("keep_chars"))
+        max(struct(col("n_words"), (-col("doc_id")).as("neg_id"),
+          col("chars"))).getField("chars").as("keep_chars"))
       .select(col("sz"), col("tot_chars"),
         (col("tot_chars") - col("keep_chars")).as("red_chars"))
       .groupBy(col("sz").as("comp_size"))
@@ -1371,17 +1378,22 @@ object Dedup {
          |SELECT comp, doc_id AS keep_id, n_words AS keep_words,
          |       CAST(n_members AS BIGINT) AS n_members
          |FROM r WHERE rnk = 1""".stripMargin,
-    // per-size rollup of the same components; the survivor is the longest
-    // text (ties to lowest id), so redundant chars = total - survivor
+    // per-size rollup of the same components; the survivor is keepBest's
+    // (n_words DESC, doc_id ASC) pick, so redundant chars = total - ITS chars
     "x_dedup_savings" ->
       s"""$componentSqlChain,
-         |ch AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS chars
+         |ch AS (SELECT doc_id,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         |         CAST(length(text) AS BIGINT) AS chars
          |       FROM documents),
-         |pc AS (SELECT c.comp, CAST(count(*) AS BIGINT) AS sz,
-         |         CAST(sum(ch.chars) AS BIGINT) AS tot_chars,
-         |         CAST(max(ch.chars) AS BIGINT) AS keep_chars
-         |       FROM comp c JOIN ch ON ch.doc_id = c.doc_id
-         |       GROUP BY 1)
+         |rk AS (SELECT c.comp, ch.chars,
+         |         row_number() OVER (PARTITION BY c.comp
+         |           ORDER BY ch.n_words DESC, c.doc_id) AS rnk
+         |       FROM comp c JOIN ch USING (doc_id)),
+         |pc AS (SELECT comp, CAST(count(*) AS BIGINT) AS sz,
+         |         CAST(sum(chars) AS BIGINT) AS tot_chars,
+         |         CAST(max(CASE WHEN rnk = 1 THEN chars END) AS BIGINT) AS keep_chars
+         |       FROM rk GROUP BY 1)
          |SELECT sz AS comp_size,
          |       CAST(count(*) AS BIGINT) AS n_components,
          |       CAST(sum(sz) AS BIGINT) AS n_docs,

@@ -213,9 +213,12 @@ object Relational {
     * (per-partition heaps), with a full tie-breaking order so the row SET
     * is deterministic under any partitioning. */
   def bigOrders(s: SparkSession, d: String): DataFrame = {
+    // cast per ROW, not post-sum: the HAVING cut then compares integer
+    // sums in both engines (a post-sum cast would round in DuckDB but
+    // truncate in Spark, diverging on any fractional quantity sum)
     val qty = Tables.lineitem(s, d)
       .groupBy(col("l_orderkey"))
-      .agg(sum(col("l_quantity")).cast("long").as("total_qty"))
+      .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
       .filter(col("total_qty") > bigQtyThreshold)
     qty
       .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
@@ -785,9 +788,10 @@ object Relational {
          |JOIN supplier s ON s.s_suppkey = b.s_suppkey
          |JOIN nation n ON n.n_nationkey = s.s_nationkey""".stripMargin,
     "h_big_orders" ->
-      s"""WITH q AS (SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS total_qty
+      s"""WITH q AS (SELECT l_orderkey,
+         |             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
          |           FROM lineitem GROUP BY 1
-         |           HAVING sum(l_quantity) > $bigQtyThreshold)
+         |           HAVING sum(CAST(l_quantity AS BIGINT)) > $bigQtyThreshold)
          |SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
          |       ${centsSql("o.o_totalprice")} AS total_cents, q.total_qty
          |FROM q

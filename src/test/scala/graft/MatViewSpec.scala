@@ -74,7 +74,7 @@ class MatViewSpec extends SparkSpec {
     assert(out.map(_._2).sum == Tables.events(spark, sf).count())
   }
 
-  test("fixture refresh matches the full recompute and holds hll_ok") {
+  test("fixture refresh matches the full recompute; merged sketch within 9 sigma") {
     val out = MatView.mvRefresh(spark, sf)
     val got = out.select(col("event_type"), col("day").cast("string"),
       col("n"), col("sum_vc"), col("min_vc"), col("max_vc"), col("avg_vc"))
@@ -91,8 +91,20 @@ class MatViewSpec extends SparkSpec {
         floor(col("sum_vc").cast("double") / col("n")).cast("bigint"))
       .as[(String, String, Long, Long, Long, Long, Long)].collect().toSet
     assert(got == want)
-    assert(out.filter(!col("hll_ok")).count() == 0)
     assert(out.filter(col("n_users") <= 0).count() == 0)
+    // Sketch accuracy lives HERE, not in the hashed query output (round-14
+    // lesson: a 3.1σ gate over 150 groups flips a bit-exact hash with
+    // double-digit probability per sweep even when the merge is correct).
+    // hllMargin = 0.15 ≈ 9σ at lgK=12 (rsd ≈ 1.6%): P(any one group out)
+    // ≈ 150 · P(|Z| > 9) ≈ 1e-17 — effectively a broken-merge detector.
+    val acc = MatView.hllAccuracy(spark, sf)
+      .select(col("n_users").cast("double"), col("est"))
+      .as[(Double, Double)].collect()
+    assert(acc.nonEmpty)
+    acc.foreach { case (exactN, est) =>
+      assert(math.abs(est - exactN) <= MatView.hllMargin * exactN,
+        s"merged HLL estimate $est beyond ${MatView.hllMargin} of exact $exactN")
+    }
   }
 
   test("value bands: p50 row IS histMedian; cuts monotone; within a bucket of the truth") {
@@ -126,13 +138,17 @@ class MatViewSpec extends SparkSpec {
 
   test("rollup chain: every grain equals the direct aggregation from raw events") {
     // the monoid law across grains: folding hourly states to day/week must
-    // be indistinguishable from aggregating raw events at that grain
-    // ((x div a) div b == x div (a*b) for the positive epoch buckets);
-    // the local fixture spans 2 weeks / 9 days / ~150 hours so every fold
+    // be indistinguishable from aggregating raw events at that grain —
+    // ⌊⌊x/a⌋/b⌋ == ⌊x/(a·b)⌋ holds for ALL integers under FLOOR division
+    // (MatView.floorDiv), which truncating `div` violates on negatives, so
+    // a third of the fixture sits PRE-1970 (negative epoch micros: the
+    // ADVICE-r14 truncate-vs-floor asymmetry, now exercised, not assumed);
+    // the positive span covers 2 weeks / 9 days / ~150 hours so every fold
     // combines multiple finer buckets
     val evG = spark.range(600).select(
       expr("timestamp '2024-03-01 00:00:00' + make_interval(0, 0, 0, " +
-        "CAST(id % 9 AS INT), CAST(id % 17 AS INT), 0, id)").as("ts"),
+        "CAST(id % 9 AS INT) - CAST(id % 3 AS INT) * 22000, " +
+        "CAST(id % 17 AS INT), 0, id)").as("ts"),
       concat(lit("t"), col("id") % 3).as("event_type"),
       (col("id") % 101 * 0.37 + 0.01).as("value"))
     val chain = MatView.rollupChainEvents(evG)
@@ -140,9 +156,11 @@ class MatViewSpec extends SparkSpec {
         col("sum_vc"), col("min_vc"), col("max_vc"), col("avg_vc"))
       .as[(String, String, Long, Long, Long, Long, Long, Long)]
       .collect().toSet
+    // independent floor-division (double floor, not MatView.floorDiv, so
+    // the expectation doesn't share the implementation's arithmetic)
     def direct(grain: String, usPerBucket: Long) = evG
       .select(col("event_type"),
-        expr(s"unix_micros(ts) div $usPerBucket").as("bucket"),
+        expr(s"CAST(floor(unix_micros(ts) / $usPerBucket) AS BIGINT)").as("bucket"),
         expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
       .groupBy(col("event_type"), col("bucket"))
       .agg(count(lit(1)).as("n"), sum(col("vc")).as("sum_vc"),

@@ -12,13 +12,13 @@ import org.apache.spark.sql.functions._
 class MvStreamSpec extends SparkSpec {
   import spark.implicits._
 
-  private def table(df: DataFrame): Set[(String, String, Long, Long, Long, Long, Long, Long, Boolean)] =
+  private def table(df: DataFrame): Set[(String, String, Long, Long, Long, Long, Long, Long)] =
     df.select(col("event_type"), col("day").cast("string"), col("n"),
       col("sum_vc"), col("min_vc"), col("max_vc"), col("avg_vc"),
-      col("n_users"), col("hll_ok"))
+      col("n_users"))
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
         r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
-        r.getLong(7), r.getBoolean(8))).toSet
+        r.getLong(7))).toSet
 
   private def flat(states: DataFrame): Set[(String, String, Long, Long, Long, Long, Long)] =
     states.select(
