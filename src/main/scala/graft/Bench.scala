@@ -88,11 +88,32 @@ object Bench {
     }
     val cal = scala.collection.mutable.ArrayBuffer[Double](calOnce())
 
+    // Streaming calibration probe (round-14 verdict #2): the batch cal is
+    // blind to stream-family contention — identical trees measured equal
+    // batch-cal medians while the `s_*` family drifted 3–8× (270→344 s,
+    // BASELINE.md). `cal_s` times the fixed minimal micro-batch pipeline
+    // ([[graft.streaming.EventPipeline.calProbe]]: fresh-checkpoint
+    // AvailableNow file stream → 5-key update agg → upsert sink → resolve)
+    // start/mid/end, so `s_*` numbers can be normalized by THEIR OWN
+    // machinery's in-run pressure, not the batch scan's. One untimed
+    // warm-up absorbs first-stream init (streaming child session, state
+    // store, source-dir install) that belongs to the JVM, not the
+    // environment signal.
+    def calSOnce(): Double = {
+      val t0 = System.nanoTime()
+      try graft.streaming.EventPipeline.calProbe(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => return -1.0 }
+      (System.nanoTime() - t0) / 1e9
+    }
+    calSOnce() // untimed streaming warm-up
+    val calS = scala.collection.mutable.ArrayBuffer[Double](calSOnce())
+
     val samples = scala.collection.mutable.Map[String, Seq[Double]]()
     val sortedQueries = SparkEntry.queries.toSeq.sortBy(_._1)
     val midIdx = sortedQueries.size / 2
     val results = sortedQueries.zipWithIndex.map { case ((name, fn), qi) =>
-      if (qi == midIdx) cal += calOnce()
+      if (qi == midIdx) { cal += calOnce(); calS += calSOnce() }
       def once(): (Double, Option[String]) = {
         val t0 = System.nanoTime()
         val err =
@@ -147,6 +168,7 @@ object Bench {
       (name, if (err.isEmpty) sec else -1.0, err)
     }
     cal += calOnce()
+    calS += calSOnce()
 
     // Full-precision sibling artifact ON DISK: the driver line is budgeted
     // to a 2000-char tail (it carries ≥1 s queries + family subtotals,
@@ -155,7 +177,7 @@ object Bench {
     // round; BASELINE.md points here.
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath),
-      renderFull(results, sfDir, samples.toMap, cpus.toInt, cal.toSeq))
+      renderFull(results, sfDir, samples.toMap, cpus.toInt, cal.toSeq, calS.toSeq))
     catch { case e: Throwable => System.err.println(s"bench_full write failed: $e") }
     // 10ms precision, trailing zeros stripped, keeps the single JSON line.
     // Emitted LAST — after every stream is quiesced and the session is
@@ -163,7 +185,7 @@ object Bench {
     // driver's tail (round 11 lost its benchmark to exactly that: a
     // state-store maintenance tick raced spark.stop() and its WARN stack
     // trace displaced the line — see emitLineLast's scaladoc).
-    emitLineLast(renderLine(results, sfDir, samples.toMap, cal.toSeq), () => {
+    emitLineLast(renderLine(results, sfDir, samples.toMap, cal.toSeq, calS.toSeq), () => {
       graft.streaming.EventPipeline.releaseStreamState(spark)
       spark.stop()
     })
@@ -192,7 +214,7 @@ object Bench {
     * `BenchLineSpec` can check shape without running the benchmark. */
   def renderFull(results: Seq[(String, Double, Option[String])], sfDir: String,
       samples: Map[String, Seq[Double]], cpus: Int = 32,
-      cal: Seq[Double] = Nil): String = {
+      cal: Seq[Double] = Nil, calS: Seq[Double] = Nil): String = {
     def d(v: Double): String = java.math.BigDecimal.valueOf(v)
       .setScale(4, java.math.RoundingMode.HALF_UP).stripTrailingZeros.toPlainString
     val load =
@@ -208,8 +230,10 @@ object Bench {
     }
     val sf = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     val calJson =
-      if (cal.isEmpty) ""
-      else s"""\n  "cal": ${cal.map(d).mkString("[", ",", "]")},"""
+      (if (cal.isEmpty) ""
+       else s"""\n  "cal": ${cal.map(d).mkString("[", ",", "]")},""") +
+      (if (calS.isEmpty) ""
+       else s"""\n  "cal_s": ${calS.map(d).mkString("[", ",", "]")},""")
     s"""{
        |  "sf": "$sf",
        |  "cpus": $cpus,
@@ -278,7 +302,7 @@ object Bench {
     * 8-minute benchmark. */
   def renderLine(results: Seq[(String, Double, Option[String])], sfDir: String,
       samples: Map[String, Seq[Double]] = Map.empty,
-      cal: Seq[Double] = Nil): String = {
+      cal: Seq[Double] = Nil, calS: Seq[Double] = Nil): String = {
     // error messages are sanitized at capture, but renderLine must stay
     // JSON-safe on its own contract; only the first 2 are spelled out —
     // a mass failure must not push the line past the driver's tail buffer
@@ -324,9 +348,14 @@ object Bench {
     // `load`: it is the only field that distinguishes a depressed whole
     // run (identical-tree r12→r13 drifted 152.6→193.3 s) from a real
     // regression.
+    // `cal_s` sits beside it: the STREAMING twin (r14 verdict #2 — batch
+    // cal proved blind to the 3–8× stream-family drift on an identical
+    // tree); ~27 chars, same never-degraded status.
     val calJson =
-      if (cal.isEmpty) ""
-      else s""","cal":${cal.map(fmt).mkString("[", ",", "]")}"""
+      (if (cal.isEmpty) ""
+       else s""","cal":${cal.map(fmt).mkString("[", ",", "]")}""") +
+      (if (calS.isEmpty) ""
+       else s""","cal_s":${calS.map(fmt).mkString("[", ",", "]")}""")
     // Family subtotals (prefix before the first '_': c/d/h/s/w/x) — the
     // aggregate record for the sub-second entries the per-query map no
     // longer carries (r7 verdict #7: at 127 queries the driver line omitted

@@ -291,6 +291,28 @@ object EventPipeline {
     UpsertSink.resolve(ss, s"$scratch/sink", resolveKeys)
   }
 
+  /** STREAMING CALIBRATION PROBE (`cal_s`, r14 verdict #2): a fixed,
+    * minimal stream timed at the start, middle and end of a bench sweep.
+    * Round 14 proved the batch `cal` probe blind to stream-family
+    * contention — on a byte-identical tree the batch cal medians were
+    * EQUAL across two sweeps while the `s_*` family drifted 3–8×, because
+    * micro-batch machinery (trigger latency, WAL fsyncs, state-store
+    * maintenance, per-batch planning) is latency-sensitive to co-tenant
+    * load in a way a batch scan+agg is not. This probe IS that machinery
+    * and nothing else: the shared [[runToSink]] tail (fresh checkpoint +
+    * AvailableNow file stream + update-mode keyed aggregation with
+    * |event_type| ≈ 5 state keys + foreachBatch upsert + resolve), with
+    * per-row work too small to register — so its triple moves when and
+    * only when the stream scaffolding's environment does. Fresh scratch
+    * per call: nothing is memoized, every run pays the full fixed cost. */
+  private[graft] def calProbe(s: SparkSession, sfDir: String): DataFrame =
+    runToSink(s, "graft-cal-s-", "update", Seq("event_type")) { ss =>
+      fileStream(ss, sfDir)
+        .filter(col("event_type").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+    }
+
   /** Release the executor-side state-store machinery a completed streamed
     * query leaves behind. A bounded replay terminates, but its loaded
     * `StateStoreProvider` instances (per state partition, per store — a

@@ -58,7 +58,8 @@ class BenchLineSpec extends AnyFunSuite {
   test("worst-case values still fit: budget enforced via degradation/omission") {
     val results = SparkEntry.queries.keys.toSeq.sorted.map(k => (k, 999.99, None))
     val samples = SparkEntry.queries.keys.map(k => k -> Seq(1.0, 99.9, 99.9)).toMap
-    val line = Bench.renderLine(results, sfDir, samples, cal = Seq(99.99, 99.99, 99.99))
+    val line = Bench.renderLine(results, sfDir, samples,
+      cal = Seq(99.99, 99.99, 99.99), calS = Seq(99.99, 99.99, 99.99))
     assert(line.length + 1 <= Bench.lineBudget, s"worst-case line is ${line.length} chars")
   }
 
@@ -69,23 +70,48 @@ class BenchLineSpec extends AnyFunSuite {
       (k, if (i % 10 == 0) 12.34 else 0.42, None)
     }
     val samples = names.map(k => k -> Seq(1.0, 1.1)).toMap
-    val line = Bench.renderLine(results, sfDir, samples, cal = Seq(0.81, 0.95, 2.4))
+    val line = Bench.renderLine(results, sfDir, samples,
+      cal = Seq(0.81, 0.95, 2.4), calS = Seq(1.62, 1.7, 9.5))
     assert(line.length + 1 <= Bench.lineBudget, s"cal line is ${line.length} chars")
     assert(line.contains(""","cal":[0.81,0.95,2.4]"""), s"cal missing: $line")
+    // the streaming twin rides beside it (r14 verdict #2: the batch cal is
+    // blind to stream-family contention — identical trees, equal batch-cal
+    // medians, 3–8× s_* drift)
+    assert(line.contains(""","cal_s":[1.6,1.7,9.5]"""), s"cal_s missing: $line")
     // forced omission fallback — cal must survive like load (it is the
     // only signal separating a depressed run from a regression)
     val fast = (1 to 200).map(i => (f"q_fast_with_a_really_long_name_$i%03d", 0.01, None))
     val fallback = Bench.renderLine(("q_slow", 40.0, None) +: fast, sfDir,
-      cal = Seq(1.2, 1.3, 1.1))
+      cal = Seq(1.2, 1.3, 1.1), calS = Seq(2.0, 2.2, 2.1))
     assert(fallback.contains(""""queries_omitted":"""), "must be in the fallback tier")
     assert(fallback.contains(""","cal":["""), s"cal must survive the fallback: $fallback")
+    assert(fallback.contains(""","cal_s":["""), s"cal_s must survive the fallback: $fallback")
     // absent without measurements (pure re-renders, unit tests)
     assert(!Bench.renderLine(results, sfDir, samples).contains("\"cal\""))
-    // full artifact carries it at 4-decimal precision
+    // full artifact carries both at 4-decimal precision
     val full = Bench.renderFull(Seq(("q_a", 1.0, None)), sfDir,
-      Map("q_a" -> Seq(1.0)), cpus = 32, cal = Seq(0.8123456, 1.25))
+      Map("q_a" -> Seq(1.0)), cpus = 32, cal = Seq(0.8123456, 1.25),
+      calS = Seq(2.00004, 3.5))
     assert(full.contains(""""cal": [0.8123,1.25],"""), full)
+    assert(full.contains(""""cal_s": [2,3.5],"""), full)
     assert(full.count(_ == '{') == full.count(_ == '}'))
+  }
+
+  test("cal_s probe: the fixed stream lands the corpus counts end-to-end") {
+    // the probe must be a REAL stream (fresh checkpoint, AvailableNow,
+    // upsert resolve) whose output is the per-type event census — if it
+    // silently became memoized or empty its triple would stop measuring
+    // the micro-batch machinery it exists to price
+    val spark = SparkTestSession.spark
+    val sf = "/root/testdata/sf0.001"
+    val out = graft.streaming.EventPipeline.calProbe(spark, sf)
+      .select("event_type", "n").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = Tables.events(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("event_type").isNotNull)
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == want, s"probe census diverged: $out vs $want")
   }
 
   test("over-budget fallback drops the FASTEST queries and marks the omission") {
