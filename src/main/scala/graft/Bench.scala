@@ -68,6 +68,35 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
 
+    // Deployment posture for the serving family (round-14 verdict #4): build
+    // the persisted IndexStore ONCE and point the session at it, so every
+    // serving query (`*_in`, the serving `s_*` streams, RM3/LTR/MaxSim
+    // probes) READS its standing index instead of re-deriving it
+    // JVM-first-sample — at 100 TB an index is built once per corpus
+    // snapshot and served for days; benching the re-derivation per query
+    // measured a posture no deployment runs. The build cost is REAL and
+    // recorded (`index_build_sec` in bench_full.json — the production
+    // build-job cost), never hidden inside query samples. Store-vs-memo
+    // answer equality is pinned by IndexPersistSpec; memo mode remains
+    // the default everywhere else (Verify's oracle gate covers the
+    // derivation path). SPARK_GRAFT_NO_INDEX_STORE=1 reverts the bench
+    // to memo mode for A/B comparison; a failed build degrades to memo
+    // mode loudly (stderr) rather than failing the sweep.
+    val indexBuildSec: Double =
+      if (sys.env.contains("SPARK_GRAFT_NO_INDEX_STORE")) -1.0
+      else
+        try {
+          val store = ops.SpillMemo.scratchDir("graft-bench-store-")
+          val t0 = System.nanoTime()
+          graft.tools.IndexBuild.buildTo(spark, sfDir, store)
+          spark.conf.set(ops.IndexStore.indexDirConf, store)
+          (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"index store build failed, memo mode: $e")
+            -1.0
+        }
+
     // Calibration probe (round-13 verdict #2): the identical tree measured
     // 152.6 s (r12) and 193.3 s (r13) at similar reported `load` — the
     // loadavg triple doesn't capture sustained co-tenant pressure, so
@@ -177,7 +206,8 @@ object Bench {
     // round; BASELINE.md points here.
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath),
-      renderFull(results, sfDir, samples.toMap, cpus.toInt, cal.toSeq, calS.toSeq))
+      renderFull(results, sfDir, samples.toMap, cpus.toInt, cal.toSeq, calS.toSeq,
+        indexBuildSec))
     catch { case e: Throwable => System.err.println(s"bench_full write failed: $e") }
     // 10ms precision, trailing zeros stripped, keeps the single JSON line.
     // Emitted LAST — after every stream is quiesced and the session is
@@ -214,7 +244,8 @@ object Bench {
     * `BenchLineSpec` can check shape without running the benchmark. */
   def renderFull(results: Seq[(String, Double, Option[String])], sfDir: String,
       samples: Map[String, Seq[Double]], cpus: Int = 32,
-      cal: Seq[Double] = Nil, calS: Seq[Double] = Nil): String = {
+      cal: Seq[Double] = Nil, calS: Seq[Double] = Nil,
+      indexBuildSec: Double = -1.0): String = {
     def d(v: Double): String = java.math.BigDecimal.valueOf(v)
       .setScale(4, java.math.RoundingMode.HALF_UP).stripTrailingZeros.toPlainString
     val load =
@@ -233,7 +264,11 @@ object Bench {
       (if (cal.isEmpty) ""
        else s"""\n  "cal": ${cal.map(d).mkString("[", ",", "]")},""") +
       (if (calS.isEmpty) ""
-       else s"""\n  "cal_s": ${calS.map(d).mkString("[", ",", "]")},""")
+       else s"""\n  "cal_s": ${calS.map(d).mkString("[", ",", "]")},""") +
+      // the one-time store-build cost the serving family now amortizes
+      // (-1 = memo mode / build failed — queries re-derived per session)
+      (if (indexBuildSec < 0) ""
+       else s"""\n  "index_build_sec": ${d(indexBuildSec)},""")
     s"""{
        |  "sf": "$sf",
        |  "cpus": $cpus,
