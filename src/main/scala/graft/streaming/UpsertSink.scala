@@ -90,4 +90,55 @@ object UpsertSink {
     * maintenance job would do to bound the delta count at 100 TB). */
   def compact(s: SparkSession, dir: String, keys: Seq[String], outDir: String): Unit =
     resolve(s, dir, keys).write.mode("overwrite").parquet(outDir)
+
+  /** IN-PLACE compaction — the maintenance step that bounds [[resolve]]'s
+    * merge-on-read cost on a LONG-RUNNING stream (r14 verdict #5: resolve
+    * reads every batch delta, so an uncompacted sink's read cost grows
+    * with batch count forever). Folds every delta except the in-flight
+    * batch into ONE delta installed as `b<maxId>`, then deletes the older
+    * directories. Correct under last-write-wins because the fold carries
+    * `_batch_id = maxId` and contains EVERY live key: each older delta is
+    * fully shadowed the moment the fold lands, so the delete that follows
+    * only reclaims space — a reader racing the delete resolves the same
+    * table either way.
+    *
+    * REPLAY SAFETY (the [[resolve]] `exceptBatch` precedent): a
+    * foreachBatch body that compacts must exclude ITS OWN batch id —
+    * compacting the current batch's delta into the fold and then
+    * re-running that batch after a crash would overwrite the fold with
+    * the bare per-batch delta, losing every key the fold alone carried.
+    * With the exclusion, replaying the batch re-runs the same
+    * older-deltas-only fold (a fold of a fold is the fold — idempotent;
+    * a single remaining delta is a no-op) and then overwrites its own
+    * delta exactly as [[writeBatch]] always does. Crash ordering: the
+    * fold is fully materialized to a non-`b*` staging dir (invisible to
+    * resolve) BEFORE anything destructive, then installed over
+    * `b<maxId>`, then the shadowed dirs are removed — the one
+    * non-atomic-overwrite window (`b<maxId>` itself) is the same
+    * exposure every [[writeBatch]] replay already has. */
+  def compactInPlace(s: SparkSession, dir: String, keys: Seq[String],
+      exceptBatch: Option[Long] = None): Unit = {
+    val base = new java.io.File(dir)
+    val skip = exceptBatch.map(id => s"b$id").toSet
+    val deltas = Option(base.listFiles())
+      .map(_.filter(f => f.isDirectory && f.getName.startsWith("b") && !skip(f.getName)))
+      .getOrElse(Array.empty[java.io.File])
+    if (deltas.length < 2) return // nothing to fold (also the replay no-op)
+    val maxId = deltas.map(_.getName.drop(1).toLong).max
+    // non-`b` prefix keeps the stage invisible to resolve/readAll; no dot
+    // prefix — Spark's readers treat dot-paths as hidden and filter them
+    val stage = new java.io.File(base, "compact-stage.tmp")
+    // materialize the fold FIRST (resolve reads the very dirs the install
+    // overwrites — laziness would make the write read its own target)
+    resolve(s, dir, keys, exceptBatch)
+      .write.mode("overwrite").parquet(stage.getAbsolutePath)
+    writeBatch(s.read.parquet(stage.getAbsolutePath), maxId, dir)
+    deltas.filter(_.getName != s"b$maxId").foreach(deleteTree)
+    deleteTree(stage)
+  }
+
+  private def deleteTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteTree))
+    f.delete()
+  }
 }
