@@ -184,6 +184,60 @@ object MatView {
     merged.join(exact, Seq("event_type", "day"))
   }
 
+  /** KPI-GRAIN INCREMENTAL MV (r14 verdict #6) — the reference's OWN
+    * materialized-view grain: its dashboard tables are sliding-window KPI
+    * relations keyed by (window_start, window_end, user_id)
+    * (`consumer/consumer.py:116-126`, SURVEY §1.3), recomputed from
+    * scratch per dashboard rerun. This is the operator that makes that
+    * refresh O(delta) at 100 TB: per-slice partial WINDOW counts (the
+    * same `window(ts, 10 min, 5 min)` expansion the serving queries use —
+    * [[graft.streaming.EventPipeline.windowCounts]], one definition, so
+    * the MV and the live query cannot drift) are a counting monoid keyed
+    * by (window, user), so base ∪ delta merges by plain addition. The
+    * sliding expansion commutes with slicing — each event contributes its
+    * W/S = 2 window rows in whichever slice it lands — which is exactly
+    * why the fold is lawful; `MatViewSpec` pins merge ≡ recompute on
+    * adversarial slicings, the oracle pins the refreshed view against
+    * DuckDB's arithmetic window reconstruction (`WindowAgg.windowsSql`).
+    * Plan: columnar read of the spilled |windows|×|users| base ∪ one scan
+    * of the delta slice (map-side partials collapse the 2× fan-out) → one
+    * exchange on the view key → merge. Nothing touches base-corpus rows. */
+  private[graft] def kpiState(slice: DataFrame): DataFrame =
+    graft.streaming.EventPipeline.windowCounts(slice, "user_id", watermark = None)
+      .withColumnRenamed("total_interactions", "n")
+
+  /** Session memo for the spilled KPI base view ([[SpillMemo]] contract —
+    * the derivation cost is the first bench sample, like [[baseView]]). */
+  private val kpiMemo =
+    scala.collection.concurrent.TrieMap.empty[(Long, String), String]
+
+  private[graft] def kpiBaseView(s: SparkSession, d: String): DataFrame = {
+    val key = (SpillMemo.sessionId(s), d)
+    val path = kpiMemo.synchronized(kpiMemo.getOrElseUpdate(key, {
+      val out = SpillMemo.scratchDir("graft-matview-kpi-")
+      kpiState(Tables.events(s, d).filter(!isDelta))
+        .write.mode("overwrite").parquet(out)
+      out
+    }))
+    s.read.parquet(path)
+  }
+
+  /** Window-count merge = keyed addition (exposed for the algebra spec). */
+  private[graft] def mergeKpi(view: DataFrame, delta: DataFrame): DataFrame =
+    view.unionAll(delta)
+      .groupBy(col("window_start"), col("window_end"), col("user_id"))
+      .agg(sum(col("n")).as("total_interactions"))
+
+  /** Incremental refresh of the reference-grain KPI view: fold the delta
+    * slice's partial window counts into the materialized base. Output is
+    * column-identical to the live `w_user_windows` query — the refreshed
+    * MV IS the dashboard table. */
+  def mvKpiRefresh(s: SparkSession, d: String): DataFrame =
+    mergeKpi(kpiBaseView(s, d),
+      kpiState(Tables.events(s, d).filter(isDelta)))
+      .select(col("window_start"), col("window_end"), col("user_id"),
+        col("total_interactions"))
+
   /** Histogram geometry for [[mvQuantile]] — TUNABLEs shared with the
     * oracle: [[histB]] equi-width buckets of [[histW]] value units (the
     * fixture's `value` lives in (0, ~500), so the grid covers it with a
@@ -362,6 +416,7 @@ object MatView {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_mv_refresh" -> mvRefresh,
+    "x_mv_kpi_refresh" -> mvKpiRefresh,
     "x_mv_quantile" -> mvQuantile,
     "x_mv_rollup_chain" -> mvRollupChain,
     "d_value_bands" -> valueBands)
@@ -374,6 +429,10 @@ object MatView {
     * in Spark, so the rounding mode must be spelled out to be portable
     * (the quotient itself is the same IEEE division in both engines). */
   val oracle: Map[String, String] = Map(
+    // the refreshed KPI view must equal the full sliding-window recompute —
+    // DuckDB reconstructs the two overlapping windows arithmetically
+    // (WindowAgg.windowsSql, the same SQL that pins the live query)
+    "x_mv_kpi_refresh" -> graft.ops.WindowAgg.windowsSql("user_id"),
     "x_mv_refresh" ->
       """SELECT event_type, CAST(ts AS DATE) AS day,
         |       count(*) AS n,

@@ -45,6 +45,40 @@ class MatViewSpec extends SparkSpec {
     }
   }
 
+  test("KPI-grain MV: window-count merge == recompute under adversarial slicings") {
+    // the sliding expansion commutes with slicing: each event contributes
+    // its 2 window rows in whichever slice it lands, so partial window
+    // counts merge by plain addition — including the degenerate slicings
+    def kpiFlat(states: DataFrame): Set[(String, String, Long, Long)] =
+      states.select(col("window_start").cast("string"),
+        col("window_end").cast("string"), col("user_id"), col("n"))
+        .as[(String, String, Long, Long)].collect().toSet
+    val whole = kpiFlat(MatView.kpiState(ev))
+    assert(whole.nonEmpty)
+    Seq(col("event_id") % 2 === 0, lit(false), lit(true), col("event_id") === 17)
+      .foreach { isDelta =>
+        val merged = MatView.mergeKpi(
+          MatView.kpiState(ev.filter(!isDelta)), MatView.kpiState(ev.filter(isDelta)))
+          .select(col("window_start").cast("string"),
+            col("window_end").cast("string"), col("user_id"),
+            col("total_interactions"))
+          .as[(String, String, Long, Long)].collect().toSet
+        assert(merged == whole, s"KPI merge != recompute for delta slice $isDelta")
+      }
+    // the refreshed fixture view IS the live query's relation
+    val refreshed = MatView.mvKpiRefresh(spark, sf)
+      .select(col("window_start").cast("string"),
+        col("window_end").cast("string"), col("user_id"),
+        col("total_interactions"))
+      .as[(String, String, Long, Long)].collect().toSet
+    val live = graft.ops.WindowAgg.userWindows(spark, sf)
+      .select(col("window_start").cast("string"),
+        col("window_end").cast("string"), col("user_id"),
+        col("total_interactions"))
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(refreshed == live, "refreshed KPI MV diverged from the live query")
+  }
+
   test("histogram quantile: merge == recompute; estimate within one bucket of the true median") {
     val whole = MatView.histState(ev)
     val wholeSet = whole.as[(String, Long, Long)].collect().toSet

@@ -111,6 +111,20 @@ class MvStreamSpec extends SparkSpec {
     assert(after == whole, "batch replay changed the resolved view")
   }
 
+  test("golden: streamed KPI-grain refresh equals the batch refresh and the live query") {
+    def kpi(df: DataFrame): Set[(String, String, Long, Long)] =
+      df.select(col("window_start").cast("string"),
+        col("window_end").cast("string"), col("user_id"),
+        col("total_interactions"))
+        .as[(String, String, Long, Long)].collect().toSet
+    val streamed = kpi(MvStream.streamedKpiRefresh(spark, sf))
+    assert(streamed.nonEmpty)
+    assert(streamed == kpi(MatView.mvKpiRefresh(spark, sf)),
+      "streamed KPI MV diverged from the batch refresh")
+    assert(streamed == kpi(graft.ops.WindowAgg.userWindows(spark, sf)),
+      "streamed KPI MV diverged from the live window query")
+  }
+
   test("golden: streamed maintained-grid bands equal the batch d_value_bands") {
     val bands = (df: DataFrame) =>
       df.select(col("event_type"), col("n"), col("q_bp"), col("est_c"))
