@@ -53,7 +53,8 @@ object SparkEntry {
     (streaming.BandsStream.queries, streaming.BandsStream.oracle),
     (streaming.IndexMergeStream.queries, streaming.IndexMergeStream.oracle),
     (streaming.SplitGateStream.queries, streaming.SplitGateStream.oracle),
-    (streaming.SampleStream.queries, streaming.SampleStream.oracle))
+    (streaming.SampleStream.queries, streaming.SampleStream.oracle),
+    (streaming.PhashStream.queries, streaming.PhashStream.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's core computation: sliding-window per-user interaction

@@ -491,6 +491,221 @@ object MultimodalPipeline {
         sum(when(col("is_admit") && col("is_aligned"), col("n_words"))
           .otherwise(0L)).as("tokens_admitted"))
 
+  // ---------------------------------------------------------------------
+  // MULTIMODAL NEAR-DUP: perceptual block-hash fingerprints (r14 verdict
+  // #8's named candidate tier — SimHash-family dedup applied to decoded
+  // pixel blocks, reusing [[graft.ops.Dedup.simhashPairs]]' band-bucket
+  // discipline and this file's real-decode path).
+
+  /** Block grid: 8×8 = 64 mean-luma blocks → a 64-bit fingerprint carried
+    * as two 32-bit words (`phash_lo` bits 0–31, `phash_hi` 32–63; BIGINT
+    * bit 63 is sign territory in both engines, so the split keeps every
+    * shift in safe range). */
+  private[graft] val phashGrid = 8
+
+  /** The blockhash fingerprint of one decoded image, in pure integer
+    * arithmetic so the DuckDB oracle reproduces it bit-for-bit from the
+    * pixel formula: luma = r+g+b per pixel; pixel (x,y) belongs to block
+    * (⌊x·8/w⌋, ⌊y·8/h⌋); bit i (i = by·8+bx) is set iff the block's mean
+    * luma exceeds the image mean — compared cross-multiplied
+    * (`blockSum·nPx > totalSum·blockPx`), never divided, so there is no
+    * rounding mode to disagree on. Resolution-invariant by construction:
+    * a k× nearest-neighbor upscale multiplies every operand of the
+    * comparison by k², flipping nothing — the property that makes
+    * blockhash find RESIZED copies, which is what a multimodal
+    * dedup pass actually hunts. */
+  private def blockHashOf(img: java.awt.image.BufferedImage): (Long, Long) = {
+    val w = img.getWidth; val h = img.getHeight
+    val g = phashGrid
+    val sums = new Array[Long](g * g)
+    val cnts = new Array[Long](g * g)
+    var tot = 0L
+    var y = 0
+    while (y < h) {
+      val by = y * g / h
+      var x = 0
+      while (x < w) {
+        val bx = x * g / w
+        val p = img.getRGB(x, y)
+        val luma = ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+        val i = by * g + bx
+        sums(i) += luma; cnts(i) += 1; tot += luma
+        x += 1
+      }
+      y += 1
+    }
+    val nPx = w.toLong * h
+    var lo = 0L; var hi = 0L
+    var i = 0
+    while (i < g * g) {
+      if (sums(i) * nPx > tot * cnts(i)) {
+        if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+      }
+      i += 1
+    }
+    (lo, hi)
+  }
+
+  /** Fingerprints of the corpus images: real PNG decode → [[blockHashOf]].
+    * `mapPartitions` only because a codec forces it (the [[imageStats]]
+    * precedent); output is 2 longs per image regardless of pixel count. */
+  def imagePhash(s: SparkSession, d: String): DataFrame =
+    imagePhashOf(imageRecords(s, d))
+
+  /** [[imagePhash]] over any (doc_id, png) frame — the per-micro-batch
+    * form the streamed ingest probe feeds. */
+  private[graft] def imagePhashOf(recs: DataFrame): DataFrame = {
+    val s = recs.sparkSession
+    import s.implicits._
+    recs.as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, png) =>
+        val (lo, hi) = blockHashOf(
+          javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png)))
+        (id, lo, hi)
+      })
+      .toDF("doc_id", "phash_lo", "phash_hi")
+  }
+
+  /** Resized-copy fixture: doc ids in the [[variantSlice]] get a 2×
+    * nearest-neighbor upscale of their ORIGINAL image, re-encoded through
+    * the real PNG writer and keyed `doc_id + variantOffset` — the
+    * arriving "re-posted thumbnail/upscale" a visual dedup pass exists to
+    * catch. The upscale runs on the DECODED original pixels, so the
+    * variant's bytes are a genuinely different PNG whose blockhash is
+    * provably equal on this slice ([[variantMod]]'s alignment note). */
+  private[graft] val variantOffset = 10000000L
+
+  /** Variant slice: doc_id % 9 == 0 — exactly the 16×16 fixtures, whose
+    * dimensions are BLOCK-ALIGNED (8 | w and 8 | h). Alignment is what
+    * makes the 2× upscale's fingerprint PROVABLY equal: with blocks an
+    * exact k pixels wide, every upscaled sub-pixel ⌊(2u+r)/2k⌋ lands in
+    * its source pixel's block ⌊u/k⌋ (r/2 < 1 can never cross an integer
+    * boundary), so each block's (sum, count) scales by exactly 4 and no
+    * cross-multiplied comparison flips. On non-aligned dims blockhash is
+    * only approximately resolution-invariant (boundary sub-pixels split
+    * across blocks) — the standard perceptual-hash caveat, stated here
+    * rather than papered over; production near-dup passes pair it with a
+    * Hamming threshold for exactly that reason. */
+  private[graft] val variantMod = 9L
+  private[graft] val variantRem = 0L
+
+  private[graft] def imageVariantRecords(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    imageVariantRecordsOf(
+      Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .filter((id: Long) => id % variantMod == variantRem))
+  }
+
+  /** [[imageVariantRecords]] over any id set — the per-micro-batch form
+    * the streamed ingest probe feeds (ids are ORIGINAL doc ids; the slice
+    * filter is the caller's). */
+  private[graft] def imageVariantRecordsOf(ids: org.apache.spark.sql.Dataset[Long]): DataFrame = {
+    val s = ids.sparkSession
+    import s.implicits._
+    ids.mapPartitions(_.map { id =>
+        val w = pngWidth(id); val h = pngHeight(id)
+        val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val (r, g, b) = pix(id, x, y)
+            img.setRGB(x, y, (r << 16) | (g << 8) | b)
+            x += 1
+          }
+          y += 1
+        }
+        val up = new java.awt.image.BufferedImage(2 * w, 2 * h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var yy = 0
+        while (yy < 2 * h) {
+          var xx = 0
+          while (xx < 2 * w) {
+            up.setRGB(xx, yy, img.getRGB(xx / 2, yy / 2))
+            xx += 1
+          }
+          yy += 1
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(up, "png", out)
+        (id + variantOffset, out.toByteArray)
+      })
+      .toDF("doc_id", "png")
+  }
+
+  /** Banding for the near-dup candidate join: 4 × 16-bit bands over the
+    * 64-bit fingerprint — two fingerprints within Hamming distance 3 MUST
+    * agree on at least one whole band (pigeonhole: 4 bands, ≤3 flipped
+    * bits), so the bucket join loses no true pair at [[phashHammingMax]].
+    * 16-bit keys (65536 buckets/band) keep Σcnt² candidate volume far
+    * below all-pairs; at 100 TB widen to 8×8-bit bands only if the
+    * threshold must rise (the [[graft.ops.Dedup.simhashPairs]] trade). */
+  private[graft] val phashHammingMax = 3L
+
+  private def phashBands(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), col("phash_lo"), col("phash_hi"),
+      explode(expr(
+        "transform(sequence(0, 3), b -> named_struct(" +
+          "'band', CAST(b AS BIGINT), " +
+          "'bkey', CASE WHEN b < 2 THEN shiftright(phash_lo, b * 16) & 65535 " +
+          "ELSE shiftright(phash_hi, (b - 2) * 16) & 65535 END))")).as("bb"))
+      .select(col("doc_id"), col("phash_lo"), col("phash_hi"),
+        col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+
+  /** VISUAL NEAR-DUP PAIRS over originals ∪ resized variants: band-bucket
+    * candidate join + exact Hamming verify (two `bit_count`s per pair) —
+    * every (original, 2×-upscale) pair surfaces at Hamming 0 by
+    * [[blockHashOf]]'s invariance, plus any genuine ≤3-bit collisions.
+    * The ORACLE is all-pairs over formula-computed fingerprints — a
+    * SEMANTIC pin: the banded engine must find exactly the pairs
+    * brute-force finds, so a banding bug (lost bucket, wrong shift)
+    * hash-fails rather than hiding behind a mirrored implementation. */
+  def imageNearDup(s: SparkSession, d: String): DataFrame = {
+    val sig = Lineage.cut(
+      imagePhash(s, d).unionAll(imagePhashOf(imageVariantRecords(s, d))))
+    val bands = phashBands(sig)
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (expr("bit_count(a.phash_lo ^ b.phash_lo)") +
+          expr("bit_count(a.phash_hi ^ b.phash_hi)")).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= phashHammingMax)
+  }
+
+  /** Ingest-time visual dedup decision, batch form (the streamed twin is
+    * [[graft.streaming.PhashStream]]): each ARRIVING image (the resized
+    * variants) probes the STANDING corpus fingerprint index through the
+    * band buckets; emit per arrival the best match (lowest Hamming, ties
+    * to the smallest corpus id) and the duplicate verdict. One row per
+    * arriving image — the admit/reject column an ingest gate consumes. */
+  def imagePhashProbe(s: SparkSession, d: String): DataFrame =
+    phashProbeOf(imagePhashOf(imageVariantRecords(s, d)),
+      Lineage.cut(imagePhash(s, d)))
+
+  /** The probe against a given standing index — ONE definition shared by
+    * the batch form and the streamed twin. */
+  private[graft] def phashProbeOf(arriving: DataFrame, standing: DataFrame): DataFrame = {
+    val a = phashBands(arriving)
+    val c = phashBands(standing)
+    val hits = a.as("a").join(c.as("c"),
+        col("a.band") === col("c.band") && col("a.bkey") === col("c.bkey"))
+      .select(col("a.doc_id").as("new_id"), col("c.doc_id").as("corpus_id"),
+        (expr("bit_count(a.phash_lo ^ c.phash_lo)") +
+          expr("bit_count(a.phash_hi ^ c.phash_hi)")).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= phashHammingMax)
+      .groupBy(col("new_id"))
+      .agg(min(struct(col("hamming"), col("corpus_id"))).as("best"))
+      .select(col("new_id"), col("best.corpus_id").as("dup_of"),
+        col("best.hamming").as("hamming"))
+    arriving.select(col("doc_id").as("new_id"))
+      .join(hits, Seq("new_id"), "left")
+      .select(col("new_id"), col("dup_of"),
+        coalesce(col("hamming"), lit(-1L)).as("hamming"),
+        col("dup_of").isNotNull.as("is_dup"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_mm_features" -> features,
     "x_mm_frames" -> frames,
@@ -498,7 +713,55 @@ object MultimodalPipeline {
     "x_mm_video_stats" -> videoStats,
     "x_mm_alignment" -> alignment,
     "x_mm_curation" -> mmCuration,
-    "x_mm_audio_stats" -> audioStats)
+    "x_mm_audio_stats" -> audioStats,
+    "x_mm_image_phash" -> imagePhash,
+    "x_mm_image_neardup" -> imageNearDup,
+    "x_mm_phash_probe" -> imagePhashProbe)
+
+  /** CTE chain computing blockhash fingerprints from the PIXEL FORMULA —
+    * the oracle never sees PNG bytes (the `x_mm_image_stats` contract), so
+    * a decode, grid, or bit-assembly bug cannot hash-match. With
+    * `withVariants` the chain also fingerprints the 2×-upscale fixture
+    * (pixel (x,y) = original (x//2, y//2) — DuckDB `//` floors, matching
+    * the integer division of the nearest-neighbor upscale). NOTE DuckDB
+    * `^` is POWER; xor is the `xor()` function. */
+  private def phashSqlCtes(withVariants: Boolean): String = {
+    val ids =
+      if (withVariants)
+        s"""SELECT doc_id, doc_id AS src, 1 AS scale FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + $variantOffset, doc_id, 2 FROM documents
+           |  WHERE doc_id % $variantMod = $variantRem"""
+      else "SELECT doc_id, doc_id AS src, 1 AS scale FROM documents"
+    s"""ids AS (
+       |  ${ids.stripMargin}
+       |),
+       |dim AS (SELECT doc_id, src, scale,
+       |          scale * (8 + src % 9) AS w, scale * (8 + (src * 3) % 9) AS h
+       |        FROM ids),
+       |pxs AS (SELECT doc_id, src, scale, w, h, unnest(range(0, w)) AS x FROM dim),
+       |pys AS (SELECT doc_id, src, scale, w, h, x, unnest(range(0, h)) AS y FROM pxs),
+       |plm AS (SELECT doc_id, x * 8 // w AS bx, y * 8 // h AS by,
+       |          ((src + 7 * (x // scale) + 13 * (y // scale)) % 256)
+       |          + ((2 * src + 5 * (x // scale) + 11 * (y // scale)) % 256)
+       |          + ((3 * src + (x // scale) * (y // scale)) % 256) AS luma
+       |        FROM pys),
+       |blk AS (SELECT doc_id, by * 8 + bx AS idx,
+       |          CAST(sum(luma) AS BIGINT) AS bsum,
+       |          CAST(count(*) AS BIGINT) AS bpx
+       |        FROM plm GROUP BY 1, 2),
+       |ptot AS (SELECT doc_id, CAST(sum(bsum) AS BIGINT) AS tsum,
+       |           CAST(sum(bpx) AS BIGINT) AS tpx FROM blk GROUP BY 1),
+       |pbits AS (SELECT b.doc_id, b.idx,
+       |            CASE WHEN b.bsum * t.tpx > t.tsum * b.bpx THEN 1 ELSE 0 END AS bit
+       |          FROM blk b JOIN ptot t USING (doc_id)),
+       |ph AS (SELECT doc_id,
+       |         CAST(COALESCE(sum(CASE WHEN idx < 32
+       |           THEN bit * (CAST(1 AS BIGINT) << idx) END), 0) AS BIGINT) AS phash_lo,
+       |         CAST(COALESCE(sum(CASE WHEN idx >= 32
+       |           THEN bit * (CAST(1 AS BIGINT) << (idx - 32)) END), 0) AS BIGINT) AS phash_hi
+       |       FROM pbits GROUP BY 1)""".stripMargin
+  }
 
   /** Oracle mirrors the stub arithmetic on the source text. PRECONDITION
     * (checked by `MultimodalSpec`): the synthetic `documents.text` is pure
@@ -638,5 +901,43 @@ object MultimodalPipeline {
         |FROM documents d
         |JOIN mg ON mg.doc_id = d.doc_id
         |JOIN al ON al.doc_id = d.doc_id
-        |GROUP BY 1, 2""".stripMargin)
+        |GROUP BY 1, 2""".stripMargin,
+    // Fingerprints from the pixel formula — a real-decode + grid + bit
+    // assembly that disagrees in ANY bit cannot hash-match.
+    "x_mm_image_phash" ->
+      s"""WITH ${phashSqlCtes(withVariants = false)}
+         |SELECT doc_id, phash_lo, phash_hi FROM ph""".stripMargin,
+    // SEMANTIC oracle: brute-force all-pairs Hamming over the
+    // formula-computed fingerprints — the banded engine must find exactly
+    // this set (pigeonhole-lossless at <=3), so a lost bucket or wrong
+    // shift fails the hash instead of hiding in a mirrored banding.
+    "x_mm_image_neardup" ->
+      s"""WITH ${phashSqlCtes(withVariants = true)}
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(bit_count(xor(a.phash_lo, b.phash_lo))
+         |            + bit_count(xor(a.phash_hi, b.phash_hi)) AS BIGINT) AS hamming
+         |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.phash_lo, b.phash_lo))
+         |      + bit_count(xor(a.phash_hi, b.phash_hi)) <= $phashHammingMax""".stripMargin,
+    // Per-arrival best match (lowest Hamming, ties to the smallest corpus
+    // id) + the duplicate verdict; -1 hamming = no match within threshold.
+    "x_mm_phash_probe" ->
+      s"""WITH ${phashSqlCtes(withVariants = true)},
+         |hit AS (SELECT n.doc_id AS new_id, o.doc_id AS corpus_id,
+         |          CAST(bit_count(xor(n.phash_lo, o.phash_lo))
+         |               + bit_count(xor(n.phash_hi, o.phash_hi)) AS BIGINT) AS hamming
+         |        FROM ph n JOIN ph o
+         |          ON n.doc_id >= $variantOffset AND o.doc_id < $variantOffset
+         |        WHERE bit_count(xor(n.phash_lo, o.phash_lo))
+         |              + bit_count(xor(n.phash_hi, o.phash_hi)) <= $phashHammingMax),
+         |best AS (SELECT new_id, corpus_id, hamming FROM (
+         |           SELECT new_id, corpus_id, hamming,
+         |             row_number() OVER (PARTITION BY new_id
+         |               ORDER BY hamming, corpus_id) AS rnk
+         |           FROM hit) WHERE rnk = 1)
+         |SELECT v.doc_id AS new_id, b.corpus_id AS dup_of,
+         |       CAST(COALESCE(b.hamming, -1) AS BIGINT) AS hamming,
+         |       b.corpus_id IS NOT NULL AS is_dup
+         |FROM (SELECT doc_id FROM ph WHERE doc_id >= $variantOffset) v
+         |LEFT JOIN best b ON b.new_id = v.doc_id""".stripMargin)
 }

@@ -366,6 +366,37 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("perceptual blockhash: upscale-invariant; banding finds exactly the brute-force pairs; probe flags every variant") {
+    // invariance: every 2x-upscaled variant's fingerprint EQUALS its
+    // original's (cross-multiplied block-mean comparison scales by k^2)
+    val orig = MultimodalPipeline.imagePhash(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val vars = MultimodalPipeline.imagePhashOf(
+        MultimodalPipeline.imageVariantRecords(spark, sf))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(vars.nonEmpty)
+    vars.foreach { case (vid, ph) =>
+      assert(ph == orig(vid - MultimodalPipeline.variantOffset),
+        s"upscaled fingerprint diverged for variant $vid") }
+    // banding is pigeonhole-lossless at the threshold: the banded pairs
+    // equal a driver-side brute force over all fingerprints
+    val all = orig ++ vars
+    val brute = (for {
+      (a, (al, ah)) <- all.toSeq; (b, (bl, bh)) <- all.toSeq if a < b
+      ham = java.lang.Long.bitCount(al ^ bl) + java.lang.Long.bitCount(ah ^ bh)
+      if ham <= MultimodalPipeline.phashHammingMax
+    } yield (a, b, ham.toLong)).toSet
+    val banded = MultimodalPipeline.imageNearDup(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded == brute, "banded pairs diverged from brute force")
+    // the ingest probe marks every variant a duplicate of its original
+    val probe = MultimodalPipeline.imagePhashProbe(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getBoolean(3))).toMap
+    assert(probe.keySet == vars.keySet)
+    vars.keySet.foreach(vid =>
+      assert(probe(vid), s"variant $vid not flagged as duplicate"))
+  }
+
   test("video stats: genuine animated-GIF containers, real frame decode, stride bites") {
     // the payloads are genuine GIF containers (magic header), multi-frame
     val recs = MultimodalPipeline.videoRecords(spark, sf).limit(3)
