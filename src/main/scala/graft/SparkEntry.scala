@@ -54,7 +54,8 @@ object SparkEntry {
     (streaming.IndexMergeStream.queries, streaming.IndexMergeStream.oracle),
     (streaming.SplitGateStream.queries, streaming.SplitGateStream.oracle),
     (streaming.SampleStream.queries, streaming.SampleStream.oracle),
-    (streaming.PhashStream.queries, streaming.PhashStream.oracle))
+    (streaming.PhashStream.queries, streaming.PhashStream.oracle),
+    (streaming.CeStream.queries, streaming.CeStream.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's core computation: sliding-window per-user interaction

@@ -548,6 +548,60 @@ object Search {
         max(col("df")).as("max_df"))
   }
 
+  /** CROSS-ENCODER-SHAPE RERANK HEAD — one SQL text both engines evaluate
+    * (the [[scoreSql]] stance) over the [[ltrFeatures]] pair columns. The
+    * weights and saturation knees are a deterministic STUB for the
+    * distilled cross-encoder logit (the `decodeStub`/CLIP-head
+    * discipline: no learned weights ship in this container); the
+    * `least`/`greatest` saturations make the head NON-LINEAR in the
+    * features — the structural property separating a cross-encoder logit
+    * from the LTR linear blend. Swapping in a real model replaces THIS
+    * EXPRESSION with a batched `mapPartitions`/`mapInPandas` inference
+    * over the same k-bounded pair relation (per-partition model init, the
+    * multimodal-codec shape) and nothing else in the plan moves — which
+    * is the entire 100 TB story of cross-encoder reranking: the model
+    * only ever sees queries × k candidate rows, never the corpus. */
+  private[graft] val ceLogitSql: String =
+    "CAST(3 * least(score_m, 20000) + 2 * greatest(lm_fp, -2000000) " +
+      "+ 1000 * n_terms - 50 * least(dl, 400) AS BIGINT)"
+
+  /** Second-stage rerank of the member BM25 top-k by the cross-encoder
+    * head: one feature pass ([[ltrFeatures]] — the training/serving-skew
+    * guard extends to the RERANKER: the features the head scores are
+    * byte-identical to the features the trainer logged), logit per pair,
+    * re-rank window over ≤[[topK]] rows per query. Emits the before/after
+    * ranks plus the graded label, so the rank movement is auditable
+    * row-for-row against `x_search_ce_ndcg`'s quality readout. */
+  def ceRerank(s: SparkSession, d: String): DataFrame =
+    ceRerankOf(ltrFeatures(s, d))
+
+  /** Ingest-serving twin: the same head over the standing/arriving split
+    * ([[ltrIngestFeatures]]) — what the streamed reranker runs per
+    * micro-batch. */
+  def ceIngestRerank(s: SparkSession, d: String): DataFrame =
+    ceRerankOf(ltrIngestFeatures(s, d))
+
+  /** [[ceRerank]]'s core over any [[ltrFeaturesOn]] relation — ONE
+    * definition across the member form, the batch ingest twin and the
+    * streamed serving reranker. */
+  private[graft] def ceRerankOf(feat: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("ce_fp").desc, col("neighbor_id").asc)
+    feat
+      .withColumn("ce_fp", expr(ceLogitSql))
+      .select(col("query_id"), col("neighbor_id"), col("rnk").as("bm25_rnk"),
+        col("score_m"), col("lm_fp"), col("ce_fp"), col("rel"))
+      .withColumn("ce_rnk", row_number().over(w).cast("long"))
+  }
+
+  /** nDCG of the cross-encoder ranking — the eval matrix's THIRD scorer
+    * row, through the SAME labels, discount table and cutoff as the BM25
+    * and LM evals ([[ndcgOf]] — only the ranking differs), so the
+    * three-way quality comparison is row-for-row meaningful. */
+  def ceNdcgEval(s: SparkSession, d: String): DataFrame =
+    ndcgOf(ceRerank(s, d)
+      .select(col("query_id"), col("ce_rnk").as("rnk"), col("rel")))
+
   /** PAIRWISE PREFERENCE PAIRS from the [[ltrFeatures]] relation — the
     * RankNet/LambdaRank training input: per query, every (better, worse)
     * candidate pair under the graded labels, carrying the signal deltas a
@@ -1555,6 +1609,9 @@ object Search {
     "x_search_ltr" -> ltrFeatures,
     "x_search_ltr_in" -> ltrIngestFeatures,
     "x_search_ltr_pairs" -> ltrPairs,
+    "x_search_ce_rerank" -> ceRerank,
+    "x_search_ce_in" -> ceIngestRerank,
+    "x_search_ce_ndcg" -> ceNdcgEval,
     "x_search_index_stats" -> indexStats,
     "x_search_scorer_diff" -> scorerDiff,
     "x_search_rank_churn" -> rankChurn,
@@ -1738,6 +1795,19 @@ object Search {
   /** The nDCG metric tail over any ranked source relation (`rk` for BM25,
     * `lrk` for the LM ranking) — one labels/discounts/cutoff text across
     * every evaluated ranking, the SQL twin of [[ndcgOf]]/[[gradedHitsOf]]. */
+  /** The cross-encoder rerank tail over the `feat` relation — shared by
+    * the member and ingest oracles (and the streamed twin: stateless
+    * stream-static ⇒ the batch ingest oracle verbatim). */
+  private def ceRerankSqlTail: String =
+    s""",
+       |cef AS (SELECT query_id, neighbor_id, rnk AS bm25_rnk, score_m,
+       |          lm_fp, rel, $ceLogitSql AS ce_fp
+       |        FROM feat)
+       |SELECT query_id, neighbor_id, bm25_rnk, score_m, lm_fp, ce_fp, rel,
+       |       CAST(row_number() OVER (PARTITION BY query_id
+       |         ORDER BY ce_fp DESC, neighbor_id ASC) AS BIGINT) AS ce_rnk
+       |FROM cef""".stripMargin
+
   private def ndcgSqlTail(src: String): String = {
     import graft.ops.Sampling.log2fpDuck
     s""",
@@ -1891,6 +1961,23 @@ object Search {
       (ltrFeatCtes("true", s"doc_id % $searchStride = 0") +
         "\nSELECT query_id, neighbor_id, rnk, score_m, n_terms, lm_fp," +
         "\n       lm_terms, dl, n_q, rel\nFROM feat"),
+    // cross-encoder head + rerank window over the shared feature chain:
+    // the logit is ceLogitSql VERBATIM (one text, both engines)
+    "x_search_ce_rerank" ->
+      (ltrFeatCtes("true", s"doc_id % $searchStride = 0") + ceRerankSqlTail),
+    "x_search_ce_in" ->
+      (ltrFeatCtes(s"doc_id % ${Similarity.knnBatchMod} <> 7",
+        s"doc_id % ${Similarity.knnBatchMod} = 7") + ceRerankSqlTail),
+    // the eval matrix's third scorer row: same labels/discounts/cutoff as
+    // x_search_ndcg / x_search_ndcg_lm, only the ranking differs
+    "x_search_ce_ndcg" ->
+      (ltrFeatCtes("true", s"doc_id % $searchStride = 0") +
+        s""",
+           |cef AS (SELECT query_id, neighbor_id, $ceLogitSql AS ce_fp FROM feat),
+           |cer AS (SELECT query_id, neighbor_id,
+           |          CAST(row_number() OVER (PARTITION BY query_id
+           |            ORDER BY ce_fp DESC, neighbor_id ASC) AS BIGINT) AS rnk
+           |        FROM cef)""".stripMargin + ndcgSqlTail("cer")),
     // ingest-time feature logging: the SAME feature chain over the
     // standing/arrival split — the training/serving-skew guard in SQL
     "x_search_ltr_in" ->

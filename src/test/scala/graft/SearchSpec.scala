@@ -723,4 +723,41 @@ class SearchSpec extends SparkSpec {
       val rnks = rs.map(_.getLong(5)).sorted.toSeq
       assert(rnks == (1L to rs.length).toSeq, "prnk not contiguous from 1") }
   }
+
+  test("cross-encoder rerank: permutation of the candidates, head recomputed driver-side, non-degenerate") {
+    val rows = graft.ops.Search.ceRerank(spark, sf)
+      .select("query_id", "neighbor_id", "bm25_rnk", "score_m", "lm_fp",
+        "ce_fp", "ce_rnk")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    // the head is exactly the documented stub logit — recomputed here from
+    // the feature relation, independently of the SQL text both plans share
+    val feat = graft.ops.Search.ltrFeatures(spark, sf)
+      .select("query_id", "neighbor_id", "score_m", "lm_fp", "n_terms", "dl")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (3L * math.min(r.getLong(2), 20000L) + 2L * math.max(r.getLong(3), -2000000L)
+          + 1000L * r.getLong(4) - 50L * math.min(r.getLong(5), 400L)))
+      .toMap
+    rows.foreach { case (q, n, _, _, _, ce, _) =>
+      assert(ce == feat((q, n)), s"head diverged for ($q, $n)") }
+    // per query: the rerank is a PERMUTATION of the BM25 candidates (a
+    // second stage reorders, never adds or drops), contiguous from 1,
+    // ordered by (ce_fp desc, neighbor_id)
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == rs.map(_._7).sorted.toSeq,
+        s"rerank not a permutation for query $q")
+      val byCe = rs.sortBy(r => (-r._6, r._2)).map(_._7).toSeq
+      assert(byCe == (1L to rs.length).toSeq, s"ce_rnk order wrong for $q")
+    }
+    // non-degenerate: the second stage must actually MOVE something
+    assert(rows.exists { case (_, _, bm, _, _, _, ce) => bm != ce },
+      "cross-encoder rerank never disagreed with BM25 — head degenerate")
+    // the eval row set covers exactly the reranked queries
+    val evalQs = graft.ops.Search.ceNdcgEval(spark, sf)
+      .select("query_id").collect().map(_.getLong(0)).toSet
+    assert(evalQs == rows.map(_._1).toSet)
+  }
 }
