@@ -142,44 +142,51 @@ object MultimodalPipeline {
       .mapPartitions { ids =>
         val grays = Array.tabulate(256)(_.toByte)
         val cm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
-        ids.map { id =>
-          val w = vidW(id); val h = vidH(id)
-          val out = new java.io.ByteArrayOutputStream()
-          val writer = javax.imageio.ImageIO
-            .getImageWritersByFormatName("gif").next()
-          val ios = javax.imageio.ImageIO.createImageOutputStream(out)
-          // try/finally: ImageOutputStream may hold an on-disk cache file
-          // (ImageIO.useCache default) — a throw must not leak it on a
-          // long-lived executor
-          try {
-            writer.setOutput(ios)
-            writer.prepareWriteSequence(null)
-            var f = 0
-            while (f < vidFrames(id)) {
-              val img = new java.awt.image.BufferedImage(
-                w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
-              var y = 0
-              while (y < h) {
-                var x = 0
-                while (x < w) {
-                  img.getRaster.setSample(x, y, 0, vidGray(id, f, x, y))
-                  x += 1
-                }
-                y += 1
-              }
-              writer.writeToSequence(
-                new javax.imageio.IIOImage(img, null, null), null)
-              f += 1
-            }
-            writer.endWriteSequence()
-          } finally {
-            writer.dispose()
-            ios.close()
-          }
-          (id, out.toByteArray)
-        }
+        ids.map(id => (id, encodeGif(id, vidFrames(id), cm)))
       }
       .toDF("doc_id", "gif")
+  }
+
+  /** One clip's GIF bytes — the fixture encoder shared by the full-length
+    * corpus and the trimmed-copy variants (`nFrames` is the caller's, so
+    * a trimmed clip is a genuinely re-encoded shorter container, not a
+    * byte-sliced one). */
+  private def encodeGif(id: Long, nFrames: Int,
+      cm: java.awt.image.IndexColorModel): Array[Byte] = {
+    val w = vidW(id); val h = vidH(id)
+    val out = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    // try/finally: ImageOutputStream may hold an on-disk cache file
+    // (ImageIO.useCache default) — a throw must not leak it on a
+    // long-lived executor
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            img.getRaster.setSample(x, y, 0, vidGray(id, f, x, y))
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    out.toByteArray
   }
 
   /** REAL video decode (`x_mm_video_stats`): `javax.imageio`'s GIF reader
@@ -706,7 +713,102 @@ object MultimodalPipeline {
         col("dup_of").isNotNull.as("is_dup"))
   }
 
+  // ---------------------------------------------------------------------
+  // VIDEO-CLIP NEAR-DUP: per-frame perceptual fingerprints + trimmed-copy
+  // detection — the temporal member of the visual dedup family.
+
+  /** Per-frame fingerprints of the video corpus: real GIF container parse
+    * + per-frame LZW decode → [[blockHashOf]] per frame. ALL frames are
+    * decoded (unlike [[videoStats]]' keyframe stride): duplication
+    * detection needs the full sequence, and the fixture bounds it at ≤5
+    * frames × ≤144 px per clip — at scale the stride would return as a
+    * pre-filter stage, with the full pass reserved for band-candidate
+    * clips. Output is 2 longs per FRAME, never pixels. */
+  def videoPhash(s: SparkSession, d: String): DataFrame =
+    videoPhashOf(videoRecords(s, d))
+
+  private[graft] def videoPhashOf(recs: DataFrame): DataFrame = {
+    val s = recs.sparkSession
+    import s.implicits._
+    recs.as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, gif) =>
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(gif))
+        val reader = javax.imageio.ImageIO
+          .getImageReadersByFormatName("gif").next()
+        try {
+          reader.setInput(iis)
+          (0 until reader.getNumImages(true)).map { fi =>
+            val (lo, hi) = blockHashOf(reader.read(fi))
+            (id, fi.toLong, lo, hi)
+          }.toList
+        } finally {
+          reader.dispose()
+          iis.close()
+        }
+      })
+      .toDF("doc_id", "frame_idx", "phash_lo", "phash_hi")
+  }
+
+  /** Trimmed-copy fixture: clips in the slice get a RE-ENCODED copy with
+    * the last frame dropped (the classic re-upload: same content, shorter
+    * cut), keyed `doc_id + clipVariantOffset`. The slice requires ≥3
+    * source frames so every trimmed copy still has ≥2. */
+  private[graft] val clipVariantOffset = 20000000L
+  private[graft] val clipVariantMod = 7L
+  private[graft] val clipVariantRem = 3L
+
+  private[graft] def trimmedClipRecords(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .filter((id: Long) =>
+        id % clipVariantMod == clipVariantRem && vidFrames(id) >= 3)
+      .mapPartitions { ids =>
+        val grays = Array.tabulate(256)(_.toByte)
+        val cm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+        ids.map(id =>
+          (id + clipVariantOffset, encodeGif(id, vidFrames(id) - 1, cm)))
+      }
+      .toDF("doc_id", "gif")
+  }
+
+  /** TRIMMED-COPY DETECTION over originals ∪ trimmed variants: clip s is
+    * a leading cut of clip l iff nf_s < nf_l and every one of s's frames
+    * hash-matches l's frame at the same index. Candidates come from a
+    * FIRST-FRAME fingerprint equi-join (a trimmed copy must share frame
+    * 0 — the temporal pigeonhole), so candidate volume is Σ first-frame-
+    * bucket², never all-pairs; the verify joins ≤nf_s ≤5 frame rows per
+    * candidate. The ORACLE is the all-pairs prefix check over formula-
+    * computed frame hashes — the [[imageNearDup]] semantic-pin stance:
+    * the candidate join must find exactly what brute force finds. */
+  def clipDup(s: SparkSession, d: String): DataFrame = {
+    val fh = Lineage.cut(
+      videoPhash(s, d).unionAll(videoPhashOf(trimmedClipRecords(s, d))))
+    val nf = fh.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
+    val f0 = fh.filter(col("frame_idx") === 0).join(nf, "doc_id")
+    val cand = f0.as("a").join(f0.as("b"),
+        col("a.phash_lo") === col("b.phash_lo") &&
+          col("a.phash_hi") === col("b.phash_hi") &&
+          col("a.nf") < col("b.nf"))
+      .select(col("a.doc_id").as("short_id"), col("b.doc_id").as("long_id"),
+        col("a.nf").as("n_short"))
+    cand
+      .join(fh.select(col("doc_id").as("short_id"), col("frame_idx"),
+        col("phash_lo").as("alo"), col("phash_hi").as("ahi")), "short_id")
+      .filter(col("frame_idx") < col("n_short"))
+      .join(fh.select(col("doc_id").as("long_id"), col("frame_idx"),
+        col("phash_lo").as("blo"), col("phash_hi").as("bhi")),
+        Seq("long_id", "frame_idx"))
+      .groupBy(col("short_id"), col("long_id"), col("n_short"))
+      .agg(sum(when(col("alo") === col("blo") && col("ahi") === col("bhi"), 1L)
+        .otherwise(0L)).as("n_match"))
+      .filter(col("n_match") === col("n_short"))
+      .select(col("short_id"), col("long_id"), col("n_short").as("n_shared"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_mm_video_phash" -> videoPhash,
+    "x_mm_clip_dup" -> clipDup,
     "x_mm_features" -> features,
     "x_mm_frames" -> frames,
     "x_mm_image_stats" -> imageStats,
@@ -761,6 +863,48 @@ object MultimodalPipeline {
        |         CAST(COALESCE(sum(CASE WHEN idx >= 32
        |           THEN bit * (CAST(1 AS BIGINT) << (idx - 32)) END), 0) AS BIGINT) AS phash_hi
        |       FROM pbits GROUP BY 1)""".stripMargin
+  }
+
+  /** Frame-hash twin of [[phashSqlCtes]]: blockhash fingerprints of every
+    * GIF frame from the GRAY FORMULA (luma = 3·gray — the indexed
+    * grayscale palette decodes to r = g = b). With `withVariants` the
+    * chain also fingerprints the trimmed-copy fixture: SAME frames (a cut
+    * changes length, not content), one fewer of them. */
+  private def videoPhashSqlCtes(withVariants: Boolean): String = {
+    val ids =
+      if (withVariants)
+        s"""SELECT doc_id, doc_id AS src, 2 + doc_id % 4 AS nf FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + $clipVariantOffset, doc_id, 1 + doc_id % 4 FROM documents
+           |  WHERE doc_id % $clipVariantMod = $clipVariantRem AND doc_id % 4 >= 1"""
+      else "SELECT doc_id, doc_id AS src, 2 + doc_id % 4 AS nf FROM documents"
+    s"""vids AS (
+       |  ${ids.stripMargin}
+       |),
+       |vdim AS (SELECT doc_id, src, nf,
+       |           8 + src % 5 AS w, 8 + (src * 3) % 5 AS h
+       |         FROM vids),
+       |vfr AS (SELECT doc_id, src, w, h, unnest(range(0, nf)) AS fi FROM vdim),
+       |vxs AS (SELECT doc_id, src, w, h, fi, unnest(range(0, w)) AS x FROM vfr),
+       |vys AS (SELECT doc_id, src, w, h, fi, x, unnest(range(0, h)) AS y FROM vxs),
+       |vlm AS (SELECT doc_id, fi, x * 8 // w AS bx, y * 8 // h AS by,
+       |          3 * ((src * 7 + fi * 11 + x * 3 + y * 5) % 256) AS luma
+       |        FROM vys),
+       |vblk AS (SELECT doc_id, fi, by * 8 + bx AS idx,
+       |           CAST(sum(luma) AS BIGINT) AS bsum,
+       |           CAST(count(*) AS BIGINT) AS bpx
+       |         FROM vlm GROUP BY 1, 2, 3),
+       |vtot AS (SELECT doc_id, fi, CAST(sum(bsum) AS BIGINT) AS tsum,
+       |           CAST(sum(bpx) AS BIGINT) AS tpx FROM vblk GROUP BY 1, 2),
+       |vbits AS (SELECT b.doc_id, b.fi, b.idx,
+       |            CASE WHEN b.bsum * t.tpx > t.tsum * b.bpx THEN 1 ELSE 0 END AS bit
+       |          FROM vblk b JOIN vtot t USING (doc_id, fi)),
+       |vph AS (SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
+       |          CAST(COALESCE(sum(CASE WHEN idx < 32
+       |            THEN bit * (CAST(1 AS BIGINT) << idx) END), 0) AS BIGINT) AS phash_lo,
+       |          CAST(COALESCE(sum(CASE WHEN idx >= 32
+       |            THEN bit * (CAST(1 AS BIGINT) << (idx - 32)) END), 0) AS BIGINT) AS phash_hi
+       |        FROM vbits GROUP BY 1, 2)""".stripMargin
   }
 
   /** Oracle mirrors the stub arithmetic on the source text. PRECONDITION
@@ -902,6 +1046,28 @@ object MultimodalPipeline {
         |JOIN mg ON mg.doc_id = d.doc_id
         |JOIN al ON al.doc_id = d.doc_id
         |GROUP BY 1, 2""".stripMargin,
+    // Per-frame fingerprints from the gray formula — a container parse,
+    // frame decode, grid, or bit-assembly bug cannot hash-match.
+    "x_mm_video_phash" ->
+      s"""WITH ${videoPhashSqlCtes(withVariants = false)}
+         |SELECT doc_id, frame_idx, phash_lo, phash_hi FROM vph""".stripMargin,
+    // SEMANTIC oracle for the trimmed-copy detector: ALL-PAIRS prefix
+    // check (every shorter clip against every longer one, frame by
+    // frame) — the first-frame candidate join must find exactly this.
+    "x_mm_clip_dup" ->
+      s"""WITH ${videoPhashSqlCtes(withVariants = true)},
+         |nfr AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nf FROM vph GROUP BY 1),
+         |pr AS (SELECT a.doc_id AS short_id, b.doc_id AS long_id, sn.nf AS n_short,
+         |         count(*) FILTER (a.phash_lo = b.phash_lo
+         |                          AND a.phash_hi = b.phash_hi) AS n_match
+         |       FROM vph a
+         |       JOIN nfr sn ON sn.doc_id = a.doc_id
+         |       JOIN vph b ON b.frame_idx = a.frame_idx
+         |       JOIN nfr ln ON ln.doc_id = b.doc_id AND sn.nf < ln.nf
+         |       WHERE a.frame_idx < sn.nf
+         |       GROUP BY 1, 2, 3)
+         |SELECT short_id, long_id, CAST(n_short AS BIGINT) AS n_shared
+         |FROM pr WHERE n_match = n_short""".stripMargin,
     // Fingerprints from the pixel formula — a real-decode + grid + bit
     // assembly that disagrees in ANY bit cannot hash-match.
     "x_mm_image_phash" ->

@@ -602,6 +602,33 @@ object Search {
     ndcgOf(ceRerank(s, d)
       .select(col("query_id"), col("ce_rnk").as("rnk"), col("rel")))
 
+  /** DISTILLATION PAIR EMISSION — the Margin-MSE training rows a
+    * bi-encoder student distills from the cross-encoder teacher (the
+    * ceLogitSql scaladoc's "distillation target", now emitted as actual
+    * training data): per query, the teacher's top-1 candidate paired with
+    * every other candidate, carrying the TEACHER margin (ce_fp⁺ − ce_fp⁻,
+    * the regression target) and the student-visible signal deltas. Unlike
+    * [[ltrPairs]] this needs NO human/graded labels — the teacher's own
+    * scores supervise, which is why distillation is the scalable way to
+    * train retrieval models. k−1 rows per query, broadcast-joined off the
+    * cut rerank relation — candidate-budget-priced at any corpus size. */
+  def distillPairs(s: SparkSession, d: String): DataFrame = {
+    val f = Lineage.cut(ceRerank(s, d))
+    val pos = f.filter(col("ce_rnk") === 1)
+      .select(col("query_id"), col("neighbor_id").as("pos_id"),
+        col("ce_fp").as("pos_ce"), col("score_m").as("pos_score_m"),
+        col("lm_fp").as("pos_lm_fp"))
+    f.filter(col("ce_rnk") > 1)
+      .select(col("query_id"), col("neighbor_id").as("neg_id"),
+        col("ce_fp").as("neg_ce"), col("score_m").as("neg_score_m"),
+        col("lm_fp").as("neg_lm_fp"))
+      .join(Hints.broadcastSmall(pos), "query_id")
+      .select(col("query_id"), col("pos_id"), col("neg_id"),
+        (col("pos_ce") - col("neg_ce")).as("ce_margin_fp"),
+        (col("pos_score_m") - col("neg_score_m")).as("d_score_m"),
+        (col("pos_lm_fp") - col("neg_lm_fp")).as("d_lm_fp"))
+  }
+
   /** PAIRWISE PREFERENCE PAIRS from the [[ltrFeatures]] relation — the
     * RankNet/LambdaRank training input: per query, every (better, worse)
     * candidate pair under the graded labels, carrying the signal deltas a
@@ -1612,6 +1639,7 @@ object Search {
     "x_search_ce_rerank" -> ceRerank,
     "x_search_ce_in" -> ceIngestRerank,
     "x_search_ce_ndcg" -> ceNdcgEval,
+    "x_search_distill_pairs" -> distillPairs,
     "x_search_index_stats" -> indexStats,
     "x_search_scorer_diff" -> scorerDiff,
     "x_search_rank_churn" -> rankChurn,
@@ -1968,6 +1996,26 @@ object Search {
     "x_search_ce_in" ->
       (ltrFeatCtes(s"doc_id % ${Similarity.knnBatchMod} <> 7",
         s"doc_id % ${Similarity.knnBatchMod} = 7") + ceRerankSqlTail),
+    // Margin-MSE distillation rows: the teacher's top-1 against every
+    // other candidate, teacher margin + student signal deltas — no graded
+    // labels anywhere (the teacher supervises)
+    "x_search_distill_pairs" ->
+      (ltrFeatCtes("true", s"doc_id % $searchStride = 0") +
+        s""",
+           |cef AS (SELECT query_id, neighbor_id, score_m, lm_fp,
+           |          $ceLogitSql AS ce_fp,
+           |          row_number() OVER (PARTITION BY query_id
+           |            ORDER BY $ceLogitSql DESC, neighbor_id ASC) AS ce_rnk
+           |        FROM feat),
+           |pos AS (SELECT query_id, neighbor_id AS pos_id, ce_fp AS pos_ce,
+           |          score_m AS pos_score_m, lm_fp AS pos_lm_fp
+           |        FROM cef WHERE ce_rnk = 1)
+           |SELECT n.query_id, p.pos_id, n.neighbor_id AS neg_id,
+           |       CAST(p.pos_ce - n.ce_fp AS BIGINT) AS ce_margin_fp,
+           |       CAST(p.pos_score_m - n.score_m AS BIGINT) AS d_score_m,
+           |       CAST(p.pos_lm_fp - n.lm_fp AS BIGINT) AS d_lm_fp
+           |FROM cef n JOIN pos p ON p.query_id = n.query_id
+           |WHERE n.ce_rnk > 1""".stripMargin),
     // the eval matrix's third scorer row: same labels/discounts/cutoff as
     // x_search_ndcg / x_search_ndcg_lm, only the ranking differs
     "x_search_ce_ndcg" ->

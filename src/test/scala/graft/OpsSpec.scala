@@ -397,6 +397,26 @@ class OpsSpec extends SparkSpec {
       assert(probe(vid), s"variant $vid not flagged as duplicate"))
   }
 
+  test("clip dup: every trimmed re-encode detected as a full leading cut of its original") {
+    val dups = MultimodalPipeline.clipDup(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(dups.nonEmpty)
+    // every trimmed variant pairs with its own original, sharing exactly
+    // its full (nf - 1)-frame prefix
+    val expected = Tables.documents(spark, sf).select("doc_id").collect()
+      .map(_.getLong(0))
+      .filter(id => id % MultimodalPipeline.clipVariantMod ==
+        MultimodalPipeline.clipVariantRem && (2 + id % 4) >= 3)
+    assert(expected.nonEmpty)
+    val byShort = dups.groupBy(_._1)
+    expected.foreach { id =>
+      val vid = id + MultimodalPipeline.clipVariantOffset
+      val hits = byShort.getOrElse(vid, Array.empty)
+      assert(hits.exists(h => h._2 == id && h._3 == 1 + id % 4),
+        s"trimmed copy of clip $id not detected with its full prefix")
+    }
+  }
+
   test("video stats: genuine animated-GIF containers, real frame decode, stride bites") {
     // the payloads are genuine GIF containers (magic header), multi-frame
     val recs = MultimodalPipeline.videoRecords(spark, sf).limit(3)
