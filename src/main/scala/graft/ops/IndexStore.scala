@@ -46,6 +46,7 @@ object IndexStore {
   val lmStats = "lm_stats"
   val navGraph = "nav_graph"
   val minhashSignatures = "minhash_signatures"
+  val imagePhash = "image_phash"
 
   private def fs(s: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(s.sparkContext.hadoopConfiguration)

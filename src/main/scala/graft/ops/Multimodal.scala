@@ -555,9 +555,14 @@ object MultimodalPipeline {
 
   /** Fingerprints of the corpus images: real PNG decode → [[blockHashOf]].
     * `mapPartitions` only because a codec forces it (the [[imageStats]]
-    * precedent); output is 2 longs per image regardless of pixel count. */
+    * precedent); output is 2 longs per image regardless of pixel count.
+    * Served from the persisted [[IndexStore]] when one is configured —
+    * the decode is THE cost of this family at scale, and a deployment
+    * pays it once per corpus snapshot (`tools.IndexBuild`), not once per
+    * session (`IndexPersistSpec` pins store ≡ decode). */
   def imagePhash(s: SparkSession, d: String): DataFrame =
-    imagePhashOf(imageRecords(s, d))
+    IndexStore.read(s, IndexStore.imagePhash, d)
+      .getOrElse(imagePhashOf(imageRecords(s, d)))
 
   /** [[imagePhash]] over any (doc_id, png) frame — the per-micro-batch
     * form the streamed ingest probe feeds. */

@@ -602,6 +602,13 @@ object Search {
     ndcgOf(ceRerank(s, d)
       .select(col("query_id"), col("ce_rnk").as("rnk"), col("rel")))
 
+  /** MRR/P@k of the cross-encoder ranking — the eval matrix's last cell
+    * (THREE scorers × graded/binary metrics, every cell through one
+    * labeling and one aggregation per metric family). */
+  def ceMrrEval(s: SparkSession, d: String): DataFrame =
+    mrrOf(ceRerank(s, d)
+      .select(col("query_id"), col("ce_rnk").as("rnk"), col("rel")))
+
   /** DISTILLATION PAIR EMISSION — the Margin-MSE training rows a
     * bi-encoder student distills from the cross-encoder teacher (the
     * ceLogitSql scaladoc's "distillation target", now emitted as actual
@@ -1639,6 +1646,7 @@ object Search {
     "x_search_ce_rerank" -> ceRerank,
     "x_search_ce_in" -> ceIngestRerank,
     "x_search_ce_ndcg" -> ceNdcgEval,
+    "x_search_ce_mrr" -> ceMrrEval,
     "x_search_distill_pairs" -> distillPairs,
     "x_search_index_stats" -> indexStats,
     "x_search_scorer_diff" -> scorerDiff,
@@ -2016,6 +2024,16 @@ object Search {
            |       CAST(p.pos_lm_fp - n.lm_fp AS BIGINT) AS d_lm_fp
            |FROM cef n JOIN pos p ON p.query_id = n.query_id
            |WHERE n.ce_rnk > 1""".stripMargin),
+    // binary metrics of the cross-encoder ranking: the eval matrix's
+    // last cell (3 scorers x graded/binary, one labeling)
+    "x_search_ce_mrr" ->
+      (ltrFeatCtes("true", s"doc_id % $searchStride = 0") +
+        s""",
+           |cef AS (SELECT query_id, neighbor_id, $ceLogitSql AS ce_fp FROM feat),
+           |cer AS (SELECT query_id, neighbor_id,
+           |          CAST(row_number() OVER (PARTITION BY query_id
+           |            ORDER BY ce_fp DESC, neighbor_id ASC) AS BIGINT) AS rnk
+           |        FROM cef)""".stripMargin + mrrSqlTail("cer")),
     // the eval matrix's third scorer row: same labels/discounts/cutoff as
     // x_search_ndcg / x_search_ndcg_lm, only the ranking differs
     "x_search_ce_ndcg" ->

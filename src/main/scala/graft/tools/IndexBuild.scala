@@ -67,6 +67,11 @@ object IndexBuild {
       .parquet(s"$storeDir/${IndexStore.navGraph}")
     Dedup.signatures(s, sfDir).write.mode("overwrite")
       .parquet(s"$storeDir/${IndexStore.minhashSignatures}")
+    // the visual near-dup family's standing fingerprint relation: built
+    // once per snapshot (the decode is THE cost at scale), served to the
+    // batch probe and the streamed ingest verdict alike
+    graft.ops.MultimodalPipeline.imagePhash(s, sfDir).write.mode("overwrite")
+      .parquet(s"$storeDir/${IndexStore.imagePhash}")
     val meta =
       s"""{
          |  "version": 1,
@@ -107,7 +112,7 @@ object IndexBuild {
       // a quick inventory line so the operator sees what landed
       Seq(IndexStore.bm25Postings, IndexStore.bm25TokenDf, IndexStore.bm25Stats,
         IndexStore.bm25Forward, IndexStore.lmPostings, IndexStore.lmDocLen,
-        IndexStore.lmTokenDf, IndexStore.lmStats,
+        IndexStore.lmTokenDf, IndexStore.lmStats, IndexStore.imagePhash,
         IndexStore.navGraph, IndexStore.minhashSignatures)
         .foreach { name =>
           val n = spark.read.parquet(s"$storeDir/$name").count()

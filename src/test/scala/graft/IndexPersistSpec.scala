@@ -25,8 +25,9 @@ class IndexPersistSpec extends SparkSpec {
     val memoLm = rows(ops.Search.lmqlIngestTopK(spark, sf))
     val memoGraph = rows(ops.Similarity.navGraph(spark, sf))
     val memoSigs = rows(ops.Dedup.signatures(spark, sf))
+    val memoPhash = rows(ops.MultimodalPipeline.imagePhash(spark, sf))
     assert(memoSearch.nonEmpty && memoRm3.nonEmpty && memoLm.nonEmpty &&
-      memoGraph.nonEmpty && memoSigs.nonEmpty)
+      memoGraph.nonEmpty && memoSigs.nonEmpty && memoPhash.nonEmpty)
 
     val store = ops.SpillMemo.scratchDir("graft-idxstore-")
     tools.IndexBuild.buildTo(spark, sf, store)
@@ -62,6 +63,12 @@ class IndexPersistSpec extends SparkSpec {
         "persisted nav graph diverged from the memoized one")
       assert(rows(ops.Dedup.signatures(spark, sf)) == memoSigs,
         "persisted MinHash signatures diverged from the memoized ones")
+      val pplan = ops.MultimodalPipeline.imagePhash(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(pplan.contains("image_phash"),
+        s"persisted mode must scan the store's fingerprints, not re-decode:\n$pplan")
+      assert(rows(ops.MultimodalPipeline.imagePhash(spark, sf)) == memoPhash,
+        "persisted image fingerprints diverged from the decoded ones")
     } finally spark.conf.unset(ops.IndexStore.indexDirConf)
   }
 
