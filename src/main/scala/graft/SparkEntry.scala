@@ -55,7 +55,8 @@ object SparkEntry {
     (streaming.SplitGateStream.queries, streaming.SplitGateStream.oracle),
     (streaming.SampleStream.queries, streaming.SampleStream.oracle),
     (streaming.PhashStream.queries, streaming.PhashStream.oracle),
-    (streaming.CeStream.queries, streaming.CeStream.oracle))
+    (streaming.CeStream.queries, streaming.CeStream.oracle),
+    (streaming.ClipStream.queries, streaming.ClipStream.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's core computation: sliding-window per-user interaction

@@ -47,6 +47,7 @@ object IndexStore {
   val navGraph = "nav_graph"
   val minhashSignatures = "minhash_signatures"
   val imagePhash = "image_phash"
+  val videoPhash = "video_phash"
 
   private def fs(s: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(s.sparkContext.hadoopConfiguration)

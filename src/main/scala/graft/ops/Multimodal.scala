@@ -685,6 +685,31 @@ object MultimodalPipeline {
       .filter(col("hamming") <= phashHammingMax)
   }
 
+  /** VISUAL-DEDUP ADMISSION GATE over the standing corpus: the
+    * [[graft.ops.Dedup.exact]] min-id keep policy applied to PIXELS —
+    * per image, the smallest lower-id near-duplicate (Hamming ≤
+    * [[phashHammingMax]]) if any, and the keep verdict a curation funnel
+    * consumes (keep the first-seen copy, drop visual re-posts). Same
+    * band-bucket candidate discipline as [[imageNearDup]]; the oracle is
+    * the all-pairs spelling (semantic pin). One row per corpus image —
+    * the gate relation an admission pipeline joins on doc_id. */
+  def imageDedupGate(s: SparkSession, d: String): DataFrame = {
+    val sig = Lineage.cut(imagePhash(s, d))
+    val bands = phashBands(sig)
+    val dupOf = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") > col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("cand"),
+        (expr("bit_count(a.phash_lo ^ b.phash_lo)") +
+          expr("bit_count(a.phash_hi ^ b.phash_hi)")).cast("long").as("hamming"))
+      .filter(col("hamming") <= phashHammingMax)
+      .groupBy(col("doc_id"))
+      .agg(min(col("cand")).as("dup_of"))
+    sig.select(col("doc_id"))
+      .join(dupOf, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of"), col("dup_of").isNull.as("is_kept"))
+  }
+
   /** Ingest-time visual dedup decision, batch form (the streamed twin is
     * [[graft.streaming.PhashStream]]): each ARRIVING image (the resized
     * variants) probes the STANDING corpus fingerprint index through the
@@ -730,7 +755,8 @@ object MultimodalPipeline {
     * pre-filter stage, with the full pass reserved for band-candidate
     * clips. Output is 2 longs per FRAME, never pixels. */
   def videoPhash(s: SparkSession, d: String): DataFrame =
-    videoPhashOf(videoRecords(s, d))
+    IndexStore.read(s, IndexStore.videoPhash, d)
+      .getOrElse(videoPhashOf(videoRecords(s, d)))
 
   private[graft] def videoPhashOf(recs: DataFrame): DataFrame = {
     val s = recs.sparkSession
@@ -765,13 +791,22 @@ object MultimodalPipeline {
 
   private[graft] def trimmedClipRecords(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, d).select(col("doc_id")).as[Long]
-      .filter((id: Long) =>
-        id % clipVariantMod == clipVariantRem && vidFrames(id) >= 3)
-      .mapPartitions { ids =>
+    trimmedClipRecordsOf(
+      Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .filter((id: Long) =>
+          id % clipVariantMod == clipVariantRem && vidFrames(id) >= 3))
+  }
+
+  /** [[trimmedClipRecords]] over any id set (ids are ORIGINAL clip ids;
+    * the slice filter is the caller's) — the per-micro-batch form the
+    * streamed clip probe feeds. */
+  private[graft] def trimmedClipRecordsOf(ids: org.apache.spark.sql.Dataset[Long]): DataFrame = {
+    val s = ids.sparkSession
+    import s.implicits._
+    ids.mapPartitions { it =>
         val grays = Array.tabulate(256)(_.toByte)
         val cm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
-        ids.map(id =>
+        it.map(id =>
           (id + clipVariantOffset, encodeGif(id, vidFrames(id) - 1, cm)))
       }
       .toDF("doc_id", "gif")
@@ -789,19 +824,30 @@ object MultimodalPipeline {
   def clipDup(s: SparkSession, d: String): DataFrame = {
     val fh = Lineage.cut(
       videoPhash(s, d).unionAll(videoPhashOf(trimmedClipRecords(s, d))))
-    val nf = fh.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
-    val f0 = fh.filter(col("frame_idx") === 0).join(nf, "doc_id")
-    val cand = f0.as("a").join(f0.as("b"),
+    clipPrefixPairs(fh, fh)
+  }
+
+  /** The prefix-pair core: short-side clips that are full leading cuts of
+    * long-side clips — ONE definition shared by [[clipDup]] (both sides =
+    * corpus ∪ variants) and the streamed ingest probe (short = arriving
+    * micro-batch, long = the standing corpus). `nf_s < nf_l` excludes
+    * self-pairs when the sides coincide. */
+  private[graft] def clipPrefixPairs(shortFh: DataFrame, longFh: DataFrame): DataFrame = {
+    val nfS = shortFh.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
+    val nfL = longFh.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
+    val f0s = shortFh.filter(col("frame_idx") === 0).join(nfS, "doc_id")
+    val f0l = longFh.filter(col("frame_idx") === 0).join(nfL, "doc_id")
+    val cand = f0s.as("a").join(f0l.as("b"),
         col("a.phash_lo") === col("b.phash_lo") &&
           col("a.phash_hi") === col("b.phash_hi") &&
           col("a.nf") < col("b.nf"))
       .select(col("a.doc_id").as("short_id"), col("b.doc_id").as("long_id"),
         col("a.nf").as("n_short"))
     cand
-      .join(fh.select(col("doc_id").as("short_id"), col("frame_idx"),
+      .join(shortFh.select(col("doc_id").as("short_id"), col("frame_idx"),
         col("phash_lo").as("alo"), col("phash_hi").as("ahi")), "short_id")
       .filter(col("frame_idx") < col("n_short"))
-      .join(fh.select(col("doc_id").as("long_id"), col("frame_idx"),
+      .join(longFh.select(col("doc_id").as("long_id"), col("frame_idx"),
         col("phash_lo").as("blo"), col("phash_hi").as("bhi")),
         Seq("long_id", "frame_idx"))
       .groupBy(col("short_id"), col("long_id"), col("n_short"))
@@ -823,7 +869,8 @@ object MultimodalPipeline {
     "x_mm_audio_stats" -> audioStats,
     "x_mm_image_phash" -> imagePhash,
     "x_mm_image_neardup" -> imageNearDup,
-    "x_mm_phash_probe" -> imagePhashProbe)
+    "x_mm_phash_probe" -> imagePhashProbe,
+    "x_mm_dedup_gate" -> imageDedupGate)
 
   /** CTE chain computing blockhash fingerprints from the PIXEL FORMULA —
     * the oracle never sees PNG bytes (the `x_mm_image_stats` contract), so
@@ -911,6 +958,26 @@ object MultimodalPipeline {
        |            THEN bit * (CAST(1 AS BIGINT) << (idx - 32)) END), 0) AS BIGINT) AS phash_hi
        |        FROM vbits GROUP BY 1, 2)""".stripMargin
   }
+
+  /** The streamed clip probe's oracle: the all-pairs prefix check
+    * restricted to (arriving variant, standing original) pairs —
+    * referenced from [[graft.streaming.ClipStream]]. */
+  private[graft] def clipProbeOracle: String =
+    s"""WITH ${videoPhashSqlCtes(withVariants = true)},
+       |nfr AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nf FROM vph GROUP BY 1),
+       |pr AS (SELECT a.doc_id AS new_id, b.doc_id AS src_id, sn.nf AS n_short,
+       |         count(*) FILTER (a.phash_lo = b.phash_lo
+       |                          AND a.phash_hi = b.phash_hi) AS n_match
+       |       FROM vph a
+       |       JOIN nfr sn ON sn.doc_id = a.doc_id
+       |       JOIN vph b ON b.frame_idx = a.frame_idx
+       |       JOIN nfr ln ON ln.doc_id = b.doc_id AND sn.nf < ln.nf
+       |       WHERE a.frame_idx < sn.nf
+       |         AND a.doc_id >= $clipVariantOffset
+       |         AND b.doc_id < $clipVariantOffset
+       |       GROUP BY 1, 2, 3)
+       |SELECT new_id, src_id, CAST(n_short AS BIGINT) AS n_shared
+       |FROM pr WHERE n_match = n_short""".stripMargin
 
   /** Oracle mirrors the stub arithmetic on the source text. PRECONDITION
     * (checked by `MultimodalSpec`): the synthetic `documents.text` is pure
@@ -1090,6 +1157,17 @@ object MultimodalPipeline {
          |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.phash_lo, b.phash_lo))
          |      + bit_count(xor(a.phash_hi, b.phash_hi)) <= $phashHammingMax""".stripMargin,
+    // min-id keep policy over the standing corpus, all-pairs spelling
+    // (the semantic pin on the banded engine plan)
+    "x_mm_dedup_gate" ->
+      s"""WITH ${phashSqlCtes(withVariants = false)},
+         |ghit AS (SELECT a.doc_id, min(b.doc_id) AS dup_of
+         |         FROM ph a JOIN ph b ON b.doc_id < a.doc_id
+         |         WHERE bit_count(xor(a.phash_lo, b.phash_lo))
+         |               + bit_count(xor(a.phash_hi, b.phash_hi)) <= $phashHammingMax
+         |         GROUP BY 1)
+         |SELECT p.doc_id, h.dup_of, h.dup_of IS NULL AS is_kept
+         |FROM ph p LEFT JOIN ghit h USING (doc_id)""".stripMargin,
     // Per-arrival best match (lowest Hamming, ties to the smallest corpus
     // id) + the duplicate verdict; -1 hamming = no match within threshold.
     "x_mm_phash_probe" ->

@@ -72,6 +72,8 @@ object IndexBuild {
     // batch probe and the streamed ingest verdict alike
     graft.ops.MultimodalPipeline.imagePhash(s, sfDir).write.mode("overwrite")
       .parquet(s"$storeDir/${IndexStore.imagePhash}")
+    graft.ops.MultimodalPipeline.videoPhash(s, sfDir).write.mode("overwrite")
+      .parquet(s"$storeDir/${IndexStore.videoPhash}")
     val meta =
       s"""{
          |  "version": 1,
@@ -113,6 +115,7 @@ object IndexBuild {
       Seq(IndexStore.bm25Postings, IndexStore.bm25TokenDf, IndexStore.bm25Stats,
         IndexStore.bm25Forward, IndexStore.lmPostings, IndexStore.lmDocLen,
         IndexStore.lmTokenDf, IndexStore.lmStats, IndexStore.imagePhash,
+        IndexStore.videoPhash,
         IndexStore.navGraph, IndexStore.minhashSignatures)
         .foreach { name =>
           val n = spark.read.parquet(s"$storeDir/$name").count()
