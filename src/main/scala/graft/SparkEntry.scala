@@ -56,7 +56,8 @@ object SparkEntry {
     (streaming.SampleStream.queries, streaming.SampleStream.oracle),
     (streaming.PhashStream.queries, streaming.PhashStream.oracle),
     (streaming.CeStream.queries, streaming.CeStream.oracle),
-    (streaming.ClipStream.queries, streaming.ClipStream.oracle))
+    (streaming.ClipStream.queries, streaming.ClipStream.oracle),
+    (streaming.AudioDupStream.queries, streaming.AudioDupStream.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's core computation: sliding-window per-user interaction

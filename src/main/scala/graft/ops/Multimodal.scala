@@ -417,6 +417,126 @@ object MultimodalPipeline {
       .toDF("doc_id", "n_samples", "sample_rate", "sum_abs", "peak_abs", "n_clipped")
   }
 
+  // ---------------------------------------------------------------------
+  // AUDIO NEAR-DUP: fixed-width window fingerprints + truncated-copy
+  // detection — the acoustic member of the dedup family, completing the
+  // image ([[imageNearDup]]) / video ([[clipDup]]) / audio triptych on
+  // ONE prefix-pair core ([[clipPrefixPairs]] is modality-agnostic: it
+  // sees (doc, frame, 2-long fingerprint) rows, nothing else).
+
+  /** Fixed window width (samples). FIXED WIDTH, not fixed count — the
+    * property that makes truncation detection exact: cutting a clip at a
+    * window boundary leaves every leading window's samples (hence its
+    * fingerprint) bit-identical, where [[phashGrid]]'s fixed-count blocks
+    * would re-stretch over the shorter clip and change every window. */
+  private[graft] val audioWin = 64
+
+  /** Per-window acoustic fingerprint: `e_sum` = Σ|sample| (integer
+    * loudness) and `zcr` = zero-crossing count (sign changes between
+    * consecutive samples within the window) — the two cheapest robust
+    * audio features, both exact integers, computed from the REAL WAV
+    * decode ([[audioStats]]' codec path). The tail window may be partial
+    * and carries its own values; truncation drops whole windows. */
+  def audioFingerprint(s: SparkSession, d: String): DataFrame =
+    audioFingerprintOf(audioRecords(s, d))
+
+  private[graft] def audioFingerprintOf(recs: DataFrame): DataFrame = {
+    val s = recs.sparkSession
+    import s.implicits._
+    recs.as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, wav) =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(wav))
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+          s"unexpected decoded format for clip $id: $fmt")
+        val bytes = ais.readAllBytes()
+        val n = bytes.length / 2
+        def sample(i: Int): Int = {
+          val lo = bytes(2 * i) & 0xff
+          val hi = bytes(2 * i + 1).toInt
+          if (fmt.isBigEndian) (bytes(2 * i).toInt << 8) | (bytes(2 * i + 1) & 0xff)
+          else (hi << 8) | lo
+        }
+        val nWin = (n + audioWin - 1) / audioWin
+        (0 until nWin).map { w =>
+          var e = 0L; var z = 0L
+          var i = w * audioWin
+          val end = math.min(n, (w + 1) * audioWin)
+          while (i < end) {
+            val v = sample(i)
+            e += math.abs(v.toLong)
+            if (i > w * audioWin && ((v >= 0) != (sample(i - 1) >= 0))) z += 1
+            i += 1
+          }
+          (id, w.toLong, e, z)
+        }.toList
+      })
+      .toDF("doc_id", "win_idx", "e_sum", "zcr")
+  }
+
+  /** Truncated-copy fixture: clips in the slice get a RE-ENCODED copy
+    * cut to [[audioTruncSamples]] samples (exactly 4 full windows — a
+    * window-aligned cut, so every kept window is bit-identical to the
+    * original's), keyed `doc_id + audioVariantOffset`. The slice excludes
+    * clips already at 256 samples (the cut must SHORTEN). */
+  private[graft] val audioVariantOffset = 30000000L
+  private[graft] val audioVariantMod = 6L
+  private[graft] val audioVariantRem = 1L
+  private[graft] val audioTruncSamples = 256
+
+  private[graft] def truncatedAudioRecords(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    truncatedAudioRecordsOf(
+      Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .filter((id: Long) =>
+          id % audioVariantMod == audioVariantRem && id % 256 != 0))
+  }
+
+  /** [[truncatedAudioRecords]] over any id set — the per-micro-batch form
+    * (ids are ORIGINAL clip ids; the slice filter is the caller's). */
+  private[graft] def truncatedAudioRecordsOf(ids: org.apache.spark.sql.Dataset[Long]): DataFrame = {
+    val s = ids.sparkSession
+    import s.implicits._
+    ids.mapPartitions(_.map { id =>
+        val n = audioTruncSamples
+        val bytes = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val v = pcm(id, i)
+          bytes(2 * i) = (v & 0xff).toByte
+          bytes(2 * i + 1) = ((v >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(bytes), fmt, n.toLong)
+        val out = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+        (id + audioVariantOffset, out.toByteArray)
+      })
+      .toDF("doc_id", "wav")
+  }
+
+  /** A fingerprint frame relation in [[clipPrefixPairs]]' shape — the
+    * window features ride as the 2-long "fingerprint" columns. */
+  private def audioAsFrames(fp: DataFrame): DataFrame =
+    fp.select(col("doc_id"), col("win_idx").as("frame_idx"),
+      col("e_sum").as("phash_lo"), col("zcr").as("phash_hi"))
+
+  /** TRUNCATED-COPY DETECTION over originals ∪ cut variants — the SAME
+    * prefix-pair semantics (and code) as [[clipDup]]: clip s is a leading
+    * window-aligned cut of clip l iff every one of s's windows matches
+    * l's at the same index (first-window candidates, ≤8-window verify);
+    * the all-pairs spelling lives only in the oracle. */
+  def audioDup(s: SparkSession, d: String): DataFrame = {
+    val fh = Lineage.cut(audioAsFrames(
+      audioFingerprint(s, d).unionAll(
+        audioFingerprintOf(truncatedAudioRecords(s, d)))))
+    clipPrefixPairs(fh, fh)
+  }
+
   /** IMAGE-TEXT ALIGNMENT SCORING (`x_mm_alignment`) — the CLIP-filter
     * shape, the modality-pairing signal a multimodal curation pipeline
     * gates on (LAION's cosine ≥ 0.28 cut): each document's IMAGE
@@ -860,6 +980,8 @@ object MultimodalPipeline {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_mm_video_phash" -> videoPhash,
     "x_mm_clip_dup" -> clipDup,
+    "x_mm_audio_fp" -> audioFingerprint,
+    "x_mm_audio_dup" -> audioDup,
     "x_mm_features" -> features,
     "x_mm_frames" -> frames,
     "x_mm_image_stats" -> imageStats,
@@ -958,6 +1080,54 @@ object MultimodalPipeline {
        |            THEN bit * (CAST(1 AS BIGINT) << (idx - 32)) END), 0) AS BIGINT) AS phash_hi
        |        FROM vbits GROUP BY 1, 2)""".stripMargin
   }
+
+  /** Window-fingerprint twin of [[videoPhashSqlCtes]] for the AUDIO
+    * family: per-window Σ|sample| and zero-crossing counts from the PCM
+    * FORMULA (the oracle never sees WAV bytes). With `withVariants` the
+    * chain also fingerprints the 256-sample window-aligned cuts. */
+  private def audioFpSqlCtes(withVariants: Boolean): String = {
+    val ids =
+      if (withVariants)
+        s"""SELECT doc_id, doc_id AS src, 256 + doc_id % 256 AS n FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + $audioVariantOffset, doc_id, $audioTruncSamples FROM documents
+           |  WHERE doc_id % $audioVariantMod = $audioVariantRem AND doc_id % 256 <> 0"""
+      else "SELECT doc_id, doc_id AS src, 256 + doc_id % 256 AS n FROM documents"
+    s"""aids AS (
+       |  ${ids.stripMargin}
+       |),
+       |ai AS (SELECT doc_id, src, unnest(range(0, n)) AS i FROM aids),
+       |asmp AS (SELECT doc_id, i, i // $audioWin AS w,
+       |           ((src * 31 + i * i * 7) % 65536) - 32768 AS v
+       |         FROM ai),
+       |aprv AS (SELECT doc_id, i, w, v,
+       |           lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+       |         FROM asmp),
+       |afp AS (SELECT doc_id, CAST(w AS BIGINT) AS win_idx,
+       |          CAST(sum(abs(v)) AS BIGINT) AS e_sum,
+       |          CAST(count(*) FILTER (i % $audioWin <> 0
+       |            AND (v >= 0) <> (pv >= 0)) AS BIGINT) AS zcr
+       |        FROM aprv GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** The streamed audio probe's oracle — referenced from
+    * [[graft.streaming.AudioDupStream]]: all-pairs window-prefix check
+    * restricted to (arriving cut, standing original) pairs. */
+  private[graft] def audioProbeOracle: String =
+    s"""WITH ${audioFpSqlCtes(withVariants = true)},
+       |anf AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nf FROM afp GROUP BY 1),
+       |apr AS (SELECT a.doc_id AS new_id, b.doc_id AS src_id, sn.nf AS n_short,
+       |          count(*) FILTER (a.e_sum = b.e_sum AND a.zcr = b.zcr) AS n_match
+       |        FROM afp a
+       |        JOIN anf sn ON sn.doc_id = a.doc_id
+       |        JOIN afp b ON b.win_idx = a.win_idx
+       |        JOIN anf ln ON ln.doc_id = b.doc_id AND sn.nf < ln.nf
+       |        WHERE a.win_idx < sn.nf
+       |          AND a.doc_id >= $audioVariantOffset
+       |          AND b.doc_id < $audioVariantOffset
+       |        GROUP BY 1, 2, 3)
+       |SELECT new_id, src_id, CAST(n_short AS BIGINT) AS n_shared
+       |FROM apr WHERE n_match = n_short""".stripMargin
 
   /** The streamed clip probe's oracle: the all-pairs prefix check
     * restricted to (arriving variant, standing original) pairs —
@@ -1118,6 +1288,27 @@ object MultimodalPipeline {
         |JOIN mg ON mg.doc_id = d.doc_id
         |JOIN al ON al.doc_id = d.doc_id
         |GROUP BY 1, 2""".stripMargin,
+    // Per-window acoustic fingerprints from the PCM formula — a RIFF
+    // parse, endianness, or windowing bug cannot hash-match.
+    "x_mm_audio_fp" ->
+      s"""WITH ${audioFpSqlCtes(withVariants = false)}
+         |SELECT doc_id, win_idx, e_sum, zcr FROM afp""".stripMargin,
+    // SEMANTIC oracle: all-pairs window-prefix check over the union with
+    // the window-aligned cuts — the first-window candidate join must
+    // find exactly this set.
+    "x_mm_audio_dup" ->
+      s"""WITH ${audioFpSqlCtes(withVariants = true)},
+         |anf AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nf FROM afp GROUP BY 1),
+         |apr AS (SELECT a.doc_id AS short_id, b.doc_id AS long_id, sn.nf AS n_short,
+         |          count(*) FILTER (a.e_sum = b.e_sum AND a.zcr = b.zcr) AS n_match
+         |        FROM afp a
+         |        JOIN anf sn ON sn.doc_id = a.doc_id
+         |        JOIN afp b ON b.win_idx = a.win_idx
+         |        JOIN anf ln ON ln.doc_id = b.doc_id AND sn.nf < ln.nf
+         |        WHERE a.win_idx < sn.nf
+         |        GROUP BY 1, 2, 3)
+         |SELECT short_id, long_id, CAST(n_short AS BIGINT) AS n_shared
+         |FROM apr WHERE n_match = n_short""".stripMargin,
     // Per-frame fingerprints from the gray formula — a container parse,
     // frame decode, grid, or bit-assembly bug cannot hash-match.
     "x_mm_video_phash" ->

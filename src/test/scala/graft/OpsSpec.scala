@@ -417,6 +417,41 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("audio dup: every window-aligned cut detected as a full leading prefix of its original") {
+    val dups = MultimodalPipeline.audioDup(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(dups.nonEmpty)
+    val expected = Tables.documents(spark, sf).select("doc_id").collect()
+      .map(_.getLong(0))
+      .filter(id => id % MultimodalPipeline.audioVariantMod ==
+        MultimodalPipeline.audioVariantRem && id % 256 != 0)
+    assert(expected.nonEmpty)
+    val byShort = dups.groupBy(_._1)
+    expected.foreach { id =>
+      val vid = id + MultimodalPipeline.audioVariantOffset
+      val hits = byShort.getOrElse(vid, Array.empty)
+      // 256 samples = exactly 4 full 64-sample windows
+      assert(hits.exists(h => h._2 == id && h._3 == 4L),
+        s"truncated copy of audio clip $id not detected with its 4-window prefix")
+    }
+    // fingerprint sanity: window features recomputed driver-side from the
+    // PCM formula for one clip (the decode path must agree with it)
+    val probe = expected.head
+    val n = 256 + (probe % 256).toInt
+    val samples = (0 until n).map(i =>
+      (((probe * 31 + i.toLong * i * 7) % 65536) - 32768).toInt)
+    val want = samples.indices.groupBy(_ / 64).map { case (w, idx) =>
+      val e = idx.map(i => math.abs(samples(i).toLong)).sum
+      val z = idx.count(i => i % 64 != 0 && (samples(i) >= 0) != (samples(i - 1) >= 0))
+      (w.toLong, e, z.toLong)
+    }.toSet
+    val got = MultimodalPipeline.audioFingerprint(spark, sf)
+      .filter($"doc_id" === probe)
+      .select("win_idx", "e_sum", "zcr")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want, s"decoded fingerprint diverged from the PCM formula for clip $probe")
+  }
+
   test("video stats: genuine animated-GIF containers, real frame decode, stride bites") {
     // the payloads are genuine GIF containers (magic header), multi-frame
     val recs = MultimodalPipeline.videoRecords(spark, sf).limit(3)
