@@ -48,6 +48,7 @@ object IndexStore {
   val minhashSignatures = "minhash_signatures"
   val imagePhash = "image_phash"
   val videoPhash = "video_phash"
+  val audioFp = "audio_fp"
 
   private def fs(s: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(s.sparkContext.hadoopConfiguration)

@@ -438,7 +438,8 @@ object MultimodalPipeline {
     * decode ([[audioStats]]' codec path). The tail window may be partial
     * and carries its own values; truncation drops whole windows. */
   def audioFingerprint(s: SparkSession, d: String): DataFrame =
-    audioFingerprintOf(audioRecords(s, d))
+    IndexStore.read(s, IndexStore.audioFp, d)
+      .getOrElse(audioFingerprintOf(audioRecords(s, d)))
 
   private[graft] def audioFingerprintOf(recs: DataFrame): DataFrame = {
     val s = recs.sparkSession
@@ -791,9 +792,14 @@ object MultimodalPipeline {
     * SEMANTIC pin: the banded engine must find exactly the pairs
     * brute-force finds, so a banding bug (lost bucket, wrong shift)
     * hash-fails rather than hiding behind a mirrored implementation. */
-  def imageNearDup(s: SparkSession, d: String): DataFrame = {
-    val sig = Lineage.cut(
-      imagePhash(s, d).unionAll(imagePhashOf(imageVariantRecords(s, d))))
+  def imageNearDup(s: SparkSession, d: String): DataFrame =
+    phashPairs(Lineage.cut(
+      imagePhash(s, d).unionAll(imagePhashOf(imageVariantRecords(s, d)))))
+
+  /** Banded candidate pairs + exact Hamming verify over any fingerprint
+    * relation — shared by [[imageNearDup]] (corpus ∪ variants) and
+    * [[imageDedupSavings]] (corpus only). */
+  private def phashPairs(sig: DataFrame): DataFrame = {
     val bands = phashBands(sig)
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
@@ -803,6 +809,38 @@ object MultimodalPipeline {
           expr("bit_count(a.phash_hi ^ b.phash_hi)")).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= phashHammingMax)
+  }
+
+  /** VISUAL-DEDUP ROI REPORT — [[graft.ops.Dedup.dedupSavings]]'s
+    * accountability rollup applied to PIXELS: images are clustered by
+    * EXACT fingerprint (perceptually identical — Hamming 0), then per
+    * cluster SIZE: clusters, images, the images a keep-first policy
+    * drops, and the PIXELS those drops free (the storage/decode budget a
+    * multimodal pipeline owner actually pays in). Exact-fingerprint
+    * grouping, not transitive near-dup chaining, is the deliberate
+    * policy: a Hamming-≤3 TRANSITIVE closure links chains of pairwise-
+    * similar-but-end-to-end-different images (and its closure is a graph
+    * fixpoint — the [[imageDedupGate]] threshold stays a PAIRWISE
+    * serving decision); a storage report should only claim savings for
+    * content the survivor actually reproduces. Survivor = the min-id
+    * member (the gate's keep-first policy — the ADVICE-r14 dedupSavings
+    * lesson, honored from birth). Plan: one groupBy on the 2-long
+    * fingerprint — no graph iteration, no pair join; singletons ride
+    * through as the size-1 row, so the image total reconciles against
+    * the corpus count at any scale. */
+  def imageDedupSavings(s: SparkSession, d: String): DataFrame = {
+    val sig = Lineage.cut(imagePhash(s, d))
+    val px = imageStats(s, d).select(col("doc_id"), col("n_px"))
+    sig.join(px, "doc_id")
+      .groupBy(col("phash_lo"), col("phash_hi"))
+      .agg(count(lit(1)).as("sz"), sum(col("n_px")).as("tot_px"),
+        min(struct(col("doc_id"), col("n_px"))).getField("n_px").as("keep_px"))
+      .select(col("sz"), (col("tot_px") - col("keep_px")).as("red_px"))
+      .groupBy(col("sz").as("comp_size"))
+      .agg(count(lit(1)).as("n_components"),
+        sum(col("sz")).as("n_docs"),
+        sum(col("sz") - 1).as("n_redundant"),
+        sum(col("red_px")).as("redundant_px"))
   }
 
   /** VISUAL-DEDUP ADMISSION GATE over the standing corpus: the
@@ -992,7 +1030,8 @@ object MultimodalPipeline {
     "x_mm_image_phash" -> imagePhash,
     "x_mm_image_neardup" -> imageNearDup,
     "x_mm_phash_probe" -> imagePhashProbe,
-    "x_mm_dedup_gate" -> imageDedupGate)
+    "x_mm_dedup_gate" -> imageDedupGate,
+    "x_mm_dedup_savings" -> imageDedupSavings)
 
   /** CTE chain computing blockhash fingerprints from the PIXEL FORMULA —
     * the oracle never sees PNG bytes (the `x_mm_image_stats` contract), so
@@ -1348,6 +1387,25 @@ object MultimodalPipeline {
          |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.phash_lo, b.phash_lo))
          |      + bit_count(xor(a.phash_hi, b.phash_hi)) <= $phashHammingMax""".stripMargin,
+    // exact-fingerprint groups, per-size ROI rollup; survivor = min id
+    // (the gate's keep-first policy); keep_px via min-id correlated join
+    "x_mm_dedup_savings" ->
+      s"""WITH ${phashSqlCtes(withVariants = false)},
+         |gpx AS (SELECT doc_id,
+         |          CAST((8 + doc_id % 9) * (8 + (doc_id * 3) % 9) AS BIGINT) AS n_px
+         |        FROM documents),
+         |gj AS (SELECT p.phash_lo, p.phash_hi, p.doc_id, x.n_px
+         |       FROM ph p JOIN gpx x USING (doc_id)),
+         |gc AS (SELECT phash_lo, phash_hi, CAST(count(*) AS BIGINT) AS sz,
+         |         CAST(sum(n_px) AS BIGINT) AS tot_px,
+         |         CAST(arg_min(n_px, doc_id) AS BIGINT) AS keep_px
+         |       FROM gj GROUP BY 1, 2)
+         |SELECT sz AS comp_size,
+         |       CAST(count(*) AS BIGINT) AS n_components,
+         |       CAST(sum(sz) AS BIGINT) AS n_docs,
+         |       CAST(sum(sz - 1) AS BIGINT) AS n_redundant,
+         |       CAST(sum(tot_px - keep_px) AS BIGINT) AS redundant_px
+         |FROM gc GROUP BY 1""".stripMargin,
     // min-id keep policy over the standing corpus, all-pairs spelling
     // (the semantic pin on the banded engine plan)
     "x_mm_dedup_gate" ->

@@ -74,6 +74,8 @@ object IndexBuild {
       .parquet(s"$storeDir/${IndexStore.imagePhash}")
     graft.ops.MultimodalPipeline.videoPhash(s, sfDir).write.mode("overwrite")
       .parquet(s"$storeDir/${IndexStore.videoPhash}")
+    graft.ops.MultimodalPipeline.audioFingerprint(s, sfDir).write.mode("overwrite")
+      .parquet(s"$storeDir/${IndexStore.audioFp}")
     val meta =
       s"""{
          |  "version": 1,
@@ -115,7 +117,7 @@ object IndexBuild {
       Seq(IndexStore.bm25Postings, IndexStore.bm25TokenDf, IndexStore.bm25Stats,
         IndexStore.bm25Forward, IndexStore.lmPostings, IndexStore.lmDocLen,
         IndexStore.lmTokenDf, IndexStore.lmStats, IndexStore.imagePhash,
-        IndexStore.videoPhash,
+        IndexStore.videoPhash, IndexStore.audioFp,
         IndexStore.navGraph, IndexStore.minhashSignatures)
         .foreach { name =>
           val n = spark.read.parquet(s"$storeDir/$name").count()
