@@ -1015,7 +1015,35 @@ object MultimodalPipeline {
       .select(col("short_id"), col("long_id"), col("n_short").as("n_shared"))
   }
 
+  /** THE FULL MULTIMODAL ADMISSION FUNNEL (`x_mm_curation_dedup`) —
+    * [[mmCuration]] with the third gate a production pass actually runs:
+    * a pair enters training only if its TEXT passes the learned quality
+    * gate AND its modalities belong together AND its image is not a
+    * visual re-post ([[imageDedupGate]]'s keep-first verdict). The
+    * rollup adds the `n_visual_dup` accountability column — what the
+    * dedup gate alone rejected — so the funnel's losses are attributable
+    * per stage. Plan: three per-doc gate relations, each one compact
+    * doc_id-keyed join; the dedup gate's fingerprints read the persisted
+    * store when configured. */
+  def mmCurationDedup(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"), col("lang"), col("source"))
+      .join(TextAnalysis.modelGate(s, d)
+        .select(col("doc_id"), col("n_words"), col("is_admit")), "doc_id")
+      .join(alignment(s, d).select(col("doc_id"), col("is_aligned")), "doc_id")
+      .join(imageDedupGate(s, d).select(col("doc_id"), col("is_kept")), "doc_id")
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("is_admit") && col("is_aligned") && col("is_kept"), 1L)
+          .otherwise(0L)).as("n_admitted"),
+        sum(when(!col("is_admit"), 1L).otherwise(0L)).as("n_text_rejected"),
+        sum(when(!col("is_aligned"), 1L).otherwise(0L)).as("n_misaligned"),
+        sum(when(!col("is_kept"), 1L).otherwise(0L)).as("n_visual_dup"),
+        sum(when(col("is_admit") && col("is_aligned") && col("is_kept"),
+          col("n_words")).otherwise(0L)).as("tokens_admitted"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_mm_curation_dedup" -> mmCurationDedup,
     "x_mm_video_phash" -> videoPhash,
     "x_mm_clip_dup" -> clipDup,
     "x_mm_audio_fp" -> audioFingerprint,
@@ -1326,6 +1354,51 @@ object MultimodalPipeline {
         |FROM documents d
         |JOIN mg ON mg.doc_id = d.doc_id
         |JOIN al ON al.doc_id = d.doc_id
+        |GROUP BY 1, 2""".stripMargin,
+    // The three-gate funnel: the curation chain above composed with the
+    // visual dedup gate's min-id keep policy (phash CTEs + all-pairs hit)
+    "x_mm_curation_dedup" ->
+      s"""WITH ${TextAnalysis.modelGateSqlCtes},
+        |${phashSqlCtes(withVariants = false)},
+        |ghit2 AS (SELECT a.doc_id, min(b.doc_id) AS dup_of
+        |          FROM ph a JOIN ph b ON b.doc_id < a.doc_id
+        |          WHERE bit_count(xor(a.phash_lo, b.phash_lo))
+        |                + bit_count(xor(a.phash_hi, b.phash_hi)) <= $phashHammingMax
+        |          GROUP BY 1),
+        |gk2 AS (SELECT p.doc_id, h.dup_of IS NULL AS is_kept
+        |        FROM ph p LEFT JOIN ghit2 h USING (doc_id)),
+        |dd AS (SELECT doc_id, 8 + doc_id % 9 AS w2, 8 + (doc_id * 3) % 9 AS h2
+        |       FROM documents),
+        |xs AS (SELECT doc_id, w2, h2, unnest(range(0, w2)) AS x FROM dd),
+        |ys AS (SELECT doc_id, w2, h2, x, unnest(range(0, h2)) AS y FROM xs),
+        |px AS (SELECT doc_id,
+        |         CAST(sum((doc_id + 7 * x + 13 * y) % 256) AS BIGINT) AS r_sum,
+        |         CAST(sum((2 * doc_id + 5 * x + 11 * y) % 256) AS BIGINT) AS g_sum,
+        |         CAST(sum((3 * doc_id + x * y) % 256) AS BIGINT) AS b_sum
+        |       FROM ys GROUP BY 1),
+        |jj AS (SELECT p2.doc_id, p2.r_sum, p2.g_sum, p2.b_sum,
+        |        list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS tv
+        |      FROM px p2 JOIN embeddings e ON e.vec_id = p2.doc_id),
+        |sc2 AS (SELECT doc_id,
+        |         CAST(list_dot_product(
+        |           list_transform(range(0, len(tv)),
+        |             k -> ((r_sum * (k + 1) + g_sum * (k + 2) + b_sum * (k + 3)) % 2001) - 1000),
+        |           tv) AS BIGINT) AS align_fp
+        |       FROM jj),
+        |al AS (SELECT doc_id, align_fp >= 0 AS is_aligned FROM sc2)
+        |SELECT d.lang, d.source,
+        |  CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(COALESCE(sum(CASE WHEN mg.is_admit AND al.is_aligned AND k.is_kept
+        |       THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_admitted,
+        |  CAST(COALESCE(sum(CASE WHEN NOT mg.is_admit THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_text_rejected,
+        |  CAST(COALESCE(sum(CASE WHEN NOT al.is_aligned THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_misaligned,
+        |  CAST(COALESCE(sum(CASE WHEN NOT k.is_kept THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_visual_dup,
+        |  CAST(COALESCE(sum(CASE WHEN mg.is_admit AND al.is_aligned AND k.is_kept
+        |       THEN mg.n_words ELSE 0 END), 0) AS BIGINT) AS tokens_admitted
+        |FROM documents d
+        |JOIN mg ON mg.doc_id = d.doc_id
+        |JOIN al ON al.doc_id = d.doc_id
+        |JOIN gk2 k ON k.doc_id = d.doc_id
         |GROUP BY 1, 2""".stripMargin,
     // Per-window acoustic fingerprints from the PCM formula — a RIFF
     // parse, endianness, or windowing bug cannot hash-match.

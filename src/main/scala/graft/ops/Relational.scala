@@ -53,6 +53,44 @@ object Relational {
       .agg(sum(cents(col("o_totalprice"))).as("revenue_cents"), count(lit(1)).as("n_orders"))
   }
 
+  /** Q7-SHAPE BI-NATIONAL VOLUME: revenue shipped between opposite
+    * nation-parity classes by (supplier nation, customer nation, year) —
+    * TPC-H Q7's shape with the two-nation literal filter generalized to
+    * the parity split (the fixture's 10 suppliers make any single named
+    * pair degenerate; the parity OR keeps Q7's symmetric
+    * cross-side-disjunction character). Plan: the ONLY shuffle joins the
+    * two fact tables (lineitem ⋈ orders on the order key, after the
+    * shipdate range prunes the scan); supplier/customer/nation dims ride
+    * as ONE broadcast chain each side, the parity OR evaluates inside the
+    * joined codegen, and the final exchange is the |nations|²·|years|
+    * group key. At 100 TB: fact-fact co-partitioning (bucketing) removes
+    * even that shuffle; everything else is map-side. */
+  def nationVolume(s: SparkSession, d: String): DataFrame = {
+    val nat = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+    val sup = Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"),
+        (col("s_nationkey") % 2).as("s_par"))
+    val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"),
+        (col("c_nationkey") % 2).as("c_par"))
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("date") &&
+        col("l_shipdate") < lit("1998-01-01").cast("date"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).cast("long").as("l_year"),
+        cents(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("vol_c"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .filter((col("s_par") === 0 && col("c_par") === 1) ||
+        (col("s_par") === 1 && col("c_par") === 0))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(sum(col("vol_c")).as("revenue_cents"), count(lit(1)).as("n_lines"))
+  }
+
   /** Top-10 customers by order revenue; `TakeOrderedAndProject` keeps this a
     * partial-agg + heap, no global sort. */
   def topCustomers(s: SparkSession, d: String): DataFrame =
@@ -589,6 +627,7 @@ object Relational {
     "h_quantiles" -> quantiles,
     "h_pricing_summary" -> pricingSummary,
     "h_region_revenue" -> regionRevenue,
+    "h_nation_volume" -> nationVolume,
     "h_top_customers" -> topCustomers,
     "h_order_priority" -> orderPriority,
     "h_supplier_rank" -> supplierRank,
@@ -706,6 +745,23 @@ object Relational {
          |  CAST(CAST(sum(l_quantity) AS BIGINT) AS DOUBLE) / count(*) AS avg_qty,
          |  CAST(CAST(sum(${centsSql("l_extendedprice")}) AS BIGINT) AS DOUBLE) / count(*) AS avg_base_cents
          |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    // Q7-shape: fact-fact join on the order key, parity OR across the
+    // two broadcast dim chains, per-row cents before the sum
+    "h_nation_volume" ->
+      s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+         |       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+         |       CAST(sum(${centsSql("l.l_extendedprice * (1 - l.l_discount)")}) AS BIGINT) AS revenue_cents,
+         |       count(*) AS n_lines
+         |FROM lineitem l
+         |JOIN orders o ON o.o_orderkey = l.l_orderkey
+         |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+         |JOIN customer c ON c.c_custkey = o.o_custkey
+         |JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+         |JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+         |WHERE l.l_shipdate >= DATE '1996-01-01' AND l.l_shipdate < DATE '1998-01-01'
+         |  AND ((s.s_nationkey % 2 = 0 AND c.c_nationkey % 2 = 1)
+         |    OR (s.s_nationkey % 2 = 1 AND c.c_nationkey % 2 = 0))
+         |GROUP BY 1, 2, 3""".stripMargin,
     "h_region_revenue" ->
       s"""SELECT r_name, CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS revenue_cents, count(*) AS n_orders
          |FROM orders
