@@ -382,6 +382,37 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Window"), s"the fused cut is a window over ≤2k rows/query:\n$p")
   }
 
+  test("visual near-dup: band-bucket hash joins, never a cartesian or sort-merge") {
+    // the banded candidate join's entire scale story is the bucket
+    // equi-key — a refactor that loses the key degenerates to an
+    // all-pairs cartesian (5556² at sf0.1, unbounded at 100 TB)
+    Seq("x_mm_image_neardup", "x_mm_phash_probe", "x_mm_dedup_gate",
+      "x_mm_clip_dup", "x_mm_audio_dup").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q: candidate join degenerated to a cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q: candidate join lost its equi-key:\n$p")
+    }
+  }
+
+  test("cross-encoder rerank: window partitions by query_id over k-bounded rows") {
+    val p = plan("x_search_ce_rerank")
+    assert(p.linesIterator.exists(l =>
+      l.contains("windowspecdefinition(query_id#")),
+      s"the rerank window must partition per query (<=k rows each):\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("Q7-shape: both nation dim chains broadcast; the only sort-merge is the fact-fact key") {
+    val p = plan("h_nation_volume")
+    assert(p.contains("BroadcastHashJoin"),
+      s"supplier/customer dim chains must broadcast:\n$p")
+    // lineitem-orders may legitimately sort-merge (fact-fact); dims never
+    val smj = p.linesIterator.count(_.contains("SortMergeJoin"))
+    assert(smj <= 1, s"expected at most the fact-fact sort-merge, got $smj:\n$p")
+  }
+
   test("phrase index: BOTH posting scans are phrase-pruned before the intersection") {
     // The w2-side scan must semi-join the broadcast phrase table — w2 is a
     // per-row column in the intersection condition, so without its own
