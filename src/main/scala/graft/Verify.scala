@@ -36,9 +36,19 @@ object Verify {
     graft.Logs.quietBenignWarnings()
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(kv => only.forall(_.contains(kv._1))).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        // Full-surface type gate (streams included — the spec can only pin
+        // the batch queries lazily): a non-whitelisted type in a hashed
+        // output is a guaranteed driver hash-fail even when the values are
+        // right ([[HashedTypes]]), so it must be loud here, not silent
+        // until the round report.
+        val bad = HashedTypes.violations(df.schema)
+        if (bad.nonEmpty && SparkEntry.oracleSql.contains(name))
+          System.err.println(
+            s"[verify] $name TYPE VIOLATION (driver hash will diverge): ${bad.mkString(", ")}")
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -157,7 +157,16 @@ object MatView {
       .agg(countDistinct(col("user_id")).as("n_users"))
     merged.join(exact, Seq("event_type", "day"))
       .select(
-        col("event_type"), col("day"), col("n"), col("sum_vc"),
+        col("event_type"),
+        // STRING, not DATE, in the hashed output (r15 verdict #1): the
+        // driver's hash canonicalizes Spark parquet date32 and DuckDB DATE
+        // through different string forms ("2024-01-06" vs
+        // "2024-01-01 00:00:00"), so a semantically equal DATE column flips
+        // the hash on every row. DATE stays the internal grouping key; the
+        // hashed surface carries the ISO string (oracle: strftime). The
+        // whitelist is pinned in `HashedTypeSpec`.
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n"), col("sum_vc"),
         col("min_vc"), col("max_vc"),
         floor(col("sum_vc").cast("double") / col("n")).cast("bigint").as("avg_vc"),
         col("n_users"))
@@ -434,9 +443,9 @@ object MatView {
     // (WindowAgg.windowsSql, the same SQL that pins the live query)
     "x_mv_kpi_refresh" -> graft.ops.WindowAgg.windowsSql("user_id"),
     "x_mv_refresh" ->
-      """SELECT event_type, CAST(ts AS DATE) AS day,
+      """SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
         |       count(*) AS n,
-        |       sum(CAST(round(value * 100) AS BIGINT)) AS sum_vc,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_vc,
         |       min(CAST(round(value * 100) AS BIGINT)) AS min_vc,
         |       max(CAST(round(value * 100) AS BIGINT)) AS max_vc,
         |       CAST(floor(sum(CAST(round(value * 100) AS BIGINT)) / count(*)) AS BIGINT) AS avg_vc,

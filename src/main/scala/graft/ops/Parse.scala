@@ -56,7 +56,12 @@ object Parse {
 
   /** D1-D3: tolerant casts — entity-key synthesis (reference ids are
     * `"user_<n>"`, `producer/producer.py:19`), timestamp → date truncation,
-    * null-drop. */
+    * null-drop. The date truncation still happens (cast to DateType inside
+    * the null filter); the HASHED projection carries it as a `yyyy-MM-dd`
+    * string so the whole suite's output surface stays DATE-free
+    * ([[graft.HashedTypes]] — this column shipped as DATE green for 15
+    * rounds, but one proven-fragile canonicalization class is one too
+    * many to keep in a hashed output). */
   def castFilter(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .select(
@@ -64,6 +69,7 @@ object Parse {
         concat(lit("user_"), col("user_id")).as("user_key"),
         col("ts").cast(DateType).as("event_date"))
       .filter(col("user_key").isNotNull && col("event_date").isNotNull)
+      .withColumn("event_date", date_format(col("event_date"), "yyyy-MM-dd"))
 
   /** Dead-letter audit — the accountability twin of the C4 null-rejection
     * filter: instead of silently dropping malformed events, classify every
@@ -120,7 +126,8 @@ object Parse {
       """SELECT event_id, user_id, event_type FROM events
         |WHERE event_id IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL""".stripMargin,
     "c_cast_filter" ->
-      """SELECT event_id, 'user_' || user_id AS user_key, CAST(ts AS DATE) AS event_date
+      """SELECT event_id, 'user_' || user_id AS user_key,
+        |       strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date
         |FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL""".stripMargin,
     "c_dead_letter" ->
       """WITH c AS (SELECT event_id,
