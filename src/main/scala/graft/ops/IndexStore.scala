@@ -49,6 +49,7 @@ object IndexStore {
   val imagePhash = "image_phash"
   val videoPhash = "video_phash"
   val audioFp = "audio_fp"
+  val ltrFeatureLog = "ltr_features"
 
   private def fs(s: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(s.sparkContext.hadoopConfiguration)

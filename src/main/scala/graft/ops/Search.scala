@@ -460,8 +460,38 @@ object Search {
     * the corpus-sized side (lengths, metadata) or onto index-sized
     * postings; nothing corpus-sized shuffles. The LM leg costs one
     * pair-restricted matched-postings sum, NOT a second retrieval.
-    * `SearchSpec` pins lm_fp equality with [[lmqlTopK]] on shared pairs. */
-  def ltrFeatures(s: SparkSession, d: String): DataFrame = {
+    * `SearchSpec` pins lm_fp equality with [[lmqlTopK]] on shared pairs.
+    *
+    * SERVED, NOT RE-DERIVED (r15 verdict perf item): this relation feeds
+    * NINE queries (the feature emission itself, the CE rerank + its two
+    * eval rows, distillation pairs, preference pairs, and the ingest/
+    * streamed forms' eval joins) — at ~3.5–4 s a derivation that was ~30 s
+    * of repeated identical work per sweep while `baseTf`/signatures were
+    * memoized. It is also the textbook FEATURE LOG: in deployment the
+    * trainer and the reranker read the logged table, they don't re-run
+    * retrieval — so the store/memo posture here is the honest production
+    * shape, not just a bench trick. Resolution order matches every other
+    * serving index: [[IndexStore]] (cross-session, built by
+    * `graft.tools.IndexBuild`) → session [[SpillMemo]] spill →
+    * derivation; `IndexPersistSpec` pins store ≡ memo. */
+  def ltrFeatures(s: SparkSession, d: String): DataFrame =
+    IndexStore.read(s, IndexStore.ltrFeatureLog, d).getOrElse {
+      val key = (SpillMemo.sessionId(s), d)
+      val path = ltrMemo.synchronized(ltrMemo.getOrElseUpdate(key, {
+        val out = SpillMemo.scratchDir("graft-ltrfeat-")
+        ltrFeaturesDerive(s, d).write.mode("overwrite").parquet(out)
+        out
+      }))
+      s.read.parquet(path)
+    }
+
+  /** Session memo for the spilled member feature log. */
+  private val ltrMemo =
+    scala.collection.concurrent.TrieMap.empty[(Long, String), String]
+
+  /** The from-scratch derivation of [[ltrFeatures]] — what
+    * `graft.tools.IndexBuild` persists and the session memo spills. */
+  private[graft] def ltrFeaturesDerive(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     ltrFeaturesOn(
       docs.filter(col("doc_id") % searchStride === 0)

@@ -76,6 +76,13 @@ object IndexBuild {
       .parquet(s"$storeDir/${IndexStore.videoPhash}")
     graft.ops.MultimodalPipeline.audioFingerprint(s, sfDir).write.mode("overwrite")
       .parquet(s"$storeDir/${IndexStore.audioFp}")
+    // the member FEATURE LOG (one BM25 probe + LM leg + labels over the
+    // member split): nine queries — the CE rerank family, distillation and
+    // preference pairs — read this relation; re-deriving it per query was
+    // the r15-flagged inefficiency, and in deployment the trainer reads
+    // the logged table anyway
+    Search.ltrFeaturesDerive(s, sfDir).write.mode("overwrite")
+      .parquet(s"$storeDir/${IndexStore.ltrFeatureLog}")
     val meta =
       s"""{
          |  "version": 1,
@@ -117,7 +124,7 @@ object IndexBuild {
       Seq(IndexStore.bm25Postings, IndexStore.bm25TokenDf, IndexStore.bm25Stats,
         IndexStore.bm25Forward, IndexStore.lmPostings, IndexStore.lmDocLen,
         IndexStore.lmTokenDf, IndexStore.lmStats, IndexStore.imagePhash,
-        IndexStore.videoPhash, IndexStore.audioFp,
+        IndexStore.videoPhash, IndexStore.audioFp, IndexStore.ltrFeatureLog,
         IndexStore.navGraph, IndexStore.minhashSignatures)
         .foreach { name =>
           val n = spark.read.parquet(s"$storeDir/$name").count()

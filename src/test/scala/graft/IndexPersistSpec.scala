@@ -26,8 +26,11 @@ class IndexPersistSpec extends SparkSpec {
     val memoGraph = rows(ops.Similarity.navGraph(spark, sf))
     val memoSigs = rows(ops.Dedup.signatures(spark, sf))
     val memoPhash = rows(ops.MultimodalPipeline.imagePhash(spark, sf))
+    val memoLtr = rows(ops.Search.ltrFeatures(spark, sf))
+    val memoCe = rows(ops.Search.ceRerank(spark, sf))
     assert(memoSearch.nonEmpty && memoRm3.nonEmpty && memoLm.nonEmpty &&
-      memoGraph.nonEmpty && memoSigs.nonEmpty && memoPhash.nonEmpty)
+      memoGraph.nonEmpty && memoSigs.nonEmpty && memoPhash.nonEmpty &&
+      memoLtr.nonEmpty && memoCe.nonEmpty)
 
     val store = ops.SpillMemo.scratchDir("graft-idxstore-")
     tools.IndexBuild.buildTo(spark, sf, store)
@@ -69,6 +72,16 @@ class IndexPersistSpec extends SparkSpec {
         s"persisted mode must scan the store's fingerprints, not re-decode:\n$pplan")
       assert(rows(ops.MultimodalPipeline.imagePhash(spark, sf)) == memoPhash,
         "persisted image fingerprints diverged from the decoded ones")
+      // the member feature log (r16): nine queries read it; store-served
+      // rows AND a downstream consumer (the CE rerank) must be identical
+      val lplan = ops.Search.ltrFeatures(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(lplan.contains("ltr_features"),
+        s"persisted mode must scan the store's feature log, not re-probe:\n$lplan")
+      assert(rows(ops.Search.ltrFeatures(spark, sf)) == memoLtr,
+        "persisted feature log diverged from the derived one")
+      assert(rows(ops.Search.ceRerank(spark, sf)) == memoCe,
+        "CE rerank answers diverged between memo and persisted mode")
     } finally spark.conf.unset(ops.IndexStore.indexDirConf)
   }
 
