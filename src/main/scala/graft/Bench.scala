@@ -82,19 +82,22 @@ object Bench {
     // derivation path). SPARK_GRAFT_NO_INDEX_STORE=1 reverts the bench
     // to memo mode for A/B comparison; a failed build degrades to memo
     // mode loudly (stderr) rather than failing the sweep.
-    val indexBuildSec: Double =
-      if (sys.env.contains("SPARK_GRAFT_NO_INDEX_STORE")) -1.0
+    // mode disambiguation (ADVICE r15): "off" (explicit opt-out) and
+    // "build_failed" (degraded to memo mode) are different facts — a -1
+    // alone conflated them in the artifact
+    val (indexBuildSec, indexStoreMode): (Double, String) =
+      if (sys.env.contains("SPARK_GRAFT_NO_INDEX_STORE")) (-1.0, "off")
       else
         try {
           val store = ops.SpillMemo.scratchDir("graft-bench-store-")
           val t0 = System.nanoTime()
           graft.tools.IndexBuild.buildTo(spark, sfDir, store)
           spark.conf.set(ops.IndexStore.indexDirConf, store)
-          (System.nanoTime() - t0) / 1e9
+          ((System.nanoTime() - t0) / 1e9, "served")
         } catch {
           case e: Throwable =>
             System.err.println(s"index store build failed, memo mode: $e")
-            -1.0
+            (-1.0, "build_failed")
         }
 
     // Calibration probe (round-13 verdict #2): the identical tree measured
@@ -115,7 +118,14 @@ object Bench {
       catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
-    val cal = scala.collection.mutable.ArrayBuffer[Double](calOnce())
+    // A failed probe must never land in the triple as a -1.0 "sample"
+    // (ADVICE r15: any median/min over the triple would be skewed by the
+    // sentinel) — failures are counted separately and surface in
+    // bench_full.json as cal_errors/cal_s_errors.
+    val cal = scala.collection.mutable.ArrayBuffer[Double]()
+    var calErrs = 0
+    def addCal(): Unit = { val v = calOnce(); if (v >= 0) cal += v else calErrs += 1 }
+    addCal()
 
     // Streaming calibration probe (round-14 verdict #2): the batch cal is
     // blind to stream-family contention — identical trees measured equal
@@ -136,13 +146,16 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     calSOnce() // untimed streaming warm-up
-    val calS = scala.collection.mutable.ArrayBuffer[Double](calSOnce())
+    val calS = scala.collection.mutable.ArrayBuffer[Double]()
+    var calSErrs = 0
+    def addCalS(): Unit = { val v = calSOnce(); if (v >= 0) calS += v else calSErrs += 1 }
+    addCalS()
 
     val samples = scala.collection.mutable.Map[String, Seq[Double]]()
     val sortedQueries = SparkEntry.queries.toSeq.sortBy(_._1)
     val midIdx = sortedQueries.size / 2
     val results = sortedQueries.zipWithIndex.map { case ((name, fn), qi) =>
-      if (qi == midIdx) { cal += calOnce(); calS += calSOnce() }
+      if (qi == midIdx) { addCal(); addCalS() }
       def once(): (Double, Option[String]) = {
         val t0 = System.nanoTime()
         val err =
@@ -196,8 +209,8 @@ object Bench {
       System.gc()
       (name, if (err.isEmpty) sec else -1.0, err)
     }
-    cal += calOnce()
-    calS += calSOnce()
+    addCal()
+    addCalS()
 
     // Full-precision sibling artifact ON DISK: the driver line is budgeted
     // to a 2000-char tail (it carries ≥1 s queries + family subtotals,
@@ -207,7 +220,7 @@ object Bench {
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath),
       renderFull(results, sfDir, samples.toMap, cpus.toInt, cal.toSeq, calS.toSeq,
-        indexBuildSec))
+        indexBuildSec, indexStoreMode, calErrs, calSErrs))
     catch { case e: Throwable => System.err.println(s"bench_full write failed: $e") }
     // 10ms precision, trailing zeros stripped, keeps the single JSON line.
     // Emitted LAST — after every stream is quiesced and the session is
@@ -245,7 +258,8 @@ object Bench {
   def renderFull(results: Seq[(String, Double, Option[String])], sfDir: String,
       samples: Map[String, Seq[Double]], cpus: Int = 32,
       cal: Seq[Double] = Nil, calS: Seq[Double] = Nil,
-      indexBuildSec: Double = -1.0): String = {
+      indexBuildSec: Double = -1.0, indexStoreMode: String = "",
+      calErrs: Int = 0, calSErrs: Int = 0): String = {
     def d(v: Double): String = java.math.BigDecimal.valueOf(v)
       .setScale(4, java.math.RoundingMode.HALF_UP).stripTrailingZeros.toPlainString
     val load =
@@ -265,8 +279,16 @@ object Bench {
        else s"""\n  "cal": ${cal.map(d).mkString("[", ",", "]")},""") +
       (if (calS.isEmpty) ""
        else s"""\n  "cal_s": ${calS.map(d).mkString("[", ",", "]")},""") +
-      // the one-time store-build cost the serving family now amortizes
-      // (-1 = memo mode / build failed — queries re-derived per session)
+      // failed probes never ride in the triples as -1 "samples" — they
+      // are counted here instead (ADVICE r15), absent when zero
+      (if (calErrs == 0) "" else s"""\n  "cal_errors": $calErrs,""") +
+      (if (calSErrs == 0) "" else s"""\n  "cal_s_errors": $calSErrs,""") +
+      // the one-time store-build cost the serving family amortizes;
+      // "off" (SPARK_GRAFT_NO_INDEX_STORE opt-out) and "build_failed"
+      // (degraded to memo mode) are recorded distinctly — a bare -1
+      // conflated a choice with a failure (ADVICE r15)
+      (if (indexStoreMode.nonEmpty && indexStoreMode != "served")
+        s"""\n  "index_store": "$indexStoreMode",""" else "") +
       (if (indexBuildSec < 0) ""
        else s"""\n  "index_build_sec": ${d(indexBuildSec)},""")
     s"""{

@@ -500,6 +500,7 @@ object MultimodalPipeline {
     val s = ids.sparkSession
     import s.implicits._
     ids.mapPartitions(_.map { id =>
+        requireOriginalId(id)
         val n = audioTruncSamples
         val bytes = new Array[Byte](n * 2)
         var i = 0
@@ -708,7 +709,23 @@ object MultimodalPipeline {
     * provably equal on this slice ([[variantMod]]'s alignment note). */
   private[graft] val variantOffset = 10000000L
 
-  /** Variant slice: doc_id % 9 == 0 — exactly the 16×16 fixtures, whose
+  /** Corpus-id keyspace guard (ADVICE r15): every corpus-vs-variant
+    * classification in this family — probe arrival splits, the oracles'
+    * `doc_id >= offset` predicates, the three fixed bands at 10M/20M/30M
+    * ([[variantOffset]]/[[clipVariantOffset]]/[[audioVariantOffset]]) —
+    * assumes original doc ids sit below [[variantOffset]]. A corpus id at
+    * or above it would alias originals into the variant keyspace and
+    * misclassify rows with NO error, so every variant-record generator
+    * checks per row (free inside the codec loop) and
+    * `tools.IndexBuild` checks the corpus max once per build. */
+  private[graft] def requireOriginalId(id: Long): Unit =
+    require(id < variantOffset,
+      s"doc_id $id >= variant offset $variantOffset — corpus ids this " +
+        "large would alias into the synthetic-variant keyspace and " +
+        "misclassify corpus-vs-variant rows silently")
+
+  /** Variant slice: doc_id % 9 == 0 — exactly the 8×8 fixtures
+    * (pngWidth = 8 + id%9 = 8; their 2× upscales are 16×16), whose
     * dimensions are BLOCK-ALIGNED (8 | w and 8 | h). Alignment is what
     * makes the 2× upscale's fingerprint PROVABLY equal: with blocks an
     * exact k pixels wide, every upscaled sub-pixel ⌊(2u+r)/2k⌋ lands in
@@ -736,6 +753,7 @@ object MultimodalPipeline {
     val s = ids.sparkSession
     import s.implicits._
     ids.mapPartitions(_.map { id =>
+        requireOriginalId(id)
         val w = pngWidth(id); val h = pngHeight(id)
         val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
         var y = 0
@@ -964,8 +982,10 @@ object MultimodalPipeline {
     ids.mapPartitions { it =>
         val grays = Array.tabulate(256)(_.toByte)
         val cm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
-        it.map(id =>
-          (id + clipVariantOffset, encodeGif(id, vidFrames(id) - 1, cm)))
+        it.map { id =>
+          requireOriginalId(id)
+          (id + clipVariantOffset, encodeGif(id, vidFrames(id) - 1, cm))
+        }
       }
       .toDF("doc_id", "gif")
   }

@@ -110,15 +110,30 @@ object UpsertSink {
     * With the exclusion, replaying the batch re-runs the same
     * older-deltas-only fold (a fold of a fold is the fold — idempotent;
     * a single remaining delta is a no-op) and then overwrites its own
-    * delta exactly as [[writeBatch]] always does. Crash ordering: the
-    * fold is fully materialized to a non-`b*` staging dir (invisible to
-    * resolve) BEFORE anything destructive, then installed over
-    * `b<maxId>`, then the shadowed dirs are removed — the one
-    * non-atomic-overwrite window (`b<maxId>` itself) is the same
-    * exposure every [[writeBatch]] replay already has. */
+    * delta exactly as [[writeBatch]] always does.
+    *
+    * CRASH DURABILITY (ADVICE r15): the fold is the only durable copy of
+    * the folded deltas' keys the moment the old dirs go — unlike a
+    * [[writeBatch]] replay, it cannot be re-derived from the source batch.
+    * So the install is STAGED-THEN-ATOMIC, never a Spark
+    * `mode("overwrite")` (which deletes the target dir before writing):
+    * (1) the fold is fully materialized to a non-`b*` staging dir
+    * (invisible to resolve) with its `_batch_id` column already stamped;
+    * (2) only after the parquet job commits, a `_STAGE_BATCH_ID` marker
+    * records the target id — an unmarked stage is incomplete BY DEFINITION;
+    * (3) the old `b<maxId>` is removed and the stage renamed over it with
+    * `ATOMIC_MOVE`; (4) the shadowed older dirs are removed (pure space
+    * reclaim — every key is already carried by the installed fold).
+    * [[recoverStage]] runs first on every entry: a marked stage is a
+    * complete fold and is PREFERRED (re-installed at its recorded id —
+    * the old `b<maxId>` may already be gone, so recomputing would lose
+    * its keys); an unmarked stage is discarded (every input dir still
+    * exists, the fold recomputes). `CompactSinkSpec` pins both crash
+    * windows. */
   def compactInPlace(s: SparkSession, dir: String, keys: Seq[String],
       exceptBatch: Option[Long] = None): Unit = {
     val base = new java.io.File(dir)
+    recoverStage(base)
     val skip = exceptBatch.map(id => s"b$id").toSet
     val deltas = Option(base.listFiles())
       .map(_.filter(f => f.isDirectory && f.getName.startsWith("b") && !skip(f.getName)))
@@ -131,10 +146,49 @@ object UpsertSink {
     // materialize the fold FIRST (resolve reads the very dirs the install
     // overwrites — laziness would make the write read its own target)
     resolve(s, dir, keys, exceptBatch)
+      .withColumn("_batch_id", lit(maxId))
       .write.mode("overwrite").parquet(stage.getAbsolutePath)
-    writeBatch(s.read.parquet(stage.getAbsolutePath), maxId, dir)
-    deltas.filter(_.getName != s"b$maxId").foreach(deleteTree)
-    deleteTree(stage)
+    // the marker lands only after the fold's parquet job committed; its
+    // underscore prefix keeps Spark's readers ignoring it after install
+    java.nio.file.Files.writeString(
+      new java.io.File(stage, stageMarker).toPath, maxId.toString)
+    installStage(base, stage, maxId)
+  }
+
+  /** Marker file inside a staged fold recording its target batch id —
+    * present ⇔ the fold's parquet job committed completely. */
+  private val stageMarker = "_STAGE_BATCH_ID"
+
+  /** Atomically install a complete staged fold as `b<targetId>` and
+    * reclaim the dirs it shadows (every `b*` with a smaller id — the
+    * in-flight `exceptBatch` delta always has a LARGER id, so it is
+    * structurally out of reach). */
+  private def installStage(base: java.io.File, stage: java.io.File,
+      targetId: Long): Unit = {
+    val target = new java.io.File(base, s"b$targetId")
+    deleteTree(target)
+    java.nio.file.Files.move(stage.toPath, target.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    Option(base.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("b") &&
+        f.getName.drop(1).toLong < targetId)
+      .foreach(deleteTree)
+  }
+
+  /** Crash recovery for [[compactInPlace]]: finish or discard a surviving
+    * stage. Marked ⇒ the fold is complete and may be the ONLY copy of the
+    * folded keys (the old `b<maxId>` can already be deleted) — install it.
+    * Unmarked ⇒ the crash hit mid-write, every input dir still exists —
+    * discard and let the caller refold. */
+  private def recoverStage(base: java.io.File): Unit = {
+    val stage = new java.io.File(base, "compact-stage.tmp")
+    if (!stage.exists()) return
+    val marker = new java.io.File(stage, stageMarker)
+    if (marker.exists()) {
+      val targetId =
+        java.nio.file.Files.readString(marker.toPath).trim.toLong
+      installStage(base, stage, targetId)
+    } else deleteTree(stage)
   }
 
   private def deleteTree(f: java.io.File): Unit = {

@@ -39,6 +39,15 @@ object IndexBuild {
     require(s.conf.getOption(IndexStore.indexDirConf).forall(_.isEmpty),
       s"unset ${IndexStore.indexDirConf} while building — the build must " +
         "derive from the corpus, not read an existing store")
+    // corpus-id keyspace guard (ADVICE r15): the multimodal fingerprint
+    // tables classify corpus vs synthetic-variant rows by fixed id bands
+    // starting at 10M — a corpus whose ids reach that band would be
+    // fingerprinted misclassified with no error, so the build (the one
+    // place every corpus snapshot passes through) checks the max once
+    val maxDoc = graft.Tables.documents(s, sfDir)
+      .agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.col("doc_id"))).head.getLong(0)
+    graft.ops.MultimodalPipeline.requireOriginalId(maxDoc)
     val idx = Search.ingestIndex(s, sfDir)
     idx.postings.write.mode("overwrite")
       .parquet(s"$storeDir/${IndexStore.bm25Postings}")

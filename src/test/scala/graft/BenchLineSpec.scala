@@ -147,6 +147,30 @@ class BenchLineSpec extends AnyFunSuite {
     assert(fallback.contains(""","load":["""), s"load must survive the fallback: $fallback")
   }
 
+  test("failed probes are counted, never -1 samples; store opt-out vs build failure distinct") {
+    // ADVICE r15: a failed calSOnce used to append -1.0 into the triple
+    // (skewing any median over it), and index_build_sec=-1 conflated the
+    // NO_INDEX_STORE opt-out with a real build failure
+    val r = Seq(("q_a", 1.0, None))
+    val sm = Map("q_a" -> Seq(1.0))
+    val off = Bench.renderFull(r, sfDir, sm, cpus = 32, cal = Seq(0.8),
+      calS = Seq(1.2), indexBuildSec = -1.0, indexStoreMode = "off",
+      calErrs = 1, calSErrs = 2)
+    assert(off.contains("\"cal_errors\": 1,"), off)
+    assert(off.contains("\"cal_s_errors\": 2,"), off)
+    assert(off.contains("\"index_store\": \"off\","), off)
+    assert(!off.contains("index_build_sec"), off)
+    assert(!off.contains("-1"), "sentinels must never render as samples")
+    assert(off.count(_ == '{') == off.count(_ == '}'))
+    val failed = Bench.renderFull(r, sfDir, sm, indexStoreMode = "build_failed")
+    assert(failed.contains("\"index_store\": \"build_failed\","), failed)
+    assert(!failed.contains("cal_errors"), "zero counts stay absent")
+    val served = Bench.renderFull(r, sfDir, sm,
+      indexBuildSec = 25.0, indexStoreMode = "served")
+    assert(served.contains("\"index_build_sec\": 25,"), served)
+    assert(!served.contains("\"index_store\":"), served)
+  }
+
   test("bench_full artifact: full precision, all samples, errors, valid shape") {
     val results = Seq(("q_a", 1.23456, None), ("q_err", -1.0, Some("boom \"q\"\n")))
     val samples = Map("q_a" -> Seq(1.23456, 2.5, 1.3))

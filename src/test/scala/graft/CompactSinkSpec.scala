@@ -43,6 +43,59 @@ class CompactSinkSpec extends SparkSpec {
     assert(deltaDirs == 2, "post-compact sink must hold fold + in-flight only")
   }
 
+  test("crash windows: a marked stage is preferred (sole copy of folded keys); an unmarked stage is discarded") {
+    import org.apache.spark.sql.functions.lit
+    // --- window A: crash AFTER the stage committed (marker present) and
+    // AFTER the old b<maxId> was deleted — the stage is the ONLY durable
+    // copy of b2's keys; recovery must install it, never refold
+    val dirA = graft.ops.SpillMemo.scratchDir("graft-cmpcrashA-")
+    def delta(dir: String)(rows: Seq[(Long, Long)], id: Long): Unit =
+      UpsertSink.writeBatch(rows.toDF("k", "v"), id, dir)
+    delta(dirA)(Seq((1L, 10L)), 0)
+    delta(dirA)(Seq((1L, 11L), (2L, 20L)), 1)
+    delta(dirA)(Seq((3L, 30L)), 2)
+    val wantA = UpsertSink.resolve(spark, dirA, Seq("k"))
+      .as[(Long, Long)].collect().toSet
+    // hand-build the crash state: complete marked stage, b2 already gone
+    val stageA = new java.io.File(dirA, "compact-stage.tmp")
+    UpsertSink.resolve(spark, dirA, Seq("k"))
+      .withColumn("_batch_id", lit(2L))
+      .write.parquet(stageA.getAbsolutePath)
+    java.nio.file.Files.writeString(
+      new java.io.File(stageA, "_STAGE_BATCH_ID").toPath, "2")
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
+    }
+    rmTree(new java.io.File(dirA, "b2"))
+    // re-entry (the replay path) must finish the install
+    UpsertSink.compactInPlace(spark, dirA, Seq("k"))
+    val dirsA = new java.io.File(dirA).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("b")).map(_.getName)
+    assert(dirsA.toSet == Set("b2"), s"recovery must install the stage at its recorded id: ${dirsA.toSeq}")
+    assert(UpsertSink.resolve(spark, dirA, Seq("k"))
+      .as[(Long, Long)].collect().toSet == wantA,
+      "recovered fold lost keys (b2's rows existed only in the stage)")
+
+    // --- window B: crash MID-STAGE-WRITE (no marker) — every input dir
+    // still exists; recovery must discard the junk stage and refold
+    val dirB = graft.ops.SpillMemo.scratchDir("graft-cmpcrashB-")
+    delta(dirB)(Seq((1L, 10L)), 0)
+    delta(dirB)(Seq((2L, 20L)), 1)
+    val wantB = UpsertSink.resolve(spark, dirB, Seq("k"))
+      .as[(Long, Long)].collect().toSet
+    val stageB = new java.io.File(dirB, "compact-stage.tmp")
+    stageB.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(stageB, "part-junk.parquet").toPath, "torn write")
+    UpsertSink.compactInPlace(spark, dirB, Seq("k"))
+    assert(!stageB.exists(), "unmarked stage must be discarded")
+    val dirsB = new java.io.File(dirB).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("b")).map(_.getName)
+    assert(dirsB.toSet == Set("b1"), s"refold must still fold to one delta: ${dirsB.toSeq}")
+    assert(UpsertSink.resolve(spark, dirB, Seq("k"))
+      .as[(Long, Long)].collect().toSet == wantB)
+  }
+
   test("golden: the compacted multi-batch twin equals the uncompacted stream") {
     val a = RunningTotals.streamedRunningTotals(spark, sf)
       .as[(Long, Long, Long)].collect().toSet
