@@ -211,20 +211,22 @@ object MatView {
     * Plan: columnar read of the spilled |windows|×|users| base ∪ one scan
     * of the delta slice (map-side partials collapse the 2× fan-out) → one
     * exchange on the view key → merge. Nothing touches base-corpus rows. */
-  private[graft] def kpiState(slice: DataFrame): DataFrame =
-    graft.streaming.EventPipeline.windowCounts(slice, "user_id", watermark = None)
+  private[graft] def kpiState(slice: DataFrame, key: String = "user_id"): DataFrame =
+    graft.streaming.EventPipeline.windowCounts(slice, key, watermark = None)
       .withColumnRenamed("total_interactions", "n")
 
-  /** Session memo for the spilled KPI base view ([[SpillMemo]] contract —
-    * the derivation cost is the first bench sample, like [[baseView]]). */
+  /** Session memo for the spilled KPI base views (one per grain key —
+    * [[SpillMemo]] contract; the derivation cost is the first bench
+    * sample, like [[baseView]]). */
   private val kpiMemo =
-    scala.collection.concurrent.TrieMap.empty[(Long, String), String]
+    scala.collection.concurrent.TrieMap.empty[(Long, String, String), String]
 
-  private[graft] def kpiBaseView(s: SparkSession, d: String): DataFrame = {
-    val key = (SpillMemo.sessionId(s), d)
-    val path = kpiMemo.synchronized(kpiMemo.getOrElseUpdate(key, {
-      val out = SpillMemo.scratchDir("graft-matview-kpi-")
-      kpiState(Tables.events(s, d).filter(!isDelta))
+  private[graft] def kpiBaseView(s: SparkSession, d: String,
+      key: String = "user_id"): DataFrame = {
+    val mk = (SpillMemo.sessionId(s), d, key)
+    val path = kpiMemo.synchronized(kpiMemo.getOrElseUpdate(mk, {
+      val out = SpillMemo.scratchDir(s"graft-matview-kpi-$key-")
+      kpiState(Tables.events(s, d).filter(!isDelta), key)
         .write.mode("overwrite").parquet(out)
       out
     }))
@@ -232,9 +234,10 @@ object MatView {
   }
 
   /** Window-count merge = keyed addition (exposed for the algebra spec). */
-  private[graft] def mergeKpi(view: DataFrame, delta: DataFrame): DataFrame =
+  private[graft] def mergeKpi(view: DataFrame, delta: DataFrame,
+      key: String = "user_id"): DataFrame =
     view.unionAll(delta)
-      .groupBy(col("window_start"), col("window_end"), col("user_id"))
+      .groupBy(col("window_start"), col("window_end"), col(key))
       .agg(sum(col("n")).as("total_interactions"))
 
   /** Incremental refresh of the reference-grain KPI view: fold the delta
@@ -242,9 +245,24 @@ object MatView {
     * column-identical to the live `w_user_windows` query — the refreshed
     * MV IS the dashboard table. */
   def mvKpiRefresh(s: SparkSession, d: String): DataFrame =
-    mergeKpi(kpiBaseView(s, d),
-      kpiState(Tables.events(s, d).filter(isDelta)))
-      .select(col("window_start"), col("window_end"), col("user_id"),
+    kpiRefreshKeyed(s, d, "user_id")
+
+  /** The reference maintains TWO KPI tables — per-user and per-item
+    * (`consumer/consumer.py:147-174`; testdata has no item_id, so
+    * event_type is the second grain, exactly as `w_type_windows` serves
+    * it live). This is the second table's incremental twin (r15 verdict
+    * #6) — the SAME state/merge definitions parameterized by grain key,
+    * so the two maintained tables cannot drift from each other or from
+    * their live queries. */
+  def mvKpiTypeRefresh(s: SparkSession, d: String): DataFrame =
+    kpiRefreshKeyed(s, d, "event_type")
+
+  /** One refresh definition for every KPI grain. */
+  private[graft] def kpiRefreshKeyed(s: SparkSession, d: String,
+      key: String): DataFrame =
+    mergeKpi(kpiBaseView(s, d, key),
+      kpiState(Tables.events(s, d).filter(isDelta), key), key)
+      .select(col("window_start"), col("window_end"), col(key),
         col("total_interactions"))
 
   /** Histogram geometry for [[mvQuantile]] — TUNABLEs shared with the
@@ -426,6 +444,7 @@ object MatView {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_mv_refresh" -> mvRefresh,
     "x_mv_kpi_refresh" -> mvKpiRefresh,
+    "x_mv_kpi_type_refresh" -> mvKpiTypeRefresh,
     "x_mv_quantile" -> mvQuantile,
     "x_mv_rollup_chain" -> mvRollupChain,
     "d_value_bands" -> valueBands)
@@ -442,6 +461,7 @@ object MatView {
     // DuckDB reconstructs the two overlapping windows arithmetically
     // (WindowAgg.windowsSql, the same SQL that pins the live query)
     "x_mv_kpi_refresh" -> graft.ops.WindowAgg.windowsSql("user_id"),
+    "x_mv_kpi_type_refresh" -> graft.ops.WindowAgg.windowsSql("event_type"),
     "x_mv_refresh" ->
       """SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
         |       count(*) AS n,

@@ -77,6 +77,34 @@ class MatViewSpec extends SparkSpec {
         col("total_interactions"))
       .as[(String, String, Long, Long)].collect().toSet
     assert(refreshed == live, "refreshed KPI MV diverged from the live query")
+    // the reference's SECOND maintained KPI grain (event_type — r15
+    // verdict #6): same definitions parameterized by key, so one
+    // merge≡recompute probe + the live-query identity pin it
+    val typeWhole = MatView.kpiState(ev, "event_type")
+      .select(col("window_start").cast("string"),
+        col("window_end").cast("string"), col("event_type"), col("n"))
+      .as[(String, String, String, Long)].collect().toSet
+    val typeMerged = MatView.mergeKpi(
+      MatView.kpiState(ev.filter(col("event_id") % 2 === 0), "event_type"),
+      MatView.kpiState(ev.filter(col("event_id") % 2 =!= 0), "event_type"),
+      "event_type")
+      .select(col("window_start").cast("string"),
+        col("window_end").cast("string"), col("event_type"),
+        col("total_interactions"))
+      .as[(String, String, String, Long)].collect().toSet
+    assert(typeMerged == typeWhole, "type-grain KPI merge != recompute")
+    val typeRefreshed = MatView.mvKpiTypeRefresh(spark, sf)
+      .select(col("window_start").cast("string"),
+        col("window_end").cast("string"), col("event_type"),
+        col("total_interactions"))
+      .as[(String, String, String, Long)].collect().toSet
+    val typeLive = graft.ops.WindowAgg.typeWindows(spark, sf)
+      .select(col("window_start").cast("string"),
+        col("window_end").cast("string"), col("event_type"),
+        col("total_interactions"))
+      .as[(String, String, String, Long)].collect().toSet
+    assert(typeRefreshed == typeLive,
+      "refreshed type-grain KPI MV diverged from the live query")
   }
 
   test("histogram quantile: merge == recompute; estimate within one bucket of the true median") {
