@@ -50,6 +50,7 @@ object IndexStore {
   val videoPhash = "video_phash"
   val audioFp = "audio_fp"
   val ltrFeatureLog = "ltr_features"
+  val knnProbeIndex = "knn_probe_index"
 
   private def fs(s: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(s.sparkContext.hadoopConfiguration)

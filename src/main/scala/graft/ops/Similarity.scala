@@ -669,13 +669,25 @@ object Similarity {
   }
 
   /** The standing-corpus side of the incremental search (everything OUTSIDE
-    * the ingest batch), lineage-cut so per-ingest probes re-read
-    * materialized rows instead of re-deriving the bucketed relation. */
+    * the ingest batch): per-vector sign-bucket assignment + quantized
+    * vector + norm — exactly the artifact an IVF deployment persists
+    * beside the corpus snapshot. Resolution order matches every serving
+    * index (r16, off the GraphProfile attribution: the per-run lineage
+    * cut re-derived + re-wrote this relation on every graph/kNN stream):
+    * [[IndexStore]] read (built by `tools.IndexBuild`) → session
+    * lineage-cut derivation. ONE definition serves [[knnIncremental]],
+    * its streaming twin, and the graph trio ([[ingestGraphIndex]]) — they
+    * previously built it twice, inline. */
   private[graft] def knnCorpusIndex(s: SparkSession, d: String): DataFrame =
-    Lineage.cut(knnRelation(Tables.embeddings(s, d))
+    IndexStore.read(s, IndexStore.knnProbeIndex, d)
+      .getOrElse(Lineage.cut(standingProbeIndex(s, d)))
+
+  /** The from-scratch derivation `tools.IndexBuild` persists. */
+  private[graft] def standingProbeIndex(s: SparkSession, d: String): DataFrame =
+    knnRelation(Tables.embeddings(s, d))
       .filter(col("vec_id") % knnBatchMod =!= 7)
       .select(col("vec_id").as("neighbor_id"), col("q").as("cq"),
-        col("bucket"), col("nq").as("nb")))
+        col("bucket"), col("nq").as("nb"))
 
   /** Probe an ingest-batch sign-bucket relation against the standing corpus
     * index and keep each ingest vector's top-[[knnK]] neighbors — the
@@ -1044,10 +1056,7 @@ object Similarity {
       s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
     val edges = navGraph(s, d)
       .filter(col("src") % knnBatchMod =!= 7 && col("dst") % knnBatchMod =!= 7)
-    val corpusIdx = Lineage.cut(knnRelation(Tables.embeddings(s, d))
-      .filter(col("vec_id") % knnBatchMod =!= 7)
-      .select(col("vec_id").as("neighbor_id"), col("q").as("cq"),
-        col("bucket"), col("nq").as("nb")))
+    val corpusIdx = knnCorpusIndex(s, d)
     val c = Lineage.cut(corpus(s, d).filter(col("vec_id") % knnBatchMod =!= 7)
       .select(col("vec_id"), col("v")))
     (edges, corpusIdx, c)

@@ -74,6 +74,12 @@ object IndexBuild {
       .parquet(s"$storeDir/${IndexStore.lmStats}")
     Similarity.navGraph(s, sfDir).write.mode("overwrite")
       .parquet(s"$storeDir/${IndexStore.navGraph}")
+    // the standing bucketed probe index (per-vector IVF-style bucket
+    // assignment + quantized vector + norm): every kNN/graph ingest probe
+    // seeds from it, and the per-session lineage cut re-derived AND
+    // re-wrote it per stream run (GraphProfile r16 attribution)
+    Similarity.standingProbeIndex(s, sfDir).write.mode("overwrite")
+      .parquet(s"$storeDir/${IndexStore.knnProbeIndex}")
     Dedup.signatures(s, sfDir).write.mode("overwrite")
       .parquet(s"$storeDir/${IndexStore.minhashSignatures}")
     // the visual near-dup family's standing fingerprint relation: built
@@ -134,7 +140,8 @@ object IndexBuild {
         IndexStore.bm25Forward, IndexStore.lmPostings, IndexStore.lmDocLen,
         IndexStore.lmTokenDf, IndexStore.lmStats, IndexStore.imagePhash,
         IndexStore.videoPhash, IndexStore.audioFp, IndexStore.ltrFeatureLog,
-        IndexStore.navGraph, IndexStore.minhashSignatures)
+        IndexStore.navGraph, IndexStore.knnProbeIndex,
+        IndexStore.minhashSignatures)
         .foreach { name =>
           val n = spark.read.parquet(s"$storeDir/$name").count()
           println(s"[index-build] $name: $n rows")

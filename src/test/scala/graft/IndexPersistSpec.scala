@@ -82,6 +82,15 @@ class IndexPersistSpec extends SparkSpec {
         "persisted feature log diverged from the derived one")
       assert(rows(ops.Search.ceRerank(spark, sf)) == memoCe,
         "CE rerank answers diverged between memo and persisted mode")
+      // the bucketed probe index (r16): the kNN/graph ingest probes' seed
+      // relation must come from the store, identically to the derivation
+      val kplan = ops.Similarity.knnCorpusIndex(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(kplan.contains("knn_probe_index"),
+        s"persisted mode must scan the store's probe index, not re-bucket:\n$kplan")
+      assert(rows(ops.Similarity.knnCorpusIndex(spark, sf)) ==
+        rows(ops.Similarity.standingProbeIndex(spark, sf)),
+        "persisted probe index diverged from the derivation")
     } finally spark.conf.unset(ops.IndexStore.indexDirConf)
   }
 
