@@ -43,6 +43,7 @@ object SparkEntry {
     (streaming.GraphInsertStream.queries, streaming.GraphInsertStream.oracle),
     (streaming.AlignStream.queries, streaming.AlignStream.oracle),
     (streaming.SearchStream.queries, streaming.SearchStream.oracle),
+    (streaming.ChunkStream.queries, streaming.ChunkStream.oracle),
     (streaming.LmqlStream.queries, streaming.LmqlStream.oracle),
     (streaming.LtrStream.queries, streaming.LtrStream.oracle),
     (streaming.HybridStream.queries, streaming.HybridStream.oracle),

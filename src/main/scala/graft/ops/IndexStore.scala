@@ -51,6 +51,9 @@ object IndexStore {
   val audioFp = "audio_fp"
   val ltrFeatureLog = "ltr_features"
   val knnProbeIndex = "knn_probe_index"
+  val chunkPostings = "chunk_postings"
+  val chunkTokenDf = "chunk_token_df"
+  val chunkStats = "chunk_stats"
 
   private def fs(s: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(s.sparkContext.hadoopConfiguration)

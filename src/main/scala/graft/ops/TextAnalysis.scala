@@ -398,8 +398,8 @@ object TextAnalysis {
     * fixture (10-99 words/doc, median 56) exercises both the single-chunk
     * and the multi-chunk overlap path; a real RAG/context-window pipeline
     * runs 512/384-token chunks, same plan. */
-  private val chunkLen = 32
-  private val chunkStride = 24
+  private[graft] val chunkLen = 32
+  private[graft] val chunkStride = 24
 
   /** Document chunking: overlapping fixed-length word windows (length
     * [[chunkLen]], stride [[chunkStride]]) — the retrieval/context-window
@@ -418,8 +418,10 @@ object TextAnalysis {
   def chunks(s: SparkSession, d: String): DataFrame =
     chunksDocs(Tables.documents(s, d))
 
-  /** [[chunks]] over any frame with (doc_id, text). */
-  def chunksDocs(docs: DataFrame): DataFrame =
+  /** One chunk-geometry expansion shared by [[chunksDocs]] (hash output)
+    * and [[chunkTextDocs]] (text output — the indexed unit chunk-level
+    * retrieval consumes): the two views CANNOT disagree on offsets. */
+  private def chunkGeom(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), split(col("text"), " ").as("words"))
       .withColumn("n_words", size(col("words")).cast("long"))
@@ -431,9 +433,23 @@ object TextAnalysis {
         explode(expr("sequence(0L, n_chunks - 1)")).as("chunk_id"))
       .withColumn("start_w", col("chunk_id") * chunkStride)
       .withColumn("len_w", least(lit(chunkLen.toLong), col("n_words") - col("start_w")))
+
+  /** [[chunks]] over any frame with (doc_id, text). */
+  def chunksDocs(docs: DataFrame): DataFrame =
+    chunkGeom(docs)
       .select(col("doc_id"), col("chunk_id"), col("start_w"), col("len_w"),
         md5(concat_ws(" ",
           expr(s"slice(words, CAST(start_w + 1 AS INT), $chunkLen)"))).as("chunk_h"))
+
+  /** Chunk rows WITH their text — what chunk-level retrieval indexes
+    * ([[graft.ops.Search]] RAG family, r15 verdict #8): same geometry
+    * expansion as [[chunksDocs]], the final chunk running short rather
+    * than re-reading the tail. Map-side explode, zero shuffles. */
+  private[graft] def chunkTextDocs(docs: DataFrame): DataFrame =
+    chunkGeom(docs)
+      .select(col("doc_id"), col("chunk_id"),
+        concat_ws(" ",
+          expr(s"slice(words, CAST(start_w + 1 AS INT), $chunkLen)")).as("text"))
 
   /** Per-language n-gram top-k rank depth — TUNABLE shared with the oracle. */
   private val ngramTopN = 10

@@ -98,6 +98,15 @@ object IndexBuild {
     // the logged table anyway
     Search.ltrFeaturesDerive(s, sfDir).write.mode("overwrite")
       .parquet(s"$storeDir/${IndexStore.ltrFeatureLog}")
+    // the standing CHUNK index (passage-unit BM25 trio — the RAG serving
+    // index; arriving docs' chunks excluded, same stance as bm25_*)
+    val chunkIdx = Search.chunkIngestIndexDerive(s, sfDir)
+    chunkIdx.postings.write.mode("overwrite")
+      .parquet(s"$storeDir/${IndexStore.chunkPostings}")
+    chunkIdx.tokenDf.write.mode("overwrite")
+      .parquet(s"$storeDir/${IndexStore.chunkTokenDf}")
+    chunkIdx.stats.write.mode("overwrite")
+      .parquet(s"$storeDir/${IndexStore.chunkStats}")
     val meta =
       s"""{
          |  "version": 1,

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.{Dataset, Row}
+import org.apache.spark.sql.functions._
+
+/** Chunk-level retrieval (the RAG family, r16): the chunk-text expansion
+  * must agree with the hash-emitting `x_text_chunks` geometry (one
+  * definition), a query must never retrieve its own chunks, the
+  * document rollup must recompose exactly from the chunk hits, and the
+  * streamed ingest twin must equal the batch form under a two-batch
+  * split (stateless stream-static search). */
+class ChunkSearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chunkTextDocs: md5 of emitted text IS chunksDocs' chunk_h; key space holds") {
+    val docs = Tables.documents(spark, sf)
+    val text = ops.TextAnalysis.chunkTextDocs(docs)
+      .select($"doc_id", $"chunk_id", md5($"text").as("h"))
+      .as[(Long, Long, String)].collect().toSet
+    val hashed = ops.TextAnalysis.chunksDocs(docs)
+      .select($"doc_id", $"chunk_id", $"chunk_h")
+      .as[(Long, Long, String)].collect().toSet
+    assert(text == hashed,
+      "chunk text and chunk hash views disagree — geometry drifted")
+    assert(text.nonEmpty)
+    // multi-chunk docs exist (the overlap path is exercised)
+    assert(text.groupBy(_._1).exists(_._2.size > 1))
+    // the key synthesis is injective on this corpus
+    val maxChunk = text.map(_._2).max
+    assert(maxChunk < ops.Search.chunkKeyMod,
+      s"chunk_id $maxChunk would collide in the ${ops.Search.chunkKeyMod} key space")
+  }
+
+  test("chunk hits: no self-parents, ranks contiguous, k-bounded; rollup recomposes") {
+    val hits = ops.Search.chunkTopK(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(hits.nonEmpty)
+    hits.foreach { case (q, nb, _, _, _, _) =>
+      assert(nb != q, s"query $q retrieved its own chunk") }
+    hits.groupBy(_._1).foreach { case (q, rows) =>
+      val rnks = rows.map(_._6).sorted
+      assert(rnks.head == 1 && rnks.last == rnks.size &&
+        rnks.size <= ops.Search.chunkK, s"ranks broken for query $q: ${rnks.toSeq}")
+    }
+    // rollup identities against the chunk hits it derives from
+    val byQp = hits.groupBy(h => (h._1, h._2))
+    val roll = ops.Search.chunkDocRollup(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(roll.nonEmpty)
+    roll.foreach { case (q, parent, bestM, bestChunk, nHits, _) =>
+      val grp = byQp((q, parent))
+      assert(bestM == grp.map(_._4).max, s"best_m is not the max chunk score for ($q,$parent)")
+      assert(nHits == grp.size, s"n_chunk_hits wrong for ($q,$parent)")
+      val best = grp.filter(_._4 == bestM).map(_._3).min
+      assert(bestChunk == best, s"best_chunk tie-break wrong for ($q,$parent)")
+    }
+    roll.groupBy(_._1).foreach { case (q, rows) =>
+      val rnks = rows.map(_._6).sorted
+      assert(rnks.head == 1 && rnks.last == rnks.size, s"rollup ranks broken for $q")
+    }
+  }
+
+  test("streamed chunk search: answers accumulate across two micro-batches to the batch form") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val idx = ops.Search.chunkIngestIndex(spark, sf)
+    val arriving = Tables.documents(spark, sf)
+      .filter($"doc_id" % ops.Similarity.knnBatchMod === 7)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    assert(arriving.size >= 2)
+    val (c1, c2) = arriving.splitAt(arriving.size / 2)
+    val sink = ops.SpillMemo.scratchDir("graft-schunk-t-")
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "text").writeStream
+      .option("checkpointLocation", s"$sink/ckpt")
+      .foreachBatch { (b: Dataset[Row], id: Long) =>
+        streaming.UpsertSink.writeBatch(
+          ops.Search.chunkProbe(b.toDF(), idx), id, s"$sink/sink")
+      }
+      .start()
+    try {
+      in.addData(c1: _*)
+      q.processAllAvailable()
+      in.addData(c2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "chunk_id", "score_m", "n_terms", "rnk")
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    val streamed = rows(
+      streaming.UpsertSink.resolve(spark, s"$sink/sink", Seq("query_id", "rnk"))
+        .select($"query_id",
+          expr(s"chunk_key div ${ops.Search.chunkKeyMod}").as("neighbor_id"),
+          ($"chunk_key" % ops.Search.chunkKeyMod).as("chunk_id"),
+          $"score_m", $"n_terms", $"rnk"))
+    val batch = rows(ops.Search.chunkIngestTopK(spark, sf))
+    assert(streamed == batch, "two-batch chunk answers diverged from the batch form")
+    assert(streamed.nonEmpty)
+  }
+}
