@@ -44,6 +44,7 @@ object SparkEntry {
     (streaming.AlignStream.queries, streaming.AlignStream.oracle),
     (streaming.SearchStream.queries, streaming.SearchStream.oracle),
     (streaming.ChunkStream.queries, streaming.ChunkStream.oracle),
+    (streaming.CompLabelStream.queries, streaming.CompLabelStream.oracle),
     (streaming.LmqlStream.queries, streaming.LmqlStream.oracle),
     (streaming.LtrStream.queries, streaming.LtrStream.oracle),
     (streaming.HybridStream.queries, streaming.HybridStream.oracle),

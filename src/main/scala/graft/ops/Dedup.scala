@@ -243,7 +243,7 @@ object Dedup {
     * map-side explode, 8 rows per doc. Shared by the self-join candidate
     * path ([[lshPairs]]) and the asymmetric incremental path
     * ([[incremental]]). */
-  private def bandRelation(sig: DataFrame): DataFrame = {
+  private[graft] def bandRelation(sig: DataFrame): DataFrame = {
     val bandStructs = (0 until nSeeds / bandSize).map { b =>
       struct(lit(b).as("band"),
         concat_ws(":",
@@ -624,7 +624,7 @@ object Dedup {
   /** The min-label fixpoint over an arbitrary (doc_a, doc_b) edge set —
     * [[computeComponentLabels]]'s loop, shared with the standing-only
     * variant. */
-  private def labelsFromEdges(edges: DataFrame): DataFrame = {
+  private[graft] def labelsFromEdges(edges: DataFrame): DataFrame = {
     val adj = Lineage.cut(
       edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
@@ -823,6 +823,125 @@ object Dedup {
       Tables.documents(s, d).filter(col("doc_id") % newMod === newRem)
         .select(col("doc_id"), col("text")),
       corpusSig, corpusBands)
+  }
+
+  /** INCREMENTAL COMPONENT-LABEL MAINTENANCE — one micro-batch's label
+    * delta (r15 verdict #8: the dedup labeling was the one persisted index
+    * without an incremental twin; full relabeling per ingest re-runs the
+    * whole fixpoint over the corpus graph). The union-find-by-contraction
+    * recipe, distributively:
+    *
+    *  1. the arriving docs' bands probe the standing band index AND the
+    *     already-arrived bands (an additive sink of per-batch band
+    *     relations — [[graft.streaming.UpsertSink.readAll]] state), plus
+    *     the within-batch self-join: exactly the edges [[minhashLsh]]
+    *     would emit for these endpoints, so the union over any batching
+    *     is the full candidate graph;
+    *  2. every edge endpoint is CONTRACTED to its current label
+    *     (sink override → standing label → own id). The maintained
+    *     invariant — every doc of a maintained component carries the
+    *     component's min id — makes the contracted graph sound: nodes are
+    *     component representatives, so min-label components OVER THE
+    *     CONTRACTED GRAPH ([[labelsFromEdges]], the SAME fixpoint the
+    *     batch form runs, now over ≤|batch|·bands nodes instead of the
+    *     corpus graph) give each representative the merged component's
+    *     min;
+    *  3. the delta = arriving docs' new labels ∪ the REMAP rows — every
+    *     doc whose current label a merge moved (a bridge arrival can
+    *     fuse two standing components; the remap join against the label
+    *     table is a broadcast of the tiny old→new map, and only changed
+    *     keys write).
+    *
+    * Convergence to the batch [[components]] under ANY batching follows
+    * by induction on the invariant; replay idempotence from excluding the
+    * batch's own deltas from BOTH states (the [[incrementalProbe]] /
+    * `exceptBatch` stance). `CompLabelStreamSpec` pins both; the stream's
+    * oracle is `x_dedup_components`' recursive-CTE twin verbatim.
+    *
+    * Scale: per-trigger cost is the batch's banding + two band joins +
+    * a fixpoint over the contracted (batch-sized) graph + one broadcast
+    * remap join against the label table — nothing corpus-text-sized, no
+    * corpus×corpus join; the label table IS the maintained index and at
+    * 100 TB lives exactly where [[componentLabels]]' scaladoc puts it. */
+  private[graft] def labelDelta(
+      batch: DataFrame, batchId: Long, bandSink: String,
+      labelSink: String, corpusBands: DataFrame,
+      standingLabels: DataFrame): (DataFrame, DataFrame) = {
+    val s = batch.sparkSession
+    val newSig = ingestSignatures(batch)
+    val newBands = Lineage.cut(bandRelation(newSig))
+    val arrivedBands = {
+      val base = new java.io.File(bandSink)
+      val has = Option(base.listFiles()).exists(_.exists(f =>
+        f.isDirectory && f.getName.startsWith("b") && f.getName != s"b$batchId"))
+      if (has)
+        Some(graft.streaming.UpsertSink.readAll(s, bandSink, Some(batchId)))
+      else None
+    }
+    val oldBands = arrivedBands.fold(corpusBands)(corpusBands.unionAll)
+    // 1. this batch's candidate edges (band-bucketed, never all-pairs)
+    val eCross = oldBands.as("o")
+      .join(Hints.broadcastSmall(newBands.as("n")),
+        col("n.band") === col("o.band") && col("n.bkey") === col("o.bkey"))
+      .select(col("n.doc_id").as("doc_a"), col("o.doc_id").as("doc_b"))
+    val eWithin = newBands.as("a").join(newBands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val edges = Lineage.cut(eCross.unionAll(eWithin).distinct())
+    // 2. current labels of every touched endpoint (sink → standing → self)
+    val prior = {
+      val base = new java.io.File(labelSink)
+      val has = Option(base.listFiles()).exists(_.exists(f =>
+        f.isDirectory && f.getName.startsWith("b") && f.getName != s"b$batchId"))
+      if (has)
+        graft.streaming.UpsertSink
+          .resolve(s, labelSink, Seq("doc_id"), Some(batchId))
+          .select(col("doc_id"), col("comp").as("sink_comp"))
+      else standingLabels.limit(0)
+        .select(col("doc_id"), col("comp").as("sink_comp"))
+    }
+    val curAll = Lineage.cut(standingLabels
+      .select(col("doc_id"), col("comp").as("st_comp"))
+      .join(prior, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("sink_comp"), col("st_comp"), col("doc_id")).as("comp")))
+    val touched = edges.select(col("doc_a").as("doc_id"))
+      .unionAll(edges.select(col("doc_b").as("doc_id"))).distinct()
+    val curTouched = touched.join(curAll, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("comp"))
+    // 3. contract endpoints to labels, fixpoint over the contracted graph
+    val contracted = edges
+      .join(Hints.broadcastSmall(curTouched
+        .select(col("doc_id").as("doc_a"), col("comp").as("la"))), "doc_a")
+      .join(Hints.broadcastSmall(curTouched
+        .select(col("doc_id").as("doc_b"), col("comp").as("lb"))), "doc_b")
+      .filter(col("la") =!= col("lb"))
+      .select(col("la").as("doc_a"), col("lb").as("doc_b"))
+      .distinct()
+    val remap = Lineage.cut(labelsFromEdges(contracted)
+      .filter(col("doc_id") =!= col("comp"))
+      .select(col("doc_id").as("old_comp"), col("comp").as("new_comp")))
+    // 4. the delta: arriving docs' labels + every remapped existing row.
+    // The remap universe is curAll ∪ the touched-but-never-labeled docs
+    // (an edge-less STANDING doc a new cross edge just linked carries no
+    // label row anywhere yet its implicit own-id label may have been
+    // merged away — without this leg it would silently stay a singleton),
+    // minus the batch docs (batchRows owns them — resolve requires one
+    // row per key per delta).
+    val batchRows = batch.select(col("doc_id"))
+      .join(curTouched.withColumnRenamed("comp", "cur"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cur"), col("doc_id")).as("cur"))
+      .join(Hints.broadcastSmall(remap), col("cur") === col("old_comp"), "left")
+      .select(col("doc_id"), coalesce(col("new_comp"), col("cur")).as("comp"))
+    val curUniverse = curAll.unionAll(
+      curTouched.join(curAll.select(col("doc_id")), Seq("doc_id"), "left_anti"))
+    val remapRows = curUniverse
+      .join(batch.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .join(Hints.broadcastSmall(remap), col("comp") === col("old_comp"))
+      .select(col("doc_id"), col("new_comp").as("comp"))
+    (batchRows.unionAll(remapRows), newBands)
   }
 
   /** PageRank iteration count — a fixed hyperparameter like [[Bpe.bpeRounds]]

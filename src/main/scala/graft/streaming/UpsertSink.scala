@@ -75,10 +75,12 @@ object UpsertSink {
     * here: two batches touching the same key both contribute. Same
     * explicit delta enumeration and empty-sink contract as [[resolve]];
     * the same `mode("overwrite")` per-batch write keeps replay idempotent. */
-  def readAll(s: SparkSession, dir: String): DataFrame = {
+  def readAll(s: SparkSession, dir: String,
+      exceptBatch: Option[Long] = None): DataFrame = {
     val base = new java.io.File(dir)
+    val skip = exceptBatch.map(id => s"b$id").toSet
     val deltas = Option(base.listFiles())
-      .map(_.filter(f => f.isDirectory && f.getName.startsWith("b"))
+      .map(_.filter(f => f.isDirectory && f.getName.startsWith("b") && !skip(f.getName))
         .map(_.getAbsolutePath).sorted)
       .getOrElse(Array.empty[String])
     require(deltas.nonEmpty,
