@@ -392,8 +392,24 @@ object Search {
     * (score DESC, chunk_id ASC) rank 1; doc rank = (best score DESC,
     * doc ASC). Every window runs over the ≤[[chunkK]]-per-query hit
     * relation — candidate-budget-sized at any corpus scale. */
-  def chunkDocRollup(s: SparkSession, d: String): DataFrame = {
-    val ch = chunkHits(s, d).select(
+  def chunkDocRollup(s: SparkSession, d: String): DataFrame =
+    rollupOf(chunkHits(s, d))
+
+  /** Ingest-serving twin of the rollup: arriving docs' passage hits
+    * ([[chunkIngestIndex]] probe) max-pooled to document answers — the
+    * full RAG serving response (which documents, via which passage) for
+    * each arrival. */
+  def chunkIngestRollup(s: SparkSession, d: String): DataFrame =
+    rollupOf(chunkProbe(
+      Tables.documents(s, d)
+        .filter(col("doc_id") % Similarity.knnBatchMod === 7)
+        .select(col("doc_id"), col("text")),
+      chunkIngestIndex(s, d)))
+
+  /** The passage→document max-pooling core over any [[chunkProbe]] hit
+    * relation — ONE definition for the member and ingest forms. */
+  private[graft] def rollupOf(hits: DataFrame): DataFrame = {
+    val ch = hits.select(
       col("query_id"),
       expr(s"chunk_key div $chunkKeyMod").as("parent"),
       (col("chunk_key") % chunkKeyMod).as("chunk_id"),
@@ -1833,6 +1849,7 @@ object Search {
     "x_search_chunks" -> ((s, d) => chunkTopK(s, d)),
     "x_search_chunk_rollup" -> ((s, d) => chunkDocRollup(s, d)),
     "x_search_chunks_in" -> ((s, d) => chunkIngestTopK(s, d)),
+    "x_search_chunk_rollup_in" -> ((s, d) => chunkIngestRollup(s, d)),
     "x_search_rm3" -> rm3Search,
     "x_search_rm3_in" -> rm3IngestSearch,
     "x_search_snippet" -> snippetSearch,
@@ -2221,6 +2238,11 @@ object Search {
         chunkCorpusSql(s"doc_id % ${Similarity.knnBatchMod} <> 7"),
         s"SELECT doc_id AS query_id, text FROM documents WHERE doc_id % ${Similarity.knnBatchMod} = 7",
         chunkSelfExcl) + chunkTail),
+    "x_search_chunk_rollup_in" ->
+      (bm25CtesOver(
+        chunkCorpusSql(s"doc_id % ${Similarity.knnBatchMod} <> 7"),
+        s"SELECT doc_id AS query_id, text FROM documents WHERE doc_id % ${Similarity.knnBatchMod} = 7",
+        chunkSelfExcl) + chunkRollupTail),
     // graded-relevance tail over the shared member chain; the discount is
     // the same fixed-point log2 text the Spark plan compiles
     "x_search_ndcg" ->
