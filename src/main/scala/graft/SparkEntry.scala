@@ -22,6 +22,7 @@ object SparkEntry {
     (ops.Sketches.queries, ops.Sketches.oracle),
     (ops.Dedup.queries, ops.Dedup.oracle),
     (ops.Similarity.queries, ops.Similarity.oracle),
+    (ops.Diversify.queries, ops.Diversify.oracle),
     (ops.TextAnalysis.queries, ops.TextAnalysis.oracle),
     (ops.Bpe.queries, ops.Bpe.oracle),
     (ops.Temporal.queries, ops.Temporal.oracle),
@@ -59,7 +60,8 @@ object SparkEntry {
     (streaming.PhashStream.queries, streaming.PhashStream.oracle),
     (streaming.CeStream.queries, streaming.CeStream.oracle),
     (streaming.ClipStream.queries, streaming.ClipStream.oracle),
-    (streaming.AudioDupStream.queries, streaming.AudioDupStream.oracle))
+    (streaming.AudioDupStream.queries, streaming.AudioDupStream.oracle),
+    (streaming.MmrStream.queries, streaming.MmrStream.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's core computation: sliding-window per-user interaction

@@ -1,0 +1,222 @@
+package graft.ops
+
+import graft.functions.TopK
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Diversity-aware selection over the embedding corpus — the two forms a
+  * curation/serving stack needs beyond plain nearest-neighbor ranking
+  * (SURVEY §7.4 extension tier; the reference has no retrieval surface at
+  * all, its analytics stop at windowed counts — `reporting/reporting.py`):
+  *
+  *  - '''MMR (maximal marginal relevance)''' re-ranking ([[mmrTopK]]):
+  *    Carbonell & Goldstein '98 — greedily pick the next result maximizing
+  *    `λ·rel(q,d) − (1−λ)·max_{s∈S} sim(d,s)`, trading relevance against
+  *    redundancy with the already-selected set S. The serving-side
+  *    complement of the dedup family: near-dup CORPUS cleaning removes
+  *    copies at rest ([[Dedup]]); MMR removes residual redundancy per
+  *    QUERY at answer time (a RAG context window filled with five copies
+  *    of the same passage is the failure mode this exists for).
+  *  - '''Cluster-balanced sampling''' ([[clusterBalanced]]): equal-depth
+  *    hash-ranked draws per learned k-means cell — the diversity-preserving
+  *    subsample behind coverage-stratified eval/training sets (the
+  *    SemDeDup-style observation that uniform sampling over-represents
+  *    dense regions; per-cell quotas flatten that).
+  *
+  * Scale shape (100 TB): both operators run AFTER a corpus-bounded
+  * reduction. MMR's input is a per-query candidate pool of fixed size
+  * [[mmrPool]] from any ANN rung ([[Similarity]]'s ladder) — the greedy
+  * loop touches |Q|·pool² dashboard-sized rows, corpus-independent, and
+  * unrolls to [[mmrPicks]] chained joins on that tiny relation (no
+  * iteration-over-collect; the same fixed-unroll idiom as [[Bpe]]).
+  * Cluster-balanced sampling is one bounded-heap top-n per cell over the
+  * assignment relation — map-side partial reduction cuts each partition to
+  * n rows per cell before the exchange ([[graft.functions.TopKAgg]]), so
+  * the shuffle moves O(cells·n), never the corpus.
+  *
+  * Oracle strategy: every arithmetic step is either integer (hash ranks)
+  * or an IEEE-identical double chain (the [[graft.functions.CosineSimilarity]]
+  * kernel accumulates in DuckDB `list_dot_product`'s fold order, and the
+  * MMR objective is the same two multiplies and a subtract on both sides),
+  * so the DuckDB twins reproduce picks — and the emitted relevance values —
+  * exactly; the greedy argmax tie-breaks on neighbor id in both engines.
+  */
+object Diversify {
+
+  /** Query stride over vec_id — [[Similarity]]'s eval-panel convention. */
+  private[graft] val mmrStride = 125
+
+  /** Candidate-pool depth handed to the greedy loop (the ANN rung's k). */
+  private[graft] val mmrPool = 10
+
+  /** Number of diversified picks (the context-window budget). */
+  private[graft] val mmrPicks = 5
+
+  /** Relevance/diversity trade — 0.5 weighs them equally. Written as two
+    * explicit multiplies (`0.5·rel − 0.5·maxsim`) so the oracle's
+    * expression shape (and thus its float result) is bit-identical. */
+  private val mmrLambda = 0.5
+
+  /** MMR-diversified top-[[mmrPicks]] per query over a brute-scored
+    * [[mmrPool]]-deep candidate pool.
+    *
+    * Plan: candidates via the broadcast-query scan + bounded-heap
+    * [[TopK.topKScored]] (the [[Similarity.bruteForceTopK]] shape — in
+    * production the pool comes from whichever ANN rung serves, the greedy
+    * stage is rung-agnostic); candidate vectors join back by id
+    * (|Q|·pool rows); the pool²-sized pairwise-similarity relation and
+    * each greedy round's argmax are per-query-keyed aggregations over
+    * those bounded relations. Each round r: anti-join the selected set,
+    * max-similarity-to-selected via the pair relation, argmax of the MMR
+    * objective through a struct max (ties → lowest neighbor id, the
+    * oracle's `ORDER BY mmr DESC, neighbor_id ASC`). */
+  def mmrTopK(s: SparkSession, d: String): DataFrame = {
+    val c = Similarity.corpus(s, d)
+    val q = c.filter(col("vec_id") % mmrStride === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    mmrFor(c, q)
+  }
+
+  /** [[mmrTopK]]'s core over any (query_id, qv) panel — shared with the
+    * streamed serving twin ([[graft.streaming.MmrStream]]), whose arriving
+    * micro-batch plays `q` against the standing corpus `c`. */
+  private[graft] def mmrFor(c: DataFrame, q: DataFrame): DataFrame = {
+    val scored = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("rel", expr("cosine_sim(qv, v)"))
+      .select(col("query_id"), col("rel"), col("vec_id").as("neighbor_id"))
+    val cand = TopK.topKScored(scored, "query_id", "rel", "neighbor_id", mmrPool)
+      .select(col("query_id"), col("neighbor_id"), col("score").as("rel"), col("rnk"))
+    // Candidate vectors ride a broadcast of the tiny pool relation over the
+    // corpus scan (|Q|·pool rows — caller-bounded, not corpus-bounded).
+    val cv = c.select(col("vec_id").as("neighbor_id"), col("v"))
+      .join(broadcast(cand.select(col("query_id"), col("neighbor_id"))), Seq("neighbor_id"))
+    val pairs = cv.select(col("query_id"), col("neighbor_id").as("a_id"), col("v").as("av"))
+      .join(cv.select(col("query_id"), col("neighbor_id").as("b_id"), col("v").as("bv")),
+        Seq("query_id"))
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("sim", expr("cosine_sim(av, bv)"))
+      .select(col("query_id"), col("a_id"), col("b_id"), col("sim"))
+    var result = cand.filter(col("rnk") === 1)
+      .select(col("query_id"), col("neighbor_id"), col("rel"), lit(1L).as("pick"))
+    for (r <- 2 to mmrPicks) {
+      val sel = result.select(col("query_id"), col("neighbor_id"))
+      val remaining = cand.join(sel, Seq("query_id", "neighbor_id"), "left_anti")
+      val ms = pairs
+        .join(sel.withColumnRenamed("neighbor_id", "b_id"), Seq("query_id", "b_id"))
+        .groupBy(col("query_id"), col("a_id").as("neighbor_id"))
+        .agg(max(col("sim")).as("maxs"))
+      val pick = remaining.join(ms, Seq("query_id", "neighbor_id"))
+        .withColumn("mmr", lit(mmrLambda) * col("rel") - lit(1.0 - mmrLambda) * col("maxs"))
+        .groupBy(col("query_id"))
+        .agg(max(struct(col("mmr"), (-col("neighbor_id")).as("nid"), col("rel").as("r"))).as("m"))
+        .select(col("query_id"), (-col("m.nid")).as("neighbor_id"),
+          col("m.r").as("rel"), lit(r.toLong).as("pick"))
+      result = result.unionByName(pick)
+    }
+    result.select(col("query_id"), col("pick"), col("neighbor_id"), col("rel"))
+  }
+
+  /** Per-cell sample depth for [[clusterBalanced]]. */
+  private[graft] val cbPerCluster = 16
+
+  /** Cluster-balanced (coverage-stratified) sample: the [[cbPerCluster]]
+    * lowest-hash members of every learned k-means cell, with the cell size
+    * alongside — a deterministic, reproducible diversity sample (uniform
+    * hash ranking WITHIN a cell, equal depth ACROSS cells regardless of
+    * how skewed the cell populations are).
+    *
+    * Plan: one Lloyd assignment ([[Similarity.kmeansIter]] — integer-exact,
+    * shared with the `x_embed_kmeans_iter` oracle), then a bounded-heap
+    * top-n per cell on the 48-bit md5 rank (negated into the descending
+    * heap; exact as a double, being < 2⁵³) plus the per-cell count riding
+    * the same grouped relation. */
+  def clusterBalanced(s: SparkSession, d: String): DataFrame = {
+    val asg = Similarity.kmeansIter(s, d).select(col("vec_id"), col("cluster"))
+    val sizes = asg.groupBy(col("cluster")).agg(count(lit(1)).as("n_cluster"))
+    val ranked = TopK.topK(
+      asg.select(col("cluster"),
+        (-expr("CAST(conv(substring(md5(CAST(vec_id AS STRING)), 1, 12), 16, 10) AS BIGINT)"))
+          .cast("double").as("sc"),
+        col("vec_id")),
+      "cluster", "sc", "vec_id", cbPerCluster)
+    ranked.join(sizes, Seq("cluster"))
+      .select(col("cluster"), col("n_cluster"),
+        col("rnk").as("rk"), col("neighbor_id").as("vec_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_sim_mmr" -> mmrTopK,
+    "x_sample_cluster_balanced" -> clusterBalanced)
+
+  /** DuckDB cosine matching the codegen kernel bit-for-bit (the
+    * [[Similarity]] convention: same fold order, same `dot/(√na·√nb)`). */
+  private def cosSql(a: String, b: String): String =
+    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+
+  /** The greedy recurrence UNROLLED [[mmrPicks]] rounds (the `x_bpe_merges`
+    * pattern); multi-referenced CTEs are `AS MATERIALIZED` so DuckDB does
+    * not replan the chain per reference. */
+  private def mmrOracle: String = {
+    val head =
+      s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id % $mmrStride = 0),
+         |scored AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+         |             ${cosSql("q.qv", "c.v")} AS rel
+         |           FROM c, q WHERE c.vec_id <> q.query_id),
+         |cand AS MATERIALIZED (
+         |  SELECT query_id, neighbor_id, rel
+         |  FROM (SELECT query_id, neighbor_id, rel,
+         |          row_number() OVER (PARTITION BY query_id
+         |                 ORDER BY rel DESC, neighbor_id ASC) AS rn
+         |        FROM scored) WHERE rn <= $mmrPool),
+         |cv AS MATERIALIZED (
+         |  SELECT cand.query_id, cand.neighbor_id, c.v
+         |  FROM cand JOIN c ON cand.neighbor_id = c.vec_id),
+         |pairs AS MATERIALIZED (
+         |  SELECT a.query_id, a.neighbor_id AS a_id, b.neighbor_id AS b_id,
+         |         ${cosSql("a.v", "b.v")} AS sim
+         |  FROM cv a JOIN cv b
+         |    ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id),
+         |a1 AS MATERIALIZED (
+         |  SELECT query_id, neighbor_id, rel, CAST(1 AS BIGINT) AS pick
+         |  FROM (SELECT query_id, neighbor_id, rel,
+         |          row_number() OVER (PARTITION BY query_id
+         |                 ORDER BY rel DESC, neighbor_id ASC) AS rn
+         |        FROM cand) WHERE rn = 1)""".stripMargin
+    val rounds = (2 to mmrPicks).map { r =>
+      s"""m$r AS (SELECT cd.query_id, cd.neighbor_id, cd.rel,
+         |          0.5 * cd.rel - 0.5 * max(p.sim) AS mmr
+         |        FROM cand cd
+         |        JOIN pairs p ON p.query_id = cd.query_id AND p.a_id = cd.neighbor_id
+         |        JOIN a${r - 1} s ON s.query_id = p.query_id AND s.neighbor_id = p.b_id
+         |        WHERE NOT EXISTS (SELECT 1 FROM a${r - 1} x
+         |                          WHERE x.query_id = cd.query_id
+         |                            AND x.neighbor_id = cd.neighbor_id)
+         |        GROUP BY cd.query_id, cd.neighbor_id, cd.rel),
+         |s$r AS (SELECT query_id, neighbor_id, rel, CAST($r AS BIGINT) AS pick
+         |        FROM (SELECT query_id, neighbor_id, rel,
+         |                row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY mmr DESC, neighbor_id ASC) AS rn
+         |              FROM m$r) WHERE rn = 1),
+         |a$r AS MATERIALIZED (
+         |  SELECT * FROM a${r - 1} UNION ALL SELECT * FROM s$r)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n") +
+      s"\nSELECT query_id, pick, neighbor_id, rel FROM a$mmrPicks"
+  }
+
+  val oracle: Map[String, String] = Map(
+    "x_sim_mmr" -> mmrOracle,
+    "x_sample_cluster_balanced" ->
+      s"""WITH ${Similarity.kmeansAssignSqlCtes()},
+         |sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_cluster FROM ka GROUP BY 1),
+         |h AS (SELECT cluster, vec_id,
+         |        CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 12))::UBIGINT AS BIGINT) AS hv
+         |      FROM ka),
+         |rkd AS (SELECT cluster, vec_id,
+         |        CAST(row_number() OVER (PARTITION BY cluster
+         |               ORDER BY hv ASC, vec_id ASC) AS BIGINT) AS rk
+         |      FROM h)
+         |SELECT rkd.cluster, sz.n_cluster, rkd.rk, rkd.vec_id
+         |FROM rkd JOIN sz USING (cluster) WHERE rkd.rk <= $cbPerCluster""".stripMargin)
+}

@@ -32,7 +32,7 @@ object Similarity {
   private val queryStride = 500
 
   /** Corpus with embeddings cast to double (norms fold into `cosine_sim`). */
-  private[ops] def corpus(s: SparkSession, d: String): DataFrame = {
+  private[graft] def corpus(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"),

@@ -198,9 +198,79 @@ object Sketches {
           .as("n_kmv"))
   }
 
+  /** KMV set algebra — the estimator family's UNION/INTERSECTION story
+    * (Beyer et al., SIGMOD'07): for every event-type pair, estimate
+    * |A∪B| and |A∩B| of the user sets from the two [[kmvK]]-sized
+    * bottom-k sketches alone, against the exact intersection truth.
+    *
+    * Algebra: K(A∪B) = the k smallest hashes of S_A ∪ S_B (valid because
+    * any union hash below that cut is below its own sketch's cut, hence
+    * retained); est_union = (k−1)·2⁴⁸ ÷ h_k as usual, or exact when both
+    * sketches are unsaturated (then S_A ∪ S_B IS the union's hash set —
+    * detectable as |S_A ∪ S_B| < k, impossible once either side
+    * saturates). Intersection by the ratio estimator: the fraction ρ of
+    * the union sketch's k hashes present in BOTH sketches is an unbiased
+    * estimate of |A∩B|/|A∪B|, so est_inter = ρ·est_union — all integer
+    * arithmetic (matches·est_union ÷ k; products ≪ 2⁶³), so the DuckDB
+    * twin reproduces the ESTIMATES exactly, the [[kmvDistinct]] stance.
+    *
+    * Why this matters at 100 TB: cross-corpus overlap questions (shared
+    * users/domains/vocab between two snapshots or domains) exactly-computed
+    * need a distinct-join over both corpora per pair; with KMV each corpus
+    * is sketched ONCE (one bounded-heap pass), and every pairwise overlap
+    * is then arithmetic on two k-row arrays — P pairs cost O(P·k), not
+    * P distinct-joins. The exact side here is the differential harness,
+    * paid only because this is the eval form.
+    *
+    * Plan: the sketch relation is |types| rows (broadcast to the pair
+    * cross), the exact side one distinct + self-join keyed on user_id, and
+    * the estimate arithmetic runs in-row over the ≤2k-element arrays
+    * (fixed-length lowercase hex: string sort = numeric hash sort). Pairs
+    * with an empty exact intersection survive via the left join + zero
+    * fill (both engines). */
+  def kmvOverlap(s: SparkSession, d: String): DataFrame = {
+    val agg = org.apache.spark.sql.functions.udaf(
+      new graft.functions.BottomKByKeyAgg(kmvK),
+      org.apache.spark.sql.Encoders.product[graft.functions.KeyedId])
+    val du = Tables.events(s, d).filter(col("user_id").isNotNull)
+      .select(col("event_type"), col("user_id")).distinct()
+    val sk = du
+      .select(col("event_type"),
+        substring(md5(col("user_id").cast("string")), 1, 12).as("h"),
+        col("user_id").as("id"))
+      .groupBy(col("event_type"))
+      .agg(agg(col("h"), col("id")).as("bot"))
+      .select(col("event_type"), expr("transform(bot, x -> x.h)").as("hs"))
+    val pairs = sk.select(col("event_type").as("type_a"), col("hs").as("ha"))
+      .join(broadcast(sk.select(col("event_type").as("type_b"), col("hs").as("hb"))),
+        col("type_a") < col("type_b"))
+    val exact = du.select(col("event_type").as("type_a"), col("user_id"))
+      .join(du.select(col("event_type").as("type_b"), col("user_id")), Seq("user_id"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_exact_inter"))
+    pairs.join(exact, Seq("type_a", "type_b"), "left")
+      .na.fill(0L, Seq("n_exact_inter"))
+      .withColumn("u", expr(s"slice(array_sort(array_union(ha, hb)), 1, $kmvK)"))
+      .withColumn("m", expr("size(array_union(ha, hb))"))
+      .withColumn("matches", expr(
+        "CAST(size(filter(u, x -> array_contains(ha, x) AND array_contains(hb, x))) AS BIGINT)"))
+      .withColumn("n_kmv_union",
+        when(col("m") < kmvK, col("m").cast("long"))
+          .otherwise(expr(
+            s"CAST(${kmvK - 1}L * $kmvSpace AS BIGINT) div " +
+              s"CAST(conv(element_at(u, $kmvK), 16, 10) AS BIGINT)")))
+      .withColumn("n_kmv_inter",
+        when(col("m") < kmvK, col("matches"))
+          .otherwise(expr(s"(matches * n_kmv_union) div ${kmvK}L")))
+      .select(col("type_a"), col("type_b"), col("n_exact_inter"),
+        col("n_kmv_inter"), col("n_kmv_union"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_sketch_distinct" -> hllDistinct,
     "x_sketch_kmv_distinct" -> kmvDistinct,
+    "x_sketch_kmv_overlap" -> kmvOverlap,
     "x_sketch_quantile" -> tdigestQuantile,
     "x_sketch_heavy_hitters" -> cmHeavyHitters)
 
@@ -241,6 +311,42 @@ object Sketches {
          |       CAST(CASE WHEN n_exact < $kmvK THEN n_exact
          |            ELSE (${kmvK - 1} * ${1L << 48}) // hk END AS BIGINT) AS n_kmv
          |FROM sel""".stripMargin,
+    // KMV set algebra is hash-deterministic end-to-end: the twin rebuilds
+    // both sketches (numeric 48-bit form — fixed-length hex order = numeric
+    // order), merges, and reproduces BOTH estimates exactly.
+    "x_sketch_kmv_overlap" ->
+      s"""WITH du AS (SELECT DISTINCT event_type, user_id FROM events
+         |            WHERE user_id IS NOT NULL),
+         |h AS (SELECT event_type,
+         |        CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::UBIGINT AS BIGINT) AS hv
+         |      FROM du),
+         |r AS (SELECT event_type, hv,
+         |        row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+         |      FROM h),
+         |sk AS (SELECT event_type, list(hv ORDER BY hv) AS hs
+         |       FROM r WHERE rn <= $kmvK GROUP BY 1),
+         |ex AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+         |         CAST(count(*) AS BIGINT) AS n_exact_inter
+         |       FROM du a JOIN du b
+         |         ON a.user_id = b.user_id AND a.event_type < b.event_type
+         |       GROUP BY 1, 2),
+         |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+         |        a.hs AS ha, b.hs AS hb
+         |      FROM sk a JOIN sk b ON a.event_type < b.event_type),
+         |comb AS (SELECT type_a, type_b, ha, hb,
+         |           list_sort(list_distinct(list_concat(ha, hb))) AS uall
+         |         FROM p),
+         |calc AS (SELECT type_a, type_b, len(uall) AS m,
+         |           CAST(len(list_filter(uall[1:$kmvK],
+         |                  x -> list_contains(ha, x) AND list_contains(hb, x))) AS BIGINT) AS matches,
+         |           CASE WHEN len(uall) < $kmvK THEN CAST(len(uall) AS BIGINT)
+         |                ELSE CAST((${kmvK - 1} * ${1L << 48}) // uall[$kmvK] AS BIGINT) END AS n_kmv_union
+         |         FROM comb)
+         |SELECT c.type_a, c.type_b, COALESCE(e.n_exact_inter, 0) AS n_exact_inter,
+         |       CAST(CASE WHEN c.m < $kmvK THEN c.matches
+         |            ELSE (c.matches * c.n_kmv_union) // $kmvK END AS BIGINT) AS n_kmv_inter,
+         |       c.n_kmv_union
+         |FROM calc c LEFT JOIN ex e USING (type_a, type_b)""".stripMargin,
     "x_sketch_quantile" ->
       """SELECT l_returnflag,
         |       CAST(round(quantile_cont(l_quantity, 0.5) * 100) AS BIGINT) AS p50_qty_c,
