@@ -80,22 +80,36 @@ object Diversify {
   /** [[mmrTopK]]'s core over any (query_id, qv) panel — shared with the
     * streamed serving twin ([[graft.streaming.MmrStream]]), whose arriving
     * micro-batch plays `q` against the standing corpus `c`. */
-  private[graft] def mmrFor(c: DataFrame, q: DataFrame): DataFrame = {
+  /** The pool stage alone (uncut) — the corpus-touching part of MMR, split
+    * out so its plan shape (broadcast panel over the scan, bounded-heap
+    * pool aggregation) stays inspectable after [[mmrFor]] lineage-cuts it
+    * (`PlanShapeSpec`). */
+  private[graft] def mmrCandidates(c: DataFrame, q: DataFrame): DataFrame = {
     val scored = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .withColumn("rel", expr("cosine_sim(qv, v)"))
       .select(col("query_id"), col("rel"), col("vec_id").as("neighbor_id"))
-    val cand = TopK.topKScored(scored, "query_id", "rel", "neighbor_id", mmrPool)
+    TopK.topKScored(scored, "query_id", "rel", "neighbor_id", mmrPool)
       .select(col("query_id"), col("neighbor_id"), col("score").as("rel"), col("rnk"))
+  }
+
+  private[graft] def mmrFor(c: DataFrame, q: DataFrame): DataFrame = {
+    // Lineage cuts: the greedy unroll references `cand`/`pairs` once per
+    // round, and round r's picks feed round r+1's anti-join — without the
+    // cuts the final round's plan re-derives the corpus scan + pool
+    // aggregation ~2^picks times (the [[Dedup.components]] lesson). Both
+    // relations are |Q|·pool(²)-sized, so the cut is dashboard-cheap.
+    val cand = Lineage.cut(mmrCandidates(c, q))
     // Candidate vectors ride a broadcast of the tiny pool relation over the
     // corpus scan (|Q|·pool rows — caller-bounded, not corpus-bounded).
     val cv = c.select(col("vec_id").as("neighbor_id"), col("v"))
       .join(broadcast(cand.select(col("query_id"), col("neighbor_id"))), Seq("neighbor_id"))
-    val pairs = cv.select(col("query_id"), col("neighbor_id").as("a_id"), col("v").as("av"))
-      .join(cv.select(col("query_id"), col("neighbor_id").as("b_id"), col("v").as("bv")),
-        Seq("query_id"))
-      .filter(col("a_id") =!= col("b_id"))
-      .withColumn("sim", expr("cosine_sim(av, bv)"))
-      .select(col("query_id"), col("a_id"), col("b_id"), col("sim"))
+    val pairs = Lineage.cut(
+      cv.select(col("query_id"), col("neighbor_id").as("a_id"), col("v").as("av"))
+        .join(cv.select(col("query_id"), col("neighbor_id").as("b_id"), col("v").as("bv")),
+          Seq("query_id"))
+        .filter(col("a_id") =!= col("b_id"))
+        .withColumn("sim", expr("cosine_sim(av, bv)"))
+        .select(col("query_id"), col("a_id"), col("b_id"), col("sim")))
     var result = cand.filter(col("rnk") === 1)
       .select(col("query_id"), col("neighbor_id"), col("rel"), lit(1L).as("pick"))
     for (r <- 2 to mmrPicks) {
@@ -105,12 +119,15 @@ object Diversify {
         .join(sel.withColumnRenamed("neighbor_id", "b_id"), Seq("query_id", "b_id"))
         .groupBy(col("query_id"), col("a_id").as("neighbor_id"))
         .agg(max(col("sim")).as("maxs"))
-      val pick = remaining.join(ms, Seq("query_id", "neighbor_id"))
+      // Cut each round's picks: `result` is referenced twice per round
+      // (anti-join + max-sim), so uncut the plan tree doubles per round —
+      // with cut leaves it stays linear in the pick budget.
+      val pick = Lineage.cut(remaining.join(ms, Seq("query_id", "neighbor_id"))
         .withColumn("mmr", lit(mmrLambda) * col("rel") - lit(1.0 - mmrLambda) * col("maxs"))
         .groupBy(col("query_id"))
         .agg(max(struct(col("mmr"), (-col("neighbor_id")).as("nid"), col("rel").as("r"))).as("m"))
         .select(col("query_id"), (-col("m.nid")).as("neighbor_id"),
-          col("m.r").as("rel"), lit(r.toLong).as("pick"))
+          col("m.r").as("rel"), lit(r.toLong).as("pick")))
       result = result.unionByName(pick)
     }
     result.select(col("query_id"), col("pick"), col("neighbor_id"), col("rel"))

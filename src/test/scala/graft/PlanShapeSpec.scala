@@ -424,4 +424,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(pruningJoins >= 2,
       s"expected the w1 prune join AND the w2 semi prune, got $pruningJoins:\n$p")
   }
+
+  test("MMR: query panel broadcasts, pool via bounded heap, no cartesian, no window") {
+    // Pool stage (the only corpus-touching leg — inspected uncut because
+    // mmrFor lineage-cuts it out of the final plan):
+    val c = graft.ops.Similarity.corpus(spark, sf)
+    val q = c.limit(2).selectExpr("vec_id AS query_id", "v AS qv")
+    val pp = graft.ops.Diversify.mmrCandidates(c, q)
+      .queryExecution.executedPlan.toString
+    assert(pp.contains("BroadcastHashJoin") || pp.contains("BroadcastNestedLoopJoin"),
+      s"the query panel must broadcast over the corpus scan:\n$pp")
+    assert(pp.contains("ObjectHashAggregate"),
+      s"the candidate pool must heap-reduce map-side (TopKScoredAgg):\n$pp")
+    assert(!pp.contains("Window"), s"pool ranking must not window-sort:\n$pp")
+    // Full greedy query: bounded relations only, never all-pairs or windows.
+    val p = plan("x_sim_mmr")
+    assert(!p.contains("CartesianProduct"),
+      s"pairwise sims must key on query_id, never all-pairs:\n$p")
+    assert(!p.contains("Window"),
+      s"greedy argmax must be a per-query aggregate, not a window sort:\n$p")
+  }
 }
