@@ -133,6 +133,23 @@ object Diversify {
     result.select(col("query_id"), col("pick"), col("neighbor_id"), col("rel"))
   }
 
+  /** MMR at ingest — the asymmetric serving form: ARRIVING queries (the
+    * [[Similarity.knnBatchMod]] stand-in partition, the ingest-family
+    * convention) are diversified against the STANDING corpus only. This is
+    * the steady-state RAG answer path: the query is not a corpus member,
+    * its pool comes entirely from the standing side, and the greedy stage
+    * is identical — [[mmrFor]] with the corpus restricted to standing
+    * vectors. (The streamed twin `s_mmr_stream` runs the member-panel form
+    * per micro-batch; this is the non-member form at batch eval size.) */
+  def mmrIngest(s: SparkSession, d: String): DataFrame = {
+    val c = Similarity.corpus(s, d)
+    val standing = c.filter(col("vec_id") % Similarity.knnBatchMod =!= 7)
+      .select(col("vec_id"), col("v"))
+    val q = c.filter(col("vec_id") % Similarity.knnBatchMod === 7)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    mmrFor(standing, q)
+  }
+
   /** Per-cell sample depth for [[clusterBalanced]]. */
   private[graft] val cbPerCluster = 16
 
@@ -163,6 +180,7 @@ object Diversify {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_sim_mmr" -> mmrTopK,
+    "x_sim_mmr_in" -> mmrIngest,
     "x_sample_cluster_balanced" -> clusterBalanced)
 
   /** DuckDB cosine matching the codegen kernel bit-for-bit (the
@@ -173,10 +191,13 @@ object Diversify {
   /** The greedy recurrence UNROLLED [[mmrPicks]] rounds (the `x_bpe_merges`
     * pattern); multi-referenced CTEs are `AS MATERIALIZED` so DuckDB does
     * not replan the chain per reference. */
-  private def mmrOracle: String = {
+  private def mmrOracle(
+      queryPred: String = s"vec_id % $mmrStride = 0",
+      corpusPred: String = "TRUE"): String = {
     val head =
-      s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id % $mmrStride = 0),
+      s"""WITH c0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |c AS (SELECT * FROM c0 WHERE $corpusPred),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM c0 WHERE $queryPred),
          |scored AS (SELECT q.query_id, c.vec_id AS neighbor_id,
          |             ${cosSql("q.qv", "c.v")} AS rel
          |           FROM c, q WHERE c.vec_id <> q.query_id),
@@ -223,7 +244,10 @@ object Diversify {
   }
 
   val oracle: Map[String, String] = Map(
-    "x_sim_mmr" -> mmrOracle,
+    "x_sim_mmr" -> mmrOracle(),
+    "x_sim_mmr_in" -> mmrOracle(
+      queryPred = s"vec_id % ${Similarity.knnBatchMod} = 7",
+      corpusPred = s"vec_id % ${Similarity.knnBatchMod} <> 7"),
     "x_sample_cluster_balanced" ->
       s"""WITH ${Similarity.kmeansAssignSqlCtes()},
          |sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_cluster FROM ka GROUP BY 1),

@@ -46,6 +46,16 @@ class DiversifySpec extends SparkSpec {
       s"MMR must cover both clusters within 2 picks (got $picks)")
   }
 
+  test("MMR at ingest: answers come from the standing corpus only") {
+    val out = graft.ops.Diversify.mmrIngest(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(0) % 10 == 7, "queries are the arriving partition")
+      assert(r.getLong(2) % 10 != 7,
+        s"pick ${r.getLong(2)} must be a standing vector, not a co-arrival")
+    }
+  }
+
   test("cluster-balanced: per-cell quota, cell sizes exact, hash-determinism") {
     val out = graft.ops.Diversify.clusterBalanced(spark, sf).collect()
     val byCell = out.groupBy(_.getLong(0))
