@@ -191,6 +191,65 @@ object Similarity {
         expr("CAST(round(CAST(n_common AS DOUBLE) * 10000 / n_brute) AS BIGINT)"))
   }
 
+  /** Per-dimension (lo, hi) codec ranges as ONE broadcastable row of two
+    * d-length arrays — the cvecs re-nesting idiom ([[lloydStep]]). */
+  private def sq8Ranges(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim"), col("x").cast("double").as("x"))
+      .groupBy(col("dim")).agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .groupBy()
+      .agg(
+        expr("transform(array_sort(collect_list(struct(dim, lo))), s -> s.lo)").as("los"),
+        expr("transform(array_sort(collect_list(struct(dim, hi))), s -> s.hi)").as("his"))
+
+  /** Corpus in the SQ8 code domain: each vector re-expressed as its
+    * [[quantize]] codes (0..255 per dimension, double-typed so the cosine
+    * kernel applies unchanged — small integers are exact doubles). The
+    * codec table is the 1-row (los, his) array pair, broadcast onto the
+    * scan; coding is three in-row zip_withs, no per-dimension shuffle. */
+  private def sq8Corpus(s: SparkSession, d: String): DataFrame =
+    corpus(s, d).crossJoin(broadcast(sq8Ranges(s, d)))
+      .select(col("vec_id"),
+        expr(
+          """zip_with(zip_with(v, los, (x, l) -> x - l),
+            |         zip_with(his, los, (h, l) -> h - l),
+            |         (t, sp) -> CASE WHEN sp = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE)
+            |                    ELSE CAST(CAST(round(t / sp * 255) AS BIGINT) AS DOUBLE)
+            |                    END)""".stripMargin).as("cv"))
+
+  /** Top-k search ENTIRELY in the SQ8 code domain — the scalar-quantization
+    * rung of the compression ladder ([[quantize]] emits the codes; PQ /
+    * IVF-PQ are the product-quantized rungs). Scoring is cosine over the
+    * 8-bit codes: 4× smaller vectors in the scan (and at rest), the same
+    * kernel, and — because codes are per-dimension affine images of the
+    * floats — near-lossless ranking that [[recallSq8]] prices exactly. The
+    * estimator is deterministic end-to-end (codec ranges are exact min/max,
+    * codes integer, cosine the shared fold), so the DuckDB twin reproduces
+    * scores AND ranks bit-identically.
+    *
+    * Plan: the codec row and the query panel broadcast; the corpus never
+    * shuffles; per-query top-k is the bounded-heap aggregation. At 100 TB
+    * SQ8 is the memory-bound default of real vector stores: same scan
+    * shape as [[bruteForceTopK]] at a quarter of the bytes, with PQ below
+    * it and float rerank above it on the ladder. */
+  def sq8TopK(s: SparkSession, d: String): DataFrame = {
+    val cc = sq8Corpus(s, d)
+    val q = cc.filter(col("vec_id") % queryStride === 0)
+      .select(col("vec_id").as("query_id"), col("cv").as("cq"))
+    val scored = cc.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("score", expr("cosine_sim(cq, cv)"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("score"))
+    rankTopK(scored)
+  }
+
+  /** Recall@k of the SQ8 code-domain search against the float brute-force
+    * truth — prices what the 4× compression costs in answer quality (the
+    * number an SQ8 deployment reads before deciding it needs a float
+    * rerank stage on top). */
+  def recallSq8(s: SparkSession, d: String): DataFrame =
+    recallOf(bruteTruth(s, d), sq8TopK(s, d), "n_sq8")
+
   /** Per-label centroid components — the M-step of a k-means pass over the
     * corpus (IVF training / cluster drift monitoring). Emitted in exploded
     * (label, dim) form with per-dimension values quantized to millionths
@@ -1729,12 +1788,33 @@ object Similarity {
     "x_sim_topk_ivf" -> ivfTopK,
     "x_sim_recall" -> recallIvf,
     "x_sim_recall_pq" -> recallPq,
+    "x_sim_topk_sq8" -> sq8TopK,
+    "x_sim_recall_sq8" -> recallSq8,
     "x_embed_centroids" -> centroids,
     "x_embed_quantize" -> quantize,
     "x_embed_mrl_recall" -> mrlRecall)
 
   private val cosSql =
     "list_dot_product(q.qv, c.v) / (q.qn * sqrt(list_dot_product(c.v, c.v)))"
+
+  /** CTE chain (no leading WITH) ending in `cvs` (vec_id → SQ8 code list,
+    * double-typed) — the [[sq8Corpus]] codec twin, shared by the
+    * `x_sim_topk_sq8` and `x_sim_recall_sq8` oracles. */
+  private def sq8SqlCtes: String =
+    """v8 AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim, CAST(embedding[i] AS DOUBLE) AS x
+      |       FROM (SELECT vec_id, embedding, unnest(range(1, len(embedding) + 1)) AS i
+      |             FROM embeddings)),
+      |r8 AS (SELECT dim, min(x) AS lo, max(x) AS hi FROM v8 GROUP BY 1),
+      |k8 AS (SELECT vec_id, dim,
+      |         CASE WHEN hi = lo THEN CAST(0 AS DOUBLE)
+      |              ELSE CAST(CAST(round((x - lo) / (hi - lo) * 255) AS BIGINT) AS DOUBLE)
+      |         END AS code
+      |       FROM v8 JOIN r8 USING (dim)),
+      |cvs AS MATERIALIZED (SELECT vec_id, list(code ORDER BY dim) AS cv
+      |       FROM k8 GROUP BY 1)""".stripMargin
+
+  private val sq8CosSql =
+    "list_dot_product(q.cq, c.cv) / (sqrt(list_dot_product(q.cq, q.cq)) * sqrt(list_dot_product(c.cv, c.cv)))"
 
   /** CTE chain ending in `ranked` — the full IVF-PQ pipeline (quantize →
     * codebook → codes → LUT → asymmetric scores → rank); shared by the
@@ -2498,6 +2578,49 @@ object Similarity {
          |                    ORDER BY score DESC, neighbor_id ASC) AS BIGINT) AS rnk
          |           FROM scored)
          |SELECT query_id, neighbor_id, rnk FROM ranked WHERE rnk <= $topK""".stripMargin,
+    "x_sim_topk_sq8" ->
+      s"""WITH $sq8SqlCtes,
+         |q AS (SELECT vec_id AS query_id, cv AS cq FROM cvs
+         |      WHERE vec_id % $queryStride = 0),
+         |scored AS (SELECT q.query_id, c.vec_id AS neighbor_id, $sq8CosSql AS score
+         |           FROM cvs c, q WHERE c.vec_id <> q.query_id),
+         |ranked AS (SELECT query_id, neighbor_id,
+         |             CAST(row_number() OVER (PARTITION BY query_id
+         |                    ORDER BY score DESC, neighbor_id ASC) AS BIGINT) AS rnk
+         |           FROM scored)
+         |SELECT query_id, neighbor_id, rnk FROM ranked WHERE rnk <= $topK""".stripMargin,
+    "x_sim_recall_sq8" ->
+      s"""WITH $sq8SqlCtes,
+         |cf AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |qf AS (SELECT vec_id AS query_id, v AS qv, sqrt(list_dot_product(v, v)) AS qn
+         |       FROM cf WHERE vec_id % $queryStride = 0),
+         |sb AS (SELECT qf.query_id, cf.vec_id AS neighbor_id,
+         |         list_dot_product(qf.qv, cf.v) / (qf.qn * sqrt(list_dot_product(cf.v, cf.v))) AS score
+         |       FROM cf, qf WHERE cf.vec_id <> qf.query_id),
+         |tb AS (SELECT query_id, neighbor_id
+         |       FROM (SELECT query_id, neighbor_id,
+         |               row_number() OVER (PARTITION BY query_id
+         |                      ORDER BY score DESC, neighbor_id ASC) AS rnk
+         |             FROM sb) WHERE rnk <= $topK),
+         |q AS (SELECT vec_id AS query_id, cv AS cq FROM cvs
+         |      WHERE vec_id % $queryStride = 0),
+         |s8 AS (SELECT q.query_id, c.vec_id AS neighbor_id, $sq8CosSql AS score
+         |       FROM cvs c, q WHERE c.vec_id <> q.query_id),
+         |t8 AS (SELECT query_id, neighbor_id
+         |       FROM (SELECT query_id, neighbor_id,
+         |               row_number() OVER (PARTITION BY query_id
+         |                      ORDER BY score DESC, neighbor_id ASC) AS rnk
+         |             FROM s8) WHERE rnk <= $topK),
+         |nb AS (SELECT query_id, count(*) AS n_brute FROM tb GROUP BY 1),
+         |n8 AS (SELECT query_id, count(*) AS n_sq8 FROM t8 GROUP BY 1),
+         |cm AS (SELECT tb.query_id, count(*) AS n_common
+         |       FROM tb JOIN t8 USING (query_id, neighbor_id) GROUP BY 1)
+         |SELECT nb.query_id, nb.n_brute,
+         |       COALESCE(n8.n_sq8, 0) AS n_sq8,
+         |       COALESCE(cm.n_common, 0) AS n_common,
+         |       CAST(round(CAST(COALESCE(cm.n_common, 0) AS DOUBLE) * 10000 / nb.n_brute)
+         |            AS BIGINT) AS recall_bp
+         |FROM nb LEFT JOIN n8 USING (query_id) LEFT JOIN cm USING (query_id)""".stripMargin,
     "x_sim_recall" ->
       s"""WITH c AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
          |q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv,
