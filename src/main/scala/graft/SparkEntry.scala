@@ -61,7 +61,8 @@ object SparkEntry {
     (streaming.CeStream.queries, streaming.CeStream.oracle),
     (streaming.ClipStream.queries, streaming.ClipStream.oracle),
     (streaming.AudioDupStream.queries, streaming.AudioDupStream.oracle),
-    (streaming.MmrStream.queries, streaming.MmrStream.oracle))
+    (streaming.MmrStream.queries, streaming.MmrStream.oracle),
+    (streaming.ClusterSampleStream.queries, streaming.ClusterSampleStream.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's core computation: sliding-window per-user interaction

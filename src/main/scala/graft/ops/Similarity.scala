@@ -317,13 +317,32 @@ object Similarity {
     * means; the k×d centroid relation (k·d rows — bytes) broadcasts back;
     * assignment is a map-side cross with k in-row array-fold distances per
     * vector and a partial-agg min. */
-  private def lloydStep(e: DataFrame, assign: DataFrame): DataFrame = {
+  /** M-step shared by [[lloydStep]] and the standing-quantizer form
+    * [[seedCentroids]]: per-cluster µ-unit centroid vectors (k·d rows →
+    * k rows of d-length arrays, broadcastable). */
+  private def centroidsOf(e: DataFrame, assign: DataFrame): DataFrame = {
     val cents = e.join(assign.select(col("vec_id"), col("cluster")), "vec_id")
       .select(col("cluster"), posexplode(col("q")).as(Seq("dim", "x")))
       .groupBy(col("cluster"), col("dim"))
       .agg(expr("CAST(floor(CAST(sum(x) AS DOUBLE) / count(1)) AS BIGINT)").as("c"))
-    val cvecs = cents.groupBy(col("cluster"))
+    cents.groupBy(col("cluster"))
       .agg(expr("transform(array_sort(collect_list(struct(dim, c))), s -> s.c)").as("cv"))
+  }
+
+  /** The seed-step centroid table — exactly the centroids [[kmeansIter]]
+    * assigns against (deterministic `vec_id % k` seeding over the corpus
+    * snapshot), exposed as the STANDING quantizer an ingest/stream twin
+    * assigns arrivals with: k rows of µ-quantized arrays, lineage-cut and
+    * broadcast at query start, so per-arrival assignment is map-side and
+    * bit-identical to the batch E-step. */
+  private[graft] def seedCentroids(s: SparkSession, d: String,
+      k: Int = defaultKClusters): DataFrame = {
+    val e = quantizedCorpus(s, d).select(col("vec_id"), col("q"))
+    centroidsOf(e, e.select(col("vec_id"), (col("vec_id") % k).as("cluster")))
+  }
+
+  private def lloydStep(e: DataFrame, assign: DataFrame): DataFrame = {
+    val cvecs = centroidsOf(e, assign)
     e.crossJoin(broadcast(cvecs))
       .withColumn("dist2",
         expr("aggregate(zip_with(q, cv, (a, b) -> (a - b) * (a - b)), 0L, (acc, v) -> acc + v)"))
