@@ -250,6 +250,45 @@ object Similarity {
   def recallSq8(s: SparkSession, d: String): DataFrame =
     recallOf(bruteTruth(s, d), sq8TopK(s, d), "n_sq8")
 
+  /** Corpus as full-width sign bits — one bit per dimension, the 32×
+    * compression floor of the ladder (SQ8 is 4×, PQ 64× on m-dim groups;
+    * this is the "binary embeddings" posture real stores ship for the
+    * first-pass scan). Long-typed bits keep the agreement count integer. */
+  private def signCorpus(s: SparkSession, d: String): DataFrame =
+    corpus(s, d).select(col("vec_id"),
+      expr("transform(v, x -> CASE WHEN x >= CAST(0 AS DOUBLE) THEN 1L ELSE 0L END)")
+        .as("cb"))
+
+  /** Top-k by SIGN AGREEMENT (d − Hamming distance) — search entirely in
+    * the 1-bit domain. Scoring is an in-row integer fold (ties broken by
+    * neighbor id, heavy by construction at 1 bit/dim — determinism is the
+    * tie-break's job, quality is [[recallSign]]'s). The DuckDB twin
+    * computes the same count through the dot-product identity
+    * `matches = d − (|a|² + |b|² − 2a·b)` on the 0/1 doubles — exact
+    * integer values either way, so ranks pin across engines.
+    *
+    * Plan: same broadcast-panel + bounded-heap shape as every rung; at
+    * 100 TB this is the scan that fits 32× more corpus per byte of
+    * memory/IO, with [[recallSign]] telling a deployment how many
+    * float-rerank candidates it must keep to recover the loss. */
+  def signTopK(s: SparkSession, d: String): DataFrame = {
+    val cc = signCorpus(s, d)
+    val q = cc.filter(col("vec_id") % queryStride === 0)
+      .select(col("vec_id").as("query_id"), col("cb").as("qb"))
+    val scored = cc.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("score", expr(
+        """CAST(aggregate(zip_with(qb, cb, (a, b) -> CASE WHEN a = b THEN 1L ELSE 0L END),
+          |     0L, (acc, m) -> acc + m) AS DOUBLE)""".stripMargin))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("score"))
+    rankTopK(scored)
+  }
+
+  /** Recall@k of the 1-bit search against float truth — prices the 32×
+    * compression floor (read together with [[recallSq8]]/[[recallPq]], the
+    * full compression-vs-quality curve of the ladder). */
+  def recallSign(s: SparkSession, d: String): DataFrame =
+    recallOf(bruteTruth(s, d), signTopK(s, d), "n_sign")
+
   /** Per-label centroid components — the M-step of a k-means pass over the
     * corpus (IVF training / cluster drift monitoring). Emitted in exploded
     * (label, dim) form with per-dimension values quantized to millionths
@@ -1809,6 +1848,8 @@ object Similarity {
     "x_sim_recall_pq" -> recallPq,
     "x_sim_topk_sq8" -> sq8TopK,
     "x_sim_recall_sq8" -> recallSq8,
+    "x_sim_topk_sign" -> signTopK,
+    "x_sim_recall_sign" -> recallSign,
     "x_embed_centroids" -> centroids,
     "x_embed_quantize" -> quantize,
     "x_embed_mrl_recall" -> mrlRecall)
@@ -2597,6 +2638,65 @@ object Similarity {
          |                    ORDER BY score DESC, neighbor_id ASC) AS BIGINT) AS rnk
          |           FROM scored)
          |SELECT query_id, neighbor_id, rnk FROM ranked WHERE rnk <= $topK""".stripMargin,
+    "x_sim_topk_sign" ->
+      s"""WITH sgn AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding::DOUBLE[],
+         |                   x -> CASE WHEN x >= 0 THEN CAST(1 AS DOUBLE)
+         |                        ELSE CAST(0 AS DOUBLE) END) AS cb
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, cb AS qb FROM sgn
+         |      WHERE vec_id % $queryStride = 0),
+         |scored AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+         |             len(c.cb) - (list_dot_product(q.qb, q.qb)
+         |                          + list_dot_product(c.cb, c.cb)
+         |                          - 2 * list_dot_product(q.qb, c.cb)) AS score
+         |           FROM sgn c, q WHERE c.vec_id <> q.query_id),
+         |ranked AS (SELECT query_id, neighbor_id,
+         |             CAST(row_number() OVER (PARTITION BY query_id
+         |                    ORDER BY score DESC, neighbor_id ASC) AS BIGINT) AS rnk
+         |           FROM scored)
+         |SELECT query_id, neighbor_id, rnk FROM ranked WHERE rnk <= $topK""".stripMargin,
+    "x_sim_recall_sign" ->
+      s"""WITH sgn AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding::DOUBLE[],
+         |                   x -> CASE WHEN x >= 0 THEN CAST(1 AS DOUBLE)
+         |                        ELSE CAST(0 AS DOUBLE) END) AS cb
+         |  FROM embeddings),
+         |cf AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |qf AS (SELECT vec_id AS query_id, v AS qv, sqrt(list_dot_product(v, v)) AS qn
+         |       FROM cf WHERE vec_id % $queryStride = 0),
+         |sb AS (SELECT qf.query_id, cf.vec_id AS neighbor_id,
+         |         list_dot_product(qf.qv, cf.v) / (qf.qn * sqrt(list_dot_product(cf.v, cf.v))) AS score
+         |       FROM cf, qf WHERE cf.vec_id <> qf.query_id),
+         |tb AS (SELECT query_id, neighbor_id
+         |       FROM (SELECT query_id, neighbor_id,
+         |               row_number() OVER (PARTITION BY query_id
+         |                      ORDER BY score DESC, neighbor_id ASC) AS rnk
+         |             FROM sb) WHERE rnk <= $topK),
+         |q AS (SELECT vec_id AS query_id, cb AS qb FROM sgn
+         |      WHERE vec_id % $queryStride = 0),
+         |s1 AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+         |         len(c.cb) - (list_dot_product(q.qb, q.qb)
+         |                      + list_dot_product(c.cb, c.cb)
+         |                      - 2 * list_dot_product(q.qb, c.cb)) AS score
+         |       FROM sgn c, q WHERE c.vec_id <> q.query_id),
+         |t1 AS (SELECT query_id, neighbor_id
+         |       FROM (SELECT query_id, neighbor_id,
+         |               row_number() OVER (PARTITION BY query_id
+         |                      ORDER BY score DESC, neighbor_id ASC) AS rnk
+         |             FROM s1) WHERE rnk <= $topK),
+         |nb AS (SELECT query_id, count(*) AS n_brute FROM tb GROUP BY 1),
+         |n1 AS (SELECT query_id, count(*) AS n_sign FROM t1 GROUP BY 1),
+         |cm AS (SELECT tb.query_id, count(*) AS n_common
+         |       FROM tb JOIN t1 USING (query_id, neighbor_id) GROUP BY 1)
+         |SELECT nb.query_id, nb.n_brute,
+         |       COALESCE(n1.n_sign, 0) AS n_sign,
+         |       COALESCE(cm.n_common, 0) AS n_common,
+         |       CAST(round(CAST(COALESCE(cm.n_common, 0) AS DOUBLE) * 10000 / nb.n_brute)
+         |            AS BIGINT) AS recall_bp
+         |FROM nb LEFT JOIN n1 USING (query_id) LEFT JOIN cm USING (query_id)""".stripMargin,
     "x_sim_topk_sq8" ->
       s"""WITH $sq8SqlCtes,
          |q AS (SELECT vec_id AS query_id, cv AS cq FROM cvs

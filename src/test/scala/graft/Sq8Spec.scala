@@ -15,6 +15,25 @@ class Sq8Spec extends SparkSpec {
     }
   }
 
+  test("sign top-k: k dense ranks per query, self excluded") {
+    val out = graft.ops.Similarity.signTopK(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.map(_.getLong(2)).sorted.toSeq == (1L to rows.length).toSeq)
+      assert(!rows.exists(_.getLong(1) == q))
+    }
+  }
+
+  test("compression ladder orders: sign (1-bit) recalls no better than sq8 (8-bit)") {
+    def bp(df: org.apache.spark.sql.DataFrame): Double = {
+      val rs = df.collect(); rs.map(_.getLong(4)).sum.toDouble / rs.length
+    }
+    val s8 = bp(graft.ops.Similarity.recallSq8(spark, sf))
+    val s1 = bp(graft.ops.Similarity.recallSign(spark, sf))
+    assert(s1 <= s8,
+      s"1-bit codes recalling MORE than 8-bit codes ($s1 vs $s8) would mean a broken codec")
+  }
+
   test("sq8 recall: every query answered, n_common <= n_brute, recall in basis points") {
     val out = graft.ops.Similarity.recallSq8(spark, sf).collect()
     assert(out.nonEmpty)
