@@ -1004,6 +1004,41 @@ object Dedup {
     rank.select(col("doc_id"), col("r").as("rank_fp"))
   }
 
+  /** 2-hop reachability over the near-dup candidate graph — the fourth
+    * graph-analytics operator: [[components]] says WHICH docs group,
+    * [[pagerank]] WHO is the hub, [[triangles]] HOW tight the cluster is;
+    * k-hop reach says HOW FAR contamination spreads — a doc whose 2-hop
+    * neighborhood is 50× its direct one sits in a template web that
+    * transitive near-dup collapse would chain through (the over-deletion
+    * risk `x_mm_dedup_savings`' policy note documents for visual dedup,
+    * quantified per vertex on the text graph). Emits per edge-incident
+    * vertex its direct degree and distinct ≤2-hop reach (self excluded).
+    *
+    * Scale: the wedge relation is the one super-linear leg, O(Σ deg²) —
+    * bounded here by construction because [[minhashLsh]]'s df-capped
+    * inverted lists cap vertex degree; reach COUNTS then move as (long,
+    * long) pairs through two exchanges. A deeper k would iterate the
+    * same join ([[components]]' fixpoint machinery); 2 is the grain the
+    * curation decision reads. */
+  def khopReach(s: SparkSession, d: String): DataFrame =
+    khopOf(minhashLsh(s, d))
+
+  /** [[khopReach]] over an arbitrary `(doc_a < doc_b)` distinct pair
+    * relation (exposed for the hand-computed spec). */
+  private[graft] def khopOf(pairs: DataFrame): DataFrame = {
+    val p = Lineage.cut(pairs)
+    val sym = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val hop2 = sym.select(col("src"), col("dst").as("mid"))
+      .join(sym.select(col("src").as("mid"), col("dst")), Seq("mid"))
+      .filter(col("dst") =!= col("src"))
+      .select(col("src"), col("dst"))
+    val reach = sym.select(col("src"), col("dst")).union(hop2).distinct()
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("n_1hop"))
+    deg.join(reach.groupBy(col("src")).agg(count(lit(1)).as("n_reach2")), Seq("src"))
+      .select(col("src").as("doc_id"), col("n_1hop"), col("n_reach2"))
+  }
+
   /** Triangle counting + local clustering coefficient over the near-dup
     * candidate graph — the third graph-analytics operator beside
     * [[components]] (WHICH docs group) and [[pagerank]] (WHO is the hub):
@@ -1221,6 +1256,7 @@ object Dedup {
     "x_dedup_simhash_pairs" -> simhashPairs,
     "x_dedup_embedding_cosine" -> embeddingCosine,
     "x_graph_pagerank" -> pagerank,
+    "x_graph_khop" -> khopReach,
     "x_graph_triangles" -> triangles,
     "x_dedup_semantic" -> ((s, d) => semanticDedup(s, d)),
     "x_dedup_components" -> components,
@@ -1432,6 +1468,20 @@ object Dedup {
          |JOIN n na ON p.doc_a = na.doc_id
          |JOIN n nb ON p.doc_b = nb.doc_id
          |LEFT JOIN i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b""".stripMargin,
+    "x_graph_khop" ->
+      s"""$shingleSqlCtes,
+         |$minhashPairsSqlCtes,
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         |h2 AS (SELECT e1.src, e2.dst FROM edges e1
+         |       JOIN edges e2 ON e1.dst = e2.src WHERE e2.dst <> e1.src),
+         |reach AS (SELECT src, dst FROM edges UNION SELECT src, dst FROM h2),
+         |deg AS (SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS n_1hop
+         |        FROM edges GROUP BY 1),
+         |r2 AS (SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS n_reach2
+         |       FROM reach GROUP BY 1)
+         |SELECT d.doc_id, d.n_1hop, r2.n_reach2
+         |FROM deg d JOIN r2 USING (doc_id)""".stripMargin,
     "x_graph_pagerank" -> {
       // Unrolled integer fixed-point power iteration — DuckDB's `//` floor
       // division matches Spark's `div` on the all-positive ranks, and

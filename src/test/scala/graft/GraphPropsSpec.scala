@@ -18,6 +18,24 @@ class GraphPropsSpec extends SparkSpec {
     if a != b
   } yield (math.min(a, b), math.max(a, b))
 
+  test("khopOf ≡ brute-force BFS-2 on random graphs") {
+    val graphGen = Gen.choose(1, 40).flatMap(n => Gen.listOfN(n, edgeGen)).map(_.distinct)
+    val prop = Prop.forAll(graphGen) { pairs =>
+      val got = Dedup.khopOf(pairs.toDF("doc_a", "doc_b"))
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      val adj = (pairs ++ pairs.map(p => (p._2, p._1)))
+        .groupBy(_._1).map { case (v, es) => v -> es.map(_._2).toSet }
+      val want = adj.map { case (v, n1) =>
+        val reach = (n1 ++ n1.flatMap(adj)) - v
+        v -> ((n1.size.toLong, reach.size.toLong))
+      }
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("trianglesOf ≡ brute-force enumeration on random graphs; partition-insensitive") {
     val graphGen = Gen.choose(1, 40).flatMap(n => Gen.listOfN(n, edgeGen)).map(_.distinct)
     val prop = Prop.forAll(graphGen, Gen.choose(1, 6)) { (pairs, parts) =>
