@@ -1424,6 +1424,19 @@ object Search {
         s"(ascii(substring(md5($b), $i, 1)) - 80)").mkString(" + ") +
       " AS BIGINT)"
 
+  /** [[simSql]] over PRE-HASHED tokens (columns already `md5(token)`), so
+    * the plan hashes once per token ROW instead of twice per (query-token,
+    * doc-token) PAIR — the pair relation is the probe's largest (the
+    * |doc tokens| fan-out rides it), and substring+ascii on a 32-char
+    * column is whole-stage-codegen cheap where repeated md5 is not.
+    * Value-identical to [[simSql]] (same hex, same arithmetic), which is
+    * why the oracle keeps the inline-md5 text. */
+  private def simOnHashSql(a: String, b: String): String =
+    "CAST(" + (1 to maxsimDims).map(i =>
+      s"(ascii(substring($a, $i, 1)) - 80) * " +
+        s"(ascii(substring($b, $i, 1)) - 80)").mkString(" + ") +
+      " AS BIGINT)"
+
   /** LATE-INTERACTION RERANK (`x_search_maxsim`) — the ColBERT-shape
     * second stage a modern retrieval stack runs over its first-stage
     * candidates: score(q, d) = Σ_{t ∈ q} max_{u ∈ d} sim(t, u), computed
@@ -1448,13 +1461,14 @@ object Search {
       .select(col("query_id"), col("neighbor_id"), col("rnk")))
     val qside = cands.join(
       qterms.withColumnRenamed("token", "qtok"), "query_id")
+      .withColumn("qh", md5(col("qtok")))
     val pairs = fwd
-      .select(col("doc_id"), col("token").as("dtok"))
+      .select(col("doc_id"), md5(col("token")).as("dh"))
       .join(Hints.broadcastSmall(qside), col("doc_id") === col("neighbor_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("maxsim_score").desc, col("neighbor_id").asc)
     pairs
-      .withColumn("s", expr(simSql("qtok", "dtok")))
+      .withColumn("s", expr(simOnHashSql("qh", "dh")))
       .groupBy(col("query_id"), col("neighbor_id"), col("rnk"), col("qtok"))
       .agg(max(col("s")).as("ms"))
       .groupBy(col("query_id"), col("neighbor_id"), col("rnk"))

@@ -24,8 +24,14 @@ object Profile {
     // sets the child-session state-partition conf the streamed queries honor.
     sys.env.get("SPARK_GRAFT_STREAM_PARTS").foreach(n =>
       spark.conf.set("spark.graft.streamShufflePartitions", n))
+    // `store=<dir>` arg: point the session at a persisted IndexStore (the
+    // bench's serving posture) so serving-family numbers attribute the
+    // probe, not an in-session index rebuild. Build one with
+    // `runMain graft.tools.IndexBuild <sfDir> <dir>`.
+    args.collect { case a if a.startsWith("store=") => a.stripPrefix("store=") }
+      .foreach(dir => spark.conf.set(graft.ops.IndexStore.indexDirConf, dir))
     val explain = args.contains("-e")
-    val names = args.filterNot(_ == "-e")
+    val names = args.filterNot(a => a == "-e" || a.startsWith("store="))
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       if (explain) fn(spark, sfDir).explain("formatted")
