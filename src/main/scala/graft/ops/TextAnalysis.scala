@@ -211,6 +211,37 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tok_sum"),
         min(col("n_tokens")).as("min_tokens"), max(col("n_tokens")).as("max_tokens"))
 
+  /** Token-distribution Shannon entropy per document, in the
+    * [[Sampling.log2fpSpark]] 1/1024-bit fixed point — the
+    * compression-proxy quality signal beside [[quality]]'s surface ratios
+    * and [[repetition]]'s n-gram recurrence: a low-entropy document is
+    * dominated by few repeated tokens (boilerplate, keyword stuffing,
+    * degenerate generations) however long it is. H = log₂n − (Σ c·log₂c)/n
+    * over the per-doc token counts — every step integer (the DSIR
+    * fixed-point log₂, exact in both engines), so the score is
+    * oracle-pinned, not approximated.
+    *
+    * Plan: explode → two partial-aggregating groupBys keyed by doc (the
+    * [[tokenCounts]] shape); nothing moves but (doc, token-hashable)
+    * counts, and the arithmetic is in-row on the final grouped relation —
+    * linear in input bytes at any corpus size. */
+  def entropy(s: SparkSession, d: String): DataFrame =
+    entropyOf(Tables.documents(s, d))
+
+  /** [[entropy]] over any (doc_id, text) relation (exposed for the
+    * hand-computed spec). */
+  private[graft] def entropyOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"),
+        count(lit(1)).as("n_distinct"),
+        sum(expr(s"c * ${Sampling.log2fpSpark("c")}")).as("sc"))
+      .select(col("doc_id"), col("n"), col("n_distinct"),
+        expr(s"CAST(${Sampling.log2fpSpark("n")} - (sc div n) AS BIGINT)")
+          .as("entropy_fp"))
+
   /** Memo of the per-doc feature BASE relation: (session identity, table
     * dir) → spilled parquet path — the [[graft.ops.Dedup]] `signatures`
     * pattern applied to the feature family. The base is the compact
@@ -1089,6 +1120,7 @@ object TextAnalysis {
     "x_token_histogram" -> tokenHistogram,
     "x_doc_features" -> docFeatures,
     "x_text_tokens" -> tokenCounts,
+    "x_text_entropy" -> entropy,
     "x_text_vocab" -> vocab,
     "x_text_winnow" -> winnow)
 
@@ -1475,6 +1507,18 @@ object TextAnalysis {
            |  CAST(round(CAST(n_stop AS DOUBLE) * 10000 / n_words) AS BIGINT) AS stop_bp,
            |  (n_words >= 20 AND n_words <= 2000 AND n_stop >= 1) AS is_quality
            |FROM base""".stripMargin,
+      "x_text_entropy" ->
+        s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+           |           FROM documents),
+           |cnt AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS c
+           |        FROM t GROUP BY 1, 2),
+           |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+           |          CAST(count(*) AS BIGINT) AS n_distinct,
+           |          CAST(sum(c * ${Sampling.log2fpDuck("c")}) AS BIGINT) AS sc
+           |        FROM cnt GROUP BY 1)
+           |SELECT doc_id, n, n_distinct,
+           |       CAST(${Sampling.log2fpDuck("n")} - (sc // n) AS BIGINT) AS entropy_fp
+           |FROM agg""".stripMargin,
       "x_text_tokens" ->
         """SELECT doc_id,
           |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,

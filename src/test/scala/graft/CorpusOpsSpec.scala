@@ -175,4 +175,21 @@ class CorpusOpsSpec extends SparkSpec {
       ("u1", 3L, "click", us("2024-01-01 10:03:00"), None, 1L),
       ("u2", 1L, "view", us("2024-01-01 09:00:00"), None, 1L)))
   }
+
+  test("entropy: hand values on degenerate and uniform token distributions") {
+    val out = graft.ops.TextAnalysis.entropyOf(docs(
+      (1L, "en", "s", "a a a a"),          // degenerate: H = 0
+      (2L, "en", "s", "a b c d"),          // uniform over 4: H = 2 bits
+      (3L, "en", "s", "a a b b c c d d"))) // uniform over 4 again: H = 2 bits
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // log2fp is exact at powers of two, so these are exact: 0 and 2048.
+    assert(out(1L) == ((4L, 1L, 0L)), s"got ${out(1L)}")
+    assert(out(2L) == ((4L, 4L, 2048L)), s"got ${out(2L)}")
+    assert(out(3L) == ((8L, 4L, 2048L)), s"got ${out(3L)}")
+    // and monotone: repeating tokens can only lower entropy below uniform
+    val skew = graft.ops.TextAnalysis.entropyOf(docs(
+      (4L, "en", "s", "a a a a a b c d")))
+      .collect().head.getLong(3)
+    assert(skew > 0 && skew < 2048, s"skewed distribution must land strictly between (got $skew)")
+  }
 }
