@@ -62,7 +62,8 @@ object SparkEntry {
     (streaming.ClipStream.queries, streaming.ClipStream.oracle),
     (streaming.AudioDupStream.queries, streaming.AudioDupStream.oracle),
     (streaming.MmrStream.queries, streaming.MmrStream.oracle),
-    (streaming.ClusterSampleStream.queries, streaming.ClusterSampleStream.oracle))
+    (streaming.ClusterSampleStream.queries, streaming.ClusterSampleStream.oracle),
+    (streaming.KmvOverlapStream.queries, streaming.KmvOverlapStream.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's core computation: sliding-window per-user interaction

@@ -137,7 +137,14 @@ class BottomKByKeyAgg(k: Int)
       if (c != 0) c else java.lang.Long.compare(a.id, b.id)
     }
   }
-  private def best(buf: Seq[KeyedId]): Seq[KeyedId] = buf.sorted(asc).take(k)
+  // SET semantics: duplicate (key, id) pairs collapse, making the
+  // aggregator idempotent under duplicate delivery — a no-op for the
+  // batch users (their inputs are distinct-keyed by construction) and the
+  // property that lets a streamed KMV maintain bottom-k over an
+  // at-least-once event feed with NO separate dedup state
+  // ([[graft.streaming.KmvOverlapStream]]).
+  private def best(buf: Seq[KeyedId]): Seq[KeyedId] =
+    buf.distinct.sorted(asc).take(k)
 
   override def zero: Seq[KeyedId] = Vector.empty
 

@@ -232,8 +232,7 @@ object Sketches {
     val agg = org.apache.spark.sql.functions.udaf(
       new graft.functions.BottomKByKeyAgg(kmvK),
       org.apache.spark.sql.Encoders.product[graft.functions.KeyedId])
-    val du = Tables.events(s, d).filter(col("user_id").isNotNull)
-      .select(col("event_type"), col("user_id")).distinct()
+    val du = distinctTypeUsers(s, d)
     val sk = du
       .select(col("event_type"),
         substring(md5(col("user_id").cast("string")), 1, 12).as("h"),
@@ -241,6 +240,20 @@ object Sketches {
       .groupBy(col("event_type"))
       .agg(agg(col("h"), col("id")).as("bot"))
       .select(col("event_type"), expr("transform(bot, x -> x.h)").as("hs"))
+    overlapOf(sk, du)
+  }
+
+  /** The distinct (event_type, user_id) relation both overlap forms rest
+    * on — the exact-truth leg of the differential. */
+  private[graft] def distinctTypeUsers(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).filter(col("user_id").isNotNull)
+      .select(col("event_type"), col("user_id")).distinct()
+
+  /** [[kmvOverlap]]'s pairwise tail over any per-type sketch relation
+    * `sk` (event_type, hs: sorted 12-hex bottom-k array) — shared with
+    * the maintained-sketch stream ([[graft.streaming.KmvOverlapStream]]),
+    * which resolves `sk` from its keyed sink instead of a batch scan. */
+  private[graft] def overlapOf(sk: DataFrame, du: DataFrame): DataFrame = {
     val pairs = sk.select(col("event_type").as("type_a"), col("hs").as("ha"))
       .join(broadcast(sk.select(col("event_type").as("type_b"), col("hs").as("hb"))),
         col("type_a") < col("type_b"))
