@@ -92,7 +92,14 @@ object Diversify {
       .select(col("query_id"), col("neighbor_id"), col("score").as("rel"), col("rnk"))
   }
 
-  private[graft] def mmrFor(c: DataFrame, q: DataFrame): DataFrame = {
+  private[graft] def mmrFor(c: DataFrame, q: DataFrame): DataFrame =
+    mmrParts(c, q)._3
+
+  /** The three relations of a greedy run — (candidate pool, pairwise
+    * sims, picks), the first two lineage-cut — exposed so the diversity
+    * eval ([[mmrDiversityEval]]) prices the picks against the plain
+    * top-k WITHOUT re-deriving the pool. */
+  private def mmrParts(c: DataFrame, q: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     // Lineage cuts: the greedy unroll references `cand`/`pairs` once per
     // round, and round r's picks feed round r+1's anti-join — without the
     // cuts the final round's plan re-derives the corpus scan + pool
@@ -130,7 +137,44 @@ object Diversify {
           col("m.r").as("rel"), lit(r.toLong).as("pick")))
       result = result.unionByName(pick)
     }
-    result.select(col("query_id"), col("pick"), col("neighbor_id"), col("rel"))
+    (cand, pairs,
+      result.select(col("query_id"), col("pick"), col("neighbor_id"), col("rel")))
+  }
+
+  /** Fixed-point scale for the averaged pairwise similarity (micro-units:
+    * per-pair quantization BEFORE the cross-row sum, so the sum is an
+    * order-independent integer — the [[Similarity]] centroid stance). */
+  private val ilsScale = 1000000L
+
+  /** Diversity-gain eval: intra-list similarity (mean pairwise cosine,
+    * micro-unit fixed point) of the plain relevance top-[[mmrPicks]] vs
+    * the MMR picks, per query — the pricing row of the tier (every
+    * operator ships with the number that justifies it: recall for the ANN
+    * rungs, compression-loss for the quantizers, redundancy-drop here).
+    * `gain_fp > 0` means MMR bought diversity; how much relevance it paid
+    * is visible in the picks' own `rel` column. */
+  def mmrDiversityEval(s: SparkSession, d: String): DataFrame = {
+    val c = Similarity.corpus(s, d)
+    val q = c.filter(col("vec_id") % mmrStride === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val (cand, pairs, picks) = mmrParts(c, q)
+    // +1 shift keeps every quantized pair non-negative so Spark's
+    // toward-zero `div` and DuckDB's floor `//` agree; the shift is an
+    // exact integer (round(x·10⁶ + 10⁶) = round(x·10⁶) + 10⁶) and cancels
+    // in `gain_fp` (equal pair counts on both legs).
+    def ils(sel: DataFrame, name: String): DataFrame =
+      pairs.filter(col("a_id") < col("b_id"))
+        .join(sel.select(col("query_id"), col("neighbor_id").as("a_id")),
+          Seq("query_id", "a_id"))
+        .join(sel.select(col("query_id"), col("neighbor_id").as("b_id")),
+          Seq("query_id", "b_id"))
+        .groupBy(col("query_id"))
+        .agg(expr(s"sum(CAST(round((sim + CAST(1 AS DOUBLE)) * $ilsScale) AS BIGINT))" +
+          " div count(1)").as(name))
+    ils(cand.filter(col("rnk") <= mmrPicks), "ils_topk_fp")
+      .join(ils(picks, "ils_mmr_fp"), Seq("query_id"))
+      .select(col("query_id"), col("ils_topk_fp"), col("ils_mmr_fp"),
+        (col("ils_topk_fp") - col("ils_mmr_fp")).as("gain_fp"))
   }
 
   /** MMR at ingest — the asymmetric serving form: ARRIVING queries (the
@@ -181,6 +225,7 @@ object Diversify {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_sim_mmr" -> mmrTopK,
     "x_sim_mmr_in" -> mmrIngest,
+    "x_sim_mmr_eval" -> mmrDiversityEval,
     "x_sample_cluster_balanced" -> clusterBalanced)
 
   /** DuckDB cosine matching the codegen kernel bit-for-bit (the
@@ -192,6 +237,15 @@ object Diversify {
     * pattern); multi-referenced CTEs are `AS MATERIALIZED` so DuckDB does
     * not replan the chain per reference. */
   private def mmrOracle(
+      queryPred: String = s"vec_id % $mmrStride = 0",
+      corpusPred: String = "TRUE"): String =
+    mmrCtes(queryPred, corpusPred) +
+      s"\nSELECT query_id, pick, neighbor_id, rel FROM a$mmrPicks"
+
+  /** The unrolled-greedy CTE chain (WITH included, ending in `a<picks>`
+    * = the selected set), shared by the pick oracles and the
+    * diversity-gain eval twin. */
+  private def mmrCtes(
       queryPred: String = s"vec_id % $mmrStride = 0",
       corpusPred: String = "TRUE"): String = {
     val head =
@@ -239,8 +293,7 @@ object Diversify {
          |a$r AS MATERIALIZED (
          |  SELECT * FROM a${r - 1} UNION ALL SELECT * FROM s$r)""".stripMargin
     }
-    (head +: rounds).mkString(",\n") +
-      s"\nSELECT query_id, pick, neighbor_id, rel FROM a$mmrPicks"
+    (head +: rounds).mkString(",\n")
   }
 
   val oracle: Map[String, String] = Map(
@@ -248,6 +301,30 @@ object Diversify {
     "x_sim_mmr_in" -> mmrOracle(
       queryPred = s"vec_id % ${Similarity.knnBatchMod} = 7",
       corpusPred = s"vec_id % ${Similarity.knnBatchMod} <> 7"),
+    "x_sim_mmr_eval" -> (mmrCtes() +
+      s""",
+         |t5 AS (SELECT query_id, neighbor_id
+         |       FROM (SELECT query_id, neighbor_id,
+         |               row_number() OVER (PARTITION BY query_id
+         |                      ORDER BY rel DESC, neighbor_id ASC) AS rn
+         |             FROM cand) WHERE rn <= $mmrPicks),
+         |pt AS (SELECT p.query_id,
+         |         CAST(sum(CAST(round((p.sim + 1) * $ilsScale) AS BIGINT)) // count(*) AS BIGINT)
+         |           AS ils_topk_fp
+         |       FROM pairs p
+         |       JOIN t5 a ON a.query_id = p.query_id AND a.neighbor_id = p.a_id
+         |       JOIN t5 b ON b.query_id = p.query_id AND b.neighbor_id = p.b_id
+         |       WHERE p.a_id < p.b_id GROUP BY 1),
+         |pm AS (SELECT p.query_id,
+         |         CAST(sum(CAST(round((p.sim + 1) * $ilsScale) AS BIGINT)) // count(*) AS BIGINT)
+         |           AS ils_mmr_fp
+         |       FROM pairs p
+         |       JOIN a$mmrPicks a ON a.query_id = p.query_id AND a.neighbor_id = p.a_id
+         |       JOIN a$mmrPicks b ON b.query_id = p.query_id AND b.neighbor_id = p.b_id
+         |       WHERE p.a_id < p.b_id GROUP BY 1)
+         |SELECT pt.query_id, pt.ils_topk_fp, pm.ils_mmr_fp,
+         |       pt.ils_topk_fp - pm.ils_mmr_fp AS gain_fp
+         |FROM pt JOIN pm USING (query_id)""".stripMargin),
     "x_sample_cluster_balanced" ->
       s"""WITH ${Similarity.kmeansAssignSqlCtes()},
          |sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_cluster FROM ka GROUP BY 1),

@@ -46,6 +46,17 @@ class DiversifySpec extends SparkSpec {
       s"MMR must cover both clusters within 2 picks (got $picks)")
   }
 
+  test("diversity eval: shifted ILS in range, gain consistent with its legs") {
+    val out = graft.ops.Diversify.mmrDiversityEval(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (t, m, g) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(t >= 0 && t <= 2000000 && m >= 0 && m <= 2000000,
+        "shifted micro-unit ILS must stay within [0, 2e6]")
+      assert(g == t - m, "gain must be the difference of its legs")
+    }
+  }
+
   test("MMR at ingest: answers come from the standing corpus only") {
     val out = graft.ops.Diversify.mmrIngest(spark, sf).collect()
     assert(out.nonEmpty)
