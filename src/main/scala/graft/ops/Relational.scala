@@ -91,6 +91,50 @@ object Relational {
       .agg(sum(col("vol_c")).as("revenue_cents"), count(lit(1)).as("n_lines"))
   }
 
+  /** Q3-shape shipping priority: the top-10 still-unshipped orders by
+    * discounted line revenue as of a cutoff date — orders placed BEFORE
+    * the cutoff whose lines ship AFTER it. The fact-fact join carries only
+    * (orderkey, date-ish, cents) columns; the top-10 is a global
+    * `TakeOrderedAndProject` heap over the grouped relation (full
+    * tie-break on orderkey — a LIMIT without one is a nondeterministic
+    * row set, the house rule). */
+  def shippingPriority(s: SparkSession, d: String): DataFrame = {
+    val cutoff = "1998-06-15"
+    Tables.orders(s, d)
+      .filter(col("o_orderdate") < lit(cutoff).cast("timestamp"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .join(
+        Tables.lineitem(s, d)
+          .filter(col("l_shipdate") > lit(cutoff).cast("timestamp"))
+          .select(col("l_orderkey"),
+            cents(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("vol_c")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(col("vol_c")).as("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("o_orderkey").asc)
+      .limit(10)
+  }
+
+  /** Q14-shape promo revenue share: the fraction of one month's discounted
+    * line revenue carried by PROMO-typed parts, in exact basis points
+    * (integer cents on both legs, floor division — no float ratio in the
+    * hashed surface). The part dim broadcasts; the month filter reaches
+    * the lineitem scan. */
+  def promoRevenue(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+      .select(col("l_partkey"),
+        cents(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("vol_c"))
+      .join(broadcast(Tables.part(s, d).select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type").startsWith("PROMO"), col("vol_c")).otherwise(0L))
+          .as("promo_cents"),
+        sum(col("vol_c")).as("total_cents"))
+      .select(col("promo_cents"), col("total_cents"),
+        expr("(promo_cents * 10000L) div total_cents").as("promo_bp"))
+
   /** Top-10 customers by order revenue; `TakeOrderedAndProject` keeps this a
     * partial-agg + heap, no global sort. */
   def topCustomers(s: SparkSession, d: String): DataFrame =
@@ -629,6 +673,8 @@ object Relational {
     "h_region_revenue" -> regionRevenue,
     "h_nation_volume" -> nationVolume,
     "h_top_customers" -> topCustomers,
+    "h_shipping_priority" -> shippingPriority,
+    "h_promo_revenue" -> promoRevenue,
     "h_order_priority" -> orderPriority,
     "h_supplier_rank" -> supplierRank,
     "h_rollup_summary" -> rollupSummary,
@@ -762,6 +808,30 @@ object Relational {
          |  AND ((s.s_nationkey % 2 = 0 AND c.c_nationkey % 2 = 1)
          |    OR (s.s_nationkey % 2 = 1 AND c.c_nationkey % 2 = 0))
          |GROUP BY 1, 2, 3""".stripMargin,
+    "h_shipping_priority" ->
+      s"""SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+         |       CAST(sum(${centsSql("l.l_extendedprice * (1 - l.l_discount)")}) AS BIGINT)
+         |         AS revenue_cents
+         |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+         |WHERE o.o_orderdate < TIMESTAMP '1998-06-15'
+         |  AND l.l_shipdate > TIMESTAMP '1998-06-15'
+         |GROUP BY 1, 2, 3
+         |ORDER BY revenue_cents DESC, o.o_orderkey ASC
+         |LIMIT 10""".stripMargin,
+    "h_promo_revenue" ->
+      s"""WITH f AS (
+         |  SELECT l.l_partkey,
+         |         ${centsSql("l.l_extendedprice * (1 - l.l_discount)")} AS vol_c
+         |  FROM lineitem l
+         |  WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+         |    AND l.l_shipdate < TIMESTAMP '1997-10-01'),
+         |j AS (SELECT f.vol_c, p.p_type FROM f JOIN part p ON f.l_partkey = p.p_partkey)
+         |SELECT CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN vol_c ELSE 0 END) AS BIGINT)
+         |         AS promo_cents,
+         |       CAST(sum(vol_c) AS BIGINT) AS total_cents,
+         |       CAST((sum(CASE WHEN p_type LIKE 'PROMO%' THEN vol_c ELSE 0 END) * 10000)
+         |            // sum(vol_c) AS BIGINT) AS promo_bp
+         |FROM j""".stripMargin,
     "h_region_revenue" ->
       s"""SELECT r_name, CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS revenue_cents, count(*) AS n_orders
          |FROM orders
