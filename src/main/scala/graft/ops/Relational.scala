@@ -135,6 +135,26 @@ object Relational {
       .select(col("promo_cents"), col("total_cents"),
         expr("(promo_cents * 10000L) div total_cents").as("promo_bp"))
 
+  /** Q15-shape top supplier: one quarter's per-supplier discounted line
+    * revenue, keeping every supplier tied at the maximum — the
+    * view-reused-twice + scalar-subquery-max shape (the revenue relation
+    * feeds both the max and the filter; the 1-row max broadcasts, the
+    * supplier dim broadcasts, the quarter filter reaches the scan). */
+  def topSupplier(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-10-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("total_revenue_cents"))
+    rev
+      .join(broadcast(rev.agg(max(col("total_revenue_cents")).as("max_rev"))))
+      .filter(col("total_revenue_cents") === col("max_rev"))
+      .join(broadcast(Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue_cents"))
+  }
+
   /** Top-10 customers by order revenue; `TakeOrderedAndProject` keeps this a
     * partial-agg + heap, no global sort. */
   def topCustomers(s: SparkSession, d: String): DataFrame =
@@ -675,6 +695,7 @@ object Relational {
     "h_top_customers" -> topCustomers,
     "h_shipping_priority" -> shippingPriority,
     "h_promo_revenue" -> promoRevenue,
+    "h_top_supplier" -> topSupplier,
     "h_order_priority" -> orderPriority,
     "h_supplier_rank" -> supplierRank,
     "h_rollup_summary" -> rollupSummary,
@@ -818,6 +839,18 @@ object Relational {
          |GROUP BY 1, 2, 3
          |ORDER BY revenue_cents DESC, o.o_orderkey ASC
          |LIMIT 10""".stripMargin,
+    "h_top_supplier" ->
+      s"""WITH rev AS (
+         |  SELECT l_suppkey,
+         |         CAST(sum(${centsSql("l_extendedprice * (1 - l_discount)")}) AS BIGINT)
+         |           AS total_revenue_cents
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1997-10-01'
+         |    AND l_shipdate < TIMESTAMP '1998-01-01'
+         |  GROUP BY 1)
+         |SELECT s.s_suppkey, s.s_name, r.total_revenue_cents
+         |FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+         |WHERE r.total_revenue_cents = (SELECT max(total_revenue_cents) FROM rev)""".stripMargin,
     "h_promo_revenue" ->
       s"""WITH f AS (
          |  SELECT l.l_partkey,
