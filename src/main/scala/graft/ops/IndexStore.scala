@@ -54,6 +54,10 @@ object IndexStore {
   val chunkPostings = "chunk_postings"
   val chunkTokenDf = "chunk_token_df"
   val chunkStats = "chunk_stats"
+  val phrasePostings = "phrase_postings"
+  val phraseWorkload = "phrase_workload"
+  val chunkVectors = "chunk_vectors"
+  val quantizerState = "quantizer_state"
 
   private def fs(s: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(s.sparkContext.hadoopConfiguration)

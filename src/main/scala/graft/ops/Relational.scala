@@ -139,14 +139,17 @@ object Relational {
     * revenue, keeping every supplier tied at the maximum — the
     * view-reused-twice + scalar-subquery-max shape (the revenue relation
     * feeds both the max and the filter; the 1-row max broadcasts, the
-    * supplier dim broadcasts, the quarter filter reaches the scan). */
+    * supplier dim broadcasts, the quarter filter reaches the scan). The
+    * view is [[Lineage.cut]] per the house multi-reference rule: without
+    * the cut both legs re-derive it — two lineitem scans + two shuffled
+    * aggs; with it the |suppliers|-row aggregate is computed once. */
   def topSupplier(s: SparkSession, d: String): DataFrame = {
-    val rev = Tables.lineitem(s, d)
+    val rev = Lineage.cut(Tables.lineitem(s, d)
       .filter(col("l_shipdate") >= lit("1997-10-01").cast("timestamp") &&
         col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
       .groupBy(col("l_suppkey"))
       .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
-        .as("total_revenue_cents"))
+        .as("total_revenue_cents")))
     rev
       .join(broadcast(rev.agg(max(col("total_revenue_cents")).as("max_rev"))))
       .filter(col("total_revenue_cents") === col("max_rev"))

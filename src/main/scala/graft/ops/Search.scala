@@ -463,6 +463,105 @@ object Search {
         (col("chunk_key") % chunkKeyMod).as("chunk_id"),
         col("score_m"), col("n_terms"), col("rnk"))
 
+  // ---- DENSE CHUNK RETRIEVAL (r16 verdict #7): the RAG tier's dense leg ----
+
+  /** Deterministic hash-projection TEXT vector over a (id, text) frame —
+    * the [[simSql]] token device mean-pooled per unit: each token maps to
+    * its [[maxsimDims]]-dim centered-md5-ascii vector, and the unit's
+    * vector is the per-dim INTEGER SUM over its tokens (cosine is
+    * scale-invariant, so the un-divided sum ranks identically to the mean
+    * AND keeps every coordinate an exact integer — dots/norms of 8-dim
+    * integer vectors are exact in doubles, so both engines compute
+    * bit-identical cosines; the swappable-model stance of [[simSql]]
+    * applies: a deployment plugs its encoder, the contract is the vector
+    * column). Zero-token units are dropped (no vector to serve). */
+  private[graft] def hashVecOf(units: DataFrame, idCol: String): DataFrame =
+    units
+      .withColumn("hs", expr(
+        "transform(filter(split(text, ' '), t -> length(t) > 0), t -> md5(t))"))
+      .filter(size(col("hs")) > 0)
+      .select(col(idCol),
+        expr(s"transform(sequence(1, $maxsimDims), i -> " +
+          "CAST(aggregate(hs, 0L, (acc, h) -> acc + ascii(substring(h, i, 1)) - 80) AS DOUBLE))")
+          .as("hv"))
+
+  /** The CHUNK-VECTOR relation (chunk_key, cvec) over the full chunk
+    * corpus — the dense half of the RAG serving index, resolving like
+    * every serving relation: [[IndexStore]] → session [[SpillMemo]] →
+    * derivation. At 100 TB this is the chunk-id-keyed embedding store the
+    * ANN ladder's bucketed rungs index; the brute probe below is the
+    * ladder's baseline rung over that same relation. */
+  private[graft] def chunkVectors(s: SparkSession, d: String): DataFrame =
+    IndexStore.read(s, IndexStore.chunkVectors, d).getOrElse {
+      val key = (SpillMemo.sessionId(s), d)
+      val path = chunkVecMemo.synchronized(chunkVecMemo.getOrElseUpdate(key, {
+        val out = SpillMemo.scratchDir("graft-chunkvec-")
+        chunkVectorsDerive(s, d).write.mode("overwrite").parquet(out)
+        out
+      }))
+      s.read.parquet(path)
+    }
+
+  /** Session memo for the spilled chunk-vector relation. */
+  private val chunkVecMemo =
+    scala.collection.concurrent.TrieMap.empty[(Long, String), String]
+
+  /** The from-scratch chunk-vector derivation `tools.IndexBuild`
+    * persists: one in-row pass over the chunk corpus. */
+  private[graft] def chunkVectorsDerive(s: SparkSession, d: String): DataFrame =
+    hashVecOf(chunkCorpus(Tables.documents(s, d)), "doc_id")
+      .select(col("doc_id").as("chunk_key"), col("hv").as("cvec"))
+
+  /** Dense chunk hits at the chunk-key grain — member queries' text
+    * vectors against the chunk-vector relation, parent-self-excluded,
+    * bounded-heap top-[[chunkK]] per query. The brute rung: every scale
+    * statement of [[graft.ops.Similarity.bruteForceTopK]] applies (the
+    * corpus side never shuffles; the query panel broadcasts). */
+  private[graft] def chunkDenseHits(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val qv = hashVecOf(
+      Tables.documents(s, d).filter(col("doc_id") % searchStride === 0)
+        .select(col("doc_id"), col("text")), "doc_id")
+      .select(col("doc_id").as("query_id"), col("hv").as("qv"))
+    TopK.topK(
+      chunkVectors(s, d)
+        .join(broadcast(qv), expr(s"chunk_key div $chunkKeyMod") =!= col("query_id"))
+        .withColumn("score", expr("cosine_sim(qv, cvec)"))
+        .select(col("query_id"), col("score"), col("chunk_key")),
+      "query_id", "score", "chunk_key", chunkK)
+      .select(col("query_id"), col("neighbor_id").as("chunk_key"), col("rnk"))
+  }
+
+  /** DENSE chunk retrieval (`x_search_chunks_dense`): the passage hit
+    * list by embedding similarity — the leg the lexical [[chunkTopK]]
+    * was missing. Same output grain as the lexical form (parent, chunk,
+    * rank), so the two legs fuse rank-for-rank. */
+  def chunkDenseTopK(s: SparkSession, d: String): DataFrame =
+    chunkDenseHits(s, d).select(
+      col("query_id"),
+      expr(s"chunk_key div $chunkKeyMod").as("neighbor_id"),
+      (col("chunk_key") % chunkKeyMod).as("chunk_id"),
+      col("rnk"))
+
+  /** HYBRID chunk rollup (`x_search_chunk_rollup_fused`): RRF-fuse the
+    * lexical and dense passage legs AT THE CHUNK GRAIN ([[fuseRrf]] —
+    * one fusion definition across every hybrid form), keep the top
+    * [[topK]] fused passages per query, then max-pool to documents
+    * through the SAME [[rollupOf]] the lexical rollup runs — the full
+    * RAG answer path (sparse recall + dense recall + fusion + document
+    * assembly) in one oracle-checked query. Cost: the two legs are
+    * already memo/store-served; fusion and rollup work k-per-query
+    * relations at any corpus size. */
+  def chunkFusedRollup(s: SparkSession, d: String): DataFrame = {
+    val text = chunkHits(s, d)
+      .select(col("query_id"), col("chunk_key").as("neighbor_id"), col("rnk"))
+    val dense = chunkDenseHits(s, d)
+      .select(col("query_id"), col("chunk_key").as("neighbor_id"), col("rnk"))
+    rollupOf(fuseRrf(text, dense)
+      .select(col("query_id"), col("neighbor_id").as("chunk_key"),
+        col("rrf").as("score_m")))
+  }
+
   /** Dirichlet prior μ for [[lmqlTopK]] — an integer so every fixed-point
     * log₂ argument stays integral (engine-exact). 300 suits the fixture's
     * short documents; the plan is μ-independent. */
@@ -1615,6 +1714,122 @@ object Search {
   /** Phrase-workload width for the INDEXED form. */
   private[graft] val nPhrases = 4
 
+  /** The POSITIONAL INVERTED INDEX over the FULL corpus — true posting
+    * LISTS: one row per (token, doc_id) carrying the token's sorted
+    * 1-based position array, the layout a real positional index serves
+    * (document-at-a-time intersection reads each list once, in-row).
+    * THE relation every position-aware operator resolves
+    * ([[phraseIndexSearch]], [[phraseIndexSearchN]], [[proximityRerank]]).
+    * Corpus-snapshot-static by construction, so it resolves like every
+    * other serving index (r16 verdict #1 — this was the ONE serving-family
+    * derivation that re-tokenized the corpus per run): [[IndexStore]]
+    * (cross-session, built by `graft.tools.IndexBuild`) → session
+    * [[SpillMemo]] spill → derivation. */
+  private[graft] def positionalIndex(s: SparkSession, d: String): DataFrame =
+    IndexStore.read(s, IndexStore.phrasePostings, d).getOrElse {
+      val key = (SpillMemo.sessionId(s), d)
+      val path = posMemo.synchronized(posMemo.getOrElseUpdate(key, {
+        val out = SpillMemo.scratchDir("graft-posidx-")
+        positionalIndexOf(Tables.documents(s, d))
+          .write.mode("overwrite").parquet(out)
+        out
+      }))
+      s.read.parquet(path)
+    }
+
+  /** Session memo for the spilled positional index. */
+  private val posMemo =
+    scala.collection.concurrent.TrieMap.empty[(Long, String), String]
+
+  /** The from-scratch positional build over an arbitrary (doc_id, text)
+    * corpus: one in-row posexplode then one (token, doc) grouping — what
+    * the store build and the session spill both derive. */
+  private[graft] def positionalIndexOf(docs: DataFrame): DataFrame =
+    positionalPostingsOf(docs)
+      .groupBy(col("token"), col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("poss"))
+
+  /** FLAT positional postings (doc_id, token, pos) — the exploded view of
+    * the stored lists, for consumers whose joins are occurrence-keyed
+    * ([[phraseIndexSearch]]'s two-list intersection, the proximity pair
+    * walk). In-row explode of the store/memo-backed index — never a
+    * corpus re-tokenization. */
+  private[graft] def positionalPostings(s: SparkSession, d: String): DataFrame =
+    positionalIndex(s, d)
+      .select(col("doc_id"), col("token"), explode(col("poss")).as("pos"))
+
+  /** The raw positional pass (doc_id, token, 1-based pos) over an
+    * arbitrary corpus — the derivation seed of [[positionalIndexOf]] and
+    * what the hand-checked specs run directly. */
+  private[graft] def positionalPostingsOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p0", "token")))
+      .filter(length(col("token")) > 0)
+      .select(col("doc_id"), col("token"), (col("p0") + 1).cast("long").as("pos"))
+
+  /** Per-length widths PERSISTED in the workload table: the widest slice
+    * any consumer takes ([[phraseIndexSearch]] reads top-[[nPhrases]]
+    * bigrams, [[phraseIndexSearchN]] reads [[phraseWidths]]) — consumers
+    * slice by rank, so one stored relation serves both. */
+  private[graft] def phraseWorkloadWidths: Seq[(Int, Int)] =
+    phraseWidths.map { case (n, w) =>
+      n -> (if (n == 2) math.max(w, nPhrases) else w)
+    }
+
+  /** The phrase WORKLOAD table: per length n ∈ 2..5 the corpus's top
+    * n-grams with their global rank (count desc, then the words — the
+    * deterministic cut every phrase query uses), null-padded to five word
+    * slots so one schema carries all lengths. The four corpus-wide n-gram
+    * minings this relation replaces were the dominant cost of
+    * `x_search_phrase_n` (r16 verdict #1); like the postings it is
+    * snapshot-static, so: [[IndexStore]] → session spill → derivation. */
+  private[graft] def phraseWorkloadTable(s: SparkSession, d: String): DataFrame =
+    IndexStore.read(s, IndexStore.phraseWorkload, d).getOrElse {
+      val key = (SpillMemo.sessionId(s), d)
+      val path = workloadMemo.synchronized(workloadMemo.getOrElseUpdate(key, {
+        val out = SpillMemo.scratchDir("graft-phrasewl-")
+        phraseWorkloadDerive(s, d).write.mode("overwrite").parquet(out)
+        out
+      }))
+      s.read.parquet(path)
+    }
+
+  /** Session memo for the spilled phrase workload. */
+  private val workloadMemo =
+    scala.collection.concurrent.TrieMap.empty[(Long, String), String]
+
+  /** Mine the workload table from the corpus: one n-gram group-by per
+    * length. Each length's cut is a `TakeOrderedAndProject` (bounded heap,
+    * never a global sort of the n-gram vocabulary); the rank window then
+    * runs over the ≤ width surviving rows only. */
+  private[graft] def phraseWorkloadDerive(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    phraseWorkloadWidths.map { case (n, width) =>
+      val structFields = (0 until n)
+        .map(i => s"element_at(w, i + $i) AS w$i").mkString(", ")
+      val nonEmpty = (0 until n)
+        .map(i => col(s"g.w$i")).map(length(_) > 0).reduce(_ && _)
+      val top = base
+        .select(explode(expr(
+          s"transform(CASE WHEN size(w) < $n THEN CAST(array() AS ARRAY<INT>) " +
+            s"ELSE sequence(1, size(w) - ${n - 1}) END, " +
+            s"i -> struct($structFields))")).as("g"))
+        .filter(nonEmpty)
+        .groupBy((0 until n).map(i => col(s"g.w$i").as(s"w$i")): _*)
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc +: (0 until n).map(i => col(s"w$i").asc): _*)
+        .limit(width)
+      val rankW = Window
+        .orderBy(col("c").desc +: (0 until n).map(i => col(s"w$i").asc): _*)
+      top
+        .withColumn("rnk", row_number().over(rankW).cast("int"))
+        .select(Seq(lit(n).cast("int").as("n_words"), col("rnk"), col("c")) ++
+          (0 until 5).map(i =>
+            (if (i < n) col(s"w$i") else lit(null).cast("string")).as(s"w$i")): _*)
+    }.reduce(_.unionByName(_))
+  }
+
   /** Multi-phrase search over a POSITIONAL INVERTED INDEX — the shape
     * [[phraseSearch]]'s scaladoc promises for many-phrase workloads, made
     * real: postings are (token, doc_id, pos), the workload is the corpus's
@@ -1630,26 +1845,13 @@ object Search {
     * broadcast join prunes the index scan), and the intersection join
     * shuffles those lists once on (doc_id) — at 100 TB this is the
     * difference between one corpus text scan per phrase and one
-    * posting-list join for the whole workload. */
+    * posting-list join for the whole workload. Postings and workload are
+    * store/memo-served ([[positionalPostings]], [[phraseWorkloadTable]]). */
   def phraseIndexSearch(s: SparkSession, d: String): DataFrame = {
-    val base = Tables.documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-    // positional postings: one in-row explode, (token, doc_id, pos)
-    val postings = base
-      .select(col("doc_id"), posexplode(col("w")).as(Seq("p0", "token")))
-      .filter(length(col("token")) > 0)
-      .select(col("doc_id"), col("token"), (col("p0") + 1).cast("long").as("pos"))
-    val bigrams = base
-      .select(explode(expr(
-        "transform(CASE WHEN size(w) < 2 THEN CAST(array() AS ARRAY<INT>) " +
-          "ELSE sequence(1, size(w) - 1) END, " +
-          "i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))")).as("b"))
-      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
-      .filter(length(col("w1")) > 0 && length(col("w2")) > 0)
-      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
-    val phrases = bigrams
-      .orderBy(col("c").desc, col("w1").asc, col("w2").asc).limit(nPhrases)
-      .select(col("w1"), col("w2"))
+    val postings = positionalPostings(s, d)
+    val phrases = phraseWorkloadTable(s, d)
+      .filter(col("n_words") === 2 && col("rnk") <= nPhrases)
+      .select(col("w0").as("w1"), col("w1").as("w2"))
     // consecutive-position intersection: left word's list ⨝ right word's
     // list on (doc, pos+1); the broadcast phrase table prunes BOTH scans —
     // the right side needs its own semi-join (w2 is a per-row column in
@@ -1676,85 +1878,73 @@ object Search {
   private[graft] val phraseWidths: Seq[(Int, Int)] =
     Seq(2 -> 2, 3 -> 2, 4 -> 1, 5 -> 1)
 
-  /** N-token phrase search over the SAME positional inverted index —
-    * round-13 verdict #3: real phrase queries are 2-5 tokens, and
-    * [[phraseIndexSearch]]'s single bigram join generalizes by ITERATING
-    * the consecutive-position intersection, one join per additional
-    * token, over one (token, doc_id, pos) postings relation. The workload
-    * is the corpus's own top n-grams per length 2-5 ([[phraseWidths]];
-    * deterministic cut, ties on the words), so every supported length
-    * exercises the iteration without a config knob.
+  /** N-token phrase search over the positional inverted index —
+    * round-13 verdict #3: real phrase queries are 2-5 tokens. The
+    * workload is the corpus's own top n-grams per length 2-5
+    * ([[phraseWidths]]; deterministic cut, ties on the words), so every
+    * supported length is exercised without a config knob. Matching is
+    * DOCUMENT-AT-A-TIME over the stored posting LISTS — how a real
+    * positional index intersects: every (phrase-word, document) posting
+    * list is fetched in ONE pruned index pass, pivoted to one row per
+    * (document, phrase) carrying the per-slot position arrays, and the
+    * consecutive-position intersection runs IN-ROW (`filter(poss0, p ->
+    * array_contains(poss_i, p + i) ∀i)`), no per-position join chain.
     *
-    * Plan shape (the 100 TB story): the phrase tables are 1-2-row
-    * broadcasts; EVERY postings scan is double-pruned — the position-1
-    * scan by the broadcast phrase join itself, each position-i scan by a
-    * broadcast semi-join on the tokens occurring at position i of any
-    * phrase (w_i is a per-row column in the equi-join condition, so
-    * Catalyst cannot prune that scan from the condition alone — the
-    * [[phraseIndexSearch]] lesson, applied per position). Each iteration
-    * shuffles only the already-intersected candidate list (monotonically
-    * shrinking) against one pruned posting slice on (doc_id, pos) — never
-    * a corpus text rescan per phrase. Output: one row per (phrase, doc)
-    * with the phrase spelled out, its token count, occurrence count and
-    * first 1-based match position — `SearchSpec` pins set-equality with
-    * the exhaustive in-row scan. */
+    * Plan shape (the 100 TB story), per length: ONE index scan, pruned by
+    * the broadcast (slot, token) fan-out of the 1-2-row phrase table; ONE
+    * shuffle, of the surviving doc-level rows, for the (doc, phrase)
+    * pivot; zero joins after that — the intersection arithmetic is
+    * in-row over lists bounded by document length. (The previous
+    * iterated-join formulation was plan-quadratic in phrase length: n
+    * postings scans + n−1 shuffled intersection joins per leg — 14 scans
+    * and ~24 exchanges across the workload, pure stage overhead at any
+    * scale.) Index and workload are store/memo-served
+    * ([[positionalIndex]], [[phraseWorkloadTable]] — r16 verdict #1: the
+    * four corpus-wide n-gram minings plus the positional pass this query
+    * re-derived per run were the one serving-family derivation not
+    * persisted). Output: one row per (phrase, doc) with the phrase
+    * spelled out, its token count, occurrence count and first 1-based
+    * match position — `SearchSpec` pins set-equality with the exhaustive
+    * in-row scan. */
   def phraseIndexSearchN(s: SparkSession, d: String): DataFrame = {
-    val base = Tables.documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-    val postings = base
-      .select(col("doc_id"), posexplode(col("w")).as(Seq("p0", "token")))
-      .filter(length(col("token")) > 0)
-      .select(col("doc_id"), col("token"), (col("p0") + 1).cast("long").as("pos"))
-    // top n-grams per length: one in-row transform each, counted globally;
-    // the cut is deterministic (count desc, then the words)
-    def topNgrams(n: Int, width: Int): DataFrame = {
-      val structFields = (0 until n)
-        .map(i => s"element_at(w, i + $i) AS w$i").mkString(", ")
-      val nonEmpty = (0 until n)
-        .map(i => col(s"g.w$i")).map(length(_) > 0).reduce(_ && _)
-      base
-        .select(explode(expr(
-          s"transform(CASE WHEN size(w) < $n THEN CAST(array() AS ARRAY<INT>) " +
-            s"ELSE sequence(1, size(w) - ${n - 1}) END, " +
-            s"i -> struct($structFields))")).as("g"))
-        .filter(nonEmpty)
-        .groupBy((0 until n).map(i => col(s"g.w$i").as(s"w$i")): _*)
-        .agg(count(lit(1)).as("c"))
-        .orderBy(col("c").desc +: (0 until n).map(i => col(s"w$i").asc): _*)
-        .limit(width)
+    val index = positionalIndex(s, d)
+    val workload = phraseWorkloadTable(s, d)
+    // one leg per phrase length: scan → broadcast slot join → pivot →
+    // in-row consecutive-position intersection
+    def leg(n: Int, width: Int): DataFrame = {
+      val phrases = workload
+        .filter(col("n_words") === n && col("rnk") <= width)
+        .select((0 until n).map(i => col(s"w$i")): _*)
+      // slot fan-out: one broadcast row per (phrase, position) — the scan
+      // prune AND the slot tag in one relation (a repeated word simply
+      // fans the same list to both its slots)
+      val slots = phrases
         .select((0 until n).map(i => col(s"w$i")) :+
-          lit(n).cast("int").as("n_words"): _*)
-    }
-    // iterated consecutive-position intersection for one phrase length:
-    // seed = position-1 postings ⨝ broadcast phrases; each further position
-    // joins a semi-join-pruned postings slice on (doc, pos + i)
-    def intersect(phrases: DataFrame, n: Int): DataFrame = {
-      var cand = postings
-        .join(broadcast(phrases), col("token") === col("w0"))
-        .select(Seq(col("doc_id"), col("pos")) ++
-          (0 until n).map(i => col(s"w$i")): _*)
-      for (i <- 1 until n) {
-        val slice = postings
-          .join(broadcast(phrases.select(col(s"w$i").as("pw")).distinct()),
-            col("token") === col("pw"), "left_semi")
-          .select(col("token").as(s"t$i"), col("doc_id").as(s"d$i"),
-            col("pos").as(s"p$i"))
-        cand = cand.join(slice,
-          col(s"t$i") === col(s"w$i") && col(s"d$i") === col("doc_id") &&
-            col(s"p$i") === col("pos") + i)
-          .select(Seq(col("doc_id"), col("pos")) ++
-            (0 until n).map(j => col(s"w$j")): _*)
-      }
-      cand
+          explode(expr(s"array(${(0 until n)
+            .map(i => s"struct($i AS slot, w$i AS stoken)").mkString(", ")})")).as("sl"): _*)
+        .select((0 until n).map(i => col(s"w$i")) :+
+          col("sl.slot").as("slot") :+ col("sl.stoken").as("stoken"): _*)
+      val hits = index.join(broadcast(slots), col("token") === col("stoken"))
+      val pivoted = hits
         .groupBy(col("doc_id") +: (0 until n).map(i => col(s"w$i")): _*)
-        .agg(count(lit(1)).as("n_occ"), min(col("pos")).as("first_pos"))
+        .agg(max(when(col("slot") === 0, col("poss"))).as("poss0"),
+          (1 until n).map(i =>
+            max(when(col("slot") === i, col("poss"))).as(s"poss$i")): _*)
+      val allSlots = (0 until n).map(i => col(s"poss$i").isNotNull).reduce(_ && _)
+      val matchSql = s"filter(poss0, p -> ${(1 until n)
+        .map(i => s"array_contains(poss$i, p + ${i}L)").mkString(" AND ")})"
+      pivoted
+        .filter(allSlots)
+        .withColumn("matches", expr(matchSql))
+        .filter(size(col("matches")) >= 1)
         .select(
           concat_ws(" ", (0 until n).map(i => col(s"w$i")): _*).as("phrase"),
-          lit(n.toLong).as("n_words"), col("doc_id"), col("n_occ"),
-          col("first_pos"))
+          lit(n.toLong).as("n_words"), col("doc_id"),
+          size(col("matches")).cast("long").as("n_occ"),
+          expr("element_at(matches, 1)").as("first_pos"))
     }
     phraseWidths
-      .map { case (n, width) => intersect(topNgrams(n, width), n) }
+      .map { case (n, width) => leg(n, width) }
       .reduce(_.unionByName(_))
   }
 
@@ -1789,11 +1979,16 @@ object Search {
     * Nothing rescans text per query; the expensive relation (positions ×
     * probes) lives and dies inside one exchange. */
   def proximityRerank(s: SparkSession, d: String): DataFrame =
-    proximityOn(Tables.documents(s, d))
+    proximityCore(Tables.documents(s, d), positionalPostings(s, d))
 
   /** [[proximityRerank]]'s core over an arbitrary (doc_id, text) corpus
-    * (exposed for the hand-checked spec). */
-  private[graft] def proximityOn(docs: DataFrame): DataFrame = {
+    * (exposed for the hand-checked spec) — derives positions inline;
+    * the serving entry point reads the store/memo-backed
+    * [[positionalPostings]] instead. */
+  private[graft] def proximityOn(docs: DataFrame): DataFrame =
+    proximityCore(docs, positionalPostingsOf(docs))
+
+  private def proximityCore(docs: DataFrame, posPostings: DataFrame): DataFrame = {
     val idx = bm25IndexDocs(docs)
     val terms = Lineage.cut(queryTerms(
       docs.filter(col("doc_id") % searchStride === 0)
@@ -1805,10 +2000,7 @@ object Search {
     val probe = hits.select(col("query_id"), col("neighbor_id"))
       .join(terms, "query_id")
       .select(col("query_id"), col("neighbor_id"), col("token").as("term"))
-    val pos = docs
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p0", "token")))
-      .filter(length(col("token")) > 0)
-      .select(col("doc_id"), col("token"), (col("p0") + 1).cast("long").as("pos"))
+    val pos = posPostings
       .join(Hints.broadcastSmall(probe),
         col("doc_id") === col("neighbor_id") && col("token") === col("term"))
       .select(col("query_id"), col("neighbor_id"), col("token"), col("pos"))
@@ -1864,6 +2056,8 @@ object Search {
     "x_search_chunk_rollup" -> ((s, d) => chunkDocRollup(s, d)),
     "x_search_chunks_in" -> ((s, d) => chunkIngestTopK(s, d)),
     "x_search_chunk_rollup_in" -> ((s, d) => chunkIngestRollup(s, d)),
+    "x_search_chunks_dense" -> ((s, d) => chunkDenseTopK(s, d)),
+    "x_search_chunk_rollup_fused" -> ((s, d) => chunkFusedRollup(s, d)),
     "x_search_rm3" -> rm3Search,
     "x_search_rm3_in" -> rm3IngestSearch,
     "x_search_snippet" -> snippetSearch,
@@ -1996,6 +2190,37 @@ object Search {
     * chunks — exclusion by PARENT id (ids non-negative ⇒ `//` ≡ `div`). */
   private def chunkSelfExcl: String =
     s"p.doc_id // $chunkKeyMod <> tm.query_id"
+
+  /** Per-dim integer sums of the hash-projection token vectors — the
+    * [[hashVecOf]] device in SQL (same md5 hex, same centered ascii). */
+  private def dimSumsSql(t: String): String =
+    (1 to maxsimDims).map(i =>
+      s"sum(ascii(substr(md5($t), $i, 1)) - 80) AS s$i").mkString(", ")
+
+  private def vecArraySql: String =
+    "[" + (1 to maxsimDims).map(i => s"CAST(s$i AS DOUBLE)").mkString(", ") + "]"
+
+  /** Dense chunk CTE chain (continuation form — appended after a WITH):
+    * chunk corpus → chunk/query vectors → brute cosine rank. d-prefixed
+    * names so it composes with the lexical chain in the fused oracle. */
+  private def chunkDenseCtes: String =
+    s"""dch AS (${chunkCorpusSql("true")}),
+       |dct AS (SELECT doc_id AS chunk_key, unnest(string_split(text, ' ')) AS t FROM dch),
+       |dctv AS (SELECT chunk_key, ${dimSumsSql("t")} FROM dct WHERE len(t) > 0 GROUP BY 1),
+       |dcv AS (SELECT chunk_key, $vecArraySql AS cvec FROM dctv),
+       |dqt AS (SELECT doc_id AS query_id, unnest(string_split(text, ' ')) AS t
+       |        FROM documents WHERE doc_id % $searchStride = 0),
+       |dqtv AS (SELECT query_id, ${dimSumsSql("t")} FROM dqt WHERE len(t) > 0 GROUP BY 1),
+       |dqv AS (SELECT query_id, $vecArraySql AS qvec FROM dqtv),
+       |dsc AS (SELECT q.query_id, c.chunk_key,
+       |          list_dot_product(q.qvec, c.cvec)
+       |            / (sqrt(list_dot_product(q.qvec, q.qvec))
+       |               * sqrt(list_dot_product(c.cvec, c.cvec))) AS score
+       |        FROM dcv c, dqv q WHERE c.chunk_key // $chunkKeyMod <> q.query_id),
+       |drk AS (SELECT query_id, chunk_key,
+       |          CAST(row_number() OVER (PARTITION BY query_id
+       |                 ORDER BY score DESC, chunk_key ASC) AS BIGINT) AS rnk
+       |        FROM dsc)""".stripMargin
 
   private def chunkTail: String =
     s"""
@@ -2257,6 +2482,45 @@ object Search {
         chunkCorpusSql(s"doc_id % ${Similarity.knnBatchMod} <> 7"),
         s"SELECT doc_id AS query_id, text FROM documents WHERE doc_id % ${Similarity.knnBatchMod} = 7",
         chunkSelfExcl) + chunkRollupTail),
+    "x_search_chunks_dense" ->
+      ("WITH " + chunkDenseCtes +
+        s"""
+           |SELECT query_id, CAST(chunk_key // $chunkKeyMod AS BIGINT) AS neighbor_id,
+           |       CAST(chunk_key % $chunkKeyMod AS BIGINT) AS chunk_id, rnk
+           |FROM drk WHERE rnk <= $chunkK""".stripMargin),
+    // RRF fusion of the lexical and dense passage legs, then the SAME
+    // rollup windows as chunkRollupTail over the fused score
+    "x_search_chunk_rollup_fused" ->
+      (bm25CtesOver(chunkCorpusSql("true"), memberQuerySql, chunkSelfExcl) +
+        ",\n" + chunkDenseCtes +
+        s""",
+           |flt AS (SELECT query_id, neighbor_id, rnk FROM rk WHERE rnk <= $chunkK),
+           |fdl AS (SELECT query_id, chunk_key AS neighbor_id, rnk FROM drk WHERE rnk <= $chunkK),
+           |flegs AS (SELECT * FROM flt UNION ALL SELECT * FROM fdl),
+           |ffus AS (SELECT query_id, neighbor_id,
+           |           CAST(sum($rrfScale // ($rrfK + rnk)) AS BIGINT) AS rrf
+           |         FROM flegs GROUP BY 1, 2),
+           |ffrk AS (SELECT query_id, neighbor_id, rrf,
+           |           CAST(row_number() OVER (PARTITION BY query_id
+           |                  ORDER BY rrf DESC, neighbor_id ASC) AS BIGINT) AS rnk
+           |         FROM ffus),
+           |fch AS (SELECT query_id, neighbor_id // $chunkKeyMod AS parent,
+           |          neighbor_id % $chunkKeyMod AS chunk_id, rrf AS score_m
+           |        FROM ffrk WHERE rnk <= $topK),
+           |fbc AS (SELECT query_id, parent, chunk_id, score_m,
+           |          row_number() OVER (PARTITION BY query_id, parent
+           |            ORDER BY score_m DESC, chunk_id ASC) AS crk FROM fch),
+           |fnh AS (SELECT query_id, parent, CAST(count(*) AS BIGINT) AS n_chunk_hits
+           |        FROM fch GROUP BY 1, 2),
+           |fdr AS (SELECT b.query_id, b.parent, b.score_m, b.chunk_id, n.n_chunk_hits,
+           |          row_number() OVER (PARTITION BY b.query_id
+           |            ORDER BY b.score_m DESC, b.parent ASC) AS rnk
+           |        FROM fbc b JOIN fnh n ON n.query_id = b.query_id AND n.parent = b.parent
+           |        WHERE b.crk = 1)
+           |SELECT query_id, CAST(parent AS BIGINT) AS neighbor_id,
+           |       score_m AS best_m, CAST(chunk_id AS BIGINT) AS best_chunk,
+           |       n_chunk_hits, CAST(rnk AS BIGINT) AS rnk
+           |FROM fdr WHERE rnk <= $topK""".stripMargin),
     // graded-relevance tail over the shared member chain; the discount is
     // the same fixed-point log2 text the Spark plan compiles
     "x_search_ndcg" ->

@@ -470,6 +470,142 @@ object Similarity {
       .filter(col("cluster") =!= col("prev")).isEmpty
   }
 
+  // ---- MAINTAINED QUANTIZER (r16 verdict #6): the centroid table kept
+  // ---- current as vectors arrive, instead of trained-once-and-frozen.
+
+  /** The STANDING quantizer state — per (cluster, dim): the µ-unit
+    * coordinate SUM, member count, and the floored mean (the centroid
+    * coordinate) over the STANDING split's seed cells (`vec_id % k`,
+    * arrivals excluded — the frozen quantizer must not be influenced by
+    * the vectors it will route). This is [[seedCentroids]]' M-step kept
+    * in its MERGEABLE (Σ, n) form: the exact state a mini-batch update
+    * (Sculley, WWW'10 — web-scale k-means) folds arrivals into. Persisted
+    * VERSIONED in the [[IndexStore]] (`quantizer_state`, epoch column —
+    * a maintenance deployment appends epoch e+1 after folding an arrival
+    * window in; serving reads the latest epoch); resolution order is the
+    * serving-index standard: store → session memo → derivation. */
+  private[graft] def standingQuantizerState(s: SparkSession, d: String,
+      k: Int = defaultKClusters): DataFrame = {
+    val raw = IndexStore.read(s, IndexStore.quantizerState, d).map { st =>
+      // versioned read: serve the LATEST epoch the store carries
+      st.join(broadcast(st.agg(max(col("epoch")).as("epoch"))), "epoch")
+        .drop("epoch")
+    }.getOrElse {
+      val key = (SpillMemo.sessionId(s), d, k)
+      val path = quantMemo.synchronized(quantMemo.getOrElseUpdate(key, {
+        val out = SpillMemo.scratchDir("graft-quantstate-")
+        standingQuantizerStateDerive(s, d, k).drop("epoch")
+          .write.mode("overwrite").parquet(out)
+        out
+      }))
+      s.read.parquet(path)
+    }
+    raw
+  }
+
+  /** Session memo for the spilled standing quantizer state. */
+  private val quantMemo =
+    scala.collection.concurrent.TrieMap.empty[(Long, String, Int), String]
+
+  /** The from-scratch derivation `tools.IndexBuild` persists (epoch 0 —
+    * the corpus snapshot's frozen quantizer). */
+  private[graft] def standingQuantizerStateDerive(s: SparkSession, d: String,
+      k: Int = defaultKClusters): DataFrame =
+    quantizedCorpus(s, d).filter(col("vec_id") % knnBatchMod =!= 7)
+      .select((col("vec_id") % k).as("cluster"),
+        posexplode(col("q")).as(Seq("dim", "x")))
+      .groupBy(col("cluster"), col("dim").cast("long").as("dim"))
+      .agg(sum(col("x")).as("q_sum0"), count(lit(1)).as("n0"))
+      .withColumn("c0", expr("CAST(floor(CAST(q_sum0 AS DOUBLE) / n0) AS BIGINT)"))
+      .withColumn("epoch", lit(0L))
+
+  /** The frozen centroid panel as ONE broadcastable row (sorted by
+    * cluster — the in-row assignment fold's strict `<` then tie-breaks to
+    * the lowest cluster id, the batch argmin's struct-min order). Shared
+    * by the batch update and the streamed twin. */
+  private[graft] def quantizerCentroidPanel(state: DataFrame): DataFrame =
+    state
+      .groupBy(col("cluster"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, c0))), s -> s.c0)").as("cv"))
+      .groupBy()
+      .agg(expr("array_sort(collect_list(struct(cluster, cv)))").as("cents"))
+
+  /** The in-row nearest-frozen-centroid assignment expression over a
+    * µ-quantized `q` column and a broadcast `cents` panel — one
+    * definition for the batch update and the streamed maintenance. */
+  private[graft] val assignSql: String =
+    """aggregate(cents,
+      |  named_struct('d', CAST(4611686018427387903 AS BIGINT), 'c', CAST(-1 AS BIGINT)),
+      |  (acc, ct) -> CASE
+      |    WHEN aggregate(zip_with(q, ct.cv, (a, b) -> (a - b) * (a - b)),
+      |                   0L, (s2, v) -> s2 + v) < acc.d
+      |    THEN named_struct(
+      |      'd', aggregate(zip_with(q, ct.cv, (a, b) -> (a - b) * (a - b)),
+      |                     0L, (s2, v) -> s2 + v),
+      |      'c', ct.cluster)
+      |    ELSE acc END).c""".stripMargin
+
+  /** Per-(cluster, dim) arrival deltas (Σ, n) — arrivals assigned to the
+    * FROZEN panel entirely in-row (no per-vector shuffle), then one
+    * exploded aggregation. The monoid half of the update: sums and counts
+    * are associative, so ANY batching of the arrivals folds to the same
+    * state — what makes the streamed twin share this oracle verbatim. */
+  private[graft] def quantizerDeltasOf(arrivals: DataFrame,
+      cents: DataFrame): DataFrame =
+    arrivals
+      .crossJoin(broadcast(cents))
+      .withColumn("cluster", expr(assignSql))
+      .select(col("cluster"), posexplode(col("q")).as(Seq("dim", "x")))
+      .groupBy(col("cluster"), col("dim").cast("long").as("dim"))
+      .agg(sum(col("x")).as("q_suma"), count(lit(1)).as("na"))
+
+  /** Merge standing state + arrival deltas into the NEXT epoch's state
+    * readout: per (cluster, dim) the old and new member counts and the
+    * old and updated centroid coordinate (floored mean of the merged
+    * sums — exactly the batch M-step over standing ∪ assigned arrivals,
+    * by associativity). Cells without arrivals pass through (n1 = n0,
+    * c1 = c0 by the same division). */
+  private[graft] def quantizerMergeOf(state: DataFrame,
+      deltas: DataFrame): DataFrame =
+    state.join(deltas, Seq("cluster", "dim"), "left")
+      .na.fill(0L, Seq("q_suma", "na"))
+      .select(col("cluster"), col("dim"), col("n0"),
+        (col("n0") + col("na")).as("n1"), col("c0"),
+        expr("CAST(floor(CAST(q_sum0 + q_suma AS DOUBLE) / (n0 + na)) AS BIGINT)")
+          .as("c1"))
+
+  /** MINI-BATCH QUANTIZER UPDATE (`x_quantizer_update`): fold the
+    * arriving split into the standing quantizer's mergeable state and
+    * emit the next epoch per (cluster, dim). Assignment runs against the
+    * FROZEN epoch-0 centroids — the production IVF maintenance contract
+    * (indexes route against a fixed quantizer within an epoch and refresh
+    * at epoch close; assigning against evolving centroids would make the
+    * result depend on arrival order, which no oracle could pin). Scale:
+    * state is k·d rows regardless of corpus size; per-arrival cost is one
+    * in-row O(k·d) fold; the only shuffle is the (cluster, dim) delta
+    * aggregation, which partial-aggregates map-side. */
+  def quantizerUpdate(s: SparkSession, d: String): DataFrame = {
+    val st = Lineage.cut(standingQuantizerState(s, d))
+    val cents = Lineage.cut(quantizerCentroidPanel(st))
+    quantizerMergeOf(st,
+      quantizerDeltasOf(
+        quantizedCorpus(s, d).filter(col("vec_id") % knnBatchMod === 7)
+          .select(col("vec_id"), col("q")), cents))
+  }
+
+  /** QUANTIZER DRIFT readout (`x_quantizer_drift`): per cell, how far the
+    * updated centroid moved from the frozen seed — Σ_dim (c1−c0)² in
+    * µ-units² plus the membership delta. THE maintenance dashboard: cells
+    * whose drift grows are where the corpus distribution is shifting and
+    * a re-train (epoch close) pays off; flat cells confirm the frozen
+    * routing is still faithful. */
+  def quantizerDrift(s: SparkSession, d: String): DataFrame =
+    quantizerUpdate(s, d)
+      .groupBy(col("cluster"))
+      .agg(max(col("n0")).as("n_standing"),
+        max(col("n1") - col("n0")).as("n_arrived"),
+        sum((col("c1") - col("c0")) * (col("c1") - col("c0"))).as("drift2"))
+
   /** IVF search over LEARNED buckets: identical plan to [[ivfTopK]] but the
     * inverted lists are the [[kmeansConverged]] assignment instead of the
     * provided `label` — each query scans only its own trained cluster. The
@@ -1852,7 +1988,9 @@ object Similarity {
     "x_sim_recall_sign" -> recallSign,
     "x_embed_centroids" -> centroids,
     "x_embed_quantize" -> quantize,
-    "x_embed_mrl_recall" -> mrlRecall)
+    "x_embed_mrl_recall" -> mrlRecall,
+    "x_quantizer_update" -> ((s, d) => quantizerUpdate(s, d)),
+    "x_quantizer_drift" -> ((s, d) => quantizerDrift(s, d)))
 
   private val cosSql =
     "list_dot_product(q.qv, c.v) / (q.qn * sqrt(list_dot_product(c.v, c.v)))"
@@ -1948,6 +2086,42 @@ object Similarity {
     * shared by the `x_embed_kmeans_iter` oracle and [[Dedup]]'s
     * `x_dedup_semantic` (both interpolate the SAME k their Spark side runs,
     * so the tunable cannot drift between engine and oracle). */
+  /** CTE chain (no WITH) ending in `upd` (cluster, dim, n0, n1, c0, c1)
+    * — the maintained-quantizer twin: standing seed-cell state over the
+    * standing split, arrivals assigned to the FROZEN standing centroids
+    * (dist2 asc then cluster asc — the in-row fold's strict-< order),
+    * mergeable-sum fold, floored-mean readout. Shared verbatim by the
+    * batch update, the drift readout and the streamed maintenance. */
+  private[ops] def quantizerUpdateSqlCtes(k: Int = defaultKClusters): String =
+    s"""e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |xp AS MATERIALIZED (SELECT vec_id, i - 1 AS dim, q[i] AS v
+       |       FROM (SELECT vec_id, q, unnest(range(1, len(q) + 1)) AS i FROM e)),
+       |s0 AS (SELECT vec_id % $k AS cluster, dim,
+       |         CAST(sum(v) AS BIGINT) AS q_sum0, CAST(count(*) AS BIGINT) AS n0,
+       |         CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS c0
+       |       FROM xp WHERE vec_id % $knnBatchMod <> 7 GROUP BY 1, 2),
+       |ad AS (SELECT xp.vec_id, s0.cluster,
+       |         CAST(sum((xp.v - s0.c0) * (xp.v - s0.c0)) AS BIGINT) AS dist2
+       |       FROM xp JOIN s0 USING (dim)
+       |       WHERE xp.vec_id % $knnBatchMod = 7 GROUP BY 1, 2),
+       |aa AS (SELECT vec_id, cluster FROM (
+       |         SELECT vec_id, cluster,
+       |           row_number() OVER (PARTITION BY vec_id
+       |                  ORDER BY dist2 ASC, cluster ASC) AS rn
+       |         FROM ad) WHERE rn = 1),
+       |sa AS (SELECT aa.cluster, xp.dim,
+       |         CAST(sum(xp.v) AS BIGINT) AS q_suma, CAST(count(*) AS BIGINT) AS na
+       |       FROM xp JOIN aa USING (vec_id) GROUP BY 1, 2),
+       |upd AS (SELECT CAST(s0.cluster AS BIGINT) AS cluster,
+       |          CAST(s0.dim AS BIGINT) AS dim, s0.n0,
+       |          CAST(s0.n0 + COALESCE(sa.na, 0) AS BIGINT) AS n1, s0.c0,
+       |          CAST(floor(CAST(s0.q_sum0 + COALESCE(sa.q_suma, 0) AS DOUBLE)
+       |               / (s0.n0 + COALESCE(sa.na, 0))) AS BIGINT) AS c1
+       |        FROM s0 LEFT JOIN sa ON sa.cluster = s0.cluster AND sa.dim = s0.dim)""".stripMargin
+
   private[ops] def kmeansAssignSqlCtes(k: Int = defaultKClusters): String =
     s"""e AS (
        |  SELECT vec_id,
@@ -2308,6 +2482,15 @@ object Similarity {
   }
 
   val oracle: Map[String, String] = Map(
+    "x_quantizer_update" ->
+      s"""WITH ${quantizerUpdateSqlCtes()}
+         |SELECT cluster, dim, n0, n1, c0, c1 FROM upd""".stripMargin,
+    "x_quantizer_drift" ->
+      s"""WITH ${quantizerUpdateSqlCtes()}
+         |SELECT cluster, CAST(max(n0) AS BIGINT) AS n_standing,
+         |       CAST(max(n1 - n0) AS BIGINT) AS n_arrived,
+         |       CAST(sum((c1 - c0) * (c1 - c0)) AS BIGINT) AS drift2
+         |FROM upd GROUP BY 1""".stripMargin,
     "x_embed_pca" -> pcaSql,
     "x_embed_pca_var" -> pcaVarSql,
     "x_embed_pca_project" -> pcaProjectSql,

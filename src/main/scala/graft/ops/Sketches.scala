@@ -206,9 +206,11 @@ object Sketches {
     * Algebra: K(A∪B) = the k smallest hashes of S_A ∪ S_B (valid because
     * any union hash below that cut is below its own sketch's cut, hence
     * retained); est_union = (k−1)·2⁴⁸ ÷ h_k as usual, or exact when both
-    * sketches are unsaturated (then S_A ∪ S_B IS the union's hash set —
-    * detectable as |S_A ∪ S_B| < k, impossible once either side
-    * saturates). Intersection by the ratio estimator: the fraction ρ of
+    * sketches are unsaturated (|S_A| < k AND |S_B| < k ⇒ each sketch IS
+    * its side's complete hash set, so |A∪B| and |A∩B| are derivable
+    * exactly even when the merged set reaches or passes k — the per-side
+    * test is strictly wider than checking |S_A ∪ S_B| < k).
+    * Intersection by the ratio estimator: the fraction ρ of
     * the union sketch's k hashes present in BOTH sketches is an unbiased
     * estimate of |A∩B|/|A∪B|, so est_inter = ρ·est_union — all integer
     * arithmetic (matches·est_union ÷ k; products ≪ 2⁶³), so the DuckDB
@@ -266,15 +268,21 @@ object Sketches {
       .na.fill(0L, Seq("n_exact_inter"))
       .withColumn("u", expr(s"slice(array_sort(array_union(ha, hb)), 1, $kmvK)"))
       .withColumn("m", expr("size(array_union(ha, hb))"))
+      // Exactness holds whenever BOTH sides are unsaturated (|S| < k ⇒ the
+      // sketch IS the side's complete hash set, so union/intersection are
+      // derivable exactly even when the merged set reaches or passes k) —
+      // strictly wider than the old m < k test, which m < k still implies.
+      .withColumn("exact_ok", expr(s"size(ha) < $kmvK AND size(hb) < $kmvK"))
       .withColumn("matches", expr(
         "CAST(size(filter(u, x -> array_contains(ha, x) AND array_contains(hb, x))) AS BIGINT)"))
       .withColumn("n_kmv_union",
-        when(col("m") < kmvK, col("m").cast("long"))
+        when(col("exact_ok"), col("m").cast("long"))
           .otherwise(expr(
             s"CAST(${kmvK - 1}L * $kmvSpace AS BIGINT) div " +
               s"CAST(conv(element_at(u, $kmvK), 16, 10) AS BIGINT)")))
       .withColumn("n_kmv_inter",
-        when(col("m") < kmvK, col("matches"))
+        when(col("exact_ok"), expr(
+          "CAST(size(filter(ha, x -> array_contains(hb, x))) AS BIGINT)"))
           .otherwise(expr(s"(matches * n_kmv_union) div ${kmvK}L")))
       .select(col("type_a"), col("type_b"), col("n_exact_inter"),
         col("n_kmv_inter"), col("n_kmv_union"))
@@ -350,13 +358,15 @@ object Sketches {
          |           list_sort(list_distinct(list_concat(ha, hb))) AS uall
          |         FROM p),
          |calc AS (SELECT type_a, type_b, len(uall) AS m,
+         |           len(ha) < $kmvK AND len(hb) < $kmvK AS exact_ok,
          |           CAST(len(list_filter(uall[1:$kmvK],
          |                  x -> list_contains(ha, x) AND list_contains(hb, x))) AS BIGINT) AS matches,
-         |           CASE WHEN len(uall) < $kmvK THEN CAST(len(uall) AS BIGINT)
+         |           CAST(len(list_filter(ha, x -> list_contains(hb, x))) AS BIGINT) AS inter_full,
+         |           CASE WHEN len(ha) < $kmvK AND len(hb) < $kmvK THEN CAST(len(uall) AS BIGINT)
          |                ELSE CAST((${kmvK - 1} * ${1L << 48}) // uall[$kmvK] AS BIGINT) END AS n_kmv_union
          |         FROM comb)
          |SELECT c.type_a, c.type_b, COALESCE(e.n_exact_inter, 0) AS n_exact_inter,
-         |       CAST(CASE WHEN c.m < $kmvK THEN c.matches
+         |       CAST(CASE WHEN c.exact_ok THEN c.inter_full
          |            ELSE (c.matches * c.n_kmv_union) // $kmvK END AS BIGINT) AS n_kmv_inter,
          |       c.n_kmv_union
          |FROM calc c LEFT JOIN ex e USING (type_a, type_b)""".stripMargin,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
-/** The FORTY-SIXTH streaming execution: MMR-DIVERSIFIED SERVING — the
+/** The FORTY-NINTH streaming execution: MMR-DIVERSIFIED SERVING — the
   * streaming twin of [[graft.ops.Diversify.mmrTopK]], and the shape a RAG
   * answer path actually runs: queries ARRIVE, the corpus STANDS. Each
   * micro-batch's queries are brute-scored against the standing corpus

@@ -18,7 +18,11 @@ import org.apache.spark.sql.SparkSession
   *  - `nav_graph`: the navigable neighbor graph the beam searches traverse
   *    (FULL graph — consumers apply their own standing/arriving splits);
   *  - `minhash_signatures`: the MinHash signature table the LSH dedup
-  *    family bands and probes.
+  *    family bands and probes;
+  *  - `phrase_postings` / `phrase_workload`: the positional tier — the
+  *    full-corpus positional posting lists (token, doc_id, sorted
+  *    position array) every position-aware query intersects, and the
+  *    mined per-length top-n-gram workload.
   *
   * `INDEX_META.json` records the source dir and the build tunables baked
   * into the persisted rows (prune depth, bands, graph degree …): a serving
@@ -107,6 +111,25 @@ object IndexBuild {
       .parquet(s"$storeDir/${IndexStore.chunkTokenDf}")
     chunkIdx.stats.write.mode("overwrite")
       .parquet(s"$storeDir/${IndexStore.chunkStats}")
+    // the POSITIONAL tier (r16 verdict #1): full-corpus posting LISTS
+    // (token, doc_id, sorted position array) plus the per-length
+    // top-n-gram phrase workload — the one serving family that
+    // re-tokenized + re-mined the corpus per run
+    Search.positionalIndexOf(graft.Tables.documents(s, sfDir))
+      .write.mode("overwrite").parquet(s"$storeDir/${IndexStore.phrasePostings}")
+    Search.phraseWorkloadDerive(s, sfDir)
+      .write.mode("overwrite").parquet(s"$storeDir/${IndexStore.phraseWorkload}")
+    // the DENSE half of the RAG serving index: chunk-id-keyed text
+    // vectors (the deterministic hash-projection device — a deployment
+    // swaps in its encoder's vectors under the same relation contract)
+    Search.chunkVectorsDerive(s, sfDir)
+      .write.mode("overwrite").parquet(s"$storeDir/${IndexStore.chunkVectors}")
+    // the VERSIONED quantizer state (epoch 0 = the snapshot's frozen
+    // quantizer): mergeable (Σ, n) per (cluster, dim) — a maintenance
+    // deployment appends epoch e+1 after folding an arrival window in;
+    // serving reads the latest epoch (Similarity.standingQuantizerState)
+    Similarity.standingQuantizerStateDerive(s, sfDir)
+      .write.mode("overwrite").parquet(s"$storeDir/${IndexStore.quantizerState}")
     val meta =
       s"""{
          |  "version": 1,
@@ -118,7 +141,9 @@ object IndexBuild {
          |    "bm25_standing_mod": ${Similarity.knnBatchMod},
          |    "knn_bits": ${Similarity.knnBits},
          |    "graph_degree": ${Similarity.graphDegree},
-         |    "minhash_seeds": ${Dedup.nSeeds}
+         |    "minhash_seeds": ${Dedup.nSeeds},
+         |    "n_phrases": ${Search.nPhrases},
+         |    "phrase_widths": "${Search.phraseWorkloadWidths.map { case (n, w) => s"$n:$w" }.mkString(",")}"
          |  }
          |}
          |""".stripMargin
@@ -150,7 +175,9 @@ object IndexBuild {
         IndexStore.lmTokenDf, IndexStore.lmStats, IndexStore.imagePhash,
         IndexStore.videoPhash, IndexStore.audioFp, IndexStore.ltrFeatureLog,
         IndexStore.navGraph, IndexStore.knnProbeIndex,
-        IndexStore.minhashSignatures)
+        IndexStore.minhashSignatures, IndexStore.phrasePostings,
+        IndexStore.phraseWorkload, IndexStore.chunkVectors,
+        IndexStore.quantizerState)
         .foreach { name =>
           val n = spark.read.parquet(s"$storeDir/$name").count()
           println(s"[index-build] $name: $n rows")

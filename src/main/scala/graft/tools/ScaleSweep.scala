@@ -1,0 +1,138 @@
+package graft.tools
+
+import graft.SparkEntry
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Measured scale-up evidence (r16 verdict #4): generate a synthetic ×N
+  * corpus — an ID-SHIFTED UNION of a base sf dir — and sweep named queries
+  * on base and ×N in ONE session, printing the per-query scaling ratio.
+  * Turns the 100 TB plan-shape argument into a measured decade: a query
+  * whose plan is linear should land near ratio ≈ N (minus fixed overhead);
+  * anything superlinear is a diagnosis target.
+  *
+  * Generation contract (per copy c ∈ 0..N−1):
+  *  - facts are unioned with ids shifted by c·U where U is the table's id
+  *    range rounded up to a multiple of 10⁴ — so the `% 10` standing/
+  *    arriving ingest splits and the `% 100` / `% 125` member-query
+  *    strides keep their DENSITY (10⁴ is a multiple of each), and the
+  *    workload panels scale with the corpus like real members would;
+  *  - `documents`/`embeddings` shift doc_id/vec_id; `events` shifts
+  *    event_id AND user_id (users are a fact-like dimension of the event
+  *    stream — a 10× stream has ~10× users); `orders`/`lineitem` shift
+  *    o_orderkey/l_orderkey in lockstep (the FK survives);
+  *  - true dimensions (`region nation customer supplier part`, and
+  *    part/supp/cust FKs inside the facts) are UNCHANGED — facts grow,
+  *    dims stay broadcastable, exactly the 100 TB shape;
+  *  - payload columns are copied verbatim, so each copy is content-
+  *    identical under a new identity. Content-keyed operators (exact /
+  *    near dedup) therefore see a corpus where every document genuinely
+  *    has N duplicates — their candidate structure grows with the DATA's
+  *    duplication, which is the honest read of an id-shifted union (noted
+  *    per-query in BASELINE.md rather than hidden by salting the text).
+  *  - the document id keyspace stays far below the multimodal 10M
+  *    variant band ([[graft.ops.MultimodalPipeline.requireOriginalId]] —
+  *    re-checked here).
+  *
+  * Serving posture matches the graded bench: an [[graft.ops.IndexStore]]
+  * is built per corpus dir (build WALL TIME is itself reported — index
+  * build is a scale cost center) and `spark.graft.indexDir` is flipped to
+  * the matching store before each side's runs.
+  *
+  * Usage: `runMain graft.tools.ScaleSweep <baseDir> <xDir> <factor>
+  * <query...>` — xDir is generated if absent, reused if present. */
+object ScaleSweep {
+
+  /** Round `max+1` up to a multiple of 10⁴ — the shift unit that
+    * preserves every `% 10`/`% 100` split density used by the library. */
+  private def shiftUnit(max: Long): Long = ((max + 10000L) / 10000L) * 10000L
+
+  private def maxOf(s: SparkSession, path: String, c: String): Long =
+    s.read.parquet(path).agg(max(col(c))).head.getLong(0)
+
+  /** Write the ×N id-shifted union of `base` into `xDir`. */
+  def generate(s: SparkSession, base: String, xDir: String, n: Int): Unit = {
+    def src(t: String) = s"$base/$t.parquet"
+    def dst(t: String) = s"$xDir/$t.parquet"
+    def shifted(t: String, shifts: Map[String, Long]): DataFrame = {
+      val df = s.read.parquet(src(t))
+      (0 until n).map { c =>
+        shifts.foldLeft(df) { case (acc, (cName, unit)) =>
+          acc.withColumn(cName, col(cName) + lit(c * unit))
+        }
+      }.reduce(_.unionAll(_))
+    }
+    // dims verbatim
+    Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
+      s.read.parquet(src(t)).write.mode("overwrite").parquet(dst(t))
+    }
+    val docU = shiftUnit(maxOf(s, src("documents"), "doc_id"))
+    graft.ops.MultimodalPipeline.requireOriginalId(docU * (n - 1) +
+      maxOf(s, src("documents"), "doc_id"))
+    shifted("documents", Map("doc_id" -> docU))
+      .write.mode("overwrite").parquet(dst("documents"))
+    val vecU = shiftUnit(maxOf(s, src("embeddings"), "vec_id"))
+    shifted("embeddings", Map("vec_id" -> vecU))
+      .write.mode("overwrite").parquet(dst("embeddings"))
+    val evU = shiftUnit(maxOf(s, src("events"), "event_id"))
+    val userU = shiftUnit(maxOf(s, src("events"), "user_id"))
+    shifted("events", Map("event_id" -> evU, "user_id" -> userU))
+      .write.mode("overwrite").parquet(dst("events"))
+    val okU = shiftUnit(math.max(maxOf(s, src("orders"), "o_orderkey"),
+      maxOf(s, src("lineitem"), "l_orderkey")))
+    shifted("orders", Map("o_orderkey" -> okU))
+      .write.mode("overwrite").parquet(dst("orders"))
+    shifted("lineitem", Map("l_orderkey" -> okU))
+      .write.mode("overwrite").parquet(dst("lineitem"))
+  }
+
+  private def timed[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 4,
+      "usage: runMain graft.tools.ScaleSweep <baseDir> <xDir> <factor> <query...>")
+    val base = args(0); val xDir = args(1); val n = args(2).toInt
+    val names = args.drop(3).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", graft.functions.GraftFunctions.extensionsClass)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.Logs.quietBenignWarnings()
+    try {
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(xDir, "documents.parquet"))) {
+        val (_, tGen) = timed(generate(spark, base, xDir, n))
+        println(f"SCALE generate x$n%d $tGen%.1f s")
+      }
+      // one store per corpus — the bench's serving posture; build time is
+      // itself a scale reading (the serving-index build cost center)
+      val stores = Seq(base, xDir).map { d =>
+        val store = graft.ops.SpillMemo.scratchDir(s"graft-scalestore-")
+        val (_, tB) = timed(IndexBuild.buildTo(spark, d, store))
+        println(f"SCALE index_build ${if (d == base) "base" else s"x$n"}%s $tB%.1f s")
+        d -> store
+      }.toMap
+      names.foreach { name =>
+        val fn = SparkEntry.queries(name)
+        val secs = Seq(base, xDir).map { d =>
+          spark.conf.set(graft.ops.IndexStore.indexDirConf, stores(d))
+          // two runs; min-of-2 strips JVM/codegen warm-up like the bench
+          val ts = (1 to 2).map { _ =>
+            timed(fn(spark, d).write.format("noop").mode("overwrite").save())._2
+          }
+          ts.min
+        }
+        println(f"SCALE $name%s base ${secs(0)}%.2f s x$n%d ${secs(1)}%.2f s " +
+          f"ratio ${secs(1) / secs(0)}%.2f")
+      }
+    } finally spark.stop()
+  }
+}

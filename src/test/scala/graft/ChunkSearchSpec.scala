@@ -97,4 +97,54 @@ class ChunkSearchSpec extends SparkSpec {
     assert(streamed == batch, "two-batch chunk answers diverged from the batch form")
     assert(streamed.nonEmpty)
   }
+
+  test("dense chunk leg: no self-parents, ranks contiguous; vectors match an in-driver recompute") {
+    val dense = ops.Search.chunkDenseTopK(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(dense.nonEmpty)
+    dense.foreach { case (q, nb, _, _) =>
+      assert(nb != q, s"query $q densely retrieved its own chunk") }
+    dense.groupBy(_._1).foreach { case (q, rows) =>
+      val rnks = rows.map(_._4).sorted
+      assert(rnks.head == 1 && rnks.last == rnks.size &&
+        rnks.size <= ops.Search.chunkK, s"dense ranks broken for query $q")
+    }
+    // the hash-projection vector device, recomputed in the driver for a
+    // few chunks: per-dim integer sums of centered md5-head ascii codes
+    def vecOf(text: String): Seq[Double] = {
+      val hs = text.split(" ", -1).filter(_.nonEmpty).map { t =>
+        java.security.MessageDigest.getInstance("MD5").digest(t.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+      }
+      (1 to ops.Search.maxsimDims).map(i =>
+        hs.map(h => h.charAt(i - 1).toInt - 80).sum.toDouble)
+    }
+    val sample = ops.Search.chunkVectors(spark, sf)
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).take(5).toMap
+    val texts = ops.TextAnalysis.chunkTextDocs(Tables.documents(spark, sf))
+      .select(($"doc_id" * ops.Search.chunkKeyMod + $"chunk_id").as("k"), $"text")
+      .as[(Long, String)].collect().toMap
+    sample.foreach { case (k, v) =>
+      assert(v == vecOf(texts(k)), s"chunk $k vector diverged from the device")
+    }
+  }
+
+  test("fused chunk rollup: parents distinct, ranks contiguous, fused from both legs") {
+    val fused = ops.Search.chunkFusedRollup(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(fused.nonEmpty)
+    fused.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._2).distinct.length == rows.length,
+        s"duplicate parents in the fused rollup for query $q")
+      val rnks = rows.map(_._6).sorted
+      assert(rnks.head == 1 && rnks.last == rnks.size,
+        s"fused rollup ranks broken for query $q")
+    }
+    // every fused best_m is a sum of valid RRF contributions (1- or
+    // 2-leg): bounded by twice the max single contribution and positive
+    val maxContrib = ops.Search.rrfScale / (ops.Search.rrfK + 1)
+    fused.foreach { case (_, _, bestM, _, _, _) =>
+      assert(bestM > 0 && bestM <= 2 * maxContrib, s"rrf score $bestM out of range")
+    }
+  }
 }

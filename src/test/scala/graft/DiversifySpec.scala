@@ -60,9 +60,10 @@ class DiversifySpec extends SparkSpec {
   test("MMR at ingest: answers come from the standing corpus only") {
     val out = graft.ops.Diversify.mmrIngest(spark, sf).collect()
     assert(out.nonEmpty)
+    val m = graft.ops.Similarity.knnBatchMod
     out.foreach { r =>
-      assert(r.getLong(0) % 10 == 7, "queries are the arriving partition")
-      assert(r.getLong(2) % 10 != 7,
+      assert(r.getLong(0) % m == 7, "queries are the arriving partition")
+      assert(r.getLong(2) % m != 7,
         s"pick ${r.getLong(2)} must be a standing vector, not a co-arrival")
     }
   }
@@ -117,5 +118,27 @@ class DiversifySpec extends SparkSpec {
     assert(r.getLong(2) == 20L, "exact intersection is the 20 shared users")
     assert(r.getLong(3) == r.getLong(2), "unsaturated => estimate IS exact")
     assert(r.getLong(4) == 60L, "unsaturated => union estimate exact too")
+  }
+
+  test("KMV overlap: still exact when the UNION reaches k but both sides don't") {
+    // Two 40-user types sharing 16 users: each sketch unsaturated (40 < 64)
+    // yet the merged hash set is exactly k=64 — the per-side saturation test
+    // must keep this exact (the old |union| < k test would have estimated).
+    graft.functions.GraftFunctions.register(spark)
+    val tmp = graft.ops.SpillMemo.scratchDir("graft-kmvov2-")
+    val ev = (0 until 40).flatMap { u =>
+      Seq(("click", s"$u"), ("view", s"${u + 24}")) // overlap = 24..39 (16)
+    }.toDF("event_type", "user_id")
+      .withColumn("event_id", monotonically_increasing_id())
+      .withColumn("ts", current_timestamp())
+      .withColumn("amount_cents", lit(0L))
+      .withColumn("props", lit("{}"))
+    ev.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = graft.ops.Sketches.kmvOverlap(spark, tmp).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(2) == 16L, "exact intersection is the 16 shared users")
+    assert(r.getLong(3) == 16L, "both sides unsaturated => intersection exact")
+    assert(r.getLong(4) == 64L, "union of 64 distinct hashes reported exactly")
   }
 }

@@ -28,9 +28,12 @@ class IndexPersistSpec extends SparkSpec {
     val memoPhash = rows(ops.MultimodalPipeline.imagePhash(spark, sf))
     val memoLtr = rows(ops.Search.ltrFeatures(spark, sf))
     val memoCe = rows(ops.Search.ceRerank(spark, sf))
+    val memoPhraseN = rows(ops.Search.phraseIndexSearchN(spark, sf))
+    val memoProx = rows(ops.Search.proximityRerank(spark, sf))
     assert(memoSearch.nonEmpty && memoRm3.nonEmpty && memoLm.nonEmpty &&
       memoGraph.nonEmpty && memoSigs.nonEmpty && memoPhash.nonEmpty &&
-      memoLtr.nonEmpty && memoCe.nonEmpty)
+      memoLtr.nonEmpty && memoCe.nonEmpty && memoPhraseN.nonEmpty &&
+      memoProx.nonEmpty)
 
     val store = ops.SpillMemo.scratchDir("graft-idxstore-")
     tools.IndexBuild.buildTo(spark, sf, store)
@@ -91,6 +94,20 @@ class IndexPersistSpec extends SparkSpec {
       assert(rows(ops.Similarity.knnCorpusIndex(spark, sf)) ==
         rows(ops.Similarity.standingProbeIndex(spark, sf)),
         "persisted probe index diverged from the derivation")
+      // the positional tier (r17): phrase search + proximity must read
+      // the store's postings/workload parquet, identically to derivation
+      val phPlan = ops.Search.positionalPostings(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(phPlan.contains("phrase_postings"),
+        s"persisted mode must scan the store's positional postings:\n$phPlan")
+      val wlPlan = ops.Search.phraseWorkloadTable(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(wlPlan.contains("phrase_workload"),
+        s"persisted mode must scan the store's phrase workload:\n$wlPlan")
+      assert(rows(ops.Search.phraseIndexSearchN(spark, sf)) == memoPhraseN,
+        "phrase-N answers diverged between memo and persisted mode")
+      assert(rows(ops.Search.proximityRerank(spark, sf)) == memoProx,
+        "proximity answers diverged between memo and persisted mode")
     } finally spark.conf.unset(ops.IndexStore.indexDirConf)
   }
 

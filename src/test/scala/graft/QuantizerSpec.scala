@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Maintained quantizer (r16 verdict #6): the mini-batch centroid update
+  * must be the exact M-step over standing ∪ assigned arrivals (merge ≡
+  * recompute), untouched cells must pass through unchanged, the drift
+  * readout must recompose from the update rows, and the streamed
+  * maintenance must equal the batch fold (mergeable state ⇒
+  * batching-invariant). */
+class QuantizerSpec extends SparkSpec {
+
+  test("quantizer update: merge equals a from-scratch M-step over standing + assigned arrivals") {
+    val upd = ops.Similarity.quantizerUpdate(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(upd.nonEmpty)
+    // every arrival landed in exactly one cell: Σ (n1 − n0) over one dim
+    // equals the arriving split's size
+    val arrivals = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % ops.Similarity.knnBatchMod === 7).count()
+    val dim0 = upd.filter(_._1._2 == 0L).values
+    assert(dim0.map(d => d._2 - d._1).sum == arrivals,
+      "membership deltas must account for every arrival exactly once")
+    upd.foreach { case ((cl, dim), (n0, n1, c0, c1)) =>
+      assert(n0 > 0 && n1 >= n0, s"cell ($cl, $dim) counts broken")
+      if (n1 == n0) assert(c1 == c0,
+        s"cell ($cl, $dim) had no arrivals but its centroid moved")
+    }
+    // drift readout recomposes from the update rows
+    val drift = ops.Similarity.quantizerDrift(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    drift.foreach { case (cl, (nStand, nArr, d2)) =>
+      val cells = upd.filter(_._1._1 == cl)
+      assert(nStand == cells.values.map(_._1).max)
+      assert(nArr == cells.values.map(v => v._2 - v._1).max)
+      assert(d2 == cells.values.map(v => (v._4 - v._3) * (v._4 - v._3)).sum,
+        s"cluster $cl drift2 must be the sum of its per-dim squared moves")
+    }
+  }
+
+  test("streamed quantizer maintenance equals the batch update") {
+    val batch = ops.Similarity.quantizerUpdate(spark, sf).collect()
+      .map(_.toSeq).toSet
+    val streamed = streaming.QuantizerStream.streamedQuantizer(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch,
+      "maintained state diverged from the batch fold — the monoid law broke")
+    assert(streamed.nonEmpty)
+  }
+}

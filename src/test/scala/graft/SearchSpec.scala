@@ -178,16 +178,19 @@ class SearchSpec extends SparkSpec {
     assert(out == truth, "iterated intersection diverged from the exhaustive scan")
   }
 
-  test("n-token phrase plan: postings scans pruned, phrase tables broadcast") {
+  test("n-token phrase plan: one pruned index pass per length, intersection in-row") {
     val plan = graft.ops.Search.phraseIndexSearchN(spark, sf)
       .queryExecution.executedPlan.toString
-    // every position-i postings slice reaches the join pre-pruned: the
-    // position-1 scan through the broadcast phrase join, the rest through
-    // broadcast LEFT SEMI joins on that position's token set
-    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
-      s"postings slices must be broadcast-semi-pruned:\n$plan")
-    // the corpus-sized intersection joins shuffle postings, never re-scan
-    // text per phrase: no CartesianProduct / BroadcastNestedLoopJoin
+    // document-at-a-time over posting lists: the index scan reaches the
+    // broadcast (slot, token) fan-out pruned, and the ONLY join in a leg
+    // is that broadcast — the consecutive-position intersection is in-row
+    // arithmetic after the (doc, phrase) pivot, never a per-position
+    // shuffled join chain
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the index scan must be pruned by the broadcast slot fan-out:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"no shuffled intersection joins — the pivot is the only exchange:\n$plan")
+    // never re-scan text per phrase: no CartesianProduct / NestedLoop
     assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
       s"phrase matching must stay equi-join shaped:\n$plan")
   }
