@@ -50,10 +50,32 @@ object ScaleSweep {
   private def maxOf(s: SparkSession, path: String, c: String): Long =
     s.read.parquet(path).agg(max(col(c))).head.getLong(0)
 
-  /** Write the ×N id-shifted union of `base` into `xDir`. */
+  /** Write the ×N id-shifted union of `base` into `xDir`. Each table
+    * lands as ONE parquet FILE named `<t>.parquet` — the driver
+    * testdata's physical layout, which the streamed queries' file-source
+    * wrapper (`EventPipeline.installSourceDir`) expects (it symlinks the
+    * single file; a Spark part-file DIRECTORY would list zero files in
+    * the stream source). Single-file writes serialize through one task —
+    * fine at sweep scale, irrelevant to the measured queries. */
   def generate(s: SparkSession, base: String, xDir: String, n: Int): Unit = {
     def src(t: String) = s"$base/$t.parquet"
     def dst(t: String) = s"$xDir/$t.parquet"
+    def writeOne(df: DataFrame, t: String): Unit = {
+      val stage = java.nio.file.Paths.get(xDir, s".stage-$t")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = java.nio.file.Files.list(stage).iterator()
+      var found: java.nio.file.Path = null
+      while (part.hasNext) {
+        val p = part.next()
+        if (p.getFileName.toString.endsWith(".parquet")) found = p
+      }
+      require(found != null, s"no part file written for $t")
+      java.nio.file.Files.move(found, java.nio.file.Paths.get(dst(t)),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val rest = java.nio.file.Files.list(stage).iterator()
+      while (rest.hasNext) java.nio.file.Files.deleteIfExists(rest.next())
+      java.nio.file.Files.deleteIfExists(stage)
+    }
     def shifted(t: String, shifts: Map[String, Long]): DataFrame = {
       val df = s.read.parquet(src(t))
       (0 until n).map { c =>
@@ -62,28 +84,26 @@ object ScaleSweep {
         }
       }.reduce(_.unionAll(_))
     }
-    // dims verbatim
+    // dims verbatim (single-file copies, same layout rule)
     Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
-      s.read.parquet(src(t)).write.mode("overwrite").parquet(dst(t))
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(xDir))
+      java.nio.file.Files.copy(java.nio.file.Paths.get(src(t)),
+        java.nio.file.Paths.get(dst(t)),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
     val docU = shiftUnit(maxOf(s, src("documents"), "doc_id"))
     graft.ops.MultimodalPipeline.requireOriginalId(docU * (n - 1) +
       maxOf(s, src("documents"), "doc_id"))
-    shifted("documents", Map("doc_id" -> docU))
-      .write.mode("overwrite").parquet(dst("documents"))
+    writeOne(shifted("documents", Map("doc_id" -> docU)), "documents")
     val vecU = shiftUnit(maxOf(s, src("embeddings"), "vec_id"))
-    shifted("embeddings", Map("vec_id" -> vecU))
-      .write.mode("overwrite").parquet(dst("embeddings"))
+    writeOne(shifted("embeddings", Map("vec_id" -> vecU)), "embeddings")
     val evU = shiftUnit(maxOf(s, src("events"), "event_id"))
     val userU = shiftUnit(maxOf(s, src("events"), "user_id"))
-    shifted("events", Map("event_id" -> evU, "user_id" -> userU))
-      .write.mode("overwrite").parquet(dst("events"))
+    writeOne(shifted("events", Map("event_id" -> evU, "user_id" -> userU)), "events")
     val okU = shiftUnit(math.max(maxOf(s, src("orders"), "o_orderkey"),
       maxOf(s, src("lineitem"), "l_orderkey")))
-    shifted("orders", Map("o_orderkey" -> okU))
-      .write.mode("overwrite").parquet(dst("orders"))
-    shifted("lineitem", Map("l_orderkey" -> okU))
-      .write.mode("overwrite").parquet(dst("lineitem"))
+    writeOne(shifted("orders", Map("o_orderkey" -> okU)), "orders")
+    writeOne(shifted("lineitem", Map("l_orderkey" -> okU)), "lineitem")
   }
 
   private def timed[A](f: => A): (A, Double) = {

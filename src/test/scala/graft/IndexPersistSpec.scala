@@ -108,6 +108,22 @@ class IndexPersistSpec extends SparkSpec {
         "phrase-N answers diverged between memo and persisted mode")
       assert(rows(ops.Search.proximityRerank(spark, sf)) == memoProx,
         "proximity answers diverged between memo and persisted mode")
+      // the r17 relations: chunk vectors and the versioned quantizer
+      // state must be store-READ and identical to their derivations
+      val cvPlan = ops.Search.chunkVectors(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(cvPlan.contains("chunk_vectors"),
+        s"persisted mode must scan the store's chunk vectors:\n$cvPlan")
+      assert(rows(ops.Search.chunkVectors(spark, sf)) ==
+        rows(ops.Search.chunkVectorsDerive(spark, sf)),
+        "persisted chunk vectors diverged from the derivation")
+      val qsPlan = ops.Similarity.standingQuantizerState(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(qsPlan.contains("quantizer_state"),
+        s"persisted mode must scan the store's quantizer state:\n$qsPlan")
+      assert(rows(ops.Similarity.standingQuantizerState(spark, sf)) ==
+        rows(ops.Similarity.standingQuantizerStateDerive(spark, sf).drop("epoch")),
+        "persisted quantizer state (latest epoch) diverged from the derivation")
     } finally spark.conf.unset(ops.IndexStore.indexDirConf)
   }
 

@@ -39,6 +39,26 @@ class QuantizerSpec extends SparkSpec {
     }
   }
 
+  test("quantizer store versioning: serving reads the LATEST epoch") {
+    val store = ops.SpillMemo.scratchDir("graft-qver-")
+    tools.IndexBuild.buildTo(spark, sf, store)
+    // a maintenance close appends the next epoch's state; serving must
+    // flip to it without a conf change
+    ops.Similarity.standingQuantizerStateDerive(spark, sf)
+      .withColumn("epoch", lit(1L)).withColumn("c0", col("c0") + 1)
+      .write.mode("append").parquet(s"$store/${ops.IndexStore.quantizerState}")
+    spark.conf.set(ops.IndexStore.indexDirConf, store)
+    try {
+      val served = ops.Similarity.standingQuantizerState(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4)).toMap
+      val epoch0 = ops.Similarity.standingQuantizerStateDerive(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4)).toMap
+      assert(served.keySet == epoch0.keySet)
+      served.foreach { case (k, c) =>
+        assert(c == epoch0(k) + 1, s"cell $k served a stale epoch") }
+    } finally spark.conf.unset(ops.IndexStore.indexDirConf)
+  }
+
   test("streamed quantizer maintenance equals the batch update") {
     val batch = ops.Similarity.quantizerUpdate(spark, sf).collect()
       .map(_.toSeq).toSet
