@@ -64,7 +64,8 @@ object SparkEntry {
     (streaming.MmrStream.queries, streaming.MmrStream.oracle),
     (streaming.ClusterSampleStream.queries, streaming.ClusterSampleStream.oracle),
     (streaming.KmvOverlapStream.queries, streaming.KmvOverlapStream.oracle),
-    (streaming.QuantizerStream.queries, streaming.QuantizerStream.oracle))
+    (streaming.QuantizerStream.queries, streaming.QuantizerStream.oracle),
+    (streaming.ChunkDenseStream.queries, streaming.ChunkDenseStream.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's core computation: sliding-window per-user interaction

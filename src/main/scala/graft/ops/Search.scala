@@ -512,25 +512,41 @@ object Search {
     hashVecOf(chunkCorpus(Tables.documents(s, d)), "doc_id")
       .select(col("doc_id").as("chunk_key"), col("hv").as("cvec"))
 
-  /** Dense chunk hits at the chunk-key grain — member queries' text
-    * vectors against the chunk-vector relation, parent-self-excluded,
-    * bounded-heap top-[[chunkK]] per query. The brute rung: every scale
-    * statement of [[graft.ops.Similarity.bruteForceTopK]] applies (the
-    * corpus side never shuffles; the query panel broadcasts). */
-  private[graft] def chunkDenseHits(s: SparkSession, d: String): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
-    val qv = hashVecOf(
-      Tables.documents(s, d).filter(col("doc_id") % searchStride === 0)
-        .select(col("doc_id"), col("text")), "doc_id")
+  /** The STANDING slice of the chunk-vector relation (arrival parents
+    * excluded) — the dense half of ingest-time RAG serving. A chunk's
+    * vector depends only on its OWN text (no df-style corpus coupling,
+    * unlike the lexical chunk index), so the standing relation is
+    * literally a filter of the one stored relation — no second store
+    * entry needed. */
+  private[graft] def standingChunkVectors(s: SparkSession, d: String): DataFrame =
+    chunkVectors(s, d)
+      .filter(expr(s"chunk_key div $chunkKeyMod") % Similarity.knnBatchMod =!= 7)
+
+  /** Dense chunk probe at the chunk-key grain — a (doc_id, text) query
+    * frame's text vectors against a chunk-vector relation,
+    * parent-self-excluded, bounded-heap top-[[chunkK]] per query. ONE
+    * definition for the member form, the batch ingest twin and the
+    * streamed twin. The brute rung: every scale statement of
+    * [[graft.ops.Similarity.bruteForceTopK]] applies (the corpus side
+    * never shuffles; the query panel broadcasts). */
+  private[graft] def chunkDenseProbe(queryDocs: DataFrame, cv: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(queryDocs.sparkSession)
+    val qv = hashVecOf(queryDocs.select(col("doc_id"), col("text")), "doc_id")
       .select(col("doc_id").as("query_id"), col("hv").as("qv"))
     TopK.topK(
-      chunkVectors(s, d)
-        .join(broadcast(qv), expr(s"chunk_key div $chunkKeyMod") =!= col("query_id"))
+      cv.join(broadcast(qv), expr(s"chunk_key div $chunkKeyMod") =!= col("query_id"))
         .withColumn("score", expr("cosine_sim(qv, cvec)"))
         .select(col("query_id"), col("score"), col("chunk_key")),
       "query_id", "score", "chunk_key", chunkK)
       .select(col("query_id"), col("neighbor_id").as("chunk_key"), col("rnk"))
   }
+
+  /** Member dense chunk hits: strided query docs against the full
+    * chunk-vector relation. */
+  private[graft] def chunkDenseHits(s: SparkSession, d: String): DataFrame =
+    chunkDenseProbe(
+      Tables.documents(s, d).filter(col("doc_id") % searchStride === 0),
+      chunkVectors(s, d))
 
   /** DENSE chunk retrieval (`x_search_chunks_dense`): the passage hit
     * list by embedding similarity — the leg the lexical [[chunkTopK]]
@@ -552,14 +568,48 @@ object Search {
     * assembly) in one oracle-checked query. Cost: the two legs are
     * already memo/store-served; fusion and rollup work k-per-query
     * relations at any corpus size. */
-  def chunkFusedRollup(s: SparkSession, d: String): DataFrame = {
-    val text = chunkHits(s, d)
-      .select(col("query_id"), col("chunk_key").as("neighbor_id"), col("rnk"))
-    val dense = chunkDenseHits(s, d)
-      .select(col("query_id"), col("chunk_key").as("neighbor_id"), col("rnk"))
-    rollupOf(fuseRrf(text, dense)
+  def chunkFusedRollup(s: SparkSession, d: String): DataFrame =
+    chunkFusedOf(chunkHits(s, d), chunkDenseHits(s, d))
+
+  /** The fuse-then-rollup core over any pair of chunk-grain hit
+    * relations (each carrying query_id, chunk_key, rnk) — ONE definition
+    * for the member form, the batch ingest twin and the streamed twin. */
+  private[graft] def chunkFusedOf(textHits: DataFrame, denseHits: DataFrame): DataFrame =
+    rollupOf(fuseRrf(
+      textHits.select(col("query_id"), col("chunk_key").as("neighbor_id"), col("rnk")),
+      denseHits.select(col("query_id"), col("chunk_key").as("neighbor_id"), col("rnk")))
       .select(col("query_id"), col("neighbor_id").as("chunk_key"),
         col("rrf").as("score_m")))
+
+  /** Batch form of DENSE chunk ingest serving: arriving docs' text
+    * vectors probe the standing chunk vectors — the dense leg of the
+    * RAG answer path at ingest (the [[chunkIngestTopK]] stance; arrival
+    * parents are not in the standing slice, so self-exclusion holds by
+    * construction). */
+  def chunkDenseIngestTopK(s: SparkSession, d: String): DataFrame =
+    chunkDenseIngestHits(s, d).select(
+      col("query_id"),
+      expr(s"chunk_key div $chunkKeyMod").as("neighbor_id"),
+      (col("chunk_key") % chunkKeyMod).as("chunk_id"),
+      col("rnk"))
+
+  private[graft] def chunkDenseIngestHits(s: SparkSession, d: String): DataFrame =
+    chunkDenseProbe(
+      Tables.documents(s, d).filter(col("doc_id") % Similarity.knnBatchMod === 7),
+      Lineage.cut(standingChunkVectors(s, d)))
+
+  /** HYBRID chunk ingest rollup: the FULL RAG serving response for each
+    * arrival — sparse passage recall (standing chunk index) + dense
+    * passage recall (standing chunk vectors) + RRF fusion + document
+    * max-pooling, all against standing state. The streamed twin
+    * ([[graft.streaming.ChunkDenseStream]]) runs THIS per micro-batch. */
+  def chunkFusedIngestRollup(s: SparkSession, d: String): DataFrame = {
+    val arriving = Tables.documents(s, d)
+      .filter(col("doc_id") % Similarity.knnBatchMod === 7)
+      .select(col("doc_id"), col("text"))
+    chunkFusedOf(
+      chunkProbe(arriving, chunkIngestIndex(s, d)),
+      chunkDenseIngestHits(s, d))
   }
 
   /** Dirichlet prior μ for [[lmqlTopK]] — an integer so every fixed-point
@@ -2057,7 +2107,9 @@ object Search {
     "x_search_chunks_in" -> ((s, d) => chunkIngestTopK(s, d)),
     "x_search_chunk_rollup_in" -> ((s, d) => chunkIngestRollup(s, d)),
     "x_search_chunks_dense" -> ((s, d) => chunkDenseTopK(s, d)),
+    "x_search_chunks_dense_in" -> ((s, d) => chunkDenseIngestTopK(s, d)),
     "x_search_chunk_rollup_fused" -> ((s, d) => chunkFusedRollup(s, d)),
+    "x_search_chunk_rollup_fused_in" -> ((s, d) => chunkFusedIngestRollup(s, d)),
     "x_search_rm3" -> rm3Search,
     "x_search_rm3_in" -> rm3IngestSearch,
     "x_search_snippet" -> snippetSearch,
@@ -2202,14 +2254,15 @@ object Search {
 
   /** Dense chunk CTE chain (continuation form — appended after a WITH):
     * chunk corpus → chunk/query vectors → brute cosine rank. d-prefixed
-    * names so it composes with the lexical chain in the fused oracle. */
-  private def chunkDenseCtes: String =
-    s"""dch AS (${chunkCorpusSql("true")}),
+    * names so it composes with the lexical chain in the fused oracles;
+    * the two predicates parameterize the member vs ingest forms. */
+  private def chunkDenseCtes(corpusPred: String, queryPred: String): String =
+    s"""dch AS (${chunkCorpusSql(corpusPred)}),
        |dct AS (SELECT doc_id AS chunk_key, unnest(string_split(text, ' ')) AS t FROM dch),
        |dctv AS (SELECT chunk_key, ${dimSumsSql("t")} FROM dct WHERE len(t) > 0 GROUP BY 1),
        |dcv AS (SELECT chunk_key, $vecArraySql AS cvec FROM dctv),
        |dqt AS (SELECT doc_id AS query_id, unnest(string_split(text, ' ')) AS t
-       |        FROM documents WHERE doc_id % $searchStride = 0),
+       |        FROM documents WHERE $queryPred),
        |dqtv AS (SELECT query_id, ${dimSumsSql("t")} FROM dqt WHERE len(t) > 0 GROUP BY 1),
        |dqv AS (SELECT query_id, $vecArraySql AS qvec FROM dqtv),
        |dsc AS (SELECT q.query_id, c.chunk_key,
@@ -2221,6 +2274,46 @@ object Search {
        |          CAST(row_number() OVER (PARTITION BY query_id
        |                 ORDER BY score DESC, chunk_key ASC) AS BIGINT) AS rnk
        |        FROM dsc)""".stripMargin
+
+  /** The dense passage-hit tail over `drk`. */
+  private def chunkDenseTail: String =
+    s"""
+       |SELECT query_id, CAST(chunk_key // $chunkKeyMod AS BIGINT) AS neighbor_id,
+       |       CAST(chunk_key % $chunkKeyMod AS BIGINT) AS chunk_id, rnk
+       |FROM drk WHERE rnk <= $chunkK""".stripMargin
+
+  /** RRF fusion of the lexical chain's `rk` and the dense chain's `drk`
+    * plus the document rollup — the SQL of [[chunkFusedOf]], shared by
+    * the member and ingest fused oracles. */
+  private def chunkFusedTail: String =
+    s""",
+       |flt AS (SELECT query_id, neighbor_id, rnk FROM rk WHERE rnk <= $chunkK),
+       |fdl AS (SELECT query_id, chunk_key AS neighbor_id, rnk FROM drk WHERE rnk <= $chunkK),
+       |flegs AS (SELECT * FROM flt UNION ALL SELECT * FROM fdl),
+       |ffus AS (SELECT query_id, neighbor_id,
+       |           CAST(sum($rrfScale // ($rrfK + rnk)) AS BIGINT) AS rrf
+       |         FROM flegs GROUP BY 1, 2),
+       |ffrk AS (SELECT query_id, neighbor_id, rrf,
+       |           CAST(row_number() OVER (PARTITION BY query_id
+       |                  ORDER BY rrf DESC, neighbor_id ASC) AS BIGINT) AS rnk
+       |         FROM ffus),
+       |fch AS (SELECT query_id, neighbor_id // $chunkKeyMod AS parent,
+       |          neighbor_id % $chunkKeyMod AS chunk_id, rrf AS score_m
+       |        FROM ffrk WHERE rnk <= $topK),
+       |fbc AS (SELECT query_id, parent, chunk_id, score_m,
+       |          row_number() OVER (PARTITION BY query_id, parent
+       |            ORDER BY score_m DESC, chunk_id ASC) AS crk FROM fch),
+       |fnh AS (SELECT query_id, parent, CAST(count(*) AS BIGINT) AS n_chunk_hits
+       |        FROM fch GROUP BY 1, 2),
+       |fdr AS (SELECT b.query_id, b.parent, b.score_m, b.chunk_id, n.n_chunk_hits,
+       |          row_number() OVER (PARTITION BY b.query_id
+       |            ORDER BY b.score_m DESC, b.parent ASC) AS rnk
+       |        FROM fbc b JOIN fnh n ON n.query_id = b.query_id AND n.parent = b.parent
+       |        WHERE b.crk = 1)
+       |SELECT query_id, CAST(parent AS BIGINT) AS neighbor_id,
+       |       score_m AS best_m, CAST(chunk_id AS BIGINT) AS best_chunk,
+       |       n_chunk_hits, CAST(rnk AS BIGINT) AS rnk
+       |FROM fdr WHERE rnk <= $topK""".stripMargin
 
   private def chunkTail: String =
     s"""
@@ -2483,44 +2576,27 @@ object Search {
         s"SELECT doc_id AS query_id, text FROM documents WHERE doc_id % ${Similarity.knnBatchMod} = 7",
         chunkSelfExcl) + chunkRollupTail),
     "x_search_chunks_dense" ->
-      ("WITH " + chunkDenseCtes +
-        s"""
-           |SELECT query_id, CAST(chunk_key // $chunkKeyMod AS BIGINT) AS neighbor_id,
-           |       CAST(chunk_key % $chunkKeyMod AS BIGINT) AS chunk_id, rnk
-           |FROM drk WHERE rnk <= $chunkK""".stripMargin),
+      ("WITH " + chunkDenseCtes("true", s"doc_id % $searchStride = 0") +
+        chunkDenseTail),
+    "x_search_chunks_dense_in" ->
+      ("WITH " + chunkDenseCtes(
+        s"doc_id % ${Similarity.knnBatchMod} <> 7",
+        s"doc_id % ${Similarity.knnBatchMod} = 7") + chunkDenseTail),
     // RRF fusion of the lexical and dense passage legs, then the SAME
     // rollup windows as chunkRollupTail over the fused score
     "x_search_chunk_rollup_fused" ->
       (bm25CtesOver(chunkCorpusSql("true"), memberQuerySql, chunkSelfExcl) +
-        ",\n" + chunkDenseCtes +
-        s""",
-           |flt AS (SELECT query_id, neighbor_id, rnk FROM rk WHERE rnk <= $chunkK),
-           |fdl AS (SELECT query_id, chunk_key AS neighbor_id, rnk FROM drk WHERE rnk <= $chunkK),
-           |flegs AS (SELECT * FROM flt UNION ALL SELECT * FROM fdl),
-           |ffus AS (SELECT query_id, neighbor_id,
-           |           CAST(sum($rrfScale // ($rrfK + rnk)) AS BIGINT) AS rrf
-           |         FROM flegs GROUP BY 1, 2),
-           |ffrk AS (SELECT query_id, neighbor_id, rrf,
-           |           CAST(row_number() OVER (PARTITION BY query_id
-           |                  ORDER BY rrf DESC, neighbor_id ASC) AS BIGINT) AS rnk
-           |         FROM ffus),
-           |fch AS (SELECT query_id, neighbor_id // $chunkKeyMod AS parent,
-           |          neighbor_id % $chunkKeyMod AS chunk_id, rrf AS score_m
-           |        FROM ffrk WHERE rnk <= $topK),
-           |fbc AS (SELECT query_id, parent, chunk_id, score_m,
-           |          row_number() OVER (PARTITION BY query_id, parent
-           |            ORDER BY score_m DESC, chunk_id ASC) AS crk FROM fch),
-           |fnh AS (SELECT query_id, parent, CAST(count(*) AS BIGINT) AS n_chunk_hits
-           |        FROM fch GROUP BY 1, 2),
-           |fdr AS (SELECT b.query_id, b.parent, b.score_m, b.chunk_id, n.n_chunk_hits,
-           |          row_number() OVER (PARTITION BY b.query_id
-           |            ORDER BY b.score_m DESC, b.parent ASC) AS rnk
-           |        FROM fbc b JOIN fnh n ON n.query_id = b.query_id AND n.parent = b.parent
-           |        WHERE b.crk = 1)
-           |SELECT query_id, CAST(parent AS BIGINT) AS neighbor_id,
-           |       score_m AS best_m, CAST(chunk_id AS BIGINT) AS best_chunk,
-           |       n_chunk_hits, CAST(rnk AS BIGINT) AS rnk
-           |FROM fdr WHERE rnk <= $topK""".stripMargin),
+        ",\n" + chunkDenseCtes("true", s"doc_id % $searchStride = 0") +
+        chunkFusedTail),
+    "x_search_chunk_rollup_fused_in" ->
+      (bm25CtesOver(
+        chunkCorpusSql(s"doc_id % ${Similarity.knnBatchMod} <> 7"),
+        s"SELECT doc_id AS query_id, text FROM documents WHERE doc_id % ${Similarity.knnBatchMod} = 7",
+        chunkSelfExcl) +
+        ",\n" + chunkDenseCtes(
+          s"doc_id % ${Similarity.knnBatchMod} <> 7",
+          s"doc_id % ${Similarity.knnBatchMod} = 7") +
+        chunkFusedTail),
     // graded-relevance tail over the shared member chain; the discount is
     // the same fixed-point log2 text the Spark plan compiles
     "x_search_ndcg" ->

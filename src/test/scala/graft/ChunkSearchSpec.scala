@@ -129,6 +129,25 @@ class ChunkSearchSpec extends SparkSpec {
     }
   }
 
+  test("dense/fused ingest serving: standing-only answers; streamed twin equals batch") {
+    val m = ops.Similarity.knnBatchMod
+    val in = ops.Search.chunkDenseIngestTopK(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(in.nonEmpty)
+    in.foreach { case (q, nb, _, _) =>
+      assert(q % m == 7, s"dense ingest query $q is not an arrival")
+      assert(nb % m != 7,
+        s"dense ingest hit $nb must come from the standing corpus only")
+    }
+    val fusedBatch = ops.Search.chunkFusedIngestRollup(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val streamed = streaming.ChunkDenseStream.streamedFusedRollup(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == fusedBatch,
+      "streamed fused RAG answers diverged from the batch ingest form")
+    assert(streamed.nonEmpty)
+  }
+
   test("fused chunk rollup: parents distinct, ranks contiguous, fused from both legs") {
     val fused = ops.Search.chunkFusedRollup(spark, sf)
       .as[(Long, Long, Long, Long, Long, Long)].collect()
