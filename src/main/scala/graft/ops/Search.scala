@@ -548,6 +548,64 @@ object Search {
       Tables.documents(s, d).filter(col("doc_id") % searchStride === 0),
       chunkVectors(s, d))
 
+  /** Sign bucket of a [[maxsimDims]]-dim vector column — in-row, one bit
+    * per dimension (coordinates are exact-integer doubles, so the ≥ 0
+    * test is engine-stable). The chunk space's coarse router. */
+  private def chunkSignSql(v: String): String =
+    (0 until maxsimDims).map(i =>
+      s"(CASE WHEN element_at($v, ${i + 1}) >= CAST(0 AS DOUBLE) " +
+        s"THEN ${1L << i}L ELSE 0L END)").mkString(" + ")
+
+  /** BUCKETED dense chunk hits — the SCALE PATH of the dense leg
+    * ([[chunkDenseProbe]]'s scaladoc promise made real): chunk vectors
+    * route into 2^[[maxsimDims]] sign buckets, each query probes its own
+    * bucket plus the [[maxsimDims]] one-bit neighbors (multi-probe), and
+    * only candidates sharing a probed bucket are exactly rescored — the
+    * [[graft.ops.Similarity]] bucket-probe recipe applied to the chunk
+    * id space. At 100 TB the bucket column rides the persisted
+    * chunk-vector relation and the scan prunes on the broadcast probe
+    * set; nothing corpus-sized shuffles. `x_search_chunks_dense_recall`
+    * prices what the pruning costs against the brute rung. */
+  private[graft] def chunkDenseBucketHits(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val cv = chunkVectors(s, d)
+      .withColumn("bucket", expr(chunkSignSql("cvec")))
+    val probes = hashVecOf(
+      Tables.documents(s, d).filter(col("doc_id") % searchStride === 0)
+        .select(col("doc_id"), col("text")), "doc_id")
+      .select(col("doc_id").as("query_id"), col("hv").as("qv"))
+      .withColumn("qbucket", expr(chunkSignSql("qv")))
+      .select(col("query_id"), col("qv"),
+        explode(expr(s"concat(array(qbucket), transform(sequence(0, ${maxsimDims - 1}), " +
+          "i -> qbucket ^ CAST(shiftleft(1, i) AS BIGINT)))")).as("bucket"))
+    TopK.topK(
+      cv.join(Hints.broadcastSmall(probes), Seq("bucket"))
+        .filter(expr(s"chunk_key div $chunkKeyMod") =!= col("query_id"))
+        .withColumn("score", expr("cosine_sim(qv, cvec)"))
+        .select(col("query_id"), col("score"), col("chunk_key")),
+      "query_id", "score", "chunk_key", chunkK)
+      .select(col("query_id"), col("neighbor_id").as("chunk_key"), col("rnk"))
+  }
+
+  /** Bucketed dense chunk retrieval (`x_search_chunks_dense_ann`) — the
+    * pruned rung, same output grain as [[chunkDenseTopK]]. */
+  def chunkDenseBucketTopK(s: SparkSession, d: String): DataFrame =
+    chunkDenseBucketHits(s, d).select(
+      col("query_id"),
+      expr(s"chunk_key div $chunkKeyMod").as("neighbor_id"),
+      (col("chunk_key") % chunkKeyMod).as("chunk_id"),
+      col("rnk"))
+
+  /** Recall@[[chunkK]] of the bucketed rung against the brute rung —
+    * what the 9-of-256-buckets pruning costs, per query
+    * ([[graft.ops.Similarity.recallOf]], the ladder's shared pricing
+    * definition). */
+  def chunkDenseRecall(s: SparkSession, d: String): DataFrame =
+    Similarity.recallOf(
+      chunkDenseHits(s, d).select(col("query_id"), col("chunk_key").as("neighbor_id")),
+      chunkDenseBucketHits(s, d).select(col("query_id"), col("chunk_key").as("neighbor_id")),
+      "n_bucket")
+
   /** DENSE chunk retrieval (`x_search_chunks_dense`): the passage hit
     * list by embedding similarity — the leg the lexical [[chunkTopK]]
     * was missing. Same output grain as the lexical form (parent, chunk,
@@ -2107,6 +2165,8 @@ object Search {
     "x_search_chunks_in" -> ((s, d) => chunkIngestTopK(s, d)),
     "x_search_chunk_rollup_in" -> ((s, d) => chunkIngestRollup(s, d)),
     "x_search_chunks_dense" -> ((s, d) => chunkDenseTopK(s, d)),
+    "x_search_chunks_dense_ann" -> ((s, d) => chunkDenseBucketTopK(s, d)),
+    "x_search_chunks_dense_recall" -> ((s, d) => chunkDenseRecall(s, d)),
     "x_search_chunks_dense_in" -> ((s, d) => chunkDenseIngestTopK(s, d)),
     "x_search_chunk_rollup_fused" -> ((s, d) => chunkFusedRollup(s, d)),
     "x_search_chunk_rollup_fused_in" -> ((s, d) => chunkFusedIngestRollup(s, d)),
@@ -2274,6 +2334,54 @@ object Search {
        |          CAST(row_number() OVER (PARTITION BY query_id
        |                 ORDER BY score DESC, chunk_key ASC) AS BIGINT) AS rnk
        |        FROM dsc)""".stripMargin
+
+  /** Bucketed-rung CTEs appended after [[chunkDenseCtes]]: sign buckets,
+    * one-bit multi-probe expansion, candidate rescoring, rank — the
+    * [[chunkDenseBucketHits]] twin (same ≥ 0 bit test, same probe set,
+    * same tie order). */
+  private def chunkBucketCtes: String = {
+    def sign(v: String) = (0 until maxsimDims).map(i =>
+      s"(CASE WHEN $v[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+    val flips = (0 until maxsimDims).map(i => s"xor(qbucket, ${1L << i})").mkString(", ")
+    s""",
+       |dcb AS (SELECT chunk_key, cvec, ${sign("cvec")} AS bucket FROM dcv),
+       |dqb AS (SELECT query_id, qvec, ${sign("qvec")} AS qbucket FROM dqv),
+       |dpr AS (SELECT query_id, qvec, unnest([qbucket, $flips]) AS bucket FROM dqb),
+       |dbs AS (SELECT q.query_id, c.chunk_key,
+       |          list_dot_product(q.qvec, c.cvec)
+       |            / (sqrt(list_dot_product(q.qvec, q.qvec))
+       |               * sqrt(list_dot_product(c.cvec, c.cvec))) AS score
+       |        FROM dcb c JOIN dpr q ON c.bucket = q.bucket
+       |        WHERE c.chunk_key // $chunkKeyMod <> q.query_id),
+       |dbrk AS (SELECT query_id, chunk_key,
+       |          CAST(row_number() OVER (PARTITION BY query_id
+       |                 ORDER BY score DESC, chunk_key ASC) AS BIGINT) AS rnk
+       |        FROM dbs)""".stripMargin
+  }
+
+  /** The bucketed passage-hit tail over `dbrk`. */
+  private def chunkBucketTail: String =
+    s"""
+       |SELECT query_id, CAST(chunk_key // $chunkKeyMod AS BIGINT) AS neighbor_id,
+       |       CAST(chunk_key % $chunkKeyMod AS BIGINT) AS chunk_id, rnk
+       |FROM dbrk WHERE rnk <= $chunkK""".stripMargin
+
+  /** Recall of the bucketed rung vs the brute rung — the
+    * `Similarity.recallOf` arithmetic in SQL over `drk`/`dbrk`. */
+  private def chunkRecallTail: String =
+    s""",
+       |rtb AS (SELECT query_id, chunk_key FROM drk WHERE rnk <= $chunkK),
+       |rta AS (SELECT query_id, chunk_key FROM dbrk WHERE rnk <= $chunkK),
+       |rnb AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_brute FROM rtb GROUP BY 1),
+       |rna AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_bucket FROM rta GROUP BY 1),
+       |rnc AS (SELECT b.query_id, CAST(count(*) AS BIGINT) AS n_common
+       |        FROM rtb b JOIN rta a ON a.query_id = b.query_id AND a.chunk_key = b.chunk_key
+       |        GROUP BY 1)
+       |SELECT rnb.query_id, rnb.n_brute,
+       |       COALESCE(rna.n_bucket, 0) AS n_bucket,
+       |       COALESCE(rnc.n_common, 0) AS n_common,
+       |       CAST(round(CAST(COALESCE(rnc.n_common, 0) AS DOUBLE) * 10000 / rnb.n_brute) AS BIGINT) AS recall_bp
+       |FROM rnb LEFT JOIN rna USING (query_id) LEFT JOIN rnc USING (query_id)""".stripMargin
 
   /** The dense passage-hit tail over `drk`. */
   private def chunkDenseTail: String =
@@ -2578,6 +2686,12 @@ object Search {
     "x_search_chunks_dense" ->
       ("WITH " + chunkDenseCtes("true", s"doc_id % $searchStride = 0") +
         chunkDenseTail),
+    "x_search_chunks_dense_ann" ->
+      ("WITH " + chunkDenseCtes("true", s"doc_id % $searchStride = 0") +
+        chunkBucketCtes + chunkBucketTail),
+    "x_search_chunks_dense_recall" ->
+      ("WITH " + chunkDenseCtes("true", s"doc_id % $searchStride = 0") +
+        chunkBucketCtes + chunkRecallTail),
     "x_search_chunks_dense_in" ->
       ("WITH " + chunkDenseCtes(
         s"doc_id % ${Similarity.knnBatchMod} <> 7",

@@ -175,7 +175,7 @@ object Similarity {
   def recallMultiProbe(s: SparkSession, d: String): DataFrame =
     recallOf(bruteTruth(s, d), multiProbeTopK(s, d), "n_mp")
 
-  private def recallOf(bruteDf: DataFrame, approxDf: DataFrame, nApproxCol: String): DataFrame = {
+  private[graft] def recallOf(bruteDf: DataFrame, approxDf: DataFrame, nApproxCol: String): DataFrame = {
     val brute = bruteDf.select(col("query_id"), col("neighbor_id"))
     val approx = approxDf.select(col("query_id"), col("neighbor_id"))
     val nB = brute.groupBy(col("query_id")).agg(count(lit(1)).as("n_brute"))
@@ -605,6 +605,36 @@ object Similarity {
       .agg(max(col("n0")).as("n_standing"),
         max(col("n1") - col("n0")).as("n_arrived"),
         sum((col("c1") - col("c0")) * (col("c1") - col("c0"))).as("drift2"))
+
+  /** ROUTE CHURN of the epoch swap (`x_quantizer_route_churn`) — the
+    * promote gate a quantizer maintenance close reads before swapping
+    * epochs (the [[graft.ops.Search.rankChurn]] stance applied to IVF
+    * routing): every vector (standing ∪ arrived) is assigned under BOTH
+    * the frozen epoch-0 panel and the updated epoch-1 panel, and the
+    * (old cell, new cell) migration matrix is emitted. Off-diagonal mass
+    * IS the cost of promoting — each moved vector's posting must be
+    * rewritten into its new inverted list — read against the recall the
+    * drift promises; a near-diagonal matrix says the swap is cheap.
+    *
+    * Plan: ONE corpus pass — both k-row panels broadcast, both argmin
+    * folds run in-row per vector, and the k²-bounded matrix aggregation
+    * partial-aggregates map-side. Nothing but the two tiny panels is
+    * ever on the driver. */
+  def quantizerRouteChurn(s: SparkSession, d: String): DataFrame = {
+    val upd = Lineage.cut(quantizerUpdate(s, d))
+    val cents0 = Lineage.cut(quantizerCentroidPanel(
+      upd.select(col("cluster"), col("dim"), col("c0"))))
+    val cents1 = Lineage.cut(quantizerCentroidPanel(
+      upd.select(col("cluster"), col("dim"), col("c1").as("c0"))))
+    quantizedCorpus(s, d).select(col("vec_id"), col("q"))
+      .crossJoin(broadcast(cents0))
+      .withColumn("cluster_old", expr(assignSql))
+      .drop("cents")
+      .crossJoin(broadcast(cents1.select(col("cents"))))
+      .withColumn("cluster_new", expr(assignSql))
+      .groupBy(col("cluster_old"), col("cluster_new"))
+      .agg(count(lit(1)).as("n_vecs"))
+  }
 
   /** IVF search over LEARNED buckets: identical plan to [[ivfTopK]] but the
     * inverted lists are the [[kmeansConverged]] assignment instead of the
@@ -1990,7 +2020,8 @@ object Similarity {
     "x_embed_quantize" -> quantize,
     "x_embed_mrl_recall" -> mrlRecall,
     "x_quantizer_update" -> ((s, d) => quantizerUpdate(s, d)),
-    "x_quantizer_drift" -> ((s, d) => quantizerDrift(s, d)))
+    "x_quantizer_drift" -> ((s, d) => quantizerDrift(s, d)),
+    "x_quantizer_route_churn" -> ((s, d) => quantizerRouteChurn(s, d)))
 
   private val cosSql =
     "list_dot_product(q.qv, c.v) / (q.qn * sqrt(list_dot_product(c.v, c.v)))"
@@ -2491,6 +2522,23 @@ object Similarity {
          |       CAST(max(n1 - n0) AS BIGINT) AS n_arrived,
          |       CAST(sum((c1 - c0) * (c1 - c0)) AS BIGINT) AS drift2
          |FROM upd GROUP BY 1""".stripMargin,
+    "x_quantizer_route_churn" ->
+      s"""WITH ${quantizerUpdateSqlCtes()},
+         |updm AS MATERIALIZED (SELECT * FROM upd),
+         |r0 AS (SELECT xp.vec_id, updm.cluster,
+         |         CAST(sum((xp.v - updm.c0) * (xp.v - updm.c0)) AS BIGINT) AS dist2
+         |       FROM xp JOIN updm USING (dim) GROUP BY 1, 2),
+         |ra0 AS (SELECT vec_id, cluster AS cluster_old FROM (
+         |         SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id
+         |                ORDER BY dist2 ASC, cluster ASC) AS rn FROM r0) WHERE rn = 1),
+         |r1 AS (SELECT xp.vec_id, updm.cluster,
+         |         CAST(sum((xp.v - updm.c1) * (xp.v - updm.c1)) AS BIGINT) AS dist2
+         |       FROM xp JOIN updm USING (dim) GROUP BY 1, 2),
+         |ra1 AS (SELECT vec_id, cluster AS cluster_new FROM (
+         |         SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id
+         |                ORDER BY dist2 ASC, cluster ASC) AS rn FROM r1) WHERE rn = 1)
+         |SELECT ra0.cluster_old, ra1.cluster_new, CAST(count(*) AS BIGINT) AS n_vecs
+         |FROM ra0 JOIN ra1 USING (vec_id) GROUP BY 1, 2""".stripMargin,
     "x_embed_pca" -> pcaSql,
     "x_embed_pca_var" -> pcaVarSql,
     "x_embed_pca_project" -> pcaProjectSql,

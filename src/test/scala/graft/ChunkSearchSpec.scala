@@ -129,6 +129,29 @@ class ChunkSearchSpec extends SparkSpec {
     }
   }
 
+  test("bucketed dense rung: candidates are a subset story — recall prices it") {
+    val brute = ops.Search.chunkDenseTopK(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    val ann = ops.Search.chunkDenseBucketTopK(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(ann.nonEmpty)
+    ann.groupBy(_._1).foreach { case (q, rows) =>
+      val rnks = rows.map(_._4).sorted
+      assert(rnks.head == 1 && rnks.last == rnks.size, s"ANN ranks broken for $q")
+    }
+    // a query's own bucket always holds its exact-match region: the
+    // bucketed rung must agree with brute on rank 1 for SOME queries
+    val b1 = brute.filter(_._4 == 1).map(r => (r._1, r._2, r._3)).toSet
+    val a1 = ann.filter(_._4 == 1).map(r => (r._1, r._2, r._3)).toSet
+    assert(a1.intersect(b1).nonEmpty, "bucketed rung top-1 never matches brute")
+    val rec = ops.Search.chunkDenseRecall(spark, sf).collect()
+    rec.foreach { r =>
+      val (nb, nc, bp) = (r.getLong(1), r.getLong(3), r.getLong(4))
+      assert(nc <= nb && bp >= 0 && bp <= 10000,
+        s"recall accounting broken: n_common $nc, n_brute $nb, bp $bp")
+    }
+  }
+
   test("dense/fused ingest serving: standing-only answers; streamed twin equals batch") {
     val m = ops.Similarity.knnBatchMod
     val in = ops.Search.chunkDenseIngestTopK(spark, sf)

@@ -39,6 +39,21 @@ class QuantizerSpec extends SparkSpec {
     }
   }
 
+  test("route churn: a complete partition of the corpus, cells in range") {
+    val m = ops.Similarity.quantizerRouteChurn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(m.nonEmpty)
+    val total = Tables.embeddings(spark, sf).count()
+    assert(m.values.sum == total,
+      "every vector must appear exactly once in the migration matrix")
+    m.keys.foreach { case (o, n) =>
+      assert(o >= 0 && o < 8 && n >= 0 && n < 8, s"cell ids out of range: ($o, $n)")
+    }
+    // the swap must not reroute everything: the diagonal carries mass
+    assert(m.collect { case ((o, n), c) if o == n => c }.sum > 0,
+      "zero diagonal mass — epoch-1 routing shares nothing with epoch-0")
+  }
+
   test("quantizer store versioning: serving reads the LATEST epoch") {
     val store = ops.SpillMemo.scratchDir("graft-qver-")
     tools.IndexBuild.buildTo(spark, sf, store)
