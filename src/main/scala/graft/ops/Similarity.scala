@@ -587,11 +587,14 @@ object Similarity {
   def quantizerUpdate(s: SparkSession, d: String): DataFrame = {
     val st = Lineage.cut(standingQuantizerState(s, d))
     val cents = Lineage.cut(quantizerCentroidPanel(st))
-    quantizerMergeOf(st,
-      quantizerDeltasOf(
-        quantizedCorpus(s, d).filter(col("vec_id") % knnBatchMod === 7)
-          .select(col("vec_id"), col("q")), cents))
+    quantizerMergeOf(st, quantizerDeltasOf(arrivingQuantized(s, d), cents))
   }
+
+  /** The arriving µ-quantized split (vec_id, q) — shared by the batch
+    * update and the epoch-close tool (`tools.QuantizerClose`). */
+  private[graft] def arrivingQuantized(s: SparkSession, d: String): DataFrame =
+    quantizedCorpus(s, d).filter(col("vec_id") % knnBatchMod === 7)
+      .select(col("vec_id"), col("q"))
 
   /** QUANTIZER DRIFT readout (`x_quantizer_drift`): per cell, how far the
     * updated centroid moved from the frozen seed — Σ_dim (c1−c0)² in

@@ -42,16 +42,13 @@ object QuantizerStream {
     val schema = EventPipeline.tableSchema(ss, s"$sfDir/embeddings.parquet")
     val dir = EventPipeline.installSourceDir(
       java.nio.file.Paths.get(s"$sfDir/embeddings.parquet"))
-    val deltas = ss.readStream.schema(schema).parquet(dir.toString)
-      .filter(col("vec_id") % graft.ops.Similarity.knnBatchMod === 7)
-      .select(col("vec_id"),
-        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
-          .as("q"))
-      .crossJoin(broadcast(cents))
-      .withColumn("cluster", expr(graft.ops.Similarity.assignSql))
-      .select(col("cluster"), posexplode(col("q")).as(Seq("dim", "x")))
-      .groupBy(col("cluster"), col("dim").cast("long").as("dim"))
-      .agg(sum(col("x")).as("q_suma"), count(lit(1)).as("na"))
+    val deltas = deltaAgg(
+      ss.readStream.schema(schema).parquet(dir.toString)
+        .filter(col("vec_id") % graft.ops.Similarity.knnBatchMod === 7)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+            .as("q")),
+      cents)
     val q = deltas.writeStream
       .outputMode("update")
       .option("checkpointLocation", s"$scratch/ckpt")
@@ -65,6 +62,19 @@ object QuantizerStream {
       UpsertSink.resolve(ss, s"$scratch/sink", Seq("cluster", "dim"))
         .select(col("cluster"), col("dim"), col("q_suma"), col("na")))
   }
+
+  /** The stream's stateful delta aggregation over an arriving
+    * (vec_id, q µ-quantized) frame and the broadcast frozen panel — the
+    * in-row assignment plus the mergeable per-(cluster, dim) sums. ONE
+    * definition for the production file-source stream and the two-batch
+    * MemoryStream invariance pin in `QuantizerSpec`. */
+  private[graft] def deltaAgg(arrivals: DataFrame, cents: DataFrame): DataFrame =
+    arrivals
+      .crossJoin(broadcast(cents))
+      .withColumn("cluster", expr(graft.ops.Similarity.assignSql))
+      .select(col("cluster"), posexplode(col("q")).as(Seq("dim", "x")))
+      .groupBy(col("cluster"), col("dim").cast("long").as("dim"))
+      .agg(sum(col("x")).as("q_suma"), count(lit(1)).as("na"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_quantizer_stream" -> ((s, d) => streamedQuantizer(s, d)))

@@ -83,4 +83,59 @@ class QuantizerSpec extends SparkSpec {
       "maintained state diverged from the batch fold — the monoid law broke")
     assert(streamed.nonEmpty)
   }
+
+  test("quantizer stream under a TWO-BATCH split folds to the batch update (monoid)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.{Dataset, Row}
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val st = ops.Lineage.cut(ops.Similarity.standingQuantizerState(spark, sf))
+    val cents = ops.Lineage.cut(ops.Similarity.quantizerCentroidPanel(st))
+    val arriving = ops.Similarity.arrivingQuantized(spark, sf)
+      .as[(Long, Seq[Long])].collect().toSeq
+    assert(arriving.size >= 2)
+    val (b1, b2) = arriving.splitAt(arriving.size / 2)
+    val sink = ops.SpillMemo.scratchDir("graft-squant-t-")
+    val in = MemoryStream[(Long, Seq[Long])]
+    val q = streaming.QuantizerStream
+      .deltaAgg(in.toDF().toDF("vec_id", "q"), cents)
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", s"$sink/ckpt")
+      .foreachBatch { (b: Dataset[Row], id: Long) =>
+        streaming.UpsertSink.writeBatch(b, id, s"$sink/sink")
+      }
+      .start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = ops.Similarity.quantizerMergeOf(st,
+      streaming.UpsertSink.resolve(spark, s"$sink/sink", Seq("cluster", "dim"))
+        .select($"cluster", $"dim", $"q_suma", $"na"))
+      .collect().map(_.toSeq).toSet
+    val batch = ops.Similarity.quantizerUpdate(spark, sf).collect()
+      .map(_.toSeq).toSet
+    assert(streamed == batch,
+      "two-batch maintained state diverged from the batch fold")
+    assert(streamed.nonEmpty)
+  }
+
+  test("epoch close appends the batch update as the next epoch; serving flips to it") {
+    val upd = ops.Similarity.quantizerUpdate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(3), r.getLong(5))).toMap
+    val store = ops.SpillMemo.scratchDir("graft-qclose-")
+    tools.IndexBuild.buildTo(spark, sf, store)
+    val e = tools.QuantizerClose.close(spark, sf, store)
+    assert(e == 1L, "first close must append epoch 1")
+    spark.conf.set(ops.IndexStore.indexDirConf, store)
+    try {
+      val served = ops.Similarity.standingQuantizerState(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(3), r.getLong(4))).toMap
+      assert(served.keySet == upd.keySet)
+      served.foreach { case (k, nc) =>
+        assert(nc == upd(k),
+          s"cell $k: served epoch-1 (n, c) $nc != batch update ${upd(k)}")
+      }
+    } finally spark.conf.unset(ops.IndexStore.indexDirConf)
+  }
 }
