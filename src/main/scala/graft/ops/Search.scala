@@ -566,13 +566,19 @@ object Search {
     * chunk-vector relation and the scan prunes on the broadcast probe
     * set; nothing corpus-sized shuffles. `x_search_chunks_dense_recall`
     * prices what the pruning costs against the brute rung. */
-  private[graft] def chunkDenseBucketHits(s: SparkSession, d: String): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
-    val cv = chunkVectors(s, d)
-      .withColumn("bucket", expr(chunkSignSql("cvec")))
-    val probes = hashVecOf(
-      Tables.documents(s, d).filter(col("doc_id") % searchStride === 0)
-        .select(col("doc_id"), col("text")), "doc_id")
+  private[graft] def chunkDenseBucketHits(s: SparkSession, d: String): DataFrame =
+    chunkDenseBucketProbe(
+      Tables.documents(s, d).filter(col("doc_id") % searchStride === 0),
+      chunkVectors(s, d))
+
+  /** The bucketed probe core over an arbitrary (doc_id, text) query frame
+    * and chunk-vector relation — ONE definition for the member rung, the
+    * fused ingest serving and the streamed twin. */
+  private[graft] def chunkDenseBucketProbe(
+      queryDocs: DataFrame, cvRel: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(queryDocs.sparkSession)
+    val cv = cvRel.withColumn("bucket", expr(chunkSignSql("cvec")))
+    val probes = hashVecOf(queryDocs.select(col("doc_id"), col("text")), "doc_id")
       .select(col("doc_id").as("query_id"), col("hv").as("qv"))
       .withColumn("qbucket", expr(chunkSignSql("qv")))
       .select(col("query_id"), col("qv"),
@@ -658,8 +664,13 @@ object Search {
 
   /** HYBRID chunk ingest rollup: the FULL RAG serving response for each
     * arrival — sparse passage recall (standing chunk index) + dense
-    * passage recall (standing chunk vectors) + RRF fusion + document
-    * max-pooling, all against standing state. The streamed twin
+    * passage recall via the BUCKETED rung over the standing chunk
+    * vectors + RRF fusion + document max-pooling, all against standing
+    * state. The serving path takes the pruned rung where the member
+    * analytics form takes brute — the production posture
+    * ([[chunkDenseProbe]]'s scaladoc promise; the ×10 sweep measured the
+    * brute leg's per-arrival cost growing WITH the corpus, which no
+    * serving path can carry — BASELINE.md round 17). The streamed twin
     * ([[graft.streaming.ChunkDenseStream]]) runs THIS per micro-batch. */
   def chunkFusedIngestRollup(s: SparkSession, d: String): DataFrame = {
     val arriving = Tables.documents(s, d)
@@ -667,7 +678,7 @@ object Search {
       .select(col("doc_id"), col("text"))
     chunkFusedOf(
       chunkProbe(arriving, chunkIngestIndex(s, d)),
-      chunkDenseIngestHits(s, d))
+      chunkDenseBucketProbe(arriving, Lineage.cut(standingChunkVectors(s, d))))
   }
 
   /** Dirichlet prior μ for [[lmqlTopK]] — an integer so every fixed-point
@@ -2390,13 +2401,14 @@ object Search {
        |       CAST(chunk_key % $chunkKeyMod AS BIGINT) AS chunk_id, rnk
        |FROM drk WHERE rnk <= $chunkK""".stripMargin
 
-  /** RRF fusion of the lexical chain's `rk` and the dense chain's `drk`
-    * plus the document rollup — the SQL of [[chunkFusedOf]], shared by
-    * the member and ingest fused oracles. */
-  private def chunkFusedTail: String =
+  /** RRF fusion of the lexical chain's `rk` and a dense chain
+    * (`drk` = brute for the member form, `dbrk` = the bucketed rung for
+    * the serving forms) plus the document rollup — the SQL of
+    * [[chunkFusedOf]], shared by the member and ingest fused oracles. */
+  private def chunkFusedTail(denseRel: String): String =
     s""",
        |flt AS (SELECT query_id, neighbor_id, rnk FROM rk WHERE rnk <= $chunkK),
-       |fdl AS (SELECT query_id, chunk_key AS neighbor_id, rnk FROM drk WHERE rnk <= $chunkK),
+       |fdl AS (SELECT query_id, chunk_key AS neighbor_id, rnk FROM $denseRel WHERE rnk <= $chunkK),
        |flegs AS (SELECT * FROM flt UNION ALL SELECT * FROM fdl),
        |ffus AS (SELECT query_id, neighbor_id,
        |           CAST(sum($rrfScale // ($rrfK + rnk)) AS BIGINT) AS rrf
@@ -2701,7 +2713,7 @@ object Search {
     "x_search_chunk_rollup_fused" ->
       (bm25CtesOver(chunkCorpusSql("true"), memberQuerySql, chunkSelfExcl) +
         ",\n" + chunkDenseCtes("true", s"doc_id % $searchStride = 0") +
-        chunkFusedTail),
+        chunkFusedTail("drk")),
     "x_search_chunk_rollup_fused_in" ->
       (bm25CtesOver(
         chunkCorpusSql(s"doc_id % ${Similarity.knnBatchMod} <> 7"),
@@ -2710,7 +2722,7 @@ object Search {
         ",\n" + chunkDenseCtes(
           s"doc_id % ${Similarity.knnBatchMod} <> 7",
           s"doc_id % ${Similarity.knnBatchMod} = 7") +
-        chunkFusedTail),
+        chunkBucketCtes + chunkFusedTail("dbrk")),
     // graded-relevance tail over the shared member chain; the discount is
     // the same fixed-point log2 text the Spark plan compiles
     "x_search_ndcg" ->

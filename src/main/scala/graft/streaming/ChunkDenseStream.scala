@@ -7,8 +7,9 @@ import org.apache.spark.sql.streaming.Trigger
 /** The FIFTY-THIRD streaming execution: HYBRID RAG SERVING — the full
   * retrieve-fuse-assemble answer path run live: each arriving document's
   * passage hits are recalled on BOTH legs (sparse: the standing chunk
-  * BM25 index; dense: the standing chunk-vector relation), RRF-fused at
-  * the chunk grain, and max-pooled to documents — the SAME
+  * BM25 index; dense: the BUCKETED rung over the standing chunk-vector
+  * relation — serving takes the pruned rung, the ×10 sweep's diagnosis),
+  * RRF-fused at the chunk grain, and max-pooled to documents — the SAME
   * [[graft.ops.Search.chunkFusedOf]] composition the batch
   * `x_search_chunk_rollup_fused_in` runs, so batch and stream cannot
   * drift. The standing relations derive once at query start (store-served
@@ -22,12 +23,12 @@ import org.apache.spark.sql.streaming.Trigger
   * (query_id, rnk); replay idempotent.
   *
   * Scale: at 100 TB both serving indexes are persisted artifacts; a
-  * trigger costs arrivals × (pruned-posting probes + one broadcast
-  * panel over the standing vector scan + k-per-query fusion windows) —
-  * corpus-size-independent state (zero), candidate-bounded compute. In
-  * production the dense leg's brute scan is replaced by an ANN rung over
-  * the same chunk-vector relation (the [[graft.ops.IndexStore]] ladder);
-  * the fusion and rollup stages are rung-agnostic. */
+  * trigger costs arrivals × (pruned-posting probes + the bucket-pruned
+  * slice of the standing vector scan + k-per-query fusion windows) —
+  * corpus-size-independent state (zero). The fusion and rollup stages
+  * are rung-agnostic, so a deployment swaps in a finer router (k-means
+  * cells growing with the corpus — BASELINE.md's round-17 router-growth
+  * note) without touching this stream. */
 object ChunkDenseStream {
 
   /** Run the hybrid RAG serving stream to completion and return the
@@ -55,7 +56,7 @@ object ChunkDenseStream {
         UpsertSink.writeBatch(
           graft.ops.Search.chunkFusedOf(
             graft.ops.Search.chunkProbe(b.toDF(), idx),
-            graft.ops.Search.chunkDenseProbe(b.toDF(), cv)),
+            graft.ops.Search.chunkDenseBucketProbe(b.toDF(), cv)),
           id, s"$scratch/sink")
       }
       .start()
