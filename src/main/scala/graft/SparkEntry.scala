@@ -31,6 +31,7 @@ object SparkEntry {
     (ops.Sampling.queries, ops.Sampling.oracle),
     (ops.Sessionize.queries, ops.Sessionize.oracle),
     (ops.Search.queries, ops.Search.oracle),
+    (ops.ChunkRouter.queries, ops.ChunkRouter.oracle),
     (ops.MultimodalPipeline.queries, ops.MultimodalPipeline.oracle),
     (sources.Formats.queries, sources.Formats.oracle),
     (streaming.EventPipeline.queries, streaming.EventPipeline.oracle),

@@ -241,6 +241,24 @@ object GraftFunctions {
         }
         CosinePrefixSims(exprs.head, exprs(1), dims)
       }),
+    (new FunctionIdentifier("cell_route"),
+      new ExpressionInfo(classOf[CellRoute].getName, "cell_route"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3,
+          s"cell_route expects (q, cents, scale literal), got ${exprs.length} args")
+        val scale = exprs(2) match {
+          case e if e.foldable =>
+            e.eval() match {
+              case v: Long => v
+              case v: Int => v.toLong
+              case other => throw new IllegalArgumentException(
+                s"cell_route: scale must fold to an integer, got $other")
+            }
+          case other => throw new IllegalArgumentException(
+            s"cell_route: scale must be a constant expression, got $other")
+        }
+        CellRoute(exprs.head, exprs(1), scale)
+      }),
     (new FunctionIdentifier("simhash32"),
       new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
       (exprs: Seq[Expression]) => {

@@ -58,6 +58,8 @@ object IndexStore {
   val phraseWorkload = "phrase_workload"
   val chunkVectors = "chunk_vectors"
   val quantizerState = "quantizer_state"
+  val chunkRouterState = "chunk_router_state"
+  val chunkRouted = "chunk_routed"
 
   private def fs(s: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(s.sparkContext.hadoopConfiguration)

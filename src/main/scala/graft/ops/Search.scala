@@ -548,42 +548,42 @@ object Search {
       Tables.documents(s, d).filter(col("doc_id") % searchStride === 0),
       chunkVectors(s, d))
 
-  /** Sign bucket of a [[maxsimDims]]-dim vector column — in-row, one bit
-    * per dimension (coordinates are exact-integer doubles, so the ≥ 0
-    * test is engine-stable). The chunk space's coarse router. */
-  private def chunkSignSql(v: String): String =
-    (0 until maxsimDims).map(i =>
-      s"(CASE WHEN element_at($v, ${i + 1}) >= CAST(0 AS DOUBLE) " +
-        s"THEN ${1L << i}L ELSE 0L END)").mkString(" + ")
-
-  /** BUCKETED dense chunk hits — the SCALE PATH of the dense leg
+  /** ROUTED dense chunk hits — the SCALE PATH of the dense leg
     * ([[chunkDenseProbe]]'s scaladoc promise made real): chunk vectors
-    * route into 2^[[maxsimDims]] sign buckets, each query probes its own
-    * bucket plus the [[maxsimDims]] one-bit neighbors (multi-probe), and
-    * only candidates sharing a probed bucket are exactly rescored — the
-    * [[graft.ops.Similarity]] bucket-probe recipe applied to the chunk
-    * id space. At 100 TB the bucket column rides the persisted
-    * chunk-vector relation and the scan prunes on the broadcast probe
-    * set; nothing corpus-sized shuffles. `x_search_chunks_dense_recall`
-    * prices what the pruning costs against the brute rung. */
+    * route into the [[ChunkRouter]]'s learned spherical k-means cells,
+    * each query probes its [[ChunkRouter.probeCells]] nearest cells
+    * (multi-probe), and only candidates sharing a probed cell are
+    * exactly rescored. The router REPLACED a static sign router that
+    * measurably degenerated on this corpus (2/256 buckets held 75% of
+    * the chunks — r17 verdict #1; [[ChunkRouter]]'s scaladoc has the
+    * measurements). At 100 TB the cell assignment is one in-row fold
+    * against the broadcast epoch panel riding the persisted chunk-vector
+    * scan, and the scan prunes on the broadcast probe set; nothing
+    * corpus-sized shuffles. `x_search_chunks_dense_recall` prices what
+    * the pruning costs against the brute rung. */
   private[graft] def chunkDenseBucketHits(s: SparkSession, d: String): DataFrame =
     chunkDenseBucketProbe(
       Tables.documents(s, d).filter(col("doc_id") % searchStride === 0),
-      chunkVectors(s, d))
+      ChunkRouter.routedVectors(s, d),
+      ChunkRouter.servingPanel(s, d))
 
-  /** The bucketed probe core over an arbitrary (doc_id, text) query frame
-    * and chunk-vector relation — ONE definition for the member rung, the
-    * fused ingest serving and the streamed twin. */
+  /** The routed probe core over an arbitrary (doc_id, text) query frame,
+    * a ROUTED chunk-vector relation (chunk_key, cvec, bucket —
+    * [[ChunkRouter.routedVectors]], the stored inverted lists) and the
+    * router epoch panel (query-side probes only) — ONE definition for
+    * the member rung, the fused ingest serving and the streamed twin.
+    * Router-agnostic by construction: a maintenance epoch close swaps
+    * the routed relation + panel ([[graft.tools.QuantizerClose]]) and
+    * this plan does not change shape (`RouterEpochSpec` pins it). */
   private[graft] def chunkDenseBucketProbe(
-      queryDocs: DataFrame, cvRel: DataFrame): DataFrame = {
+      queryDocs: DataFrame, cv: DataFrame, panel: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(queryDocs.sparkSession)
-    val cv = cvRel.withColumn("bucket", expr(chunkSignSql("cvec")))
     val probes = hashVecOf(queryDocs.select(col("doc_id"), col("text")), "doc_id")
       .select(col("doc_id").as("query_id"), col("hv").as("qv"))
-      .withColumn("qbucket", expr(chunkSignSql("qv")))
+      .withColumn("q", expr("transform(qv, x -> CAST(x AS BIGINT))"))
+      .crossJoin(broadcast(panel))
       .select(col("query_id"), col("qv"),
-        explode(expr(s"concat(array(qbucket), transform(sequence(0, ${maxsimDims - 1}), " +
-          "i -> qbucket ^ CAST(shiftleft(1, i) AS BIGINT)))")).as("bucket"))
+        explode(expr(ChunkRouter.probeSql("q"))).as("bucket"))
     TopK.topK(
       cv.join(Hints.broadcastSmall(probes), Seq("bucket"))
         .filter(expr(s"chunk_key div $chunkKeyMod") =!= col("query_id"))
@@ -593,7 +593,7 @@ object Search {
       .select(col("query_id"), col("neighbor_id").as("chunk_key"), col("rnk"))
   }
 
-  /** Bucketed dense chunk retrieval (`x_search_chunks_dense_ann`) — the
+  /** Routed dense chunk retrieval (`x_search_chunks_dense_ann`) — the
     * pruned rung, same output grain as [[chunkDenseTopK]]. */
   def chunkDenseBucketTopK(s: SparkSession, d: String): DataFrame =
     chunkDenseBucketHits(s, d).select(
@@ -602,10 +602,10 @@ object Search {
       (col("chunk_key") % chunkKeyMod).as("chunk_id"),
       col("rnk"))
 
-  /** Recall@[[chunkK]] of the bucketed rung against the brute rung —
-    * what the 9-of-256-buckets pruning costs, per query
-    * ([[graft.ops.Similarity.recallOf]], the ladder's shared pricing
-    * definition). */
+  /** Recall@[[chunkK]] of the routed rung against the brute rung —
+    * what the [[ChunkRouter.probeCells]]-of-[[ChunkRouter.cells]]
+    * pruning costs, per query ([[graft.ops.Similarity.recallOf]], the
+    * ladder's shared pricing definition). */
   def chunkDenseRecall(s: SparkSession, d: String): DataFrame =
     Similarity.recallOf(
       chunkDenseHits(s, d).select(col("query_id"), col("chunk_key").as("neighbor_id")),
@@ -678,7 +678,9 @@ object Search {
       .select(col("doc_id"), col("text"))
     chunkFusedOf(
       chunkProbe(arriving, chunkIngestIndex(s, d)),
-      chunkDenseBucketProbe(arriving, Lineage.cut(standingChunkVectors(s, d))))
+      chunkDenseBucketProbe(arriving,
+        Lineage.cut(ChunkRouter.standingRoutedVectors(s, d)),
+        ChunkRouter.servingPanel(s, d)))
   }
 
   /** Dirichlet prior μ for [[lmqlTopK]] — an integer so every fixed-point
@@ -2327,7 +2329,7 @@ object Search {
     * chunk corpus → chunk/query vectors → brute cosine rank. d-prefixed
     * names so it composes with the lexical chain in the fused oracles;
     * the two predicates parameterize the member vs ingest forms. */
-  private def chunkDenseCtes(corpusPred: String, queryPred: String): String =
+  private[ops] def chunkDenseCtes(corpusPred: String, queryPred: String): String =
     s"""dch AS (${chunkCorpusSql(corpusPred)}),
        |dct AS (SELECT doc_id AS chunk_key, unnest(string_split(text, ' ')) AS t FROM dch),
        |dctv AS (SELECT chunk_key, ${dimSumsSql("t")} FROM dct WHERE len(t) > 0 GROUP BY 1),
@@ -2346,31 +2348,15 @@ object Search {
        |                 ORDER BY score DESC, chunk_key ASC) AS BIGINT) AS rnk
        |        FROM dsc)""".stripMargin
 
-  /** Bucketed-rung CTEs appended after [[chunkDenseCtes]]: sign buckets,
-    * one-bit multi-probe expansion, candidate rescoring, rank — the
-    * [[chunkDenseBucketHits]] twin (same ≥ 0 bit test, same probe set,
-    * same tie order). */
-  private def chunkBucketCtes: String = {
-    def sign(v: String) = (0 until maxsimDims).map(i =>
-      s"(CASE WHEN $v[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
-    val flips = (0 until maxsimDims).map(i => s"xor(qbucket, ${1L << i})").mkString(", ")
-    s""",
-       |dcb AS (SELECT chunk_key, cvec, ${sign("cvec")} AS bucket FROM dcv),
-       |dqb AS (SELECT query_id, qvec, ${sign("qvec")} AS qbucket FROM dqv),
-       |dpr AS (SELECT query_id, qvec, unnest([qbucket, $flips]) AS bucket FROM dqb),
-       |dbs AS (SELECT q.query_id, c.chunk_key,
-       |          list_dot_product(q.qvec, c.cvec)
-       |            / (sqrt(list_dot_product(q.qvec, q.qvec))
-       |               * sqrt(list_dot_product(c.cvec, c.cvec))) AS score
-       |        FROM dcb c JOIN dpr q ON c.bucket = q.bucket
-       |        WHERE c.chunk_key // $chunkKeyMod <> q.query_id),
-       |dbrk AS (SELECT query_id, chunk_key,
-       |          CAST(row_number() OVER (PARTITION BY query_id
-       |                 ORDER BY score DESC, chunk_key ASC) AS BIGINT) AS rnk
-       |        FROM dbs)""".stripMargin
-  }
+  /** Routed-rung CTEs appended after [[chunkDenseCtes]]: the
+    * [[ChunkRouter]]'s unrolled training + cell routing + multi-probe +
+    * candidate rescoring, ending in `dbrk` — the [[chunkDenseBucketHits]]
+    * twin (same seeding, same Lloyd rounds, same skey order, same probe
+    * set, same tie order). */
+  private def chunkBucketCtes: String =
+    ChunkRouter.routerCtes + ChunkRouter.routedRankCtes
 
-  /** The bucketed passage-hit tail over `dbrk`. */
+  /** The routed passage-hit tail over `dbrk`. */
   private def chunkBucketTail: String =
     s"""
        |SELECT query_id, CAST(chunk_key // $chunkKeyMod AS BIGINT) AS neighbor_id,

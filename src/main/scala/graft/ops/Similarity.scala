@@ -486,7 +486,14 @@ object Similarity {
     * serving-index standard: store → session memo → derivation. */
   private[graft] def standingQuantizerState(s: SparkSession, d: String,
       k: Int = defaultKClusters): DataFrame = {
-    val raw = IndexStore.read(s, IndexStore.quantizerState, d).map { st =>
+    // store rows are built at defaultKClusters (IndexBuild bakes the
+    // tunable in); a caller asking for a DIFFERENT k must not be served
+    // the default-k state silently (ADVICE r17), so the store read is
+    // bypassed and the k it asked for is derived per-session instead
+    val stored =
+      if (k == defaultKClusters) IndexStore.read(s, IndexStore.quantizerState, d)
+      else None
+    val raw = stored.map { st =>
       // versioned read: serve the LATEST epoch the store carries
       st.join(broadcast(st.agg(max(col("epoch")).as("epoch"))), "epoch")
         .drop("epoch")

@@ -23,12 +23,12 @@ import org.apache.spark.sql.streaming.Trigger
   * (query_id, rnk); replay idempotent.
   *
   * Scale: at 100 TB both serving indexes are persisted artifacts; a
-  * trigger costs arrivals × (pruned-posting probes + the bucket-pruned
+  * trigger costs arrivals × (pruned-posting probes + the cell-pruned
   * slice of the standing vector scan + k-per-query fusion windows) —
-  * corpus-size-independent state (zero). The fusion and rollup stages
-  * are rung-agnostic, so a deployment swaps in a finer router (k-means
-  * cells growing with the corpus — BASELINE.md's round-17 router-growth
-  * note) without touching this stream. */
+  * corpus-size-independent state (zero). The dense leg routes on the
+  * [[graft.ops.ChunkRouter]]'s learned k-means cells (the r17-diagnosed
+  * sign router is gone); an epoch close swaps the panel without
+  * touching this stream's shape (`RouterEpochSpec`). */
 object ChunkDenseStream {
 
   /** Run the hybrid RAG serving stream to completion and return the
@@ -41,8 +41,14 @@ object ChunkDenseStream {
     graft.functions.GraftFunctions.register(ss)
     val scratch = graft.ops.SpillMemo.scratchDir("graft-sfchunk-")
     val idx = graft.ops.Search.chunkIngestIndex(ss, sfDir)
+    // the routed standing slice + the router's CURRENT epoch panel, both
+    // resolved ONCE at stream start (store-served when the IndexStore
+    // carries chunk_routed / chunk_router_state): an epoch promoted
+    // mid-stream is picked up at the next stream start, never mid-batch
+    // — routing must be constant within a run
     val cv = graft.ops.Lineage.cut(
-      graft.ops.Search.standingChunkVectors(ss, sfDir))
+      graft.ops.ChunkRouter.standingRoutedVectors(ss, sfDir))
+    val panel = graft.ops.ChunkRouter.servingPanel(ss, sfDir)
     val schema = EventPipeline.tableSchema(ss, s"$sfDir/documents.parquet")
     val dir = EventPipeline.installSourceDir(
       java.nio.file.Paths.get(s"$sfDir/documents.parquet"))
@@ -56,7 +62,7 @@ object ChunkDenseStream {
         UpsertSink.writeBatch(
           graft.ops.Search.chunkFusedOf(
             graft.ops.Search.chunkProbe(b.toDF(), idx),
-            graft.ops.Search.chunkDenseBucketProbe(b.toDF(), cv)),
+            graft.ops.Search.chunkDenseBucketProbe(b.toDF(), cv, panel)),
           id, s"$scratch/sink")
       }
       .start()

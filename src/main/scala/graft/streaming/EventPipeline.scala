@@ -340,6 +340,31 @@ object EventPipeline {
     catch { case _: Throwable => () }
   }
 
+  /** Persistent-RDD ids alive right now — taken after a stream's standing
+    * relations are cut and before `.start()`, this is the snapshot of the
+    * state that must SURVIVE the whole run. */
+  private[graft] def persistentSnapshot(ss: SparkSession): Set[Int] =
+    ss.sparkContext.getPersistentRDDs.keySet.toSet
+
+  /** Release ONE trigger's derived working set (r17's ×10 operational
+    * finding): a stateless stream-static trigger cuts and broadcasts
+    * per-batch relations whose lifetime ends at the batch's sink write,
+    * but localCheckpoint blocks are only dropped by the ContextCleaner's
+    * weak-ref GC — a long AvailableNow run at ×10 accumulated them into
+    * a driver broadcast OOM at the default 8 g heap. Unpersisting every
+    * persistent RDD NOT in the standing snapshot (and nudging the GC so
+    * dead broadcasts follow) bounds the run's footprint to standing
+    * state + one trigger. ONLY correct for STATELESS streams — a stream
+    * whose cuts carry across triggers must not call this. Never throws. */
+  private[graft] def releaseTriggerState(ss: SparkSession, keep: Set[Int]): Unit = {
+    try {
+      ss.sparkContext.getPersistentRDDs
+        .filter { case (id, _) => !keep(id) }
+        .values.foreach(_.unpersist(blocking = false))
+      System.gc()
+    } catch { case _: Throwable => () }
+  }
+
   /** Session gap for the streaming session-window query (matches the batch
     * [[graft.ops.Sessionize]] 30-minute inactivity gap). */
   private val sessionGapUs = 30L * 60 * 1000000

@@ -47,6 +47,12 @@ object GraphAnnStream {
     val ingest = ss.readStream.schema(schema).parquet(dir.toString)
       .filter(col("vec_id") % graft.ops.Similarity.knnBatchMod === 7)
       .select(col("vec_id"), col("embedding"))
+    // standing-state block snapshot: the per-trigger beam search cuts a
+    // delta per hop and broadcasts per-hop candidate panels, all dead
+    // once the batch's sink write returns — releasing them per trigger
+    // (stateless stream ⇒ safe) bounds a long ×10 run's driver footprint
+    // to standing index + one trigger (r17's broadcast-OOM finding)
+    val standing = EventPipeline.persistentSnapshot(ss)
     val q = ingest.writeStream
       .option("checkpointLocation", s"$scratch/ckpt")
       .trigger(Trigger.AvailableNow())
@@ -54,6 +60,7 @@ object GraphAnnStream {
         UpsertSink.writeBatch(
           graft.ops.Similarity.graphBeamProbe(b.toDF(), edges, corpusIdx, c),
           id, s"$scratch/sink")
+        EventPipeline.releaseTriggerState(ss, standing)
       }
       .start()
     q.awaitTermination()

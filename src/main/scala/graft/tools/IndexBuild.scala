@@ -34,12 +34,29 @@ import org.apache.spark.sql.SparkSession
   * then serve with `spark.graft.indexDir=<storeDir>`. */
 object IndexBuild {
 
+  /** Per-stage wall time of the last [[buildTo]] run, in declaration
+    * order — the build-cost attribution the 100 TB claim rests on
+    * (r17 verdict #6): the build is the library's one near-linear cost
+    * (per-item codec decode / tokenize / vectorize, embarrassingly
+    * parallel), and this readout says WHICH stage carries it (codec vs
+    * postings vs store write) instead of leaving the 6.2×-at-×10 total
+    * unattributed. Printed per stage by `main`; kept as data for specs
+    * and the scale sweep. */
+  @volatile private[graft] var lastStageSeconds: Seq[(String, Double)] = Nil
+
   /** Library form (also what `IndexPersistSpec` drives): derive every
     * serving index for `sfDir` and write the store at `storeDir`. The
     * session must NOT have an IndexStore configured — the build derives
     * from the corpus; reading a store while building one would silently
     * copy instead of build. */
   def buildTo(s: SparkSession, sfDir: String, storeDir: String): Unit = {
+    val stages = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    def stage[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val a = f
+      stages += name -> (System.nanoTime() - t0) / 1e9
+      a
+    }
     require(s.conf.getOption(IndexStore.indexDirConf).forall(_.isEmpty),
       s"unset ${IndexStore.indexDirConf} while building — the build must " +
         "derive from the corpus, not read an existing store")
@@ -52,84 +69,126 @@ object IndexBuild {
       .agg(org.apache.spark.sql.functions.max(
         org.apache.spark.sql.functions.col("doc_id"))).head.getLong(0)
     graft.ops.MultimodalPipeline.requireOriginalId(maxDoc)
-    val idx = Search.ingestIndex(s, sfDir)
-    idx.postings.write.mode("overwrite")
-      .parquet(s"$storeDir/${IndexStore.bm25Postings}")
-    idx.tokenDf.write.mode("overwrite")
-      .parquet(s"$storeDir/${IndexStore.bm25TokenDf}")
-    idx.stats.write.mode("overwrite")
-      .parquet(s"$storeDir/${IndexStore.bm25Stats}")
+    stage("lexical_bm25") {
+  val idx = Search.ingestIndex(s, sfDir)
+      idx.postings.write.mode("overwrite")
+        .parquet(s"$storeDir/${IndexStore.bm25Postings}")
+      idx.tokenDf.write.mode("overwrite")
+        .parquet(s"$storeDir/${IndexStore.bm25TokenDf}")
+      idx.stats.write.mode("overwrite")
+        .parquet(s"$storeDir/${IndexStore.bm25Stats}")
+    }
     // the forward relation directly — NOT via rm3IngestIndex, which would
     // re-derive (and re-materialize) the whole lexical index a second time
     // only to discard it
-    Search.standingForward(s, sfDir).write.mode("overwrite")
-      .parquet(s"$storeDir/${IndexStore.bm25Forward}")
+    stage("bm25_forward") {
+  Search.standingForward(s, sfDir).write.mode("overwrite")
+        .parquet(s"$storeDir/${IndexStore.bm25Forward}")
+    }
     // the Dirichlet-LM serving quartet (x_search_lmql_in / s_lmql_stream):
     // pruned tf postings with collection frequencies, doc lengths, term df,
     // and the two 1-row broadcasts folded into one stats relation
-    val lm = Search.lmIngestIndex(s, sfDir)
-    lm.postings.write.mode("overwrite")
-      .parquet(s"$storeDir/${IndexStore.lmPostings}")
-    lm.dlr.write.mode("overwrite")
-      .parquet(s"$storeDir/${IndexStore.lmDocLen}")
-    lm.dfr.write.mode("overwrite")
-      .parquet(s"$storeDir/${IndexStore.lmTokenDf}")
-    lm.ct.crossJoin(lm.nDocs).write.mode("overwrite")
-      .parquet(s"$storeDir/${IndexStore.lmStats}")
-    Similarity.navGraph(s, sfDir).write.mode("overwrite")
-      .parquet(s"$storeDir/${IndexStore.navGraph}")
+    stage("lexical_lm") {
+  val lm = Search.lmIngestIndex(s, sfDir)
+      lm.postings.write.mode("overwrite")
+        .parquet(s"$storeDir/${IndexStore.lmPostings}")
+      lm.dlr.write.mode("overwrite")
+        .parquet(s"$storeDir/${IndexStore.lmDocLen}")
+      lm.dfr.write.mode("overwrite")
+        .parquet(s"$storeDir/${IndexStore.lmTokenDf}")
+      lm.ct.crossJoin(lm.nDocs).write.mode("overwrite")
+        .parquet(s"$storeDir/${IndexStore.lmStats}")
+    }
+    stage("nav_graph") {
+  Similarity.navGraph(s, sfDir).write.mode("overwrite")
+        .parquet(s"$storeDir/${IndexStore.navGraph}")
+    }
     // the standing bucketed probe index (per-vector IVF-style bucket
     // assignment + quantized vector + norm): every kNN/graph ingest probe
     // seeds from it, and the per-session lineage cut re-derived AND
     // re-wrote it per stream run (GraphProfile r16 attribution)
-    Similarity.standingProbeIndex(s, sfDir).write.mode("overwrite")
-      .parquet(s"$storeDir/${IndexStore.knnProbeIndex}")
-    Dedup.signatures(s, sfDir).write.mode("overwrite")
-      .parquet(s"$storeDir/${IndexStore.minhashSignatures}")
+    stage("knn_probe_index") {
+  Similarity.standingProbeIndex(s, sfDir).write.mode("overwrite")
+        .parquet(s"$storeDir/${IndexStore.knnProbeIndex}")
+    }
+    stage("minhash_signatures") {
+  Dedup.signatures(s, sfDir).write.mode("overwrite")
+        .parquet(s"$storeDir/${IndexStore.minhashSignatures}")
+    }
     // the visual near-dup family's standing fingerprint relation: built
     // once per snapshot (the decode is THE cost at scale), served to the
     // batch probe and the streamed ingest verdict alike
-    graft.ops.MultimodalPipeline.imagePhash(s, sfDir).write.mode("overwrite")
-      .parquet(s"$storeDir/${IndexStore.imagePhash}")
-    graft.ops.MultimodalPipeline.videoPhash(s, sfDir).write.mode("overwrite")
-      .parquet(s"$storeDir/${IndexStore.videoPhash}")
-    graft.ops.MultimodalPipeline.audioFingerprint(s, sfDir).write.mode("overwrite")
-      .parquet(s"$storeDir/${IndexStore.audioFp}")
+    stage("multimodal_codec") {
+  graft.ops.MultimodalPipeline.imagePhash(s, sfDir).write.mode("overwrite")
+        .parquet(s"$storeDir/${IndexStore.imagePhash}")
+      graft.ops.MultimodalPipeline.videoPhash(s, sfDir).write.mode("overwrite")
+        .parquet(s"$storeDir/${IndexStore.videoPhash}")
+      graft.ops.MultimodalPipeline.audioFingerprint(s, sfDir).write.mode("overwrite")
+        .parquet(s"$storeDir/${IndexStore.audioFp}")
+    }
     // the member FEATURE LOG (one BM25 probe + LM leg + labels over the
     // member split): nine queries — the CE rerank family, distillation and
     // preference pairs — read this relation; re-deriving it per query was
     // the r15-flagged inefficiency, and in deployment the trainer reads
     // the logged table anyway
-    Search.ltrFeaturesDerive(s, sfDir).write.mode("overwrite")
-      .parquet(s"$storeDir/${IndexStore.ltrFeatureLog}")
+    stage("ltr_feature_log") {
+  Search.ltrFeaturesDerive(s, sfDir).write.mode("overwrite")
+        .parquet(s"$storeDir/${IndexStore.ltrFeatureLog}")
+    }
     // the standing CHUNK index (passage-unit BM25 trio — the RAG serving
     // index; arriving docs' chunks excluded, same stance as bm25_*)
-    val chunkIdx = Search.chunkIngestIndexDerive(s, sfDir)
-    chunkIdx.postings.write.mode("overwrite")
-      .parquet(s"$storeDir/${IndexStore.chunkPostings}")
-    chunkIdx.tokenDf.write.mode("overwrite")
-      .parquet(s"$storeDir/${IndexStore.chunkTokenDf}")
-    chunkIdx.stats.write.mode("overwrite")
-      .parquet(s"$storeDir/${IndexStore.chunkStats}")
+    stage("chunk_postings") {
+  val chunkIdx = Search.chunkIngestIndexDerive(s, sfDir)
+      chunkIdx.postings.write.mode("overwrite")
+        .parquet(s"$storeDir/${IndexStore.chunkPostings}")
+      chunkIdx.tokenDf.write.mode("overwrite")
+        .parquet(s"$storeDir/${IndexStore.chunkTokenDf}")
+      chunkIdx.stats.write.mode("overwrite")
+        .parquet(s"$storeDir/${IndexStore.chunkStats}")
+    }
     // the POSITIONAL tier (r16 verdict #1): full-corpus posting LISTS
     // (token, doc_id, sorted position array) plus the per-length
     // top-n-gram phrase workload — the one serving family that
     // re-tokenized + re-mined the corpus per run
-    Search.positionalIndexOf(graft.Tables.documents(s, sfDir))
-      .write.mode("overwrite").parquet(s"$storeDir/${IndexStore.phrasePostings}")
-    Search.phraseWorkloadDerive(s, sfDir)
-      .write.mode("overwrite").parquet(s"$storeDir/${IndexStore.phraseWorkload}")
+    stage("positional_phrases") {
+  Search.positionalIndexOf(graft.Tables.documents(s, sfDir))
+        .write.mode("overwrite").parquet(s"$storeDir/${IndexStore.phrasePostings}")
+      Search.phraseWorkloadDerive(s, sfDir)
+        .write.mode("overwrite").parquet(s"$storeDir/${IndexStore.phraseWorkload}")
+    }
     // the DENSE half of the RAG serving index: chunk-id-keyed text
     // vectors (the deterministic hash-projection device — a deployment
     // swaps in its encoder's vectors under the same relation contract)
-    Search.chunkVectorsDerive(s, sfDir)
-      .write.mode("overwrite").parquet(s"$storeDir/${IndexStore.chunkVectors}")
+    stage("chunk_vectors") {
+  Search.chunkVectorsDerive(s, sfDir)
+        .write.mode("overwrite").parquet(s"$storeDir/${IndexStore.chunkVectors}")
+    }
     // the VERSIONED quantizer state (epoch 0 = the snapshot's frozen
     // quantizer): mergeable (Σ, n) per (cluster, dim) — a maintenance
     // deployment appends epoch e+1 after folding an arrival window in;
     // serving reads the latest epoch (Similarity.standingQuantizerState)
-    Similarity.standingQuantizerStateDerive(s, sfDir)
-      .write.mode("overwrite").parquet(s"$storeDir/${IndexStore.quantizerState}")
+    stage("quantizer_state") {
+  Similarity.standingQuantizerStateDerive(s, sfDir)
+        .write.mode("overwrite").parquet(s"$storeDir/${IndexStore.quantizerState}")
+    }
+    // the DENSE CHUNK ROUTER (epoch 0 = the snapshot's trained spherical
+    // k-means cells over the standing chunk vectors): same versioned
+    // mergeable shape as quantizer_state; a maintenance close appends
+    // epoch e+1 and serving flips with no plan change
+    stage("chunk_router_state") {
+      graft.ops.ChunkRouter.stateDerive(s, sfDir)
+        .write.mode("overwrite").parquet(s"$storeDir/${IndexStore.chunkRouterState}")
+    }
+    stage("chunk_routed") {
+      // the routed inverted lists under the epoch-0 panel just written —
+      // routing is a BUILD cost, not a per-query cost
+      // (ChunkRouter.routedVectors' contract); an epoch close rewrites
+      // this relation (QuantizerClose.closeChunkRouter)
+      val st = s.read.parquet(s"$storeDir/${IndexStore.chunkRouterState}")
+      graft.ops.ChunkRouter.routedOf(Search.chunkVectors(s, sfDir),
+        graft.ops.ChunkRouter.panelOf(st))
+        .write.mode("overwrite").parquet(s"$storeDir/${IndexStore.chunkRouted}")
+    }
     val meta =
       s"""{
          |  "version": 1,
@@ -142,6 +201,9 @@ object IndexBuild {
          |    "knn_bits": ${Similarity.knnBits},
          |    "graph_degree": ${Similarity.graphDegree},
          |    "minhash_seeds": ${Dedup.nSeeds},
+         |    "chunk_router_cells": ${graft.ops.ChunkRouter.cells},
+         |    "chunk_router_probes": ${graft.ops.ChunkRouter.probeCells},
+         |    "chunk_router_rounds": ${graft.ops.ChunkRouter.maxRounds},
          |    "n_phrases": ${Search.nPhrases},
          |    "phrase_widths": "${Search.phraseWorkloadWidths.map { case (n, w) => s"$n:$w" }.mkString(",")}"
          |  }
@@ -151,6 +213,7 @@ object IndexBuild {
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
     try out.write(meta.getBytes("UTF-8")) finally out.close()
+    lastStageSeconds = stages.toSeq
   }
 
   def main(args: Array[String]): Unit = {
@@ -169,6 +232,9 @@ object IndexBuild {
     graft.Logs.quietBenignWarnings()
     try {
       buildTo(spark, sfDir, storeDir)
+      lastStageSeconds.foreach { case (name, sec) =>
+        println(f"[index-build] stage $name%s $sec%.1f s")
+      }
       // a quick inventory line so the operator sees what landed
       Seq(IndexStore.bm25Postings, IndexStore.bm25TokenDf, IndexStore.bm25Stats,
         IndexStore.bm25Forward, IndexStore.lmPostings, IndexStore.lmDocLen,
@@ -177,7 +243,8 @@ object IndexBuild {
         IndexStore.navGraph, IndexStore.knnProbeIndex,
         IndexStore.minhashSignatures, IndexStore.phrasePostings,
         IndexStore.phraseWorkload, IndexStore.chunkVectors,
-        IndexStore.quantizerState)
+        IndexStore.quantizerState, IndexStore.chunkRouterState,
+        IndexStore.chunkRouted)
         .foreach { name =>
           val n = spark.read.parquet(s"$storeDir/$name").count()
           println(s"[index-build] $name: $n rows")

@@ -112,6 +112,27 @@ object ScaleSweep {
     (a, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** Bounded-growth contract for long sweep sessions (r17 verdict #3): a
+    * ×10 multi-query sweep accumulates [[graft.ops.Lineage.cut]]
+    * localCheckpoint blocks and probe-panel broadcasts faster than the
+    * ContextCleaner's weak-ref GC reclaims them — measured as a
+    * broadcast OOM at the default 8 g driver. Every cut relation is
+    * transient within its query run (the session memos persist PATHS,
+    * never block-backed frames), so after each timed run the sweep
+    * force-unpersists all persistent RDDs and nudges the cleaner; the
+    * session's live set is then bounded by ONE query's working set. */
+  private def releaseRunState(s: SparkSession): Unit = {
+    s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    System.gc() // lets ContextCleaner collect now-unreferenced broadcasts
+  }
+
+  /** Generation completion marker (ADVICE r17): `generate` can die after
+    * writing documents but before the later tables; gating reuse on
+    * documents.parquet alone would silently reuse that partial corpus.
+    * The marker is written LAST, so its presence means every table is. */
+  private def markerPath(xDir: String): java.nio.file.Path =
+    java.nio.file.Paths.get(xDir, "_SWEEP_COMPLETE")
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 4,
       "usage: runMain graft.tools.ScaleSweep <baseDir> <xDir> <factor> <query...>")
@@ -128,8 +149,9 @@ object ScaleSweep {
     spark.sparkContext.setLogLevel("WARN")
     graft.Logs.quietBenignWarnings()
     try {
-      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(xDir, "documents.parquet"))) {
+      if (!java.nio.file.Files.exists(markerPath(xDir))) {
         val (_, tGen) = timed(generate(spark, base, xDir, n))
+        java.nio.file.Files.createFile(markerPath(xDir))
         println(f"SCALE generate x$n%d $tGen%.1f s")
       }
       // one store per corpus — the bench's serving posture; build time is
@@ -137,21 +159,47 @@ object ScaleSweep {
       val stores = Seq(base, xDir).map { d =>
         val store = graft.ops.SpillMemo.scratchDir(s"graft-scalestore-")
         val (_, tB) = timed(IndexBuild.buildTo(spark, d, store))
-        println(f"SCALE index_build ${if (d == base) "base" else s"x$n"}%s $tB%.1f s")
+        val side = if (d == base) "base" else s"x$n"
+        println(f"SCALE index_build $side%s $tB%.1f s")
+        // per-stage attribution (r17 verdict #6): which stage carries the
+        // near-linear build cost (codec vs postings vs router training)
+        IndexBuild.lastStageSeconds.foreach { case (name, sec) =>
+          println(f"SCALE index_build_stage $side%s $name%s $sec%.1f s")
+        }
+        releaseRunState(spark)
         d -> store
       }.toMap
       names.foreach { name =>
         val fn = SparkEntry.queries(name)
-        val secs = Seq(base, xDir).map { d =>
-          spark.conf.set(graft.ops.IndexStore.indexDirConf, stores(d))
-          // two runs; min-of-2 strips JVM/codegen warm-up like the bench
-          val ts = (1 to 2).map { _ =>
-            timed(fn(spark, d).write.format("noop").mode("overwrite").save())._2
+        // two runs per side. run1 is the honest operator reading for the
+        // SpillMemo-backed queries (their run2 re-reads the spilled
+        // relation — a parquet scan, not the operator; ADVICE r17), so
+        // BOTH run1 and min-of-2 ratios are reported: min-of-2 strips
+        // JVM/codegen warm-up, run1 keeps the derivation in view.
+        // A query that dies (e.g. broadcast pressure at the default
+        // driver heap) prints FAILED and the sweep continues — one row's
+        // failure must not discard the measured rows after it.
+        try {
+          val runs = Seq(base, xDir).map { d =>
+            spark.conf.set(graft.ops.IndexStore.indexDirConf, stores(d))
+            val ts = (1 to 2).map { _ =>
+              val (_, t) =
+                timed(fn(spark, d).write.format("noop").mode("overwrite").save())
+              releaseRunState(spark)
+              t
+            }
+            ts
           }
-          ts.min
+          val (b, x) = (runs(0), runs(1))
+          println(f"SCALE $name%s base ${b.min}%.2f s (r1 ${b.head}%.2f) " +
+            f"x$n%d ${x.min}%.2f s (r1 ${x.head}%.2f) " +
+            f"ratio ${x.min / b.min}%.2f r1_ratio ${x.head / b.head}%.2f")
+        } catch {
+          case e: Throwable =>
+            releaseRunState(spark)
+            println(s"SCALE $name FAILED ${e.getClass.getSimpleName}: " +
+              s"${Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString}")
         }
-        println(f"SCALE $name%s base ${secs(0)}%.2f s x$n%d ${secs(1)}%.2f s " +
-          f"ratio ${secs(1) / secs(0)}%.2f")
       }
     } finally spark.stop()
   }
