@@ -30,6 +30,28 @@ private[functions] object TopKOrder {
     }
   }
   def best(buf: Seq[Scored], k: Int): Seq[Scored] = buf.sorted(desc).take(k)
+
+  /** [[best]] with at most ONE survivor per id — the best-scored copy
+    * (sorted order makes the first occurrence the best; ties on score
+    * already break id ASC, so equal-score duplicates keep exactly one).
+    * This cut is a valid bounded-buffer compaction on its own: a copy
+    * dropped for ranking below the k-th DISTINCT id can never re-enter
+    * (later copies of the same id either rank no better or survive on
+    * their own), so compact/merge/finish all using it commute exactly
+    * like [[best]]. */
+  def bestDistinct(buf: Seq[Scored], k: Int): Seq[Scored] = {
+    val sorted = buf.sorted(desc)
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = Vector.newBuilder[Scored]
+    var kept = 0
+    var i = 0
+    while (i < sorted.length && kept < k) {
+      val s = sorted(i)
+      if (seen.add(s.id)) { out += s; kept += 1 }
+      i += 1
+    }
+    out.result()
+  }
 }
 
 /** Bounded-heap top-k as a typed [[Aggregator]] (registered via `udaf`, so
@@ -54,31 +76,56 @@ private[functions] object TopKOrder {
   */
 /** The shared bounded-buffer machinery: appends are O(1) and the buffer is
   * compacted to the top k whenever it reaches 4k, so partial state stays
-  * bounded while averaging O(n) work per partition. The two concrete
-  * aggregators differ ONLY in what `finish` emits — the buffer logic is
-  * final here so the pruned-index cut and the top-k path can never
-  * silently diverge. */
+  * bounded while averaging O(n) work per partition. The concrete
+  * aggregators differ ONLY in what `finish` emits and (for the dedup
+  * variant) which cut compacts — the buffer logic is final here so the
+  * pruned-index cut and the top-k path can never silently diverge. */
 private[functions] abstract class BoundedTopKAgg[OUT](k: Int)
     extends Aggregator[Scored, Seq[Scored], OUT] {
+
+  /** The bounded cut applied at compaction, merge, and finish — every
+    * site MUST use the same cut or partial and final aggregation would
+    * disagree (the reason this is one method, not three call sites). */
+  protected def cut(buf: Seq[Scored]): Seq[Scored] = TopKOrder.best(buf, k)
 
   final override def zero: Seq[Scored] = Vector.empty
 
   final override def reduce(buf: Seq[Scored], in: Scored): Seq[Scored] = {
     val appended = buf :+ in
-    if (appended.length >= 4 * k) TopKOrder.best(appended, k) else appended
+    if (appended.length >= 4 * k) cut(appended) else appended
   }
 
   final override def merge(a: Seq[Scored], b: Seq[Scored]): Seq[Scored] =
-    TopKOrder.best(a ++ b, k)
+    cut(a ++ b)
 
   final override def bufferEncoder: Encoder[Seq[Scored]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
 
   protected final def ranked(buf: Seq[Scored]): Seq[(Scored, Long)] =
-    TopKOrder.best(buf, k).zipWithIndex.map { case (s, i) => (s, i + 1L) }
+    cut(buf).zipWithIndex.map { case (s, i) => (s, i + 1L) }
 }
 
 class TopKAgg(k: Int) extends BoundedTopKAgg[Seq[RankedId]](k) {
+
+  override def finish(buf: Seq[Scored]): Seq[RankedId] =
+    ranked(buf).map { case (s, r) => RankedId(s.id, r) }
+
+  override def outputEncoder: Encoder[Seq[RankedId]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[RankedId]]()
+}
+
+/** [[TopKAgg]] that also DEDUPS by id inside the bounded heap
+  * ([[TopKOrder.bestDistinct]]): for a scored relation whose duplicate
+  * (group, id) rows always carry equal scores — a score that is a pure
+  * function of the pair, like a cosine over fixed vectors — this equals
+  * `distinct-then-topK` exactly, WITHOUT the distinct's full shuffle of
+  * the candidate list. The difference at scale: a graph build proposing
+  * n·(2·degree)² candidate pairs per round pays one bounded exchange
+  * instead of a corpus-pair-sized exchange plus the top-k's. */
+class TopKDistinctAgg(k: Int) extends BoundedTopKAgg[Seq[RankedId]](k) {
+
+  override protected def cut(buf: Seq[Scored]): Seq[Scored] =
+    TopKOrder.bestDistinct(buf, k)
 
   override def finish(buf: Seq[Scored]): Seq[RankedId] =
     ranked(buf).map { case (s, r) => RankedId(s.id, r) }
@@ -231,6 +278,21 @@ object TopK {
       .select(col(groupCol), explode(col("top")).as("t"))
       .select(col(groupCol), col("t.neighbor_id").as("neighbor_id"),
         col("t.score").as("score"), col("t.rnk").as("rnk"))
+  }
+
+  /** [[topK]] over a relation that may carry duplicate (group, id) rows
+    * with EQUAL scores per duplicate set: dedup happens inside the
+    * bounded heap ([[TopKDistinctAgg]]), so the caller skips the
+    * `.distinct()` a duplicate-carrying candidate list would otherwise
+    * need — and with it the full-candidate-list exchange. */
+  def topKDistinct(scored: DataFrame, groupCol: String, scoreCol: String,
+      idCol: String, k: Int): DataFrame = {
+    val agg = udaf(new TopKDistinctAgg(k), Encoders.product[Scored])
+    scored
+      .groupBy(col(groupCol))
+      .agg(agg(col(scoreCol), col(idCol)).as("top"))
+      .select(col(groupCol), explode(col("top")).as("t"))
+      .select(col(groupCol), col("t.neighbor_id").as("neighbor_id"), col("t.rnk").as("rnk"))
   }
 
   /** Column form for composition in ad-hoc aggregations. */

@@ -1092,31 +1092,46 @@ object Similarity {
     val base = Lineage.cut(
       knnRelation(Tables.embeddings(s, d)).select(col("vec_id"), col("bucket"))
         .join(corpus(s, d).select(col("vec_id"), col("v")), "vec_id"))
-    // Score candidate (src, dst) pairs and keep each source's top-
-    // [[graphDegree]] — shared by the initial bucket pass and every
-    // descent round.
-    def topDegree(pairs: DataFrame): DataFrame = {
-      val a = base.select(col("vec_id").as("src"), col("v").as("av"))
-      val b = base.select(col("vec_id").as("dst"), col("v").as("bv"))
-      val scored = pairs.join(a, "src").join(b, "dst")
-        .withColumn("score", expr("cosine_sim(av, bv)"))
-        .select(col("src"), col("dst"), col("score"))
-      TopK.topK(scored, "src", "score", "dst", graphDegree)
+    // Score candidate (src, dst, av, bv) pairs — endpoint vectors carried
+    // IN the pair row — and keep each source's top-[[graphDegree]] in ONE
+    // bounded dedup-heap exchange ([[graft.functions.TopK.topKDistinct]]).
+    // The score is a pure function of the endpoints, so duplicate pairs
+    // carry equal scores and in-heap dedup ≡ the distinct-then-top-k this
+    // replaced. What that bought at ×10 (BASELINE.md round 18): the old
+    // shape shuffled the n·(2·degree)² candidate list THREE times per
+    // descent round (a `.distinct()` exchange + two vector-fetch join
+    // exchanges); now the candidate list never shuffles at all — it flows
+    // map-side from the two-hop join straight into the heap's partial
+    // aggregation, and only O(k·partitions·n) heap survivors cross the
+    // wire. Same rows out, bit for bit (the oracle is untouched).
+    def topDegree(pairsV: DataFrame): DataFrame =
+      TopK.topKDistinct(
+        pairsV.withColumn("score", expr("cosine_sim(av, bv)"))
+          .select(col("src"), col("score"), col("dst")),
+        "src", "score", "dst", graphDegree)
         .select(col("src"), col("neighbor_id").as("dst"))
-    }
-    val probes = base.select(col("vec_id").as("src"),
+    val srcV = base.select(col("vec_id").as("src"), col("v").as("av"))
+    val dstV = base.select(col("vec_id").as("dst"), col("v").as("bv"))
+    val probes = base.select(col("vec_id").as("src"), col("v").as("av"),
       explode(expr(s"concat(array(bucket), transform(sequence(0, ${knnBits - 1}), " +
         "i -> bucket ^ CAST(shiftleft(1, i) AS BIGINT)))")).as("probe"))
-    val bucketPairs = base.select(col("vec_id").as("dst"), col("bucket"))
+    val bucketPairsV = base.select(col("vec_id").as("dst"), col("v").as("bv"), col("bucket"))
       .join(probes, col("bucket") === col("probe") && col("dst") =!= col("src"))
-      .select(col("src"), col("dst"))
-    var edges = Lineage.cut(topDegree(bucketPairs))
+      .select(col("src"), col("dst"), col("av"), col("bv"))
+    var edges = Lineage.cut(topDegree(bucketPairsV))
     for (_ <- 1 to descentRounds) {
+      // undirected edge list with both endpoint vectors attached: n·2·degree
+      // rows (the SMALL side — vectors ride it once, not the candidate
+      // list), cut because the two-hop self-join and the union read it
+      // three times
       val und = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      val twoHop = und.as("ab").join(und.as("bc"), col("ab.dst") === col("bc.src"))
-        .select(col("ab.src").as("src"), col("bc.dst").as("dst"))
+      val undV = Lineage.cut(und.join(srcV, "src").join(dstV, "dst")
+        .select(col("src"), col("dst"), col("av"), col("bv")))
+      val twoHopV = undV.as("ab").join(undV.as("bc"), col("ab.dst") === col("bc.src"))
+        .select(col("ab.src").as("src"), col("bc.dst").as("dst"),
+          col("ab.av").as("av"), col("bc.bv").as("bv"))
         .filter(col("src") =!= col("dst"))
-      edges = Lineage.cut(topDegree(twoHop.union(und).distinct()))
+      edges = Lineage.cut(topDegree(twoHopV.union(undV)))
     }
     edges
   }

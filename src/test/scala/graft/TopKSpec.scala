@@ -73,4 +73,39 @@ class TopKSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(got == Set((1L, 10L, 1L), (1L, 20L, 2L)))
   }
+
+  test("dedup TopK ≡ distinct-then-TopK on duplicate-carrying inputs (the navGraph contract)") {
+    // duplicates of a (group, id) pair carry EQUAL scores — the navGraph
+    // precondition (score is a pure function of the pair); replication
+    // count is random so dedup has real work at every heap site
+    val dupGen = for {
+      rows <- Gen.choose(1, 80).flatMap(n => Gen.listOfN(n, rowGen))
+      reps <- Gen.listOfN(rows.length, Gen.choose(1, 4))
+    } yield rows.distinctBy(r => (r._1, r._2)).zip(reps).flatMap {
+      case (r, c) => List.fill(c)(r)
+    }
+    val prop = Prop.forAll(dupGen) { rows =>
+      val data = rows.toDF("query_id", "neighbor_id", "score")
+      val got = TopK.topKDistinct(data, "query_id", "score", "neighbor_id", 10)
+        .as[(Long, Long, Long)].collect().toSet
+      val want = TopK.topK(data.distinct(), "query_id", "score", "neighbor_id", 10)
+        .as[(Long, Long, Long)].collect().toSet
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(6), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("dedup TopK keeps the best-scored copy when duplicate ids differ in score") {
+    // beyond the navGraph precondition: keep-best-per-id is the general
+    // contract (a dropped worse copy can never re-enter — the compaction
+    // monotonicity TopKOrder.bestDistinct's scaladoc states)
+    val data = Seq(
+      (1L, 10L, 0.2), (1L, 10L, 0.9), (1L, 10L, 0.5),
+      (1L, 20L, 0.7), (1L, 30L, 0.1))
+      .toDF("query_id", "neighbor_id", "score")
+    val got = TopK.topKDistinct(data, "query_id", "score", "neighbor_id", 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L, 1L), (1L, 20L, 2L)))
+  }
 }
