@@ -65,6 +65,20 @@ object ChunkRouter {
     * ≥ the sign router's on both fixture scales (BASELINE.md round 18). */
   private[graft] val probeCells = 12
 
+  /** Conf overrides for the two tunables — how a deployment GROWS the
+    * router with its corpus without an engine edit (the k ≈ √n rule the
+    * object scaladoc states; BASELINE.md round 18 measures it at ×10).
+    * Every engine path except the [[routerCtes]] oracle text is
+    * k-agnostic already (the panel is DATA — [[probeSql]] sorts whatever
+    * cells it carries), so only seeding and the probe fan-out read these.
+    * The DuckDB oracles unroll training at the DEFAULTS: oracle-checked
+    * runs leave both confs unset (the driver's Verify does), exactly the
+    * un-closed-store caveat's shape ([[graft.tools.QuantizerClose]]). */
+  private[graft] def cellsOf(s: SparkSession): Int =
+    s.conf.getOption("spark.graft.chunkRouterCells").map(_.toInt).getOrElse(cells)
+  private[graft] def probesOf(s: SparkSession): Int =
+    s.conf.getOption("spark.graft.chunkRouterProbes").map(_.toInt).getOrElse(probeCells)
+
   /** Lloyd iteration cap — the oracle unrolls exactly this many rounds;
     * the engine may stop earlier on convergence (a converged assignment
     * is a fixpoint, so the extra unrolled rounds are the identity —
@@ -176,10 +190,10 @@ object ChunkRouter {
     * DATA POINTS keeps every cell anchored somewhere real (64/64 alive,
     * same measurement). The rank window is train-time-only and runs over
     * (id, 8 longs) rows; at 100 TB training reads a bounded sample. */
-  private def seedsOf(st: DataFrame, n: Long): DataFrame = {
-    val stride = math.max(n / cells, 1L)
+  private def seedsOf(st: DataFrame, n: Long, k: Int): DataFrame = {
+    val stride = math.max(n / k, 1L)
     st.withColumn("rn", row_number().over(Window.orderBy(col("vec_id"))))
-      .filter(expr(s"(rn - 1) % $stride = 0 AND (rn - 1) div $stride < $cells"))
+      .filter(expr(s"(rn - 1) % $stride = 0 AND (rn - 1) div $stride < $k"))
       .select(expr(s"(rn - 1) div $stride").as("cluster"),
         posexplode(col("q")).as(Seq("dim", "x")))
       .select(col("cluster"), col("dim").cast("long").as("dim"), col("x").as("c0"))
@@ -196,7 +210,7 @@ object ChunkRouter {
   private[graft] def stateDerive(s: SparkSession, d: String): DataFrame = {
     val st = Lineage.cut(quantizedOf(Search.standingChunkVectors(s, d)))
     val n = st.count()
-    var assign = Lineage.cut(assignOf(st, Lineage.cut(panelOf(seedsOf(st, n)))))
+    var assign = Lineage.cut(assignOf(st, Lineage.cut(panelOf(seedsOf(st, n, cellsOf(s))))))
     var rounds = 0
     var changed = 1L
     while (changed > 0 && rounds < maxRounds) {

@@ -201,8 +201,8 @@ object IndexBuild {
          |    "knn_bits": ${Similarity.knnBits},
          |    "graph_degree": ${Similarity.graphDegree},
          |    "minhash_seeds": ${Dedup.nSeeds},
-         |    "chunk_router_cells": ${graft.ops.ChunkRouter.cells},
-         |    "chunk_router_probes": ${graft.ops.ChunkRouter.probeCells},
+         |    "chunk_router_cells": ${graft.ops.ChunkRouter.cellsOf(s)},
+         |    "chunk_router_probes": ${graft.ops.ChunkRouter.probesOf(s)},
          |    "chunk_router_rounds": ${graft.ops.ChunkRouter.maxRounds},
          |    "n_phrases": ${Search.nPhrases},
          |    "phrase_widths": "${Search.phraseWorkloadWidths.map { case (n, w) => s"$n:$w" }.mkString(",")}"

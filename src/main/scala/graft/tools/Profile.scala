@@ -31,7 +31,14 @@ object Profile {
     args.collect { case a if a.startsWith("store=") => a.stripPrefix("store=") }
       .foreach(dir => spark.conf.set(graft.ops.IndexStore.indexDirConf, dir))
     val explain = args.contains("-e")
-    val names = args.filterNot(a => a == "-e" || a.startsWith("store="))
+    // `mean=<col>` arg: besides timing, print each query's row count and
+    // the mean of <col> when the result carries it — the readout a recall
+    // or drift experiment needs next to its latency (e.g.
+    // `mean=recall_bp x_search_chunks_dense_recall`).
+    val meanCol = args.collectFirst {
+      case a if a.startsWith("mean=") => a.stripPrefix("mean=") }
+    val names = args.filterNot(a =>
+      a == "-e" || a.startsWith("store=") || a.startsWith("mean="))
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       if (explain) fn(spark, sfDir).explain("formatted")
@@ -39,6 +46,13 @@ object Profile {
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         println(f"PROFILE $name run$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      meanCol.filter(fn(spark, sfDir).columns.contains).foreach { c =>
+        val r = fn(spark, sfDir)
+          .agg(org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)),
+            org.apache.spark.sql.functions.avg(c)).head
+        println(f"PROFILE $name rows ${r.getLong(0)}%d mean($c) ${r.getDouble(1)}%.1f")
       }
     }
     spark.stop()

@@ -22,6 +22,24 @@ class RouterEpochSpec extends SparkSpec {
     r.map(_.getLong(4)).sum.toDouble / r.length
   }
 
+  test("router tunables: defaults pin the oracle constants; conf override retrains at the asked k") {
+    // defaults = the constants the DuckDB oracle unrolls (conf unset)
+    assert(ops.ChunkRouter.cellsOf(spark) == 64)
+    assert(ops.ChunkRouter.probesOf(spark) == 12)
+    // override: training seeds (and therefore cells) follow the conf —
+    // the k ≈ √n growth path a deployment takes without an engine edit.
+    // stateDerive (not standingState) on purpose: the session memo must
+    // not be poisoned with non-default-k state for the other suites.
+    spark.conf.set("spark.graft.chunkRouterCells", "16")
+    try {
+      val cells = ops.ChunkRouter.stateDerive(spark, sf)
+        .select(col("cluster")).distinct().collect().map(_.getLong(0))
+      assert(cells.length > 1 && cells.length <= 16,
+        s"expected 2..16 live cells at k=16, got ${cells.length}")
+      assert(cells.forall(c => c >= 0 && c < 16))
+    } finally spark.conf.unset("spark.graft.chunkRouterCells")
+  }
+
   test("native cell_route equals the interpreted probe's top-1 on every corpus chunk") {
     import org.apache.spark.sql.functions.{broadcast, col, expr}
     graft.functions.GraftFunctions.register(spark)
