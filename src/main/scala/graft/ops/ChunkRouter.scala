@@ -79,6 +79,22 @@ object ChunkRouter {
   private[graft] def probesOf(s: SparkSession): Int =
     s.conf.getOption("spark.graft.chunkRouterProbes").map(_.toInt).getOrElse(probeCells)
 
+  /** Training-sample cap — the object scaladoc's "at 100 TB the training
+    * pass moves to a bounded sample" made real. A standing corpus at or
+    * under the cap trains EXACTLY as before (the oracle-pinned path —
+    * every driver fixture and the ×10 sweep corpus sit under the
+    * default); above it, the Lloyd loop runs on a deterministic
+    * `vec_id % stride` sample of ≤ cap vectors and ONE full-corpus
+    * E+M pass under the sample-trained panel produces the state, so the
+    * persisted (Σ, n) still describes every standing vector (the
+    * epoch-close merge arithmetic requires corpus counts, not sample
+    * counts). Training cost becomes O(cap·k·rounds) + one linear route
+    * pass — the route pass is the same O(n·k) the build's `chunk_routed`
+    * stage already pays, so sampling caps the SUPERLINEAR term. */
+  private[graft] val trainCap = 250000L
+  private[graft] def trainCapOf(s: SparkSession): Long =
+    s.conf.getOption("spark.graft.chunkRouterTrainCap").map(_.toLong).getOrElse(trainCap)
+
   /** Lloyd iteration cap — the oracle unrolls exactly this many rounds;
     * the engine may stop earlier on convergence (a converged assignment
     * is a fixpoint, so the extra unrolled rounds are the identity —
@@ -210,19 +226,28 @@ object ChunkRouter {
   private[graft] def stateDerive(s: SparkSession, d: String): DataFrame = {
     val st = Lineage.cut(quantizedOf(Search.standingChunkVectors(s, d)))
     val n = st.count()
-    var assign = Lineage.cut(assignOf(st, Lineage.cut(panelOf(seedsOf(st, n, cellsOf(s))))))
+    // bounded-sample training (see [[trainCap]]): stride 1 — every
+    // oracle fixture — is byte-identical to the unsampled derivation
+    val cap = math.max(trainCapOf(s), 1L)
+    val stride = (n + cap - 1L) / cap
+    val tr = if (stride > 1L) Lineage.cut(st.filter(col("vec_id") % stride === 0L)) else st
+    val nt = if (stride > 1L) tr.count() else n
+    var assign = Lineage.cut(assignOf(tr, Lineage.cut(panelOf(seedsOf(tr, nt, cellsOf(s))))))
     var rounds = 0
     var changed = 1L
     while (changed > 0 && rounds < maxRounds) {
       rounds += 1
-      val p = Lineage.cut(panelOf(stateOf(st, assign)))
+      val p = Lineage.cut(panelOf(stateOf(tr, assign)))
       val next = Lineage.cutFused(
-        assignOf(st, p)
+        assignOf(tr, p)
           .join(assign.withColumnRenamed("cluster", "prev"), "vec_id"))
       changed = next.filter(col("cluster") =!= col("prev")).count()
       assign = next.select(col("vec_id"), col("cluster"))
     }
-    stateOf(st, assign).withColumn("epoch", lit(0L))
+    val full =
+      if (stride > 1L) assignOf(st, Lineage.cut(panelOf(stateOf(tr, assign))))
+      else assign
+    stateOf(st, full).withColumn("epoch", lit(0L))
   }
 
   /** The STANDING router state — resolution order is the serving-index

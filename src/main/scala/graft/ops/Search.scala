@@ -607,11 +607,26 @@ object Search {
     * what the [[ChunkRouter.probeCells]]-of-[[ChunkRouter.cells]]
     * pruning costs, per query ([[graft.ops.Similarity.recallOf]], the
     * ladder's shared pricing definition). */
-  def chunkDenseRecall(s: SparkSession, d: String): DataFrame =
+  def chunkDenseRecall(s: SparkSession, d: String): DataFrame = {
+    // `spark.graft.recallQueryStride` (default 1 = the oracle-pinned
+    // full member panel): an extra deterministic stride on the query
+    // side only, because recall is a per-query readout — a strided
+    // subsample prices the same rung at corpora where the brute ground
+    // truth over the full panel is prohibitive (the ×100 sweep). Both
+    // rungs share ONE query frame, so each surviving query_id's row is
+    // identical to its full-panel twin (`RouterEpochSpec` pins this).
+    val extra = s.conf.getOption("spark.graft.recallQueryStride")
+      .map(_.toLong).getOrElse(1L)
+    val qd = Tables.documents(s, d)
+      .filter(col("doc_id") % (searchStride * extra) === 0)
     Similarity.recallOf(
-      chunkDenseHits(s, d).select(col("query_id"), col("chunk_key").as("neighbor_id")),
-      chunkDenseBucketHits(s, d).select(col("query_id"), col("chunk_key").as("neighbor_id")),
+      chunkDenseProbe(qd, chunkVectors(s, d))
+        .select(col("query_id"), col("chunk_key").as("neighbor_id")),
+      chunkDenseBucketProbe(qd, ChunkRouter.routedVectors(s, d),
+          ChunkRouter.servingPanel(s, d))
+        .select(col("query_id"), col("chunk_key").as("neighbor_id")),
       "n_bucket")
+  }
 
   /** DENSE chunk retrieval (`x_search_chunks_dense`): the passage hit
     * list by embedding similarity — the leg the lexical [[chunkTopK]]

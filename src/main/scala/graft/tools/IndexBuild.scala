@@ -30,8 +30,10 @@ import org.apache.spark.sql.SparkSession
   * index built for a different configuration — the meta makes that
   * auditable instead of silent.
   *
-  * Usage: `runMain graft.tools.IndexBuild <sfDir> <storeDir>`
-  * then serve with `spark.graft.indexDir=<storeDir>`. */
+  * Usage: `runMain graft.tools.IndexBuild <sfDir> <storeDir>` then serve
+  * with `spark.graft.indexDir=<storeDir>`. With `only=router` appended,
+  * only the chunk-router pair is rebuilt into an existing store
+  * ([[buildRouterTo]] — the router-growth maintenance operation). */
 object IndexBuild {
 
   /** Per-stage wall time of the last [[buildTo]] run, in declaration
@@ -176,19 +178,67 @@ object IndexBuild {
     // mergeable shape as quantizer_state; a maintenance close appends
     // epoch e+1 and serving flips with no plan change
     stage("chunk_router_state") {
-      graft.ops.ChunkRouter.stateDerive(s, sfDir)
-        .write.mode("overwrite").parquet(s"$storeDir/${IndexStore.chunkRouterState}")
+      writeRouterState(s, sfDir, storeDir)
     }
     stage("chunk_routed") {
-      // the routed inverted lists under the epoch-0 panel just written —
-      // routing is a BUILD cost, not a per-query cost
-      // (ChunkRouter.routedVectors' contract); an epoch close rewrites
-      // this relation (QuantizerClose.closeChunkRouter)
-      val st = s.read.parquet(s"$storeDir/${IndexStore.chunkRouterState}")
-      graft.ops.ChunkRouter.routedOf(Search.chunkVectors(s, sfDir),
-        graft.ops.ChunkRouter.panelOf(st))
-        .write.mode("overwrite").parquet(s"$storeDir/${IndexStore.chunkRouted}")
+      writeRouted(s, sfDir, storeDir)
     }
+    writeMeta(s, sfDir, storeDir)
+    lastStageSeconds = stages.toSeq
+  }
+
+  /** The router pair as a REBUILD unit (`only=router`): retrain the
+    * spherical cells and rewrite the routed inverted lists into an
+    * EXISTING store, leaving every other relation untouched — the
+    * operation a deployment runs when its corpus outgrows the router
+    * (`spark.graft.chunkRouterCells` ≈ √n, the growth rule BASELINE.md
+    * round 18 measures) without paying the full snapshot build. The
+    * store's INDEX_META is rewritten so the recorded
+    * `chunk_router_cells`/`chunk_router_probes` stay auditable. */
+  def buildRouterTo(s: SparkSession, sfDir: String, storeDir: String): Unit = {
+    val stages = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    def stage[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val a = f
+      stages += name -> (System.nanoTime() - t0) / 1e9
+      a
+    }
+    require(s.conf.getOption(IndexStore.indexDirConf).forall(_.isEmpty),
+      s"unset ${IndexStore.indexDirConf} while building — the build must " +
+        "derive from the corpus, not read an existing store")
+    val metaP = new org.apache.hadoop.fs.Path(s"$storeDir/INDEX_META.json")
+    require(metaP.getFileSystem(s.sparkContext.hadoopConfiguration).exists(metaP),
+      s"only=router rebuilds INTO an existing store; $storeDir has no " +
+        "INDEX_META.json — run the full build first")
+    stage("chunk_router_state") {
+      writeRouterState(s, sfDir, storeDir)
+    }
+    stage("chunk_routed") {
+      writeRouted(s, sfDir, storeDir)
+    }
+    writeMeta(s, sfDir, storeDir)
+    lastStageSeconds = stages.toSeq
+  }
+
+  private def writeRouterState(s: SparkSession, sfDir: String,
+      storeDir: String): Unit =
+    graft.ops.ChunkRouter.stateDerive(s, sfDir)
+      .write.mode("overwrite").parquet(s"$storeDir/${IndexStore.chunkRouterState}")
+
+  // the routed inverted lists under the epoch-0 panel just written —
+  // routing is a BUILD cost, not a per-query cost
+  // (ChunkRouter.routedVectors' contract); an epoch close rewrites
+  // this relation (QuantizerClose.closeChunkRouter)
+  private def writeRouted(s: SparkSession, sfDir: String,
+      storeDir: String): Unit = {
+    val st = s.read.parquet(s"$storeDir/${IndexStore.chunkRouterState}")
+    graft.ops.ChunkRouter.routedOf(Search.chunkVectors(s, sfDir),
+      graft.ops.ChunkRouter.panelOf(st))
+      .write.mode("overwrite").parquet(s"$storeDir/${IndexStore.chunkRouted}")
+  }
+
+  private def writeMeta(s: SparkSession, sfDir: String,
+      storeDir: String): Unit = {
     val meta =
       s"""{
          |  "version": 1,
@@ -213,13 +263,24 @@ object IndexBuild {
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
     try out.write(meta.getBytes("UTF-8")) finally out.close()
-    lastStageSeconds = stages.toSeq
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length == 2,
-      "usage: runMain graft.tools.IndexBuild <sfDir> <storeDir>")
-    val sfDir = args(0); val storeDir = args(1)
+    val routerOnly = args.contains("only=router")
+    // `conf:key=value` args: session confs for the build — e.g.
+    // `conf:spark.graft.chunkRouterCells=1100` grows the router with the
+    // corpus (the k ≈ √n rule) for this build without an engine edit.
+    val confs = args.collect { case a if a.startsWith("conf:") =>
+      val kv = a.stripPrefix("conf:")
+      val i = kv.indexOf('=')
+      require(i > 0, s"conf: arg must be conf:key=value, got conf:$kv")
+      kv.take(i) -> kv.drop(i + 1)
+    }
+    val rest = args.filterNot(a => a == "only=router" || a.startsWith("conf:"))
+    require(rest.length == 2,
+      "usage: runMain graft.tools.IndexBuild <sfDir> <storeDir> " +
+        "[only=router] [conf:key=value ...]")
+    val sfDir = rest(0); val storeDir = rest(1)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",
@@ -230,7 +291,18 @@ object IndexBuild {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.Logs.quietBenignWarnings()
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
     try {
+      if (routerOnly) {
+        buildRouterTo(spark, sfDir, storeDir)
+        lastStageSeconds.foreach { case (name, sec) =>
+          println(f"[index-build] stage $name%s $sec%.1f s")
+        }
+        Seq(IndexStore.chunkRouterState, IndexStore.chunkRouted).foreach { name =>
+          val n = spark.read.parquet(s"$storeDir/$name").count()
+          println(s"[index-build] $name: $n rows")
+        }
+      } else {
       buildTo(spark, sfDir, storeDir)
       lastStageSeconds.foreach { case (name, sec) =>
         println(f"[index-build] stage $name%s $sec%.1f s")
@@ -249,6 +321,7 @@ object IndexBuild {
           val n = spark.read.parquet(s"$storeDir/$name").count()
           println(s"[index-build] $name: $n rows")
         }
+      }
     } finally spark.stop()
   }
 }

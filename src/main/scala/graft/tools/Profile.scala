@@ -30,6 +30,16 @@ object Profile {
     // `runMain graft.tools.IndexBuild <sfDir> <dir>`.
     args.collect { case a if a.startsWith("store=") => a.stripPrefix("store=") }
       .foreach(dir => spark.conf.set(graft.ops.IndexStore.indexDirConf, dir))
+    // `conf:key=value` args: set any session conf before the runs — how a
+    // profiling session drives the engine's conf tunables (router k/p,
+    // recall panel stride, broadcast posture) without an sbt-level
+    // javaOptions edit.
+    args.collect { case a if a.startsWith("conf:") => a.stripPrefix("conf:") }
+      .foreach { kv =>
+        val i = kv.indexOf('=')
+        require(i > 0, s"conf: arg must be conf:key=value, got conf:$kv")
+        spark.conf.set(kv.take(i), kv.drop(i + 1))
+      }
     val explain = args.contains("-e")
     // `mean=<col>` arg: besides timing, print each query's row count and
     // the mean of <col> when the result carries it — the readout a recall
@@ -38,7 +48,8 @@ object Profile {
     val meanCol = args.collectFirst {
       case a if a.startsWith("mean=") => a.stripPrefix("mean=") }
     val names = args.filterNot(a =>
-      a == "-e" || a.startsWith("store=") || a.startsWith("mean="))
+      a == "-e" || a.startsWith("store=") || a.startsWith("mean=") ||
+        a.startsWith("conf:"))
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       if (explain) fn(spark, sfDir).explain("formatted")

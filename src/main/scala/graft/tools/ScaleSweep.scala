@@ -40,7 +40,9 @@ import org.apache.spark.sql.functions._
   * the matching store before each side's runs.
   *
   * Usage: `runMain graft.tools.ScaleSweep <baseDir> <xDir> <factor>
-  * <query...>` — xDir is generated if absent, reused if present. */
+  * [stores=<dir>] <query...>` — xDir is generated if absent, reused if
+  * present; `stores=` persists and reuses the per-side serving stores
+  * (default: exit-cleaned scratch builds). */
 object ScaleSweep {
 
   /** Round `max+1` up to a multiple of 10⁴ — the shift unit that
@@ -134,10 +136,20 @@ object ScaleSweep {
     java.nio.file.Paths.get(xDir, "_SWEEP_COMPLETE")
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 4,
-      "usage: runMain graft.tools.ScaleSweep <baseDir> <xDir> <factor> <query...>")
-    val base = args(0); val xDir = args(1); val n = args(2).toInt
-    val names = args.drop(3).toSeq
+    // `stores=<dir>`: persist the per-side serving stores at <dir>/base
+    // and <dir>/x<n> and REUSE them when already built (INDEX_META.json
+    // present — the build writes it last, so it doubles as the
+    // completion marker). A ×100 store build is ~tens of minutes; a
+    // crashed or repeated sweep must not pay it twice. Default (arg
+    // absent) stays the exit-cleaned scratch build.
+    val storesRoot = args.collectFirst {
+      case a if a.startsWith("stores=") => a.stripPrefix("stores=") }
+    val pos = args.filterNot(_.startsWith("stores="))
+    require(pos.length >= 4,
+      "usage: runMain graft.tools.ScaleSweep <baseDir> <xDir> <factor> " +
+        "[stores=<dir>] <query...>")
+    val base = pos(0); val xDir = pos(1); val n = pos(2).toInt
+    val names = pos.drop(3).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -157,16 +169,24 @@ object ScaleSweep {
       // one store per corpus — the bench's serving posture; build time is
       // itself a scale reading (the serving-index build cost center)
       val stores = Seq(base, xDir).map { d =>
-        val store = graft.ops.SpillMemo.scratchDir(s"graft-scalestore-")
-        val (_, tB) = timed(IndexBuild.buildTo(spark, d, store))
         val side = if (d == base) "base" else s"x$n"
-        println(f"SCALE index_build $side%s $tB%.1f s")
-        // per-stage attribution (r17 verdict #6): which stage carries the
-        // near-linear build cost (codec vs postings vs router training)
-        IndexBuild.lastStageSeconds.foreach { case (name, sec) =>
-          println(f"SCALE index_build_stage $side%s $name%s $sec%.1f s")
+        val store = storesRoot match {
+          case Some(root) => s"$root/$side"
+          case None => graft.ops.SpillMemo.scratchDir(s"graft-scalestore-")
         }
-        releaseRunState(spark)
+        val metaP = java.nio.file.Paths.get(store, "INDEX_META.json")
+        if (java.nio.file.Files.exists(metaP)) {
+          println(s"SCALE index_build $side reused $store")
+        } else {
+          val (_, tB) = timed(IndexBuild.buildTo(spark, d, store))
+          println(f"SCALE index_build $side%s $tB%.1f s")
+          // per-stage attribution (r17 verdict #6): which stage carries the
+          // near-linear build cost (codec vs postings vs router training)
+          IndexBuild.lastStageSeconds.foreach { case (name, sec) =>
+            println(f"SCALE index_build_stage $side%s $name%s $sec%.1f s")
+          }
+          releaseRunState(spark)
+        }
         d -> store
       }.toMap
       names.foreach { name =>

@@ -40,6 +40,40 @@ class RouterEpochSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.chunkRouterCells")
   }
 
+  test("bounded-sample training: the persisted state still counts every standing vector") {
+    // force the sampled path (stride > 1) on the fixture: the Lloyd loop
+    // runs on a vec_id-strided subset, but the state's (Σ, n) must
+    // describe the FULL standing corpus — the epoch-close merge folds
+    // arrival counts into corpus counts, not sample counts
+    val standing = ops.ChunkRouter.quantizedOf(
+      ops.Search.standingChunkVectors(spark, sf)).count()
+    spark.conf.set("spark.graft.chunkRouterTrainCap", (standing / 4).toString)
+    try {
+      val st = ops.ChunkRouter.stateDerive(spark, sf)
+      val counted = st.filter(col("dim") === 0L)
+        .agg(sum(col("n0"))).head.getLong(0)
+      assert(counted == standing,
+        s"sampled training must still state all $standing standing vectors, got $counted")
+      val live = st.select(col("cluster")).distinct().count()
+      assert(live > 1, "sampled training collapsed to a single cell")
+    } finally spark.conf.unset("spark.graft.chunkRouterTrainCap")
+  }
+
+  test("recall query stride: each surviving query's row is identical to its full-panel twin") {
+    val full = ops.Search.chunkDenseRecall(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.toSeq).toMap
+    spark.conf.set("spark.graft.recallQueryStride", "3")
+    try {
+      val strided = ops.Search.chunkDenseRecall(spark, sf).collect()
+      assert(strided.nonEmpty && strided.length < full.size,
+        s"stride 3 should subsample the ${full.size}-query panel, got ${strided.length}")
+      strided.foreach { r =>
+        assert(full(r.getLong(0)) == r.toSeq,
+          s"strided row for query ${r.getLong(0)} differs from the full panel's")
+      }
+    } finally spark.conf.unset("spark.graft.recallQueryStride")
+  }
+
   test("native cell_route equals the interpreted probe's top-1 on every corpus chunk") {
     import org.apache.spark.sql.functions.{broadcast, col, expr}
     graft.functions.GraftFunctions.register(spark)
