@@ -37,4 +37,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // Scratch-medium A/B knob (optimization guide §6): point the forked JVM's
+  // tmpdir (streaming checkpoints/sinks, memo spills, Spark local dirs all
+  // derive from it) at a different filesystem, e.g. /dev/shm, without a
+  // code edit. Unset = JVM default (/tmp).
+  sys.env.get("SPARK_GRAFT_TMPDIR").map(d => s"-Djava.io.tmpdir=$d").toSeq

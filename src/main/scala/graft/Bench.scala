@@ -48,6 +48,7 @@ object Bench {
     // artifact records it (cpus/master fields) so a mismatch is visible.
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
+      .config("spark.local.dir", ops.SpillMemo.sparkLocalDir)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

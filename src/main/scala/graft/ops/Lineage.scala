@@ -73,6 +73,33 @@ object Lineage {
 private[graft] object SpillMemo {
   private val created = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
 
+  /** Root for all scratch allocation (optimization guide §6: put ephemeral
+    * I/O on the fastest local medium). Order: `SPARK_GRAFT_SCRATCH` env
+    * override → `/dev/shm` when present and writable (the container's
+    * fast local medium — on a real cluster this is the node's NVMe
+    * scratch; everything under it is per-run state deleted at JVM exit,
+    * never a cross-run cache) → `java.io.tmpdir`. Measured on the full
+    * bench sweep: the streaming family's checkpoint WAL fsyncs, the
+    * upsert sinks and the memo spills all land here, and moving them off
+    * the disk-backed /tmp is worth ~10% of the suite (BASELINE.md round
+    * 18, scratch-medium A/B). */
+  private[graft] lazy val scratchRoot: java.nio.file.Path = {
+    def writable(p: java.nio.file.Path): Option[java.nio.file.Path] =
+      try {
+        java.nio.file.Files.createDirectories(p)
+        val probe = java.nio.file.Files.createTempFile(p, ".graft-probe-", "")
+        java.nio.file.Files.deleteIfExists(probe)
+        Some(p)
+      } catch { case _: Throwable => None }
+    sys.env.get("SPARK_GRAFT_SCRATCH").flatMap(d => writable(java.nio.file.Paths.get(d)))
+      .orElse {
+        val shm = java.nio.file.Paths.get("/dev/shm")
+        if (java.nio.file.Files.isDirectory(shm)) writable(shm.resolve("graft-scratch"))
+        else None
+      }
+      .getOrElse(java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")))
+  }
+
   Runtime.getRuntime.addShutdownHook(new Thread(() => {
     created.forEach { root =>
       try {
@@ -83,12 +110,19 @@ private[graft] object SpillMemo {
     }
   }))
 
-  /** A fresh temp dir registered for deletion at JVM exit. */
+  /** A fresh temp dir under [[scratchRoot]], registered for deletion at
+    * JVM exit. */
   def scratchDir(prefix: String): String = {
-    val p = java.nio.file.Files.createTempDirectory(prefix)
+    val p = java.nio.file.Files.createTempDirectory(scratchRoot, prefix)
     created.add(p)
     p.toString
   }
+
+  /** `spark.local.dir` value for the runtime mains: shuffle/block scratch
+    * on the fast medium, under an exit-deleted dir. Spark's own resolution
+    * lets `SPARK_LOCAL_DIRS` override this, so cluster postures are
+    * unaffected — this is the local-mode default, not a mandate. */
+  private[graft] lazy val sparkLocalDir: String = scratchDir("spark-local-")
 
   private val sessionIds =
     new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Long]

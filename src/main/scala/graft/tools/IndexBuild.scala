@@ -282,6 +282,7 @@ object IndexBuild {
         "[only=router] [conf:key=value ...]")
     val sfDir = rest(0); val storeDir = rest(1)
     val spark = SparkSession.builder()
+      .config("spark.local.dir", graft.ops.SpillMemo.sparkLocalDir)
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))

@@ -57,6 +57,7 @@ object Pipeline {
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
+      .config("spark.local.dir", graft.ops.SpillMemo.sparkLocalDir)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

@@ -13,6 +13,7 @@ object Profile {
     // default = the driver's graded local[32] (see Bench.main's note).
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
+      .config("spark.local.dir", graft.ops.SpillMemo.sparkLocalDir)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

@@ -146,6 +146,7 @@ object QuantizerClose {
     require(args.length == 2,
       "usage: runMain graft.tools.QuantizerClose <sfDir> <storeDir>")
     val spark = SparkSession.builder()
+      .config("spark.local.dir", graft.ops.SpillMemo.sparkLocalDir)
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
